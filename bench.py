@@ -1,0 +1,80 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Each query is executed once as a warm-up-free timed run; the timed action is
+a full materialization (``count`` over the result via collect-to-driver of
+aggregated output — all headline queries return small results).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pigeon_optics_spark.queries import all_queries  # noqa: E402
+from pigeon_optics_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family that exists at the time of the run.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_top3_customers_per_nation",
+    "q_distinct_suppliers_per_flag",
+    "q_rollup_returns",
+    "q_segment_setops",
+    "q_orderpriority_checker",
+    # added as milestones land (lens engine, dedup, similarity, windows):
+    "lens_invert_part_types",
+    "lens_sum_qty_by_partkey",
+    "dedup_exact_documents",
+    "dedup_minhash_pairs",
+    "text_quality_documents",
+    "ann_topk_bruteforce",
+    "events_tumbling_counts",
+    "events_sessionize",
+    "asof_join_events_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("spark_optics_bench")
+
+    qs = all_queries()
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        fn, _oracle = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

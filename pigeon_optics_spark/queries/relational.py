@@ -1,0 +1,448 @@
+"""Relational surface queries (SURVEY §2.3/2.4/2.6/2.7/2.8 — the categories
+the reference lacks and the engine exposes natively from Spark).
+
+Spark side uses the DataFrame API (Catalyst plans joins/agg placement);
+oracle side is the equivalent ANSI SQL for DuckDB.  Broadcast hints are
+explicit where a dimension side is known-small (nation/region/supplier):
+at 100 TB the fact side never shuffles for those joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import davg, dsum, load, load_events
+
+# --------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1 shape: scan + filter + 2-key hash agg.
+# Plan goals: filter pushed to parquet, map-side partial agg, no join.
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(dsum("l_quantity", "sum_qty")).alias("sum_qty"),
+            F.expr(dsum("l_extendedprice", "sum_base_price")).alias("sum_base_price"),
+            F.expr(
+                dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", 8)
+            ).alias("sum_disc_price"),
+            F.expr(
+                dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", 8)
+            ).alias("sum_charge"),
+            F.expr(davg("l_quantity", "avg_qty")).alias("avg_qty"),
+            F.expr(davg("l_extendedprice", "avg_price")).alias("avg_price"),
+            F.expr(davg("l_discount", "avg_disc", 8)).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity', 'sum_qty')},
+       {dsum('l_extendedprice', 'sum_base_price')},
+       {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 8)},
+       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 8)},
+       {davg('l_quantity', 'avg_qty')},
+       {davg('l_extendedprice', 'avg_price')},
+       {davg('l_discount', 'avg_disc', 8)},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+register("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q3_shipping_priority — selective dim filter + 2 joins + agg + top-k.
+# customer(BUILDING) is small → broadcast; lineitem never shuffles for it.
+# Deterministic LIMIT: total order (revenue desc, o_orderdate, o_orderkey).
+# --------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue", 8)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_ORACLE = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {dsum('l_extendedprice * (1 - l_discount)', 'revenue', 8)}
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate  > DATE '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+register("q3_shipping_priority", q3_shipping_priority, _Q3_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q5_region_revenue — 6-way join; every dimension broadcast, single shuffle
+# for the final group-by.
+# --------------------------------------------------------------------------
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue", 8)).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT r_name, n_name,
+       {dsum('l_extendedprice * (1 - l_discount)', 'revenue', 8)},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+register("q5_region_revenue", q5_region_revenue, _Q5_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_top3_customers_per_nation — top-k per group via ranking window.
+# --------------------------------------------------------------------------
+
+
+def q_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rank_in_nation", F.row_number().over(w))
+        .where(F.col("rank_in_nation") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "rank_in_nation")
+    )
+
+
+_TOP3_ORACLE = """
+SELECT n_name, c_custkey, c_name, c_acctbal, rank_in_nation
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
+  FROM customer
+) r
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rank_in_nation <= 3
+"""
+
+register("q_top3_customers_per_nation", q_top3_customers_per_nation, _TOP3_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_customers_without_orders — anti join (NOT EXISTS), counted per nation.
+# --------------------------------------------------------------------------
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.year("o_orderdate") == 2001)
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers_no_orders"))
+    )
+
+
+_ANTI_ORACLE = """
+SELECT n_name, COUNT(*) AS n_customers_no_orders
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 2001)
+GROUP BY n_name
+"""
+
+register("q_customers_without_orders", q_customers_without_orders, _ANTI_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_urgent_order_customers — semi join (EXISTS).
+# --------------------------------------------------------------------------
+
+
+def q_urgent_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"),
+             F.expr(dsum("c_acctbal", "total_acctbal")).alias("total_acctbal"))
+    )
+
+
+_SEMI_ORACLE = f"""
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       {dsum('c_acctbal', 'total_acctbal')}
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+register("q_urgent_order_customers", q_urgent_order_customers, _SEMI_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_segment_setops — INTERSECT / EXCEPT (SURVEY §2.7, ABSENT in reference).
+# Customers that bought in 1995 but not 1996 (EXCEPT) and in both (INTERSECT),
+# tagged and unioned.
+# --------------------------------------------------------------------------
+
+
+def q_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
+    only95 = y95.exceptAll(y96).withColumn("cohort", F.lit("only_1995"))
+    return (
+        both.unionByName(only95)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_SETOPS_ORACLE = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     tagged AS (
+       SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+       UNION ALL
+       SELECT 'only_1995' AS cohort, o_custkey FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+     )
+SELECT cohort, COUNT(*) AS n_customers FROM tagged GROUP BY cohort
+"""
+
+register("q_segment_setops", q_segment_setops, _SETOPS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_rollup_returns — ROLLUP grouping sets (SURVEY §2.4, ABSENT in reference).
+# NULL grouping keys are replaced by sentinels so the hash compare is
+# unambiguous across engines.
+# --------------------------------------------------------------------------
+
+
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.expr(dsum("l_quantity", "sum_qty")).alias("sum_qty"),
+             F.count("*").alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+        )
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       {dsum('l_quantity', 'sum_qty')},
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+register("q_rollup_returns", q_rollup_returns, _ROLLUP_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_distinct_suppliers_per_flag — distinct aggregate.
+# --------------------------------------------------------------------------
+
+
+def q_distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+register("q_distinct_suppliers_per_flag", q_distinct_suppliers_per_flag, _DISTINCT_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_point_lookup_documents — key point read (SURVEY §2.1: dataset record read).
+# On a partitioned/bucketed store this partition-prunes to one file.
+# --------------------------------------------------------------------------
+
+
+def q_point_lookup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") == 42).select("doc_id", "lang", "source", "n_chars")
+
+
+register(
+    "q_point_lookup_documents",
+    q_point_lookup_documents,
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+
+
+# --------------------------------------------------------------------------
+# q_scalar_functions — string/date/math scalar surface (SURVEY §2.8, ABSENT
+# in reference — lives in user JS there; native Spark functions here).
+# Only functions with identical cross-engine semantics (no double rounding).
+# --------------------------------------------------------------------------
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.where(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.floor(F.col("p_retailprice")).alias("price_floor"),
+        (F.col("p_partkey") % 7).alias("key_mod7"),
+    )
+
+
+_SCALAR_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_type, 1, 6) AS type_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       ABS(p_size - 25) AS size_dist,
+       FLOOR(p_retailprice) AS price_floor,
+       p_partkey % 7 AS key_mod7
+FROM part
+WHERE p_partkey <= 500
+"""
+
+register("q_scalar_functions", q_scalar_functions, _SCALAR_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_export_at_filter — the reference's `?at=` incremental-pull export
+# (SURVEY §2.2: records below the version cutoff ship as stubs without data;
+# ref export-controller.js:25-41).  Modeled on events: `value` plays the
+# version, `props` the payload.
+# --------------------------------------------------------------------------
+
+
+def q_export_at_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    cutoff = 50.0
+    return ev.where(F.col("event_id") <= 2000).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") >= cutoff, F.col("props")).alias("payload"),
+        (F.col("value") >= cutoff).alias("is_fresh"),
+    )
+
+
+_AT_ORACLE = """
+SELECT event_id, event_type,
+       CASE WHEN value >= 50.0 THEN props END AS payload,
+       value >= 50.0 AS is_fresh
+FROM events
+WHERE event_id <= 2000
+"""
+
+register("q_export_at_filter", q_export_at_filter, _AT_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_orderpriority_checker — TPC-H Q4 shape: EXISTS semi join + count.
+# --------------------------------------------------------------------------
+
+
+def q_orderpriority_checker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+register("q_orderpriority_checker", q_orderpriority_checker, _Q4_ORACLE)

@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Tuned for the test box (local[N], single JVM) but every setting is the one a
+1000-executor cluster job would also want: AQE on (runtime coalesce + skew-join
+splitting), UTC session timezone (bit-stable timestamps vs the DuckDB oracle),
+Arrow for every pandas-UDF boundary, shuffle partitions sized to the
+parallelism at hand rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "spark_optics", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One shuffle partition per core locally; on a cluster this would be
+        # ~2-3x total executor cores (or left to AQE's coalescing).
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local mode: driver owns all memory; harmless on a cluster where the
+        # submitter overrides it.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        # driver testdata's events.parquet stores TIMESTAMP(NANOS); Spark has
+        # no nanos timestamp — read as long and convert (see queries/_util.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,376 @@
+"""M0 — canonical dynamic-value core.
+
+The reference's records are arbitrary structured values (superset of JSON:
+Buffers, Sets, Maps, Dates, URLs, BigInts, NaN/±Infinity, undefined — see
+SURVEY.md §1.3; ref `library/models/codec/json.js:26-86`).  A Spark-native
+engine carries such a value through DataFrames as a **tagged-JSON string
+column**; this module defines that form, the **canonical byte encoding** and
+the content hash every versioning decision depends on, plus the deep-walk
+utilities (attachment-link listing, cid: rewriting — ref
+`library/utility/record-structure.js:9-72`).
+
+Design rules:
+
+- ``object_hash(value)`` = sha256 over the canonical encoding.  Object keys are
+  sorted (insertion-order-insensitive, matching the reference's tested
+  behaviour, ref `test/test-models-codec.js:404-408`); Set members are sorted
+  by their canonical encoding (Sets are unordered); Map entries keep insertion
+  order (JS Maps are ordered).
+- The canonical form must be bit-stable across processes and Spark executors:
+  plain ASCII-sorted keys, minimal separators, shortest-roundtrip float repr
+  (identical in every CPython), base64 for bytes, ms-epoch ints for dates.
+- At scale the hash is computed inside Arrow-batched pandas UDFs (pure
+  function of one column — embarrassingly parallel, no shuffle).
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import hashlib
+import json
+import math
+import re
+from typing import Any, Iterator
+
+__all__ = [
+    "Undefined",
+    "PMap",
+    "PSet",
+    "URLValue",
+    "tagged_to_value",
+    "value_to_tagged",
+    "canonical_json",
+    "object_hash",
+    "hash_json_str",
+    "list_hash_urls",
+    "resolve_cid_links",
+    "natural_sort_key",
+    "HASH_URL_RE",
+]
+
+
+class _UndefinedType:
+    """JS ``undefined`` (forbidden as a record root, ref base-data-model.js:151)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self) -> str:
+        return "Undefined"
+
+    def __bool__(self) -> bool:
+        return False
+
+
+Undefined = _UndefinedType()
+
+
+class PMap:
+    """Ordered map with arbitrary (structured) keys — JS ``Map``.
+
+    Stored as a list of ``[key, value]`` pairs; equality is order-sensitive
+    (JS Maps iterate in insertion order).
+    """
+
+    __slots__ = ("entries",)
+
+    def __init__(self, entries=()):
+        self.entries = [(k, v) for k, v in entries]
+
+    def __eq__(self, other):
+        return isinstance(other, PMap) and self.entries == other.entries
+
+    def __repr__(self):
+        return f"PMap({self.entries!r})"
+
+    def __iter__(self):
+        return iter(self.entries)
+
+    def __len__(self):
+        return len(self.entries)
+
+
+class PSet:
+    """Unordered set of arbitrary structured values — JS ``Set``.
+
+    Python ``set`` can't hold unhashable members (lists/dicts), so members are
+    kept as a list; equality and hashing are order-insensitive via canonical
+    encoding.
+    """
+
+    __slots__ = ("members",)
+
+    def __init__(self, members=()):
+        # dedupe by canonical encoding, preserving first occurrence
+        seen: set[str] = set()
+        out = []
+        for m in members:
+            key = canonical_json(m)
+            if key not in seen:
+                seen.add(key)
+                out.append(m)
+        self.members = out
+
+    def __eq__(self, other):
+        if not isinstance(other, PSet):
+            return False
+        return sorted(canonical_json(m) for m in self.members) == sorted(
+            canonical_json(m) for m in other.members
+        )
+
+    def __repr__(self):
+        return f"PSet({self.members!r})"
+
+    def __iter__(self):
+        return iter(self.members)
+
+    def __len__(self):
+        return len(self.members)
+
+
+class URLValue:
+    """JS ``URL`` value (ref json.js:43-44) — kept as its href string."""
+
+    __slots__ = ("href",)
+
+    def __init__(self, href: str):
+        self.href = str(href)
+
+    def __eq__(self, other):
+        return isinstance(other, URLValue) and self.href == other.href
+
+    def __repr__(self):
+        return f"URLValue({self.href!r})"
+
+
+# Numbers outside the float64-safe-integer range are tagged BigInteger so the
+# JSON form survives engines that parse numbers as doubles.
+_SAFE_INT = 1 << 53
+
+_TAG_KEYS = frozenset(("type", "data"))
+
+
+def value_to_tagged(value: Any) -> Any:
+    """Python value -> JSON-safe tagged form (the reference's ``{type, data}``
+    wrapper convention, ref json.js:26-49)."""
+    if value is None or isinstance(value, bool) or isinstance(value, str):
+        return value
+    if isinstance(value, int):
+        if -_SAFE_INT < value < _SAFE_INT:
+            return value
+        return {"type": "BigInteger", "data": str(value)}
+    if isinstance(value, float):
+        if math.isnan(value):
+            return {"type": "constant", "data": "NaN"}
+        if math.isinf(value):
+            return {"type": "constant", "data": "Infinity" if value > 0 else "-Infinity"}
+        return value
+    if value is Undefined:
+        return {"type": "constant", "data": "undefined"}
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return {"type": "Buffer", "data": base64.b64encode(bytes(value)).decode("ascii")}
+    if isinstance(value, _dt.datetime):
+        ms = int(value.timestamp() * 1000) if value.tzinfo else int(
+            value.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
+        )
+        return {"type": "Date", "data": ms}
+    if isinstance(value, _dt.date):
+        dt = _dt.datetime(value.year, value.month, value.day, tzinfo=_dt.timezone.utc)
+        return {"type": "Date", "data": int(dt.timestamp() * 1000)}
+    if isinstance(value, URLValue):
+        return {"type": "URL", "data": value.href}
+    if isinstance(value, PSet):
+        return {"type": "Set", "data": [value_to_tagged(m) for m in value.members]}
+    if isinstance(value, (set, frozenset)):
+        return {"type": "Set", "data": [value_to_tagged(m) for m in value]}
+    if isinstance(value, PMap):
+        return {
+            "type": "Map",
+            "data": [[value_to_tagged(k), value_to_tagged(v)] for k, v in value.entries],
+        }
+    if isinstance(value, (list, tuple)):
+        return [value_to_tagged(v) for v in value]
+    if isinstance(value, dict):
+        if not all(isinstance(k, str) for k in value):
+            return {
+                "type": "Map",
+                "data": [[value_to_tagged(k), value_to_tagged(v)] for k, v in value.items()],
+            }
+        if frozenset(value.keys()) == _TAG_KEYS:
+            # escape objects that would collide with the tag envelope
+            return {"type": "object", "data": {k: value_to_tagged(v) for k, v in value.items()}}
+        return {k: value_to_tagged(v) for k, v in value.items()}
+    raise TypeError(f"unsupported value type: {type(value)!r}")
+
+
+def tagged_to_value(tagged: Any) -> Any:
+    """Tagged JSON form -> Python value (inverse of :func:`value_to_tagged`)."""
+    if tagged is None or isinstance(tagged, (bool, int, float, str)):
+        return tagged
+    if isinstance(tagged, list):
+        return [tagged_to_value(v) for v in tagged]
+    if isinstance(tagged, dict):
+        if frozenset(tagged.keys()) == _TAG_KEYS and isinstance(tagged["type"], str):
+            t, d = tagged["type"], tagged["data"]
+            if t == "constant":
+                return {"NaN": float("nan"), "Infinity": float("inf"),
+                        "-Infinity": float("-inf"), "undefined": Undefined}[d]
+            if t == "BigInteger":
+                return int(d)
+            if t == "Buffer":
+                return base64.b64decode(d)
+            if t == "Date":
+                return _dt.datetime.fromtimestamp(d / 1000.0, tz=_dt.timezone.utc)
+            if t == "URL":
+                return URLValue(d)
+            if t == "Set":
+                return PSet(tagged_to_value(m) for m in d)
+            if t == "Map":
+                return PMap((tagged_to_value(k), tagged_to_value(v)) for k, v in d)
+            if t == "object":
+                return {k: tagged_to_value(v) for k, v in d.items()}
+            # unknown tag: treat as plain object
+        return {k: tagged_to_value(v) for k, v in tagged.items()}
+    raise TypeError(f"unsupported tagged node: {type(tagged)!r}")
+
+
+def _canonical_node(value: Any) -> Any:
+    """Tagged form with Set members sorted — hashing must be order-insensitive
+    for Sets and Objects but order-sensitive for Arrays and Maps."""
+    tagged = value_to_tagged(value)
+    return _canonicalize_tagged(tagged)
+
+
+def _canonicalize_tagged(node: Any) -> Any:
+    if isinstance(node, list):
+        return [_canonicalize_tagged(v) for v in node]
+    if isinstance(node, dict):
+        if frozenset(node.keys()) == _TAG_KEYS and node.get("type") == "Set":
+            members = [_canonicalize_tagged(m) for m in node["data"]]
+            members.sort(key=lambda m: json.dumps(m, sort_keys=True, separators=(",", ":"),
+                                                  ensure_ascii=False, allow_nan=False))
+            return {"type": "Set", "data": members}
+        return {k: _canonicalize_tagged(v) for k, v in node.items()}
+    return node
+
+
+def canonical_json(value: Any) -> str:
+    """Canonical serialization: tagged form, sorted object keys, minimal
+    separators, shortest-roundtrip floats.  The engine-wide stable byte form —
+    ``hash``/version change-suppression and Set identity all derive from it."""
+    return json.dumps(_canonical_node(value), sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False, allow_nan=False)
+
+
+def object_hash(value: Any) -> str:
+    """sha256 hex of the canonical encoding (ref object-hash.js:10-13; the
+    reference's tested property — key-order insensitivity — holds here)."""
+    return hashlib.sha256(canonical_json(value).encode("utf-8")).hexdigest()
+
+
+def hash_json_str(value_json: str) -> str:
+    """object_hash for a value already in tagged-JSON string form (the Spark
+    column representation): parse → canonicalize → hash.  Used by the store's
+    pandas UDFs."""
+    return object_hash(tagged_to_value(json.loads(value_json)))
+
+
+# --- attachment links (ref library/utility/record-structure.js) -------------
+
+HASH_URL_RE = re.compile(r"^hash://sha256/([0-9a-f]{64})(\?[^?]*)?$")
+
+
+def _walk_strings(value: Any) -> Iterator[str]:
+    """Yield every string in the value, including object keys, Set members,
+    and Map keys+values (ref record-structure.js:9-29: keys *and* values)."""
+    if isinstance(value, str):
+        yield value
+    elif isinstance(value, (list, tuple)):
+        for v in value:
+            yield from _walk_strings(v)
+    elif isinstance(value, dict):
+        for k, v in value.items():
+            yield from _walk_strings(k)
+            yield from _walk_strings(v)
+    elif isinstance(value, PMap):
+        for k, v in value.entries:
+            yield from _walk_strings(k)
+            yield from _walk_strings(v)
+    elif isinstance(value, PSet):
+        for m in value.members:
+            yield from _walk_strings(m)
+    elif isinstance(value, (set, frozenset)):
+        for m in value:
+            yield from _walk_strings(m)
+    elif isinstance(value, URLValue):
+        yield value.href
+
+
+def list_hash_urls(value: Any) -> list[str]:
+    """All distinct ``hash://sha256/...`` URIs in the value, sorted.
+    Becomes the record's ``links`` column (attachment refcounting / GC)."""
+    found = {s for s in _walk_strings(value) if HASH_URL_RE.match(s)}
+    return sorted(found)
+
+
+def resolve_cid_links(value: Any, cid_map: dict[str, str]) -> Any:
+    """Deep-clone ``value`` replacing ``cid:<name>`` strings with the uploaded
+    attachment's hash URL (ref record-structure.js:44-72)."""
+
+    def rewrite(v: Any) -> Any:
+        if isinstance(v, str) and v.startswith("cid:"):
+            name = v[4:]
+            if name in cid_map:
+                return cid_map[name]
+            return v
+        if isinstance(v, (list, tuple)):
+            return [rewrite(x) for x in v]
+        if isinstance(v, dict):
+            return {rewrite(k): rewrite(x) for k, x in v.items()}
+        if isinstance(v, PMap):
+            return PMap((rewrite(k), rewrite(x)) for k, x in v.entries)
+        if isinstance(v, PSet):
+            return PSet(rewrite(m) for m in v.members)
+        return v
+
+    return rewrite(value)
+
+
+# --- natural sort (ref string-natural-compare via base-data-model.js:46) ----
+
+_NAT_SPLIT = re.compile(r"(\d+)")
+
+
+def natural_sort_key(s: str) -> tuple:
+    """Sort key replicating natural string compare: digit runs compare
+    numerically, text runs lexicographically.  Listing/export order of records
+    is natural sort of record_id (a real observable semantic, SURVEY §1.2)."""
+    parts = _NAT_SPLIT.split(s)
+    key = []
+    for i, p in enumerate(parts):
+        if i % 2:  # digit run
+            key.append((1, int(p), len(p)))
+        elif p:
+            key.append((0, p, 0))
+    return tuple(key)
+
+
+def natural_sort_col_expr(colname: str, width: int = 24) -> str:
+    """A Spark SQL expression producing a string that sorts in natural order:
+    every digit run is left-padded with zeros to ``width``.  JVM-side (no UDF)
+    so distributed ORDER BY / range partitioning can use it directly.
+
+    Ties between e.g. ``a01`` and ``a1`` are broken by the raw string; callers
+    should ORDER BY (this_expr, raw).  The tokenizer regex (``\\d+|\\D+``)
+    avoids lookarounds so the same expression works in RE2 engines (DuckDB
+    oracle: ``array_to_string(list_transform(regexp_extract_all(...)))``).
+    """
+    return (
+        f"array_join(transform(regexp_extract_all({colname}, '\\\\d+|\\\\D+', 0), "
+        f"t -> if(t rlike '^\\\\d+$', lpad(t, {width}, '0'), t)), '')"
+    )

@@ -1,0 +1,108 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` in DuckDB
+over the same parquet dir, then compares row count, column names, and values
+(columns sorted by name, rows sorted by all columns, exact equality — with a
+numeric drift report when exactness fails).
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pigeon_optics_spark.queries import all_queries  # noqa: E402
+from pigeon_optics_spark.queries._util import TABLES  # noqa: E402
+from pigeon_optics_spark.session import get_spark  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for a stable total sort across dtypes incl. None
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for col in s.columns:
+        sv, dv = s[col], d[col]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            svf = pd.to_numeric(sv, errors="coerce").astype(float)
+            dvf = pd.to_numeric(dv, errors="coerce").astype(float)
+            both_nan = svf.isna() & dvf.isna()
+            exact = (svf == dvf) | both_nan
+            if not exact.all():
+                drift = (svf - dvf).abs().max()
+                problems.append(f"col {col}: {int((~exact).sum())} value diffs, max abs drift {drift!r}")
+        else:
+            sv2 = sv.map(lambda x: repr(x))
+            dv2 = dv.map(lambda x: repr(x))
+            if not (sv2 == dv2).all():
+                n = int((sv2 != dv2).sum())
+                i = (sv2 != dv2).idxmax()
+                problems.append(f"col {col}: {n} value diffs, e.g. {sv2[i]} vs {dv2[i]}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = all_queries()
+    n_fail = 0
+    for name, (fn, oracle) in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        t1 = time.time()
+        if oracle is None:
+            print(f"okNR {name}: rows={len(spark_pdf)} (no oracle, rows-only) [{t1-t0:.1f}s]")
+            continue
+        try:
+            duck_pdf = con.execute(oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}: rows={len(spark_pdf)} [{t1-t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+        else:
+            print(f"ok   {name}: rows={len(spark_pdf)} [{t1-t0:.1f}s]")
+    print(f"\n{n_fail} failures / {len(qs)} queries")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
