@@ -1,0 +1,136 @@
+"""Lens-engine queries for the correctness gate (SURVEY §2.4/§2.5).
+
+Each query bootstraps datasets from the driver's TPC-H parquet into a
+DatasetStore (once per process per sf_dir), runs a real lens build through the
+full engine (mapInPandas map → cache → shuffle-fold reduce → store write), and
+returns the lens output as a typed DataFrame the DuckDB oracle can reproduce:
+
+- ``lens_invert_part_types`` — the reference's golden inverted-index shape
+  (Set-union reduce ⇒ collect_set idiom) over part.p_type words;
+- ``lens_sum_qty_by_partkey`` — numbers-add reduce ⇒ SUM idiom (FIXTURES F6);
+- ``lens_count_orders_by_status`` — output(k, 1) ⇒ COUNT idiom.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lens import build_lens, create_lens
+from ..store import DatasetStore
+from . import register
+from ._util import load
+
+_STORES: dict[str, DatasetStore] = {}
+_BUILT: set[tuple[str, str]] = set()
+
+INVERT_CODE = """\
+for word in data['p_type'].split(' '):
+    output(word, Set([path.recordID]))
+"""
+
+SUM_CODE = "output(str(int(data['l_partkey'])), data['l_quantity'])"
+
+COUNT_CODE = "output(data['o_orderstatus'], 1)"
+
+
+def _store_for(spark: SparkSession, sf_dir: str) -> DatasetStore:
+    if sf_dir in _STORES:
+        return _STORES[sf_dir]
+    root = tempfile.mkdtemp(prefix="po_lens_store_")
+    store = DatasetStore(root)
+    _STORES[sf_dir] = store
+    return store
+
+
+def _ensure(spark: SparkSession, sf_dir: str, dataset: str, lens: str,
+            code: str, src_df) -> DatasetStore:
+    store = _store_for(spark, sf_dir)
+    key = (sf_dir, lens)
+    if key in _BUILT:
+        return store
+    if not store.exists("tpch", dataset):
+        store.create("tpch", dataset)
+        store.write_entries_df(spark, "tpch", dataset, src_df)
+    create_lens(store, "tpch", lens, inputs=[f"/datasets/tpch:{dataset}"], code=code)
+    build_lens(spark, store, "tpch", lens)
+    _BUILT.add(key)
+    return store
+
+
+def lens_invert_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("record_id"),
+        F.to_json(F.struct("p_type")).alias("value"),
+    )
+    store = _ensure(spark, sf_dir, "part", "part-type-index", INVERT_CODE, src)
+    out = store.read_df(spark, "tpch", "part-type-index", source="lenses")
+    return out.select(
+        F.col("record_id").alias("word"),
+        F.sort_array(
+            F.from_json("value", "struct<type:string,data:array<string>>").getField("data")
+        ).alias("part_ids"),
+    )
+
+
+_INVERT_ORACLE = """
+SELECT word, list_sort(list(DISTINCT CAST(p_partkey AS VARCHAR))) AS part_ids
+FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part)
+GROUP BY word
+"""
+
+register("lens_invert_part_types", lens_invert_part_types, _INVERT_ORACLE)
+
+
+def lens_sum_qty_by_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    # disambiguate with a deterministic row_number so every source row
+    # becomes one record
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    src = li.withColumn("_rn", F.row_number().over(w)).select(
+        F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("_rn").cast("string")).alias("record_id"),
+        F.to_json(F.struct("l_partkey", "l_quantity")).alias("value"),
+    )
+    store = _ensure(spark, sf_dir, "lineitem", "qty-by-part", SUM_CODE, src)
+    out = store.read_df(spark, "tpch", "qty-by-part", source="lenses")
+    return out.select(
+        F.col("record_id").alias("partkey"),
+        F.col("value").cast("double").alias("total_qty"),
+    )
+
+
+_SUM_ORACLE = """
+SELECT CAST(l_partkey AS VARCHAR) AS partkey, SUM(l_quantity) AS total_qty
+FROM lineitem GROUP BY 1
+"""
+
+register("lens_sum_qty_by_partkey", lens_sum_qty_by_partkey, _SUM_ORACLE)
+
+
+def lens_count_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("record_id"),
+        F.to_json(F.struct("o_orderstatus")).alias("value"),
+    )
+    store = _ensure(spark, sf_dir, "orders", "orders-by-status", COUNT_CODE, src)
+    out = store.read_df(spark, "tpch", "orders-by-status", source="lenses")
+    return out.select(
+        F.col("record_id").alias("status"),
+        F.col("value").cast("long").alias("n_orders"),
+    )
+
+
+_COUNT_ORACLE = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+register("lens_count_orders_by_status", lens_count_orders_by_status, _COUNT_ORACLE)

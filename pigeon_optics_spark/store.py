@@ -1,0 +1,517 @@
+"""M1 — versioned multi-author dataset store.
+
+Reimplements the reference's storage semantics (ref
+``library/models/base-data-model.js``, ``dataset.js``) on a **log-structured
+Parquet layout** instead of the reference's whole-archive-rewrite files
+(SURVEY §4 explicitly says do *not* replicate that write amplification):
+
+- every mutating batch appends ONE new parquet *segment* per collection
+  (changed rows only, deletes as tombstones) — O(batch), never O(collection);
+- ``overwrite`` writes a *base* segment: readers ignore all earlier segments
+  (constant-time logical truncate);
+- the current state is resolved per record_id by "latest segment wins"
+  (max ``seq``), i.e. exactly a Delta/Iceberg MERGE log without the JVM jars
+  this image lacks.  On a real cluster this module's write path maps 1:1 onto
+  ``MERGE INTO records ... WHEN MATCHED AND s.hash <> t.hash THEN UPDATE ...``
+  against a Delta table partitioned by ``(source, author, name)``.
+
+Reference semantics preserved (tested in tests/test_store.py, FIXTURES F4):
+
+- collection ``version`` is a monotonically increasing integer bumped once per
+  mutating batch (ref base-data-model.js:30-31);
+- each record stamps the collection version current at its last *content
+  change*; rewriting an identical value is suppressed by content hash and does
+  NOT bump the record's version (ref base-data-model.js:193-197, test
+  test-models-dataset.js:115-122);
+- a null value in a merge deletes that key (ref base-data-model.js:166-225);
+- listing order is natural sort of record_id (ref base-data-model.js:46);
+- record ids are 1..10000 chars, collection names ≤ 250 (ref dataset.js:23,34);
+- every mutation emits a change event ``{path, source, author, name, version}``
+  (ref update-events.js:7-14) — appended under ``changes/`` as one small JSON
+  file per batch so Structured Streaming's file source can tail it.
+
+Small metadata (catalog, per-collection meta) lives in a JSON file maintained
+with the reference's atomic temp+rename dance; record data is parquet,
+readable either driver-side (pyarrow: point reads, iteration — no JVM) or as
+a Spark DataFrame (``read_df``: analytics, lens builds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .paths import encode_path
+from .values import (
+    Undefined,
+    hash_json_str,
+    list_hash_urls,
+    natural_sort_key,
+    object_hash,
+    tagged_to_value,
+    value_to_tagged,
+)
+
+SEGMENT_SCHEMA = pa.schema(
+    [
+        ("record_id", pa.string()),
+        ("value", pa.string()),  # tagged-JSON dynamic value; null for tombstones
+        ("hash", pa.string()),
+        ("links", pa.list_(pa.string())),
+        ("version", pa.int64()),
+        ("deleted", pa.bool_()),
+        ("seq", pa.int64()),
+    ]
+)
+
+MAX_RECORD_ID_LEN = 10_000  # ref dataset.js:23
+MAX_NAME_LEN = 250  # ref dataset.js:34
+
+
+class StoreError(ValueError):
+    pass
+
+
+@dataclass
+class CollectionMeta:
+    source: str
+    author: str
+    name: str
+    memo: str = ""
+    version: int = 0
+    created: float = field(default_factory=time.time)
+    updated: float = field(default_factory=time.time)
+    last_seq: int = 0
+    base_seq: int = 0  # readers ignore segments with seq < base_seq
+    config: dict = field(default_factory=dict)  # lens config etc.
+
+    @property
+    def key(self) -> str:
+        return f"{self.source}/{self.author}/{self.name}"
+
+
+def _validate_name(name: str) -> None:
+    if not isinstance(name, str) or not (1 <= len(name) <= MAX_NAME_LEN):
+        raise StoreError(f"invalid collection name: {name!r}")
+    if "/" in name or name.startswith("."):
+        raise StoreError(f"invalid collection name: {name!r}")
+
+
+def _validate_record_id(rid: str) -> None:
+    if not isinstance(rid, str) or not (1 <= len(rid) <= MAX_RECORD_ID_LEN):
+        raise StoreError(f"invalid record id: {rid!r}")
+
+
+class DatasetStore:
+    """Multi-author dataset/lens store rooted at a local or cluster path."""
+
+    def __init__(self, root: str, attachment_checker: Callable[[str], bool] | None = None):
+        self.root = root
+        os.makedirs(os.path.join(root, "changes"), exist_ok=True)
+        self._catalog_path = os.path.join(root, "catalog.json")
+        self._catalog: dict[str, CollectionMeta] = {}
+        self._load_catalog()
+        # when set, writes containing hash:// links whose blob is absent are
+        # rejected (ref base-data-model.js:185-188)
+        self.attachment_checker = attachment_checker
+
+    # -- catalog ------------------------------------------------------------
+
+    def _load_catalog(self) -> None:
+        if os.path.exists(self._catalog_path):
+            with open(self._catalog_path, encoding="utf-8") as f:
+                raw = json.load(f)
+            self._catalog = {k: CollectionMeta(**v) for k, v in raw.items()}
+
+    def _save_catalog(self) -> None:
+        # atomic temp+rename, the reference's crash-safe pattern (fs/raw.js:152-197)
+        data = {k: vars(m) for k, m in self._catalog.items()}
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(data, f)
+        os.replace(tmp, self._catalog_path)
+
+    def _meta(self, source: str, author: str, name: str) -> CollectionMeta:
+        key = f"{source}/{author}/{name}"
+        if key not in self._catalog:
+            raise StoreError(f"no such collection: {key}")
+        return self._catalog[key]
+
+    def _dir(self, meta: CollectionMeta) -> str:
+        return os.path.join(self.root, "records", meta.source, meta.author, meta.name)
+
+    # -- collection lifecycle ----------------------------------------------
+
+    def create(self, author: str, name: str, *, source: str = "datasets",
+               memo: str = "", config: dict | None = None) -> CollectionMeta:
+        _validate_name(name)
+        _validate_name(author)
+        key = f"{source}/{author}/{name}"
+        if key in self._catalog:
+            raise StoreError(f"collection exists: {key}")
+        meta = CollectionMeta(source=source, author=author, name=name, memo=memo,
+                              config=config or {})
+        os.makedirs(self._dir(meta), exist_ok=True)
+        self._catalog[key] = meta
+        self._save_catalog()
+        return meta
+
+    def exists(self, author: str, name: str, record_id: str | None = None,
+               *, source: str = "datasets") -> bool:
+        key = f"{source}/{author}/{name}"
+        if key not in self._catalog:
+            return False
+        if record_id is None:
+            return True
+        return record_id in self._state(self._catalog[key])
+
+    def delete_collection(self, author: str, name: str, *, source: str = "datasets") -> None:
+        meta = self._meta(source, author, name)
+        import shutil
+
+        shutil.rmtree(self._dir(meta), ignore_errors=True)
+        del self._catalog[meta.key]
+        self._save_catalog()
+        self._emit_change(meta)
+
+    def list_authors(self, *, source: str = "datasets") -> list[str]:
+        return sorted({m.author for m in self._catalog.values() if m.source == source},
+                      key=natural_sort_key)
+
+    def list_names(self, author: str, *, source: str = "datasets") -> list[str]:
+        return sorted((m.name for m in self._catalog.values()
+                       if m.source == source and m.author == author), key=natural_sort_key)
+
+    def get_meta(self, author: str, name: str, *, source: str = "datasets") -> CollectionMeta:
+        return self._meta(source, author, name)
+
+    def set_config(self, author: str, name: str, config: dict, *,
+                   source: str = "datasets", memo: str | None = None) -> CollectionMeta:
+        meta = self._meta(source, author, name)
+        meta.config = config
+        if memo is not None:
+            meta.memo = memo
+        meta.version += 1
+        meta.updated = time.time()
+        self._save_catalog()
+        self._emit_change(meta)
+        return meta
+
+    # -- current-state resolution (driver-side) -----------------------------
+
+    def _segments(self, meta: CollectionMeta) -> list[str]:
+        d = self._dir(meta)
+        if not os.path.isdir(d):
+            return []
+        segs = []
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                seq = int(fn.split("_")[1].split(".")[0])
+                if seq >= meta.base_seq:
+                    segs.append((seq, os.path.join(d, fn)))
+        return [p for _s, p in sorted(segs)]
+
+    def _state(self, meta: CollectionMeta) -> dict[str, dict]:
+        """record_id -> {value, hash, links, version} latest-wins resolution."""
+        state: dict[str, dict] = {}
+        for path in self._segments(meta):
+            table = pq.read_table(path)
+            for row in table.to_pylist():
+                if row["deleted"]:
+                    state.pop(row["record_id"], None)
+                else:
+                    state[row["record_id"]] = {
+                        "value": row["value"],
+                        "hash": row["hash"],
+                        "links": row["links"],
+                        "version": row["version"],
+                    }
+        return state
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, author: str, name: str, record_id: str, *,
+             source: str = "datasets") -> Any:
+        meta = self._meta(source, author, name)
+        st = self._state(meta)
+        if record_id not in st:
+            raise KeyError(record_id)
+        return tagged_to_value(json.loads(st[record_id]["value"]))
+
+    def list_record_ids(self, author: str, name: str, *, source: str = "datasets") -> list[str]:
+        meta = self._meta(source, author, name)
+        return sorted(self._state(meta), key=natural_sort_key)
+
+    def iterate(self, author: str, name: str, *, source: str = "datasets",
+                fast_read: bool = False) -> Iterator[dict]:
+        """Yield {id, version, hash, links[, value]} in natural-sort order
+        (ref base-data-model.js:89-117)."""
+        meta = self._meta(source, author, name)
+        st = self._state(meta)
+        for rid in sorted(st, key=natural_sort_key):
+            rec = st[rid]
+            out = {"id": rid, "version": rec["version"], "hash": rec["hash"],
+                   "links": rec["links"]}
+            if fast_read:
+                out["value"] = tagged_to_value(json.loads(rec["value"]))
+            yield out
+
+    def read_df(self, spark, author: str, name: str, *, source: str = "datasets"):
+        """Current state as a Spark DataFrame
+        ``(record_id, value, hash, links, version)``.
+
+        Latest-wins resolution is expressed relationally (window over the
+        segment log) so Catalyst handles it; at scale the segment scan is
+        partition-pruned to one collection directory and compaction keeps the
+        log short.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        meta = self._meta(source, author, name)
+        segs = self._segments(meta)
+        if not segs:
+            return spark.createDataFrame([], schema="record_id string, value string, hash string, links array<string>, version long")
+        df = spark.read.parquet(*segs)
+        w = Window.partitionBy("record_id").orderBy(F.desc("seq"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (~F.col("deleted")))
+            .select("record_id", "value", "hash", "links", "version")
+        )
+
+    # -- writes -------------------------------------------------------------
+
+    def write(self, author: str, name: str, record_id: str, value: Any, *,
+              source: str = "datasets") -> CollectionMeta:
+        return self.write_entries(author, name, [(record_id, value)], source=source)
+
+    def delete_record(self, author: str, name: str, record_id: str, *,
+                      source: str = "datasets") -> CollectionMeta:
+        return self.write_entries(author, name, [(record_id, None)], source=source,
+                                  _allow_missing_delete=False)
+
+    def write_entries(self, author: str, name: str,
+                      entries: Iterable[tuple[str, Any]], *,
+                      source: str = "datasets", overwrite: bool = False,
+                      _allow_missing_delete: bool = True) -> CollectionMeta:
+        """Batch upsert/merge (ref base-data-model.js:166-225).
+
+        ``(rid, None)`` ⇒ delete that key.  ``overwrite=True`` replaces the
+        whole collection (unmentioned keys dropped) via a base segment.
+        Identical-value writes are hash-suppressed: they neither rewrite the
+        row nor bump versions.
+        """
+        meta = self._meta(source, author, name)
+        current = self._state(meta)
+        next_version = meta.version + 1
+
+        rows: list[dict] = []
+        seen: set[str] = set()
+        changed = False
+        for rid, value in entries:
+            _validate_record_id(rid)
+            if rid in seen:
+                raise StoreError(f"duplicate record id in batch: {rid!r}")
+            seen.add(rid)
+            if value is None or value is Undefined:
+                if rid in current:
+                    changed = True
+                    if not overwrite:
+                        rows.append(self._tombstone(rid, next_version))
+                elif not _allow_missing_delete and not overwrite:
+                    raise KeyError(rid)
+                continue
+            tagged = value_to_tagged(value)
+            value_json = json.dumps(tagged, ensure_ascii=False)
+            h = object_hash(value)
+            links = list_hash_urls(value)
+            if self.attachment_checker is not None:
+                missing = [u for u in links if not self.attachment_checker(u)]
+                if missing:
+                    raise StoreError(f"attachments missing for links: {missing}")
+            prev = current.get(rid)
+            if prev is not None and prev["hash"] == h:
+                # change-suppression: identical content, keep old version
+                if overwrite:
+                    rows.append({"record_id": rid, "value": prev["value"],
+                                 "hash": prev["hash"], "links": prev["links"],
+                                 "version": prev["version"], "deleted": False})
+                continue
+            changed = True
+            rows.append({"record_id": rid, "value": value_json, "hash": h,
+                         "links": links, "version": next_version, "deleted": False})
+
+        if overwrite and (set(current) - seen):
+            changed = True  # overwrite drops unmentioned keys (prune, ref :216-218)
+
+        if not changed:
+            # fully hash-suppressed batch: no version bump, no segment, no
+            # change event — identical writes must not trigger downstream
+            # rebuilds (SURVEY §4 "change suppression by content hash")
+            return meta
+
+        meta.last_seq += 1
+        seq = meta.last_seq
+        for r in rows:
+            r["seq"] = seq
+        suffix = "base" if overwrite else "delta"
+        path = os.path.join(self._dir(meta), f"seg_{seq:08d}.{suffix}.parquet")
+        self._write_segment(rows, path)
+        if overwrite:
+            meta.base_seq = seq
+        meta.version = next_version
+        meta.updated = time.time()
+        self._save_catalog()
+        self._emit_change(meta)
+        return meta
+
+    def write_entries_df(self, spark, author: str, name: str, df, *,
+                         source: str = "datasets", overwrite: bool = False) -> CollectionMeta:
+        """Distributed batch write: ``df`` has columns (record_id, value)
+        with ``value`` in tagged-JSON form.
+
+        Hash/links are computed in an Arrow-batched pandas UDF (scales
+        linearly, no shuffle); change-suppression joins the incoming batch
+        against current state on record_id — at scale this is the Delta MERGE
+        matched-condition.  The changed subset is written as one segment.
+        """
+        from pyspark.sql import functions as F
+
+        from .udfs import hash_value_udf, links_udf
+
+        meta = self._meta(source, author, name)
+        next_version = meta.version + 1
+
+        upserts_in = (
+            df.select("record_id", "value").where(F.col("value").isNotNull())
+            .withColumn("hash", hash_value_udf("value"))
+            .withColumn("links", links_udf("value"))
+        )
+        deletes_in = df.select("record_id").where(F.col("value").isNull())
+        cur = self.read_df(spark, author, name, source=source).select(
+            "record_id", F.col("hash").alias("_old_hash"),
+            F.col("version").alias("_old_version"),
+        )
+        joined = upserts_in.join(cur, "record_id", "left")
+        if overwrite:
+            rows = joined.select(
+                "record_id", "value", "hash", "links",
+                F.when(F.col("_old_hash") == F.col("hash"), F.col("_old_version"))
+                .otherwise(F.lit(next_version)).alias("version"),
+                F.lit(False).alias("deleted"),
+            ).persist()
+            # changed iff any new/updated row, or any current key dropped
+            n_changed = rows.where(F.col("version") == next_version).count()
+            n_dropped = cur.join(upserts_in.select("record_id"), "record_id",
+                                 "left_anti").count()
+            changed = n_changed > 0 or n_dropped > 0
+        else:
+            upserts = joined.where(
+                F.col("_old_hash").isNull() | (F.col("_old_hash") != F.col("hash"))
+            ).select(
+                "record_id", "value", "hash", "links",
+                F.lit(next_version).alias("version"),
+                F.lit(False).alias("deleted"),
+            )
+            # deletes only for keys that currently exist (else no-op)
+            deletes = deletes_in.join(cur, "record_id", "left_semi").select(
+                "record_id",
+                F.lit(None).cast("string").alias("value"),
+                F.lit(None).cast("string").alias("hash"),
+                F.array().cast("array<string>").alias("links"),
+                F.lit(next_version).alias("version"),
+                F.lit(True).alias("deleted"),
+            )
+            rows = upserts.unionByName(deletes).persist()
+            changed = rows.limit(1).count() > 0
+
+        if not changed:
+            rows.unpersist()
+            return meta  # fully suppressed batch: no version bump, no segment
+
+        meta.last_seq += 1
+        seq = meta.last_seq
+        suffix = "base" if overwrite else "delta"
+        out_dir = os.path.join(self._dir(meta), f"_stage_{uuid.uuid4().hex}")
+        rows.withColumn("seq", F.lit(seq)).write.mode("overwrite").parquet(out_dir)
+        rows.unpersist()
+        # consolidate staged files into the single segment file slot (local
+        # convenience — on a cluster the staged directory IS the segment)
+        import glob as _glob
+
+        staged = sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+        tables = [pq.read_table(p) for p in staged]
+        merged = pa.concat_tables(tables) if tables else pa.table(
+            {f.name: pa.array([], f.type) for f in SEGMENT_SCHEMA}
+        )
+        path = os.path.join(self._dir(meta), f"seg_{seq:08d}.{suffix}.parquet")
+        pq.write_table(merged.cast(SEGMENT_SCHEMA), path)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        if overwrite:
+            meta.base_seq = seq
+        meta.version = next_version
+        meta.updated = time.time()
+        self._save_catalog()
+        self._emit_change(meta)
+        return meta
+
+    # -- internals ----------------------------------------------------------
+
+    @staticmethod
+    def _tombstone(rid: str, version: int) -> dict:
+        return {"record_id": rid, "value": None, "hash": None, "links": [],
+                "version": version, "deleted": True}
+
+    def _write_segment(self, rows: list[dict], path: str) -> None:
+        table = pa.Table.from_pylist(rows, schema=SEGMENT_SCHEMA)
+        pq.write_table(table, path)
+
+    def _emit_change(self, meta: CollectionMeta) -> None:
+        """Change event (ref update-events.js:7-14): one JSON file per batch
+        under changes/ — a Structured-Streaming-tailable feed."""
+        evt = {
+            "path": encode_path(meta.source, meta.author, meta.name),
+            "source": meta.source,
+            "author": meta.author,
+            "name": meta.name,
+            "version": meta.version,
+            "ts": time.time(),
+        }
+        fn = os.path.join(self.root, "changes", f"{time.time_ns()}_{uuid.uuid4().hex[:8]}.json")
+        with open(fn, "w", encoding="utf-8") as f:
+            json.dump(evt, f)
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, author: str, name: str, *, source: str = "datasets") -> None:
+        """Fold the segment log into one base segment (keeps resolution O(1)
+        segments; on a cluster this is OPTIMIZE/auto-compaction)."""
+        meta = self._meta(source, author, name)
+        st = self._state(meta)
+        rows = [
+            {"record_id": rid, "value": rec["value"], "hash": rec["hash"],
+             "links": rec["links"], "version": rec["version"], "deleted": False}
+            for rid, rec in sorted(st.items(), key=lambda kv: natural_sort_key(kv[0]))
+        ]
+        meta.last_seq += 1
+        seq = meta.last_seq
+        for r in rows:
+            r["seq"] = seq
+        path = os.path.join(self._dir(meta), f"seg_{seq:08d}.base.parquet")
+        self._write_segment(rows, path)
+        old = [p for p in self._segments(meta) if not p.endswith(f"seg_{seq:08d}.base.parquet")]
+        meta.base_seq = seq
+        self._save_catalog()
+        for p in old:
+            os.remove(p)

@@ -360,6 +360,20 @@ def natural_sort_key(s: str) -> tuple:
     return tuple(key)
 
 
+def natural_pad(s: str, width: int = 24) -> str:
+    """Python twin of :func:`natural_sort_col_expr`: left-pad digit runs so
+    plain string comparison gives natural order.  Must stay byte-identical to
+    the SQL expression (both are used as sort keys for the same data)."""
+    parts = _NAT_SPLIT.split(s)
+    out = []
+    for i, p in enumerate(parts):
+        if i % 2:
+            out.append(p.rjust(width, "0"))
+        elif p:
+            out.append(p)
+    return "".join(out)
+
+
 def natural_sort_col_expr(colname: str, width: int = 24) -> str:
     """A Spark SQL expression producing a string that sorts in natural order:
     every digit run is left-padded with zeros to ``width``.  JVM-side (no UDF)

@@ -1,0 +1,226 @@
+"""M2 lens engine tests: golden inverted-index build (FIXTURES F1,
+ref test/test-models-lens.js:13-73), harness behavior
+(ref test/test-workers-javascript-lens.js), incrementality."""
+
+import pytest
+
+from pigeon_optics_spark.lens import (
+    LensCodeError,
+    LensHarness,
+    PathInfo,
+    build_lens,
+    create_lens,
+    lens_logs,
+)
+from pigeon_optics_spark.store import DatasetStore
+from pigeon_optics_spark.values import PSet
+
+INVERT_CODE = """\
+for tag in data['tags']:
+    output(tag, Set([path.recordID]))
+"""
+
+
+@pytest.fixture
+def store(tmp_path):
+    return DatasetStore(str(tmp_path / "store"))
+
+
+def _path(rid="abc"):
+    return PathInfo(string=f"/datasets/system:test-dataset/records/{rid}",
+                    source="datasets", author="system", name="test-dataset",
+                    recordID=rid)
+
+
+class TestHarness:
+    def test_flatmap_multiple_outputs(self):
+        h = LensHarness("for t in data['tags']:\n    output(t, 1)")
+        outputs, logs, errors = h.run(_path(), {"tags": ["a", "b", "a"]})
+        assert [(o[1], o[2]) for o in outputs] == [("a", 1), ("b", 1), ("a", 1)]
+        assert errors == []
+
+    def test_log_capture(self):
+        h = LensHarness("log('saw', path.recordID)\noutput('k', 1)")
+        outputs, logs, errors = h.run(_path("r9"), {})
+        assert logs == ["saw r9"]
+        assert len(outputs) == 1
+
+    def test_error_capture_keeps_prior_outputs(self):
+        h = LensHarness("output('k', 1)\nraise ValueError('boom')")
+        outputs, logs, errors = h.run(_path(), {})
+        assert len(outputs) == 1
+        assert errors[0]["type"] == "ValueError"
+        assert errors[0]["message"] == "boom"
+        assert errors[0]["line"] == 2  # user-code line numbers (ref :27-49)
+
+    def test_syntax_error_at_startup(self):
+        with pytest.raises(LensCodeError):
+            LensHarness("def broken(:")
+
+    def test_sandbox_no_import_no_open(self):
+        h = LensHarness("import os")
+        _, _, errors = h.run(_path(), {})
+        assert errors and errors[0]["type"] == "ImportError"
+        h2 = LensHarness("open('/etc/passwd')")
+        _, _, errors2 = h2.run(_path(), {})
+        assert errors2 and errors2[0]["type"] == "NameError"
+
+    def test_nondeterminism_sources_absent(self):
+        # reference: Math.random throws in the isolate; here random/time are
+        # simply not importable / not in scope
+        for code in ["random.random()", "time.time()"]:
+            _, _, errors = LensHarness(code).run(_path(), {})
+            assert errors and errors[0]["type"] == "NameError"
+
+    def test_output_validation(self):
+        _, _, errors = LensHarness("output(5, 'x')").run(_path(), {})
+        assert errors and errors[0]["type"] == "TypeError"
+
+    def test_timeout_flagged(self):
+        h = LensHarness("x = sum(range(2000000))", timeout_ms=0.0001)
+        _, _, errors = h.run(_path(), {})
+        assert errors and errors[0]["type"] == "TimeoutError"
+
+
+class TestGoldenBuild:
+    def test_inverted_index(self, spark, store):
+        # ref test/test-models-lens.js golden: 3-record tags dataset
+        store.create("system", "test-dataset")
+        store.write_entries("system", "test-dataset", [
+            ("abc", {"tags": ["cat", "dog"]}),
+            ("def", {"tags": ["dog", "mango"]}),
+            ("ghi", {"tags": ["dog", "cat"]}),
+        ])
+        create_lens(store, "system", "tag-index",
+                    inputs=["/datasets/system:test-dataset"], code=INVERT_CODE)
+        stats = build_lens(spark, store, "system", "tag-index")
+        assert stats["mapped"] == 3
+
+        got = {r["id"]: r["value"] for r in
+               store.iterate("system", "tag-index", source="lenses", fast_read=True)}
+        assert got == {
+            "cat": PSet(["abc", "ghi"]),
+            "dog": PSet(["abc", "def", "ghi"]),
+            "mango": PSet(["def"]),
+        }
+
+    def test_incremental_rebuild_maps_only_fresh(self, spark, store):
+        store.create("system", "test-dataset")
+        store.write_entries("system", "test-dataset", [
+            ("abc", {"tags": ["cat", "dog"]}),
+            ("def", {"tags": ["dog", "mango"]}),
+            ("ghi", {"tags": ["dog", "cat"]}),
+        ])
+        create_lens(store, "system", "tag-index",
+                    inputs=["/datasets/system:test-dataset"], code=INVERT_CODE)
+        build_lens(spark, store, "system", "tag-index")
+
+        # identical rewrite → hash-suppressed → nothing fresh
+        store.write("system", "test-dataset", "abc", {"tags": ["cat", "dog"]})
+        stats = build_lens(spark, store, "system", "tag-index")
+        assert stats["mapped"] == 0
+
+        # content change → exactly one fresh record remapped
+        store.write("system", "test-dataset", "abc", {"tags": ["cat"]})
+        stats = build_lens(spark, store, "system", "tag-index")
+        assert stats["mapped"] == 1
+        got = {r["id"]: r["value"] for r in
+               store.iterate("system", "tag-index", source="lenses", fast_read=True)}
+        assert got["dog"] == PSet(["def", "ghi"])
+        assert got["cat"] == PSet(["abc", "ghi"])
+
+    def test_deleted_input_prunes_outputs(self, spark, store):
+        store.create("system", "test-dataset")
+        store.write_entries("system", "test-dataset", [
+            ("abc", {"tags": ["cat"]}),
+            ("def", {"tags": ["mango"]}),
+        ])
+        create_lens(store, "system", "tag-index",
+                    inputs=["/datasets/system:test-dataset"], code=INVERT_CODE)
+        build_lens(spark, store, "system", "tag-index")
+        store.delete_record("system", "test-dataset", "def")
+        build_lens(spark, store, "system", "tag-index")
+        got = store.list_record_ids("system", "tag-index", source="lenses")
+        assert got == ["cat"]  # mango's only contributor is gone
+
+    def test_unchanged_outputs_keep_version(self, spark, store):
+        store.create("system", "test-dataset")
+        store.write_entries("system", "test-dataset", [
+            ("abc", {"tags": ["cat", "dog"]}),
+            ("def", {"tags": ["dog"]}),
+        ])
+        create_lens(store, "system", "tag-index",
+                    inputs=["/datasets/system:test-dataset"], code=INVERT_CODE)
+        build_lens(spark, store, "system", "tag-index")
+        v_dog_1 = {r["id"]: r["version"] for r in
+                   store.iterate("system", "tag-index", source="lenses")}["dog"]
+        # change only 'cat' membership; dog's fold result is unchanged
+        store.write("system", "test-dataset", "abc", {"tags": ["cat", "dog", "x"]})
+        build_lens(spark, store, "system", "tag-index")
+        versions = {r["id"]: r["version"] for r in
+                    store.iterate("system", "tag-index", source="lenses")}
+        assert versions["dog"] == v_dog_1  # suppressed → stable version
+
+    def test_numbers_add_sum_idiom(self, spark, store):
+        store.create("a", "nums")
+        store.write_entries("a", "nums", [
+            ("r1", {"k": "x", "n": 5}),
+            ("r2", {"k": "x", "n": 7}),
+            ("r3", {"k": "y", "n": 1}),
+        ])
+        create_lens(store, "a", "sums", inputs=["/datasets/a:nums"],
+                    code="output(data['k'], data['n'])")
+        build_lens(spark, store, "a", "sums")
+        got = {r["id"]: r["value"] for r in
+               store.iterate("a", "sums", source="lenses", fast_read=True)}
+        assert got == {"x": 12, "y": 1}
+
+    def test_multi_input_union(self, spark, store):
+        store.create("a", "d1")
+        store.create("a", "d2")
+        store.write("a", "d1", "r1", {"tags": ["cat"]})
+        store.write("a", "d2", "r1", {"tags": ["cat", "dog"]})
+        create_lens(store, "a", "idx",
+                    inputs=["/datasets/a:d1", "/datasets/a:d2"], code=INVERT_CODE)
+        build_lens(spark, store, "a", "idx")
+        got = {r["id"]: r["value"] for r in
+               store.iterate("a", "idx", source="lenses", fast_read=True)}
+        # same recordID from two datasets → set-union merges to one entry
+        assert got["cat"] == PSet(["r1"])
+        assert got["dog"] == PSet(["r1"])
+
+    def test_record_selector_input(self, spark, store):
+        store.create("a", "d1")
+        store.write_entries("a", "d1", [("r1", {"tags": ["a"]}), ("r2", {"tags": ["b"]})])
+        create_lens(store, "a", "idx",
+                    inputs=["/datasets/a:d1/records/r1"], code=INVERT_CODE)
+        build_lens(spark, store, "a", "idx")
+        assert store.list_record_ids("a", "idx", source="lenses") == ["a"]
+
+    def test_logs_and_errors_browsable(self, spark, store):
+        store.create("a", "d1")
+        store.write_entries("a", "d1", [("good", {"tags": ["t"]}), ("bad", {})])
+        code = "log('mapping', path.recordID)\nfor t in data['tags']:\n    output(t, 1)"
+        create_lens(store, "a", "idx", inputs=["/datasets/a:d1"], code=code)
+        build_lens(spark, store, "a", "idx")
+        rows = {r["input_path"]: r for r in lens_logs(spark, store, "a", "idx").collect()}
+        bad = rows["/datasets/a:d1/records/bad"]
+        assert bad["errors"][0]["type"] == "KeyError"
+        assert bad["logs"] == ["mapping bad"]
+        good = rows["/datasets/a:d1/records/good"]
+        assert good["errors"] == [] or good["errors"] is None
+
+    def test_lens_chain_dag(self, spark, store):
+        # lens reading a lens (composition, ref: lens outputs are datasets)
+        store.create("a", "d1")
+        store.write_entries("a", "d1", [
+            ("r1", {"tags": ["cat", "dog"]}), ("r2", {"tags": ["cat"]})])
+        create_lens(store, "a", "idx", inputs=["/datasets/a:d1"], code=INVERT_CODE)
+        build_lens(spark, store, "a", "idx")
+        # second lens: count members of each tag set
+        create_lens(store, "a", "tag-counts", inputs=["/lenses/a:idx"],
+                    code="output('total_tags', 1)\noutput(path.recordID, len(data))")
+        build_lens(spark, store, "a", "tag-counts")
+        got = {r["id"]: r["value"] for r in
+               store.iterate("a", "tag-counts", source="lenses", fast_read=True)}
+        assert got == {"total_tags": 2, "cat": 2, "dog": 1}

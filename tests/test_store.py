@@ -1,0 +1,162 @@
+"""M1 tests: dataset store CRUD & versioning invariants (FIXTURES F4,
+ref test/test-models-dataset.js:43-180)."""
+
+import pytest
+
+from pigeon_optics_spark.store import DatasetStore, StoreError
+
+
+@pytest.fixture
+def store(tmp_path):
+    return DatasetStore(str(tmp_path / "store"))
+
+
+def test_create_and_exists(store):
+    store.create("alice", "ds1", memo="hello")
+    assert store.exists("alice", "ds1")
+    assert not store.exists("alice", "nope")
+    assert store.get_meta("alice", "ds1").memo == "hello"
+    with pytest.raises(StoreError):
+        store.create("alice", "ds1")
+
+
+def test_version_bumps_once_per_batch(store):
+    store.create("a", "d")
+    m = store.write_entries("a", "d", [("r1", {"x": 1}), ("r2", {"x": 2})])
+    assert m.version == 1
+    m = store.write("a", "d", "r3", {"x": 3})
+    assert m.version == 2
+    # record versions = collection version at last content change
+    recs = {r["id"]: r for r in store.iterate("a", "d")}
+    assert recs["r1"]["version"] == 1
+    assert recs["r2"]["version"] == 1
+    assert recs["r3"]["version"] == 2
+
+
+def test_identical_write_suppressed(store):
+    store.create("a", "d")
+    store.write("a", "d", "r1", {"x": 1, "y": [1, 2]})
+    v1 = store.get_meta("a", "d").version
+    # same content, different key order → identical hash → full no-op
+    m = store.write("a", "d", "r1", {"y": [1, 2], "x": 1})
+    assert m.version == v1
+    rec = next(store.iterate("a", "d"))
+    assert rec["version"] == v1
+
+
+def test_changed_write_bumps_record_version(store):
+    store.create("a", "d")
+    store.write("a", "d", "r1", {"x": 1})
+    store.write("a", "d", "r1", {"x": 2})
+    rec = next(store.iterate("a", "d"))
+    assert rec["version"] == 2
+    assert store.read("a", "d", "r1") == {"x": 2}
+
+
+def test_merge_null_deletes(store):
+    store.create("a", "d")
+    store.write_entries("a", "d", [("r1", {"x": 1}), ("r2", {"x": 2})])
+    store.write_entries("a", "d", [("r1", None), ("r3", {"x": 3})])
+    assert store.list_record_ids("a", "d") == ["r2", "r3"]
+    with pytest.raises(KeyError):
+        store.read("a", "d", "r1")
+
+
+def test_overwrite_drops_unmentioned(store):
+    store.create("a", "d")
+    store.write_entries("a", "d", [("r1", {"x": 1}), ("r2", {"x": 2}), ("r3", {"x": 3})])
+    store.write_entries("a", "d", [("r2", {"x": 2}), ("r4", {"x": 4})], overwrite=True)
+    assert store.list_record_ids("a", "d") == ["r2", "r4"]
+    recs = {r["id"]: r for r in store.iterate("a", "d")}
+    # r2 unchanged → keeps version 1; r4 new → version 2
+    assert recs["r2"]["version"] == 1
+    assert recs["r4"]["version"] == 2
+
+
+def test_overwrite_identical_is_noop(store):
+    store.create("a", "d")
+    store.write_entries("a", "d", [("r1", {"x": 1})])
+    m = store.write_entries("a", "d", [("r1", {"x": 1})], overwrite=True)
+    assert m.version == 1
+
+
+def test_natural_sort_listing(store):
+    store.create("a", "d")
+    store.write_entries("a", "d", [(rid, {"v": rid}) for rid in
+                                   ["item10", "item2", "item1", "a9b", "a10b"]])
+    assert store.list_record_ids("a", "d") == ["a9b", "a10b", "item1", "item2", "item10"]
+
+
+def test_delete_record_and_collection(store):
+    store.create("a", "d")
+    store.write("a", "d", "r1", {"x": 1})
+    store.delete_record("a", "d", "r1")
+    assert store.list_record_ids("a", "d") == []
+    with pytest.raises(KeyError):
+        store.delete_record("a", "d", "never-existed")
+    store.delete_collection("a", "d")
+    assert not store.exists("a", "d")
+
+
+def test_duplicate_id_in_batch_rejected(store):
+    store.create("a", "d")
+    with pytest.raises(StoreError):
+        store.write_entries("a", "d", [("r1", {"x": 1}), ("r1", {"x": 2})])
+
+
+def test_record_validation(store):
+    store.create("a", "d")
+    with pytest.raises(StoreError):
+        store.write("a", "d", "", {"x": 1})
+    with pytest.raises(StoreError):
+        store.write("a", "d", "r" * 10_001, {"x": 1})
+
+
+def test_attachment_checker_rejects_dangling(store, tmp_path):
+    present = "hash://sha256/" + "a" * 64
+    missing = "hash://sha256/" + "b" * 64
+    store2 = DatasetStore(str(tmp_path / "s2"), attachment_checker=lambda u: u == present)
+    store2.create("a", "d")
+    store2.write("a", "d", "ok", {"img": present})
+    with pytest.raises(StoreError, match="attachments missing"):
+        store2.write("a", "d", "bad", {"img": missing})
+
+
+def test_extended_types_roundtrip_through_store(store):
+    from pigeon_optics_spark.values import PMap, PSet
+
+    store.create("a", "d")
+    v = {"s": PSet([1, 2]), "m": PMap([(1, "one")]), "b": b"\x00\x01"}
+    store.write("a", "d", "r1", v)
+    got = store.read("a", "d", "r1")
+    assert got["s"] == PSet([2, 1])
+    assert got["m"] == PMap([(1, "one")])
+    assert got["b"] == b"\x00\x01"
+
+
+def test_compaction_preserves_state(store):
+    store.create("a", "d")
+    for i in range(5):
+        store.write("a", "d", f"r{i}", {"i": i})
+    store.write_entries("a", "d", [("r0", None)])
+    before = list(store.iterate("a", "d", fast_read=True))
+    store.compact("a", "d")
+    after = list(store.iterate("a", "d", fast_read=True))
+    assert before == after
+    # post-compaction writes still work
+    store.write("a", "d", "r9", {"i": 9})
+    assert "r9" in store.list_record_ids("a", "d")
+
+
+def test_change_events_written(store, tmp_path):
+    import json
+    import os
+
+    store.create("a", "d")
+    store.write("a", "d", "r1", {"x": 1})
+    changes_dir = os.path.join(store.root, "changes")
+    files = sorted(os.listdir(changes_dir))
+    assert len(files) >= 1
+    evt = json.load(open(os.path.join(changes_dir, files[-1])))
+    assert evt["path"] == "/datasets/a:d"
+    assert evt["version"] == 1

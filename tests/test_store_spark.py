@@ -1,0 +1,52 @@
+"""M1 Spark-path tests: read_df / write_entries_df (distributed MERGE path)."""
+
+import json
+
+from pigeon_optics_spark.store import DatasetStore
+from pigeon_optics_spark.values import value_to_tagged
+
+
+def test_read_df_resolves_latest(spark, tmp_path):
+    store = DatasetStore(str(tmp_path / "s"))
+    store.create("a", "d")
+    store.write_entries("a", "d", [("r1", {"x": 1}), ("r2", {"x": 2})])
+    store.write("a", "d", "r1", {"x": 10})
+    store.delete_record("a", "d", "r2")
+    df = store.read_df(spark, "a", "d")
+    rows = {r["record_id"]: json.loads(r["value"]) for r in df.collect()}
+    assert rows == {"r1": {"x": 10}}
+
+
+def test_write_entries_df_merge_and_suppression(spark, tmp_path):
+    store = DatasetStore(str(tmp_path / "s"))
+    store.create("a", "d")
+    store.write_entries("a", "d", [("r1", {"x": 1}), ("r2", {"x": 2})])
+
+    batch = spark.createDataFrame(
+        [("r1", json.dumps(value_to_tagged({"x": 1}))),   # identical → suppressed
+         ("r2", json.dumps(value_to_tagged({"x": 99}))),  # changed
+         ("r3", json.dumps(value_to_tagged({"x": 3})))],  # new
+        schema="record_id string, value string",
+    )
+    store.write_entries_df(spark, "a", "d", batch)
+    recs = {r["id"]: r for r in store.iterate("a", "d", fast_read=True)}
+    assert recs["r1"]["version"] == 1  # suppressed, untouched
+    assert recs["r2"]["version"] == 2
+    assert recs["r3"]["version"] == 2
+    assert recs["r2"]["value"] == {"x": 99}
+
+
+def test_write_entries_df_overwrite(spark, tmp_path):
+    store = DatasetStore(str(tmp_path / "s"))
+    store.create("a", "d")
+    store.write_entries("a", "d", [("r1", {"x": 1}), ("r2", {"x": 2})])
+    batch = spark.createDataFrame(
+        [("r2", json.dumps(value_to_tagged({"x": 2}))),
+         ("r4", json.dumps(value_to_tagged({"x": 4})))],
+        schema="record_id string, value string",
+    )
+    store.write_entries_df(spark, "a", "d", batch, overwrite=True)
+    recs = {r["id"]: r for r in store.iterate("a", "d", fast_read=True)}
+    assert set(recs) == {"r2", "r4"}
+    assert recs["r2"]["version"] == 1  # identical content keeps old version
+    assert recs["r4"]["version"] == 2
