@@ -1,0 +1,200 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the 100 TB stance):
+
+- **exact**: one hash-groupBy shuffle on a 16-byte digest — the cheapest
+  possible dedup; always run it first to shrink the corpus.
+- **n-gram Jaccard**: exact pairwise similarity via a shingle-equi-join.
+  Quadratic in the worst case — the *verification* tool, applied to LSH
+  candidates, never to the full corpus at scale.
+- **MinHash + LSH banding**: the scale path.  Signatures are per-row
+  (no shuffle); banding turns near-dup search into an equi-join on
+  (band_id, band_hash) — only true candidates meet, skew bounded by band
+  width.  k=32 hashes / 8 bands × 4 rows ⇒ catches Jaccard ≳ 0.6 with
+  high probability.
+- **SimHash**: 64-bit per-doc signature; hamming-near docs share chunk
+  values → equi-join on 16-bit chunks for candidates.
+
+Everything is hash-deterministic (md5) so the DuckDB oracle reproduces
+results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(text: str | Column, n: int = 5) -> Column:
+    """Distinct character n-gram shingles of a text column."""
+    c = F.col(text) if isinstance(text, str) else text
+    positions = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(positions, lambda i: c.substr(i, F.lit(n))))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest: representative = min id.
+    → (content_hash, rep_id, dup_count)"""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold).
+
+    Plan: explode distinct shingles → self-equi-join on shingle → count
+    common → |A∪B| from per-doc sizes.  The join key is the shingle, so
+    only docs sharing content ever meet.
+    """
+    sizes = df.select(F.col(id_col).alias("id"),
+                      F.size(char_shingles(text_col, n)).alias("n_shingles"))
+    ex = df.select(F.col(id_col).alias("id"),
+                   F.explode(char_shingles(text_col, n)).alias("sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signature_col(text: str | Column, k: int = 32, n: int = 5) -> Column:
+    """k-element MinHash signature: h_i = min over shingles of
+    md5(i ‖ ':' ‖ shingle).  String-min over hex digests — identical in any
+    engine with md5."""
+    shingles = char_shingles(text, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 32, bands: int = 8,
+                      n: int = 5, verify_threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    1. signature per doc (no shuffle);
+    2. band hashes = md5 of each r-row slice → explode to (band_id, band_hash);
+    3. candidate pairs = equi-join on (band_id, band_hash), dedup'd;
+    4. exact n-gram Jaccard on candidates only (the expensive check runs on
+       the tiny candidate set, not the corpus²).
+    """
+    r = k // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature_col(text_col, k, n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(F.concat_ws("|", F.slice("sig", b * r + 1, r))).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select("id", "bh.band_id", "bh.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard
+    sh = df.select(F.col(id_col).alias("id"), char_shingles(text_col, n).alias("sh"))
+    sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sha, "id_a").join(shb, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              token_re: str = "[A-Za-z0-9]+") -> DataFrame:
+    """64-bit SimHash per document as a 16-hex-char string.
+
+    Per token: 64 bits from its md5 hex (bit b = bit ``3 - b%4`` of nibble
+    ``b/4``); accumulate +1/-1 per bit over all tokens; sign of the sum is
+    the signature bit.
+
+    Plan: explode tokens × 64 bit positions → two-level hash aggregation
+    keyed on (id, bit) then (id).  Fully whole-stage-codegen'd; the shuffle
+    key includes the bit index so skew from long documents spreads over 64
+    reducers.  (A per-row higher-order-fold variant avoids the shuffle but
+    builds a 64-wide nested expression per token — measured an order of
+    magnitude slower in codegen; the explode plan wins.)
+
+    FLOOR before the int cast matters: Spark's double→int cast truncates
+    while DuckDB's rounds half-even — floor makes both engines agree.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)),
+                                       F.lit(token_re), F.lit(0))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    bits = toks.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
+    ).select(
+        "id", "b",
+        (
+            (F.floor(
+                (F.instr(F.lit("0123456789abcdef"),
+                         F.substring("h", (F.lit(1) + (F.col("b") / 4)).cast("int"), 1))
+                 - 1).cast("double")
+                / F.pow(F.lit(2.0), (F.lit(3) - F.col("b") % 4).cast("double"))
+            ).cast("int") % 2) * 2 - 1
+        ).alias("w"),
+    )
+    sums = bits.groupBy("id", "b").agg(F.sum("w").alias("s"))
+    nibbles = sums.groupBy("id", F.floor(F.col("b") / 4).cast("int").alias("ni")).agg(
+        F.sum(
+            F.when(F.col("s") >= 0,
+                   F.pow(F.lit(2.0), (F.lit(3) - F.col("b") % 4).cast("double")).cast("int"))
+            .otherwise(0)
+        ).alias("nib")
+    )
+    return (
+        nibbles.groupBy("id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ni", "nib"))),
+                lambda x: F.substring(F.lit("0123456789abcdef"),
+                                      (x["nib"] + 1).cast("int"), 1),
+            ),
+            "",
+        ).alias("simhash"))
+        .select(F.col("id").alias(id_col), "simhash")
+    )

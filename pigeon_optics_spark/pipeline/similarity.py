@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k — the baseline and the verifier.
+  Dot products are *sequential* array folds in double precision, which makes
+  them bit-reproducible across engines (verified vs DuckDB ``list_reduce``).
+- ``lsh_bucketed_topk``: the scale path — deterministic random-hyperplane
+  LSH; hyperplane coefficients are ±1 derived from md5(plane‖dim), so both
+  engines build identical planes.  Bucket equi-join bounds the candidate set;
+  exact cosine then ranks candidates only.
+
+At 100 TB: norms and bucket signatures are per-row (no shuffle); the
+candidate join shuffles only on (bucket), and the query side is tiny →
+broadcast.  An IVF variant (k-means coarse quantizer) would replace the
+bucket fn; LSH is preferred here because it needs no training state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a, b) -> Column:
+    """Sequential-fold dot product in double (bit-stable across engines)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                q_id: str = "vec_id", q_vec: str = "embedding",
+                c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded).
+
+    → (query_id, rank, neighbor_id, cosine).  Query side is broadcast; the
+    corpus is scanned once; ties broken by neighbor id for determinism.
+    """
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
+                       norm_col(q_vec).alias("qn"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
+                      norm_col(c_vec).alias("cn"))
+    pairs = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+N_PLANES = 8
+
+
+def lsh_bucket_col(vec, n_planes: int = N_PLANES) -> Column:
+    """Random-hyperplane signature: bit p = sign of ⟨v, plane_p⟩ where
+    plane_p[d] = +1 if the first md5 nibble of "p:d" is ≥ 8 else −1.
+    Deterministic — no RNG state to ship to executors."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                v,
+                # per-dimension ±1 coefficient, derived in-place from md5
+                F.transform(
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda d: F.when(
+                        F.instr(F.lit("89abcdef"),
+                                F.substring(F.md5(F.concat(p.cast("string"), F.lit(":"),
+                                                           d.cast("string"))), 1, 1)) > 0,
+                        F.lit(1.0)).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, coef: x.cast("double") * coef,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    lambda p: F.when(plane_dot(p) >= 0, "1").otherwise("0")),
+        "",
+    )
+
+
+def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                      q_id: str = "vec_id", q_vec: str = "embedding",
+                      c_id: str = "vec_id", c_vec: str = "embedding",
+                      n_planes: int = N_PLANES) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    → (query_id, rank, neighbor_id, cosine).  Recall < 1 by construction;
+    the point is the plan shape — bucket equi-join instead of corpus scan
+    per query.
+    """
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
+                       norm_col(q_vec).alias("qn"),
+                       lsh_bucket_col(q_vec, n_planes).alias("bucket"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
+                      norm_col(c_vec).alias("cn"),
+                      lsh_bucket_col(c_vec, n_planes).alias("bucket"))
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,225 @@
+"""Event-time windowing + temporal joins (SURVEY §2.9 — ABSENT in the
+reference, added as first-class engine surface; FIXTURES F6 events table).
+
+Batch equivalents of the streaming operators (streaming/ has the
+readStream/watermark versions of the same logic — the window semantics are
+identical, which is the point of Spark's unified model):
+
+- tumbling / sliding windows  → ``F.window(ts, ...)``
+- sessionization              → gap-based lag/cumsum (``session_window`` in
+                                streaming)
+- as-of join                  → union + last(ignorenulls) over an ordered
+                                window (DuckDB oracle uses native ASOF JOIN)
+- range join                  → equi-join on user + time-range predicate
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import dsum, load_events
+
+
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.expr(dsum("value", "total_value", 8)).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+_TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {dsum('value', 'total_value', 8)}
+FROM events
+GROUP BY 1, 2
+"""
+
+register("events_tumbling_counts", events_tumbling_counts, _TUMBLING_ORACLE)
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10-minute windows sliding every 5 → each event lands in exactly 2 windows
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT window_start, COUNT(*) AS n_events
+FROM (
+  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS window_start
+  FROM events
+) t
+GROUP BY 1
+"""
+
+register("events_sliding_windows", events_sliding_windows, _SLIDING_ORACLE)
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the classic
+    lag + cumsum-on-gap pattern; one shuffle on user_id."""
+    ev = load_events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_user))
+        .withColumn(
+            "is_new",
+            (F.col("prev_ts").isNull()
+             | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1800 * 1_000_000)
+             ).cast("int"),
+        )
+        .withColumn("session_no", F.sum("is_new").over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.expr(dsum("value", "session_value", 8)).alias("session_value"),
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {dsum('value', 'session_value', 8)}
+FROM sessioned GROUP BY user_id, session_no
+"""
+
+register("events_sessionize", events_sessionize, _SESSION_ORACLE)
+
+
+def events_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("event_type", "rk", "event_id", "user_id", "value")
+    )
+
+
+_TOPK_ORACLE = """
+SELECT event_type, rk, event_id, user_id, value
+FROM (SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rk
+      FROM events) t
+WHERE rk <= 5
+"""
+
+register("events_topk_per_type", events_topk_per_type, _TOPK_ORACLE)
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY §2.3 gap): for every
+    'click' event, the most recent 'purchase' by the same user at or before
+    its timestamp.
+
+    Implementation: union both sides, sort per user by (ts, side), carry the
+    purchase id forward with ``last(ignorenulls)`` — a single shuffle on
+    user_id, no nested-loop blow-up; exactly the merge-asof plan a
+    1000-executor job wants (DuckDB oracle uses its native ASOF JOIN).
+    Ties (purchase at the same ts as the click) match, like ASOF's ``>=``.
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"))
+    # dedupe purchases at identical (user, ts) to the max event_id so the
+    # as-of pick is deterministic in both engines
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts").agg(F.max("event_id").alias("purchase_id"))
+        .select("user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+                "purchase_id")
+    )
+    # side=0 rows (purchases) sort before clicks at the same ts → inclusive match
+    unioned = purchases.withColumn("side", F.lit(0)).unionByName(
+        clicks.withColumn("side", F.lit(1)))
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        unioned.withColumn("matched_purchase", F.last("purchase_id", ignorenulls=True).over(w))
+        .where(F.col("click_id").isNotNull())
+        .select("user_id", F.col("click_id"), F.col("ts").alias("click_ts"),
+                "matched_purchase")
+    )
+
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.user_id, c.click_id, c.ts AS click_ts, p.purchase_id AS matched_purchase
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+register("asof_join_events_orders", asof_join_events, _ASOF_ORACLE)
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: view→click conversions within 30 min per user.  Equi-join on
+    user_id keeps it a hash join; the range predicate is a post-filter —
+    never a cartesian product."""
+    ev = load_events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    pairs = views.join(
+        clicks,
+        (views.user_id == clicks.c_user_id)
+        & (F.unix_micros("click_ts") - F.unix_micros("view_ts") >= 0)
+        & (F.unix_micros("click_ts") - F.unix_micros("view_ts") <= 1800 * 1_000_000),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_conversions"),
+        F.min(F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("fastest_us"),
+    )
+
+
+_RANGE_ORACLE = """
+SELECT v.user_id, COUNT(*) AS n_conversions,
+       MIN(epoch_us(c.ts) - epoch_us(v.ts)) AS fastest_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND epoch_us(c.ts) - epoch_us(v.ts) BETWEEN 0 AND 1800 * 1000000
+GROUP BY v.user_id
+"""
+
+register("events_range_join", events_range_join, _RANGE_ORACLE)

@@ -1,0 +1,373 @@
+"""Pipeline-operator queries for the correctness gate: text analysis, dedup,
+similarity search, multimodal plumbing (BASELINE.json north_star operators).
+
+Every hash construction is md5-based so the DuckDB oracle reproduces results
+exactly; floating-point reductions are sequential array folds (verified
+bit-identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from ..pipeline.similarity import cosine_topk, lsh_bucketed_topk
+from ..pipeline.text import (
+    STOPWORDS,
+    TOKEN_RE,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from . import register
+from ._util import load
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "char_len", "word_count", "distinct_words",
+        "stopword_ratio", "punct_ratio", "avg_word_len", "quality_score",
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         LENGTH(text) AS char_len,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, char_len,
+         len(words) AS word_count,
+         len(list_distinct(words)) AS distinct_words,
+         CAST(len(list_filter(words, x -> list_contains({_STOPLIST_SQL}, lower(x)))) AS DOUBLE)
+           / GREATEST(len(words), 1) AS stopword_ratio,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           / GREATEST(char_len, 1) AS punct_ratio,
+         CAST(char_len AS DOUBLE) / GREATEST(len(words), 1) AS avg_word_len
+  FROM w
+)
+SELECT doc_id, char_len, word_count, distinct_words, stopword_ratio,
+       punct_ratio, avg_word_len,
+       CASE WHEN word_count BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+       + LEAST(stopword_ratio * 4.0, 1.0) * 0.3
+       + LEAST((CAST(distinct_words AS DOUBLE) / GREATEST(word_count, 1)) * 2.0, 1.0) * 0.3
+         AS quality_score
+FROM s
+"""
+
+register("text_quality_documents", text_quality_documents, _QUALITY_ORACLE)
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return token_count(docs).select("doc_id", "n_chars", "n_tokens")
+
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id, n_chars, len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens
+FROM documents
+"""
+
+register("text_token_count", text_token_count, _TOKENS_ORACLE)
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return lang_id(docs).select(
+        "doc_id", "lang", "score_en", "score_es", "score_de", "score_fr",
+        "score_zh", "predicted_lang",
+    )
+
+
+_LANGID_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lang, text,
+         list_transform(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> ''),
+                        x -> lower(x)) AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+    len(list_filter(words, x -> list_contains(['the','and','of','is'], x))) AS score_en,
+    len(list_filter(words, x -> list_contains(['el','la','de','que'], x))) AS score_es,
+    len(list_filter(words, x -> list_contains(['der','die','und','nicht'], x))) AS score_de,
+    len(list_filter(words, x -> list_contains(['le','la','et','les'], x))) AS score_fr,
+    LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS score_zh
+  FROM w
+)
+SELECT doc_id, lang, score_en, score_es, score_de, score_fr, score_zh,
+       CASE WHEN GREATEST(score_en, score_es, score_de, score_fr, score_zh) <= 0 THEN 'unknown'
+            WHEN score_en = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+            WHEN score_es = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+            WHEN score_de = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+            WHEN score_fr = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM s
+"""
+
+register("text_langid", text_langid, _LANGID_ORACLE)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_FP_ORACLE = """
+SELECT doc_id,
+       list_min(list_transform(range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
+                               i -> md5(substr(text, CAST(i AS INT), 8)))) AS fingerprint
+FROM documents
+"""
+
+register("text_fingerprint", text_fingerprint, _FP_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_EXACT_ORACLE = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+register("dedup_exact_documents", dedup_exact_documents, _EXACT_ORACLE)
+
+
+def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_NGRAM_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+                                      i -> substr(text, CAST(i AS INT), 5))) AS shingles
+  FROM documents
+),
+ex AS (SELECT id, unnest(shingles) AS sh FROM sh),
+sizes AS (SELECT id, len(shingles) AS n_shingles FROM sh),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+"""
+
+register("dedup_ngram_pairs", dedup_ngram_pairs, _NGRAM_ORACLE)
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+_MINHASH_ORACLE = """
+WITH sh AS (
+  SELECT doc_id AS id, text,
+         list_distinct(list_transform(range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+                                      i -> substr(text, CAST(i AS INT), 5))) AS shingles
+  FROM documents
+),
+sig AS (
+  SELECT id, shingles,
+         list_transform(range(0, 32),
+           i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT id, CAST(b AS INT) AS band_id,
+         md5(array_to_string(sig[CAST(b AS INT)*4+1 : CAST(b AS INT)*4+4], '|')) AS band_hash
+  FROM sig, (SELECT unnest(range(0, 8)) AS b)
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
+         AS jaccard
+FROM cands
+JOIN sh sa ON sa.id = id_a
+JOIN sh sb ON sb.id = id_b
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+"""
+
+register("dedup_minhash_pairs", dedup_minhash_pairs, _MINHASH_ORACLE)
+
+
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64(load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_ORACLE = """
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (CAST(FLOOR(CAST(strpos('0123456789abcdef',
+                     substr(md5(tok), CAST(1 + b // 4 AS INT), 1)) - 1 AS DOUBLE)
+                   / pow(2, 3 - b % 4)) AS INT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tokens, (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY doc_id, b
+),
+nibbles AS (
+  SELECT doc_id, CAST(b // 4 AS INT) AS ni,
+         SUM(CASE WHEN s >= 0 THEN CAST(pow(2, 3 - b % 4) AS INT) ELSE 0 END) AS nib
+  FROM bits GROUP BY doc_id, CAST(b // 4 AS INT)
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY ni) AS simhash
+FROM nibbles GROUP BY doc_id
+"""
+
+register("dedup_simhash_signatures", dedup_simhash_signatures, _SIMHASH_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}),
+                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+              (acc, v) -> acc + v)
+  / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (acc, v) -> acc + v))
+   * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (acc, v) -> acc + v)))
+"""
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(queries, emb, k=5)
+
+
+_ANN_ORACLE = f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+register("ann_topk_bruteforce", ann_topk_bruteforce, _ANN_ORACLE)
+
+
+_BUCKET_SQL = """
+  array_to_string(list_transform(range(0, 8), p ->
+    CASE WHEN list_reduce(
+           list_transform(range(0, 64), d ->
+             CAST({v}[CAST(d AS INT) + 1] AS DOUBLE)
+             * CASE WHEN strpos('89abcdef',
+                       substr(md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) > 0
+                    THEN 1.0 ELSE -1.0 END),
+           (acc, v) -> acc + v) >= 0
+         THEN '1' ELSE '0' END), '')
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(queries, emb, k=5)
+
+
+_ANN_LSH_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cosine
+  FROM sigs q JOIN sigs c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+register("ann_lsh_topk", ann_lsh_topk, _ANN_LSH_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (no SQL oracle — binary/mapInPandas; rows-only check)
+# --------------------------------------------------------------------------
+
+
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' text bytes stand in for media blobs: binary column →
+    fake-decoded typed metadata via the real mapInPandas plumbing."""
+    from ..pipeline.multimodal import decode_image_meta
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    return decode_image_meta(docs, fake=True)
+
+
+register("multimodal_image_meta", multimodal_image_meta, None)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    return sample_frames(docs, every_n_bytes=256, fake=True)
+
+
+register("multimodal_frame_sample", multimodal_frame_sample, None)
