@@ -49,7 +49,7 @@ from dataclasses import dataclass
 from typing import Any, Iterator
 
 from .paths import DataPath, decode_path, encode_path
-from .reduce import fold
+from .reduce import fold, merge_into
 from .store import DatasetStore
 from .values import (
     PMap,
@@ -248,7 +248,7 @@ def reduce_outputs(outputs_df, num_partitions: int | None = None):
                                                     ensure_ascii=False))
                     cur_id, cur_acc = row.out_id, v
                 else:
-                    cur_acc = fold([cur_acc, v])
+                    cur_acc = merge_into(cur_acc, v)
             if done_ids:
                 yield pd.DataFrame({"record_id": done_ids, "value": done_vals})
         if cur_id is not None:

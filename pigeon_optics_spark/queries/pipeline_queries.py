@@ -197,27 +197,43 @@ WITH sh AS (
                                       i -> substr(text, CAST(i AS INT), 5))) AS shingles
   FROM documents
 ),
+ab AS (
+  SELECT id, shingles,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS ha,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 17, 14))::BIGINT) AS hb
+  FROM sh
+),
 sig AS (
   SELECT id, shingles,
-         list_transform(range(0, 32),
-           i -> list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
-  FROM sh
+         list_transform(range(0, 64),
+           i -> list_min(list_transform(range(1, len(ha) + 1),
+             j -> (ha[CAST(j AS INT)] + i * hb[CAST(j AS INT)]) % 2305843009213693951))) AS sig
+  FROM ab
 ),
 banded AS (
   SELECT id, CAST(b AS INT) AS band_id,
-         md5(array_to_string(sig[CAST(b AS INT)*4+1 : CAST(b AS INT)*4+4], '|')) AS band_hash
+         md5(array_to_string(list_transform(sig[CAST(b AS INT)*4+1 : CAST(b AS INT)*4+4],
+                                            x -> CAST(x AS VARCHAR)), '|')) AS band_hash
   FROM sig, (SELECT unnest(range(0, 8)) AS b)
 ),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+),
+survivors AS (
+  SELECT id_a, id_b
+  FROM cands
+  JOIN sig ga ON ga.id = id_a
+  JOIN sig gb ON gb.id = id_b
+  WHERE len(list_filter(range(1, 65),
+            j -> ga.sig[CAST(j AS INT)] = gb.sig[CAST(j AS INT)])) >= 32
 )
 SELECT id_a, id_b,
        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
        / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)))
          AS jaccard
-FROM cands
+FROM survivors
 JOIN sh sa ON sa.id = id_a
 JOIN sh sb ON sb.id = id_b
 WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)

@@ -27,7 +27,7 @@ from typing import Any
 
 from .values import PMap, PSet, canonical_json
 
-__all__ = ["merge2", "fold"]
+__all__ = ["merge2", "merge_into", "fold"]
 
 
 def _is_number(v: Any) -> bool:
@@ -66,6 +66,31 @@ def merge2(left: Any, right: Any) -> Any:
     if isinstance(left, _dt.datetime) and isinstance(right, _dt.datetime):
         return max(left, right)
     return right  # strings, Buffers, booleans, mixed types: last wins
+
+
+def merge_into(acc: Any, right: Any) -> Any:
+    """Like :func:`merge2` but may MUTATE ``acc`` (and return it).
+
+    Only safe when the caller owns ``acc`` exclusively (e.g. the lens reduce
+    fold, where every value is freshly parsed from JSON).  Makes hot-key
+    folds linear: Set union appends behind a persistent dedup index, arrays
+    extend, objects merge in place — a key accumulating n singleton
+    emissions costs O(n) instead of the O(n^2) of copy-per-merge.
+    (PMap keeps the copying merge — per-merge key re-canonicalization makes
+    an in-place variant no better without an index cache; Maps are rare as
+    hot accumulators.)
+    """
+    if isinstance(acc, PSet) and isinstance(right, PSet):
+        acc.update(right)
+        return acc
+    if isinstance(acc, list) and isinstance(right, list):
+        acc.extend(right)
+        return acc
+    if isinstance(acc, dict) and isinstance(right, dict):
+        for k, v in right.items():
+            acc[k] = merge_into(acc[k], v) if k in acc else v
+        return acc
+    return merge2(acc, right)
 
 
 def fold(values: list[Any]) -> Any:

@@ -208,12 +208,17 @@ class DatasetStore:
     # -- current-state resolution (driver-side) -----------------------------
 
     def _segments(self, meta: CollectionMeta) -> list[str]:
+        """Segment paths in seq order.  A segment is either a single parquet
+        file (driver-side writes) or a directory of parquet part-files
+        (distributed writes keep Spark's output layout — no driver-side
+        consolidation, which would serialize the whole batch through one
+        core)."""
         d = self._dir(meta)
         if not os.path.isdir(d):
             return []
         segs = []
         for fn in os.listdir(d):
-            if fn.endswith(".parquet"):
+            if fn.endswith(".parquet") and not fn.startswith("_stage"):
                 seq = int(fn.split("_")[1].split(".")[0])
                 if seq >= meta.base_seq:
                     segs.append((seq, os.path.join(d, fn)))
@@ -281,12 +286,14 @@ class DatasetStore:
         if not segs:
             return spark.createDataFrame([], schema="record_id string, value string, hash string, links array<string>, version long")
         df = spark.read.parquet(*segs)
-        w = Window.partitionBy("record_id").orderBy(F.desc("seq"))
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") == 1) & (~F.col("deleted")))
-            .select("record_id", "value", "hash", "links", "version")
-        )
+        if len(segs) > 1:
+            # latest-wins only matters when a record_id can appear in more
+            # than one segment; a single-segment log (fresh ingest, post-
+            # compaction, post-overwrite) skips the shuffle entirely
+            w = Window.partitionBy("record_id").orderBy(F.desc("seq"))
+            df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        return df.where(~F.col("deleted")).select(
+            "record_id", "value", "hash", "links", "version")
 
     # -- writes -------------------------------------------------------------
 
@@ -384,80 +391,111 @@ class DatasetStore:
         against current state on record_id — at scale this is the Delta MERGE
         matched-condition.  The changed subset is written as one segment.
         """
+        import glob as _glob
+        import shutil
+
         from pyspark.sql import functions as F
 
         from .udfs import hash_value_udf, links_udf
 
         meta = self._meta(source, author, name)
         next_version = meta.version + 1
+        empty = not self._segments(meta)
 
         upserts_in = (
             df.select("record_id", "value").where(F.col("value").isNotNull())
             .withColumn("hash", hash_value_udf("value"))
             .withColumn("links", links_udf("value"))
         )
-        deletes_in = df.select("record_id").where(F.col("value").isNull())
-        cur = self.read_df(spark, author, name, source=source).select(
-            "record_id", F.col("hash").alias("_old_hash"),
-            F.col("version").alias("_old_version"),
-        )
-        joined = upserts_in.join(cur, "record_id", "left")
-        if overwrite:
-            rows = joined.select(
+        n_dropped = 0
+        if empty:
+            # fast path: nothing to suppress against, deletes are no-ops —
+            # every non-null row is an insert, no join, ONE job
+            rows = upserts_in.select(
                 "record_id", "value", "hash", "links",
-                F.when(F.col("_old_hash") == F.col("hash"), F.col("_old_version"))
-                .otherwise(F.lit(next_version)).alias("version"),
+                F.lit(next_version).alias("version"),
                 F.lit(False).alias("deleted"),
-            ).persist()
-            # changed iff any new/updated row, or any current key dropped
-            n_changed = rows.where(F.col("version") == next_version).count()
-            n_dropped = cur.join(upserts_in.select("record_id"), "record_id",
-                                 "left_anti").count()
-            changed = n_changed > 0 or n_dropped > 0
+            )
         else:
-            upserts = joined.where(
-                F.col("_old_hash").isNull() | (F.col("_old_hash") != F.col("hash"))
-            ).select(
-                "record_id", "value", "hash", "links",
-                F.lit(next_version).alias("version"),
-                F.lit(False).alias("deleted"),
+            deletes_in = df.select("record_id").where(F.col("value").isNull())
+            cur = self.read_df(spark, author, name, source=source).select(
+                "record_id", F.col("hash").alias("_old_hash"),
+                F.col("version").alias("_old_version"),
             )
-            # deletes only for keys that currently exist (else no-op)
-            deletes = deletes_in.join(cur, "record_id", "left_semi").select(
-                "record_id",
-                F.lit(None).cast("string").alias("value"),
-                F.lit(None).cast("string").alias("hash"),
-                F.array().cast("array<string>").alias("links"),
-                F.lit(next_version).alias("version"),
-                F.lit(True).alias("deleted"),
-            )
-            rows = upserts.unionByName(deletes).persist()
-            changed = rows.limit(1).count() > 0
+            joined = upserts_in.join(cur, "record_id", "left")
+            if overwrite:
+                rows = joined.select(
+                    "record_id", "value", "hash", "links",
+                    F.when(F.col("_old_hash") == F.col("hash"), F.col("_old_version"))
+                    .otherwise(F.lit(next_version)).alias("version"),
+                    F.lit(False).alias("deleted"),
+                )
+                # a dropped current key is a change even if no row changed
+                n_dropped = cur.join(upserts_in.select("record_id"), "record_id",
+                                     "left_anti").count()
+            else:
+                upserts = joined.where(
+                    F.col("_old_hash").isNull() | (F.col("_old_hash") != F.col("hash"))
+                ).select(
+                    "record_id", "value", "hash", "links",
+                    F.lit(next_version).alias("version"),
+                    F.lit(False).alias("deleted"),
+                )
+                # deletes only for keys that currently exist (else no-op)
+                deletes = deletes_in.join(cur, "record_id", "left_semi").select(
+                    "record_id",
+                    F.lit(None).cast("string").alias("value"),
+                    F.lit(None).cast("string").alias("hash"),
+                    F.array().cast("array<string>").alias("links"),
+                    F.lit(next_version).alias("version"),
+                    F.lit(True).alias("deleted"),
+                )
+                rows = upserts.unionByName(deletes)
 
+        # single write job into a staged dir; "did anything change" is read
+        # back from parquet footer metadata (row counts / version stats), not
+        # by re-running the plan
+        seq = meta.last_seq + 1
+        suffix = "base" if overwrite else "delta"
+        stage = os.path.join(self._dir(meta), f"_stage_{uuid.uuid4().hex}")
+        rows.withColumn("seq", F.lit(seq)).select(
+            *[f.name for f in SEGMENT_SCHEMA]
+        ).write.mode("overwrite").parquet(stage)
+
+        parts = _glob.glob(os.path.join(stage, "*.parquet"))
+        ver_idx = SEGMENT_SCHEMA.get_field_index("version")
+        n_rows = 0
+        max_version = None
+        for p in parts:
+            md = pq.ParquetFile(p).metadata
+            n_rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ver_idx).statistics
+                if st is not None and st.has_min_max:
+                    max_version = max(max_version or 0, st.max)
+                elif md.row_group(rg).num_rows:  # stats missing: read column
+                    vals = pq.read_table(p, columns=["version"]).column("version")
+                    max_version = max([max_version or 0] + vals.to_pylist())
+                    break
+
+        new_rows = max_version is not None and max_version >= next_version
+        changed = (new_rows or n_dropped > 0) if overwrite else n_rows > 0
         if not changed:
-            rows.unpersist()
+            shutil.rmtree(stage, ignore_errors=True)
             return meta  # fully suppressed batch: no version bump, no segment
 
-        meta.last_seq += 1
-        seq = meta.last_seq
-        suffix = "base" if overwrite else "delta"
-        out_dir = os.path.join(self._dir(meta), f"_stage_{uuid.uuid4().hex}")
-        rows.withColumn("seq", F.lit(seq)).write.mode("overwrite").parquet(out_dir)
-        rows.unpersist()
-        # consolidate staged files into the single segment file slot (local
-        # convenience — on a cluster the staged directory IS the segment)
-        import glob as _glob
-
-        staged = sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
-        tables = [pq.read_table(p) for p in staged]
-        merged = pa.concat_tables(tables) if tables else pa.table(
-            {f.name: pa.array([], f.type) for f in SEGMENT_SCHEMA}
-        )
         path = os.path.join(self._dir(meta), f"seg_{seq:08d}.{suffix}.parquet")
-        pq.write_table(merged.cast(SEGMENT_SCHEMA), path)
-        import shutil
-
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if n_rows == 0:
+            # overwrite-to-empty: a readable zero-row single-file segment
+            shutil.rmtree(stage, ignore_errors=True)
+            self._write_segment([], path)
+        else:
+            # the staged directory IS the segment — just strip marker files
+            for fn in os.listdir(stage):
+                if not fn.endswith(".parquet"):
+                    os.remove(os.path.join(stage, fn))
+            os.replace(stage, path)
+        meta.last_seq = seq
         if overwrite:
             meta.base_seq = seq
         meta.version = next_version

@@ -103,7 +103,7 @@ class PSet:
     encoding.
     """
 
-    __slots__ = ("members",)
+    __slots__ = ("members", "_seen")
 
     def __init__(self, members=()):
         # dedupe by canonical encoding, preserving first occurrence
@@ -115,6 +115,16 @@ class PSet:
                 seen.add(key)
                 out.append(m)
         self.members = out
+        self._seen = seen
+
+    def update(self, other: "PSet") -> None:
+        """In-place union (amortized O(|other|) — the dedup index is kept
+        across updates so a fold of n singletons is O(n), not O(n^2))."""
+        for m in other.members:
+            key = canonical_json(m)
+            if key not in self._seen:
+                self._seen.add(key)
+                self.members.append(m)
 
     def __eq__(self, other):
         if not isinstance(other, PSet):
