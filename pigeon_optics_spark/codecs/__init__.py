@@ -1,0 +1,381 @@
+"""M3 — the multi-format codec layer (SURVEY §2.1 file-format sources/sinks).
+
+The reference negotiates 8 codecs by media type or file extension
+(`library/models/codec/index.js:19-49`): JSON, JSON5, CBOR, JSON-lines,
+YAML, msgpack, XML (as JsonML), HTML.  Each supports value encode/decode
+plus streaming *entries* forms used by import/export.  This package
+re-implements the capability over public formats:
+
+- ``Codec.encode/decode``: one value ⇄ bytes
+- ``Codec.encode_iterable/decode_iterable``: stream of values ⇄ bytes
+  (array framing for JSON, NDJSON lines, YAML multi-doc, CBOR/msgpack
+  sequences, XML document list)
+- ``Codec.encode_entries/decode_entries``: export envelopes
+  ``{id, version, hash, data}`` (ref export-controller.js:25-41, XML wrapper
+  ref codec/xml/entries-encoder.js:7-32)
+- ``codec_for(media_type_or_ext)``: the dispatch table
+
+JSON5 is decode-only on the wire (encoded output is pretty JSON, matching
+the reference).  HTML round-trips markup (JsonML) documents; arbitrary
+values ride the `pigeon-optics:arbitrary` typed-element fallback in XML.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from typing import Any, Callable, Iterable, Iterator
+
+import yaml as _yaml
+
+from ..values import tagged_to_value, value_to_tagged
+from . import cbor as _cbor
+from . import json5 as _json5
+from . import msgpack as _msgpack
+from .jsonml import (
+    ARBITRARY_NS,
+    arbitrary_jsonml_to_value,
+    html_to_jsonml,
+    is_jsonml,
+    jsonml_to_html,
+    jsonml_to_xml,
+    value_to_arbitrary_jsonml,
+    xml_to_jsonml,
+)
+
+__all__ = ["Codec", "codec_for", "CODECS", "is_jsonml"]
+
+
+class Codec:
+    """One wire format.  All byte-level; text formats use UTF-8."""
+
+    def __init__(self, name: str, extensions: tuple[str, ...],
+                 media_types: tuple[str, ...],
+                 encode: Callable[[Any], bytes],
+                 decode: Callable[[bytes], Any],
+                 encode_iterable: Callable[[Iterable[Any]], bytes],
+                 decode_iterable: Callable[[bytes], Iterator[Any]],
+                 encode_entries: Callable[[Iterable[dict]], bytes] | None = None,
+                 decode_entries: Callable[[bytes], Iterator[dict]] | None = None,
+                 binary: bool = False):
+        self.name = name
+        self.extensions = extensions
+        self.media_types = media_types
+        self.encode = encode
+        self.decode = decode
+        self.encode_iterable = encode_iterable
+        self.decode_iterable = decode_iterable
+        self.encode_entries = encode_entries or (
+            lambda entries: encode_iterable(list(entries)))
+        self.decode_entries = decode_entries or (
+            lambda data: iter(decode_iterable(data)))
+        self.binary = binary
+
+    def __repr__(self):
+        return f"Codec({self.name})"
+
+
+# --------------------------------------------------------------------------
+# JSON / JSON5
+# --------------------------------------------------------------------------
+
+
+def _json_encode(v: Any) -> bytes:
+    return json.dumps(value_to_tagged(v), indent=2, ensure_ascii=False,
+                      allow_nan=False).encode("utf-8")
+
+
+def _json_decode(data: bytes) -> Any:
+    return tagged_to_value(json.loads(data.decode("utf-8")))
+
+
+def _json_encode_iterable(values: Iterable[Any]) -> bytes:
+    # streaming array framing (ref json.js:109-128): emit per element
+    buf = io.BytesIO()
+    buf.write(b"[")
+    first = True
+    for v in values:
+        if not first:
+            buf.write(b",\n")
+        else:
+            buf.write(b"\n")
+            first = False
+        buf.write(json.dumps(value_to_tagged(v), ensure_ascii=False,
+                             allow_nan=False).encode("utf-8"))
+    buf.write(b"\n]\n" if not first else b"]\n")
+    return buf.getvalue()
+
+
+def _json_decode_iterable(data: bytes) -> Iterator[Any]:
+    parsed = json.loads(data.decode("utf-8"))
+    if not isinstance(parsed, list):
+        raise ValueError("JSON stream must be an array")
+    for node in parsed:
+        yield tagged_to_value(node)
+
+
+def _json5_decode(data: bytes) -> Any:
+    return tagged_to_value(_json5.loads(data.decode("utf-8")))
+
+
+# --------------------------------------------------------------------------
+# JSON-lines
+# --------------------------------------------------------------------------
+
+
+def _jsonl_encode_iterable(values: Iterable[Any]) -> bytes:
+    out = io.BytesIO()
+    for v in values:
+        out.write(json.dumps(value_to_tagged(v), ensure_ascii=False,
+                             allow_nan=False).encode("utf-8"))
+        out.write(b"\n")
+    return out.getvalue()
+
+
+def _jsonl_decode_iterable(data: bytes) -> Iterator[Any]:
+    for line in data.decode("utf-8").splitlines():
+        if line.strip():
+            yield tagged_to_value(json.loads(line))
+
+
+# --------------------------------------------------------------------------
+# YAML (multi-doc streams delimited the standard way; ref yaml.js:50-53 uses
+# the '...' end-of-document marker)
+# --------------------------------------------------------------------------
+
+
+def _yaml_encode(v: Any) -> bytes:
+    return _yaml.safe_dump(value_to_tagged(v), allow_unicode=True,
+                           sort_keys=False).encode("utf-8")
+
+
+def _yaml_decode(data: bytes) -> Any:
+    return tagged_to_value(_yaml.safe_load(data.decode("utf-8")))
+
+
+def _yaml_encode_iterable(values: Iterable[Any]) -> bytes:
+    out = io.BytesIO()
+    for v in values:
+        out.write(_yaml.safe_dump(value_to_tagged(v), allow_unicode=True,
+                                  sort_keys=False, explicit_start=True,
+                                  explicit_end=True).encode("utf-8"))
+    return out.getvalue()
+
+
+def _yaml_decode_iterable(data: bytes) -> Iterator[Any]:
+    for doc in _yaml.safe_load_all(data.decode("utf-8")):
+        yield tagged_to_value(doc)
+
+
+# --------------------------------------------------------------------------
+# XML / HTML
+# --------------------------------------------------------------------------
+
+
+def _xml_encode(v: Any) -> bytes:
+    if is_jsonml(v):
+        return jsonml_to_xml(v).encode("utf-8")
+    wrapped = ["arbitrary", {"xmlns": ARBITRARY_NS}, value_to_arbitrary_jsonml(v)]
+    return jsonml_to_xml(wrapped).encode("utf-8")
+
+
+def _xml_decode(data: bytes) -> Any:
+    root = xml_to_jsonml(data.decode("utf-8"))
+    if (isinstance(root, list) and root and root[0] == "arbitrary"
+            and len(root) >= 2 and isinstance(root[1], dict)
+            and root[1].get("xmlns") == ARBITRARY_NS):
+        kids = [c for c in root[2:] if not isinstance(c, str)]
+        return arbitrary_jsonml_to_value(kids[0]) if kids else None
+    return root
+
+
+def _xml_encode_iterable(values: Iterable[Any]) -> bytes:
+    out = io.BytesIO()
+    out.write(b"<list>")
+    for v in values:
+        out.write(b"<item>")
+        out.write(_xml_encode(v))
+        out.write(b"</item>")
+    out.write(b"</list>")
+    return out.getvalue()
+
+
+def _xml_decode_iterable(data: bytes) -> Iterator[Any]:
+    root = xml_to_jsonml(data.decode("utf-8"))
+    if not (isinstance(root, list) and root[0] == "list"):
+        yield _xml_decode(data)
+        return
+    for item in root[1:]:
+        if isinstance(item, str):
+            continue
+        kids = [c for c in item[1:] if not isinstance(c, str)]
+        if kids:
+            node = kids[0]
+            if (isinstance(node, list) and node[0] == "arbitrary"):
+                inner = [c for c in node[2:] if not isinstance(c, str)]
+                yield arbitrary_jsonml_to_value(inner[0]) if inner else None
+            else:
+                yield node
+        else:
+            yield "".join(c for c in item[1:] if isinstance(c, str))
+
+
+def _xml_encode_entries(entries: Iterable[dict]) -> bytes:
+    """The reference's export wrapper:
+    ``<export xmlns="pigeon-optics:export"><record id= version= hash=>…``
+    (ref codec/xml/entries-encoder.js:7-32)."""
+    out = io.BytesIO()
+    out.write(b'<export xmlns="pigeon-optics:export">')
+    for e in entries:
+        rec: list[Any] = ["record", {
+            "id": str(e["id"]),
+            **({"version": str(e["version"])} if "version" in e else {}),
+            **({"hash": str(e["hash"])} if "hash" in e else {}),
+        }]
+        if "data" in e and e["data"] is not None:
+            data = e["data"]
+            rec.append(data if is_jsonml(data)
+                       else ["arbitrary", {"xmlns": ARBITRARY_NS},
+                             value_to_arbitrary_jsonml(data)])
+        out.write(jsonml_to_xml(rec).encode("utf-8"))
+    out.write(b"</export>")
+    return out.getvalue()
+
+
+def _xml_decode_entries(data: bytes) -> Iterator[dict]:
+    root = xml_to_jsonml(data.decode("utf-8"))
+    if not (isinstance(root, list) and root[0] == "export"):
+        raise ValueError("not a pigeon-optics:export document")
+    for rec in root[1:]:
+        if isinstance(rec, (str, dict)) or rec[0] != "record":
+            continue
+        attrs = rec[1] if len(rec) > 1 and isinstance(rec[1], dict) else {}
+        kids = [c for c in rec[1:] if not isinstance(c, (str, dict))]
+        entry: dict[str, Any] = {"id": attrs.get("id", "")}
+        if "version" in attrs:
+            entry["version"] = int(attrs["version"])
+        if "hash" in attrs:
+            entry["hash"] = attrs["hash"]
+        if kids:
+            node = kids[0]
+            if isinstance(node, list) and node[0] == "arbitrary":
+                inner = [c for c in node[2:] if not isinstance(c, str)]
+                entry["data"] = arbitrary_jsonml_to_value(inner[0]) if inner else None
+            else:
+                entry["data"] = node
+        yield entry
+
+
+def _html_encode(v: Any) -> bytes:
+    if is_jsonml(v):
+        return jsonml_to_html(v).encode("utf-8")
+    raise ValueError("HTML codec encodes markup (JsonML) documents only")
+
+
+def _html_decode(data: bytes) -> Any:
+    return html_to_jsonml(data.decode("utf-8"))
+
+
+# --------------------------------------------------------------------------
+# envelope helpers shared by value-stream codecs
+# --------------------------------------------------------------------------
+
+
+def _entries_as_values(entries: Iterable[dict]) -> Iterator[Any]:
+    for e in entries:
+        out = {"id": e["id"]}
+        for k in ("version", "hash"):
+            if k in e:
+                out[k] = e[k]
+        if "data" in e:
+            out["data"] = e["data"]
+        yield out
+
+
+def _make_entries_codec(encode_iterable, decode_iterable):
+    def enc(entries: Iterable[dict]) -> bytes:
+        return encode_iterable(_entries_as_values(entries))
+
+    def dec(data: bytes) -> Iterator[dict]:
+        for v in decode_iterable(data):
+            yield v
+
+    return enc, dec
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+CODECS: dict[str, Codec] = {}
+
+
+def _register(c: Codec) -> Codec:
+    CODECS[c.name] = c
+    return c
+
+
+json_codec = _register(Codec(
+    "json", (".json",), ("application/json", "text/json"),
+    _json_encode, _json_decode, _json_encode_iterable, _json_decode_iterable,
+    *_make_entries_codec(_json_encode_iterable, _json_decode_iterable)))
+
+json5_codec = _register(Codec(
+    "json5", (".json5",), ("application/json5", "text/json5"),
+    _json_encode, _json5_decode, _json_encode_iterable,
+    _json_decode_iterable,
+    *_make_entries_codec(_json_encode_iterable, _json_decode_iterable)))
+
+jsonl_codec = _register(Codec(
+    "jsonl", (".jsonl", ".ndjson", ".jsonlines"),
+    ("application/jsonlines", "application/x-ndjson", "application/x-jsonlines"),
+    lambda v: _jsonl_encode_iterable([v]),
+    lambda d: next(_jsonl_decode_iterable(d)),
+    _jsonl_encode_iterable, _jsonl_decode_iterable,
+    *_make_entries_codec(_jsonl_encode_iterable, _jsonl_decode_iterable)))
+
+cbor_codec = _register(Codec(
+    "cbor", (".cbor",), ("application/cbor",),
+    _cbor.encode, _cbor.decode, _cbor.encode_seq, _cbor.decode_seq,
+    *_make_entries_codec(_cbor.encode_seq, _cbor.decode_seq),
+    binary=True))
+
+yaml_codec = _register(Codec(
+    "yaml", (".yaml", ".yml"), ("application/yaml", "text/yaml", "application/x-yaml"),
+    _yaml_encode, _yaml_decode, _yaml_encode_iterable, _yaml_decode_iterable,
+    *_make_entries_codec(_yaml_encode_iterable, _yaml_decode_iterable)))
+
+msgpack_codec = _register(Codec(
+    "msgpack", (".msgpack", ".mp"), ("application/msgpack", "application/x-msgpack"),
+    _msgpack.encode, _msgpack.decode, _msgpack.encode_seq, _msgpack.decode_seq,
+    *_make_entries_codec(_msgpack.encode_seq, _msgpack.decode_seq),
+    binary=True))
+
+xml_codec = _register(Codec(
+    "xml", (".xml",), ("application/xml", "text/xml"),
+    _xml_encode, _xml_decode, _xml_encode_iterable, _xml_decode_iterable,
+    _xml_encode_entries, _xml_decode_entries))
+
+html_codec = _register(Codec(
+    "html", (".html", ".htm"), ("text/html",),
+    _html_encode, _html_decode,
+    lambda vs: b"".join(_html_encode(v) for v in vs),
+    lambda d: iter([_html_decode(d)])))
+
+
+def codec_for(media_type_or_ext: str) -> Codec:
+    """Dispatch by media type or file extension (ref codec/index.js:19-49)."""
+    key = media_type_or_ext.strip().lower()
+    if ";" in key:  # media type parameters
+        key = key.split(";", 1)[0].strip()
+    for c in CODECS.values():
+        if key == c.name or key in c.media_types:
+            return c
+        for ext in c.extensions:
+            if key == ext or key == ext.lstrip("."):
+                return c
+        if "/" in key:
+            suffix = key.rsplit("+", 1)[-1]  # e.g. application/foo+json
+            if suffix == c.name:
+                return c
+    raise KeyError(f"no codec for {media_type_or_ext!r}")

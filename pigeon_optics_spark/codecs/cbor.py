@@ -1,0 +1,287 @@
+"""CBOR codec (RFC 8949) for the engine's value domain — pure Python.
+
+The reference stores records as CBOR (`library/models/base-data-model.js:302-316`
+uses the npm `cbor` codec with `useTag259ForMaps`, ref
+`library/models/codec/cbor.js:6-7`).  This is a from-scratch implementation
+over the public RFC, covering exactly the engine's value domain (SURVEY §1.3):
+
+- null / bool / int (incl. bignum via tags 2/3) / float64 (NaN/±Inf native)
+- text strings (utf-8), byte strings (Buffer)
+- arrays, string-keyed objects (major type 5 maps with text keys)
+- ``Map`` (ordered, arbitrary keys)  → tag 259 (the convention the reference
+  enables; payload is a map)
+- ``Set``                            → tag 258 (finite set)
+- ``Date``                           → tag 1 (epoch seconds, float)
+- ``URL``                            → tag 32 (URI text string)
+- ``undefined``                      → simple(23)
+
+Encoding uses definite lengths and preserves map insertion order.  Multiple
+top-level items are concatenated (CBOR sequences) for entries streams.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import struct
+from typing import Any, Iterator
+
+from ..values import PMap, PSet, Undefined, URLValue
+
+TAG_DATE_EPOCH = 1
+TAG_POS_BIGNUM = 2
+TAG_NEG_BIGNUM = 3
+TAG_URI = 32
+TAG_SET = 258
+TAG_MAP = 259  # ref codec/cbor.js:6-7 (useTag259ForMaps)
+
+
+class CBORError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
+
+
+def _head(major: int, arg: int) -> bytes:
+    if arg < 24:
+        return bytes([(major << 5) | arg])
+    if arg < 0x100:
+        return bytes([(major << 5) | 24, arg])
+    if arg < 0x10000:
+        return struct.pack(">BH", (major << 5) | 25, arg)
+    if arg < 0x100000000:
+        return struct.pack(">BI", (major << 5) | 26, arg)
+    return struct.pack(">BQ", (major << 5) | 27, arg)
+
+
+def _encode_int(out: list[bytes], v: int) -> None:
+    if v >= 0:
+        if v < (1 << 64):
+            out.append(_head(0, v))
+        else:
+            out.append(_head(6, TAG_POS_BIGNUM))
+            b = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+            out.append(_head(2, len(b)))
+            out.append(b)
+    else:
+        m = -1 - v
+        if m < (1 << 64):
+            out.append(_head(1, m))
+        else:
+            out.append(_head(6, TAG_NEG_BIGNUM))
+            b = m.to_bytes((m.bit_length() + 7) // 8 or 1, "big")
+            out.append(_head(2, len(b)))
+            out.append(b)
+
+
+def _encode(out: list[bytes], v: Any) -> None:
+    if v is None:
+        out.append(b"\xf6")
+    elif v is Undefined:
+        out.append(b"\xf7")
+    elif isinstance(v, bool):
+        out.append(b"\xf5" if v else b"\xf4")
+    elif isinstance(v, int):
+        _encode_int(out, v)
+    elif isinstance(v, float):
+        out.append(b"\xfb" + struct.pack(">d", v))
+    elif isinstance(v, str):
+        b = v.encode("utf-8")
+        out.append(_head(3, len(b)))
+        out.append(b)
+    elif isinstance(v, (bytes, bytearray, memoryview)):
+        b = bytes(v)
+        out.append(_head(2, len(b)))
+        out.append(b)
+    elif isinstance(v, (list, tuple)):
+        out.append(_head(4, len(v)))
+        for x in v:
+            _encode(out, x)
+    elif isinstance(v, dict):
+        out.append(_head(5, len(v)))
+        for k, x in v.items():
+            _encode(out, k)
+            _encode(out, x)
+    elif isinstance(v, PMap):
+        out.append(_head(6, TAG_MAP))
+        out.append(_head(5, len(v.entries)))
+        for k, x in v.entries:
+            _encode(out, k)
+            _encode(out, x)
+    elif isinstance(v, (PSet, set, frozenset)):
+        members = v.members if isinstance(v, PSet) else list(v)
+        out.append(_head(6, TAG_SET))
+        out.append(_head(4, len(members)))
+        for x in members:
+            _encode(out, x)
+    elif isinstance(v, _dt.datetime):
+        ts = v.timestamp() if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc).timestamp()
+        out.append(_head(6, TAG_DATE_EPOCH))
+        out.append(b"\xfb" + struct.pack(">d", ts))
+    elif isinstance(v, URLValue):
+        out.append(_head(6, TAG_URI))
+        b = v.href.encode("utf-8")
+        out.append(_head(3, len(b)))
+        out.append(b)
+    else:
+        raise CBORError(f"cannot CBOR-encode {type(v)!r}")
+
+
+def encode(value: Any) -> bytes:
+    out: list[bytes] = []
+    _encode(out, value)
+    return b"".join(out)
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise CBORError("truncated CBOR")
+        b = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+    def byte(self) -> int:
+        return self.take(1)[0]
+
+
+def _read_arg(r: _Reader, info: int) -> int | None:
+    if info < 24:
+        return info
+    if info == 24:
+        return r.byte()
+    if info == 25:
+        return struct.unpack(">H", r.take(2))[0]
+    if info == 26:
+        return struct.unpack(">I", r.take(4))[0]
+    if info == 27:
+        return struct.unpack(">Q", r.take(8))[0]
+    if info == 31:
+        return None  # indefinite
+    raise CBORError(f"bad additional info {info}")
+
+
+def _decode(r: _Reader) -> Any:
+    ib = r.byte()
+    major, info = ib >> 5, ib & 0x1F
+    if major == 0:
+        return _read_arg(r, info)
+    if major == 1:
+        return -1 - _read_arg(r, info)
+    if major == 2 or major == 3:
+        n = _read_arg(r, info)
+        if n is None:  # indefinite-length string: concat chunks
+            chunks = []
+            while True:
+                if r.buf[r.pos] == 0xFF:
+                    r.pos += 1
+                    break
+                chunks.append(_decode(r))
+            joined = b"".join(c if isinstance(c, bytes) else c.encode() for c in chunks)
+            return joined if major == 2 else joined.decode("utf-8")
+        b = r.take(n)
+        return b if major == 2 else b.decode("utf-8")
+    if major == 4:
+        n = _read_arg(r, info)
+        if n is None:
+            items = []
+            while r.buf[r.pos] != 0xFF:
+                items.append(_decode(r))
+            r.pos += 1
+            return items
+        return [_decode(r) for _ in range(n)]
+    if major == 5:
+        n = _read_arg(r, info)
+        pairs = []
+        if n is None:
+            while r.buf[r.pos] != 0xFF:
+                pairs.append((_decode(r), _decode(r)))
+            r.pos += 1
+        else:
+            pairs = [(_decode(r), _decode(r)) for _ in range(n)]
+        if all(isinstance(k, str) for k, _ in pairs):
+            return dict(pairs)
+        return PMap(pairs)  # non-string keys: surface as Map
+    if major == 6:
+        tag = _read_arg(r, info)
+        inner = _decode(r)
+        if tag == TAG_DATE_EPOCH:
+            return _dt.datetime.fromtimestamp(float(inner), tz=_dt.timezone.utc)
+        if tag == TAG_POS_BIGNUM:
+            return int.from_bytes(inner, "big")
+        if tag == TAG_NEG_BIGNUM:
+            return -1 - int.from_bytes(inner, "big")
+        if tag == TAG_URI:
+            return URLValue(inner)
+        if tag == TAG_SET:
+            return PSet(inner)
+        if tag == TAG_MAP:
+            if isinstance(inner, PMap):
+                return inner
+            return PMap(inner.items() if isinstance(inner, dict) else inner)
+        return inner  # unknown tag: unwrap
+    if major == 7:
+        if info == 20:
+            return False
+        if info == 21:
+            return True
+        if info == 22:
+            return None
+        if info == 23:
+            return Undefined
+        if info == 25:  # float16
+            return _decode_f16(struct.unpack(">H", r.take(2))[0])
+        if info == 26:
+            return struct.unpack(">f", r.take(4))[0]
+        if info == 27:
+            return struct.unpack(">d", r.take(8))[0]
+        if info < 24:
+            return info  # simple value
+        if info == 24:
+            return r.byte()
+    raise CBORError(f"bad CBOR item (major={major}, info={info})")
+
+
+def _decode_f16(h: int) -> float:
+    sign = -1.0 if h & 0x8000 else 1.0
+    exp = (h >> 10) & 0x1F
+    frac = h & 0x3FF
+    if exp == 0:
+        return sign * frac * 2.0 ** -24
+    if exp == 31:
+        return sign * (float("inf") if frac == 0 else float("nan"))
+    return sign * (1 + frac / 1024.0) * 2.0 ** (exp - 15)
+
+
+def decode(data: bytes) -> Any:
+    r = _Reader(bytes(data))
+    v = _decode(r)
+    if r.pos != len(r.buf):
+        raise CBORError(f"trailing bytes after CBOR item at {r.pos}")
+    return v
+
+
+def decode_seq(data: bytes) -> Iterator[Any]:
+    """Decode a CBOR sequence (concatenated top-level items — the entries
+    stream form, ref cbor.js:40)."""
+    r = _Reader(bytes(data))
+    while r.pos < len(r.buf):
+        yield _decode(r)
+
+
+def encode_seq(values) -> bytes:
+    return b"".join(encode(v) for v in values)

@@ -1,0 +1,172 @@
+"""M3 codec tests — roundtrip corpus in the style of the reference's
+``test/test-models-codec.js:8-56`` (fixed value corpus × every codec ×
+value/stream/entries modes), plus dispatch tests (``codec/index.js:19-49``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from pigeon_optics_spark.codecs import CODECS, codec_for
+from pigeon_optics_spark.codecs.jsonml import is_jsonml
+from pigeon_optics_spark.values import (
+    PMap,
+    PSet,
+    Undefined,
+    URLValue,
+    canonical_json,
+)
+
+JSONML_DOC = ["root", {"attr": "value", "n": "1"},
+              "text ", ["child", {"a": "b"}, "inner"], " tail"]
+
+# the fixed corpus (ref test-models-codec.js:8-56: bools, ints, floats,
+# extended constants, buffers, sets, maps, nested, unicode incl emoji)
+CORPUS = [
+    None,
+    True,
+    False,
+    0,
+    1,
+    -1,
+    123456789,
+    -(2 ** 40),
+    2 ** 70,            # bignum
+    -(2 ** 70),
+    0.5,
+    -3.25,
+    1e300,
+    float("nan"),
+    float("inf"),
+    float("-inf"),
+    "",
+    "hello world",
+    "emoji 🐦✨ and ünïcödé ωμέγα",
+    "line\nbreaks\tand tabs",
+    b"",
+    b"\x00\x01\xfe\xff binary",
+    [],
+    [1, 2, 3],
+    [None, [None, [None]]],
+    {"a": 1, "b": [True, "x"], "c": {"d": None}},
+    {"type": "not-a-tag-collision"},
+    PSet([1, "two", [3]]),
+    PMap([(1, "one"), ("k", {"v": 2}), ([1, 2], "list-key")]),
+    dt.datetime(2020, 5, 17, 12, 30, 15, 500000, tzinfo=dt.timezone.utc),
+    URLValue("https://example.com/path?q=1"),
+    JSONML_DOC,
+    {"nested": PSet([PMap([("k", b"\x01")])]), "arr": [2 ** 60, float("inf")]},
+]
+
+VALUE_CODECS = ["json", "json5", "jsonl", "cbor", "yaml", "msgpack", "xml"]
+
+
+def same(a, b) -> bool:
+    return canonical_json(a) == canonical_json(b)
+
+
+@pytest.mark.parametrize("name", VALUE_CODECS)
+@pytest.mark.parametrize("idx", range(len(CORPUS)))
+def test_roundtrip_value(name, idx):
+    codec = CODECS[name]
+    v = CORPUS[idx]
+    out = codec.decode(codec.encode(v))
+    assert same(out, v), f"{name} corpus[{idx}]: {v!r} -> {out!r}"
+
+
+@pytest.mark.parametrize("name", VALUE_CODECS)
+def test_roundtrip_stream(name):
+    codec = CODECS[name]
+    out = list(codec.decode_iterable(codec.encode_iterable(CORPUS)))
+    assert len(out) == len(CORPUS)
+    for got, want in zip(out, CORPUS):
+        assert same(got, want), f"{name}: {want!r} -> {got!r}"
+
+
+@pytest.mark.parametrize("name", VALUE_CODECS + ["html"])
+def test_roundtrip_entries(name):
+    codec = CODECS[name]
+    if name == "html":
+        pytest.skip("html codec has no entries mode")
+    entries = [
+        {"id": "abc", "version": 3, "hash": "ab" * 32, "data": {"tags": ["x"]}},
+        {"id": "def", "version": 5, "hash": "cd" * 32,
+         "data": PSet(["a", "b"])},
+        {"id": "stub", "version": 1, "hash": "ef" * 32},  # ?at= stub: no data
+    ]
+    got = list(codec.decode_entries(codec.encode_entries(iter(entries))))
+    assert len(got) == 3
+    for g, w in zip(got, entries):
+        assert g["id"] == w["id"]
+        assert int(g["version"]) == w["version"]
+        assert g["hash"] == w["hash"]
+        if "data" in w:
+            assert same(g["data"], w["data"])
+        else:
+            assert "data" not in g or g["data"] is None
+
+
+def test_undefined_roundtrip():
+    for name in ("json", "cbor", "msgpack", "xml"):
+        codec = CODECS[name]
+        assert codec.decode(codec.encode(Undefined)) is Undefined
+
+
+def test_html_roundtrips_markup():
+    codec = CODECS["html"]
+    doc = ["html", ["head", ["title", "T"]],
+           ["body", {"class": "c"}, ["p", "hello ", ["b", "bold"], " tail"],
+            ["img", {"src": "x.png"}]]]
+    got = codec.decode(codec.encode(doc))
+    assert same(got, doc)
+
+
+def test_html_rejects_non_markup():
+    with pytest.raises(ValueError):
+        CODECS["html"].encode({"not": "markup"})
+
+
+def test_json5_tolerant_decode():
+    c = CODECS["json5"]
+    src = b"""{
+      // comment
+      unquoted: 'single',
+      hex: 0xFF, /* block */
+      trailing: [1, 2, 3,],
+      inf: Infinity, nan: NaN, frac: .5,
+    }"""
+    v = c.decode(src)
+    assert v["unquoted"] == "single"
+    assert v["hex"] == 255
+    assert v["trailing"] == [1, 2, 3]
+    assert v["inf"] == float("inf") and math.isnan(v["nan"]) and v["frac"] == 0.5
+
+
+def test_codec_dispatch():
+    assert codec_for("application/json").name == "json"
+    assert codec_for("application/json; charset=utf-8").name == "json"
+    assert codec_for(".cbor").name == "cbor"
+    assert codec_for("yaml").name == "yaml"
+    assert codec_for("text/html").name == "html"
+    assert codec_for("application/x-ndjson").name == "jsonl"
+    assert codec_for("application/vnd.thing+json").name == "json"
+    with pytest.raises(KeyError):
+        codec_for("application/octet-stream")
+
+
+def test_is_jsonml():
+    assert is_jsonml(JSONML_DOC)
+    assert not is_jsonml({"a": 1})
+    assert not is_jsonml([1, 2])
+    assert not is_jsonml([])
+
+
+def test_xml_mixed_content_preserved():
+    codec = CODECS["xml"]
+    xml = b'<doc a="1" b="2">pre<span>mid</span>post</doc>'
+    v = codec.decode(xml)
+    assert v == ["doc", {"a": "1", "b": "2"}, "pre", ["span", "mid"], "post"]
+    assert codec.encode(v) == xml
