@@ -387,8 +387,10 @@ def build_lens(spark, store: DatasetStore, author: str, name: str) -> dict:
     reduced = reduce_outputs(emissions)
 
     # ---- write output collection (hash suppression keeps stable versions) --
+    pre_write_version = store.get_meta(author, name, source="lenses").version
     stats_meta = store.write_entries_df(spark, author, name, reduced,
                                         source="lenses", overwrite=True)
+    records_changed = stats_meta.version != pre_write_version
 
     # bookkeeping: max seen version per input source (ref lens.js:134-137,227)
     versions = {p: int(v) for p, v in
@@ -400,7 +402,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str) -> dict:
     store.set_config(author, name, cfg, source="lenses", memo=meta.memo)
 
     n_out = store.read_df(spark, author, name, source="lenses").count()
-    return {"mapped": n_fresh, "outputs": n_out, "version": stats_meta.version}
+    return {"mapped": n_fresh, "outputs": n_out, "version": stats_meta.version,
+            "records_changed": records_changed}
 
 
 def lens_logs(spark, store: DatasetStore, author: str, name: str):
