@@ -302,7 +302,17 @@ def _load_inputs(spark, store: DatasetStore, input_paths: list[str]):
         if dp.collection_path in seen:
             continue
         seen.add(dp.collection_path)
-        df = store.read_df(spark, dp.author, dp.name, source=dp.source)
+        if dp.source == "meta":
+            from .vfs import meta_vfs_df
+
+            df = meta_vfs_df(spark, store).select(
+                "record_id", "value",
+                F.lit(None).cast("string").alias("hash"),
+                F.array().cast("array<string>").alias("links"),
+                F.lit(0).cast("long").alias("version"),
+            )
+        else:
+            df = store.read_df(spark, dp.author, dp.name, source=dp.source)
         if dp.record_id is not None:
             df = df.where(F.col("record_id") == dp.record_id)
         dfs.append(
@@ -331,27 +341,108 @@ def build_lens(spark, store: DatasetStore, author: str, name: str) -> dict:
 
     Returns build stats {mapped, cached, outputs}.
     """
+    import os as _os
+
     from pyspark.sql import functions as F
+
+    _t0 = time.time()
+    _trace = (lambda tag: print(f"[build_lens] {tag}: {time.time() - _t0:.2f}s",
+                                flush=True)) if _os.environ.get("PO_LENS_TIMING") \
+        else (lambda tag: None)
 
     meta = store.get_meta(author, name, source="lenses")
     cfg = meta.config
     code, input_paths = cfg["code"], cfg["inputs"]
     timeout_ms = cfg.get("timeout_ms")
 
-    inputs = _load_inputs(spark, store, input_paths)
+    cache_meta = store.get_meta(author, _cache_name(name), source=_CACHE_SOURCE)
+    first_build = cache_meta.version == 0
+    input_seqs: dict = cfg.get("input_seqs", {})
+    input_versions: dict = cfg.get("input_versions", {})
 
-    # ---- freshness: anti-join current inputs vs cached (path, version) ----
+    # ---- freshness: per-input DELTA SCAN over the segment log --------------
+    # The log layout gives CDF semantics: segments with seq > the seq seen at
+    # the last build hold exactly the changed rows (store-level hash
+    # suppression guarantees unchanged rewrites produced no rows).  Cost of a
+    # rebuild ∝ changed data, not collection size.  Fallbacks: an overwrite
+    # since the last build (base segments drop keys silently) or a
+    # recordID-selector input use a full diff against the cache; an input
+    # whose version didn't advance contributes nothing at all (the
+    # reference's inputVersions guard, lens.js:134-137).
     cache_cur = store.read_df(spark, author, _cache_name(name), source=_CACHE_SOURCE)
-    cache_parsed = cache_cur.select(
+    cached_keys = cache_cur.select(
         F.col("record_id").alias("path"),
-        F.from_json("value", _CACHE_VALUE_SCHEMA).alias("c"),
-    ).select("path", "c.*")
+        F.get_json_object("value", "$.version").cast("long").alias("cached_version"),
+    )
 
-    cached_keys = cache_parsed.select("path", F.col("version").alias("cached_version"))
-    with_cache = inputs.join(cached_keys, "path", "left")
-    fresh = with_cache.where(
-        F.col("cached_version").isNull() | (F.col("version") > F.col("cached_version"))
-    ).drop("cached_version")
+    seen: set[str] = set()
+    fresh_parts = []   # map-phase inputs (input_idx..value)
+    gone_parts = []    # cache paths to prune
+    next_seqs: dict = {}
+    next_versions: dict = {}
+    for idx, p in enumerate(input_paths):
+        dp = decode_path(p)
+        if dp.collection_path in seen:  # duplicate input paths: first wins
+            continue
+        seen.add(dp.collection_path)
+        if dp.source == "meta":
+            im_version, im_seq, im_base = 0, 0, 0  # virtual: always full scan
+        else:
+            im = store.get_meta(dp.author, dp.name, source=dp.source)
+            im_version, im_seq, im_base = im.version, im.last_seq, im.base_seq
+        next_seqs[p] = im_seq
+        next_versions[p] = im_version
+        since_seq = input_seqs.get(p)
+        last_version = input_versions.get(p)
+
+        def with_provenance(df, idx=idx, dp=dp):
+            return df.select(
+                F.lit(idx).alias("input_idx"),
+                F.concat(F.lit(dp.collection_path + "/records/"),
+                         F.col("record_id")).alias("path"),
+                F.lit(dp.source).alias("source"),
+                F.lit(dp.author).alias("author"),
+                F.lit(dp.name).alias("name"),
+                "record_id", "version", "value",
+            )
+
+        prefix = dp.collection_path + "/records/"
+        if (since_seq is not None and last_version is not None
+                and dp.record_id is None and dp.source != "meta"
+                and im_base <= since_seq):
+            if im_version <= last_version:
+                continue  # version guard: untouched input, zero work
+            delta_rows = store.read_delta_df(spark, dp.author, dp.name,
+                                             since_seq, source=dp.source)
+            fresh_parts.append(with_provenance(
+                delta_rows.where(~F.col("deleted")
+                                 & (F.col("version") > F.lit(last_version)))))
+            gone_parts.append(delta_rows.where(F.col("deleted")).select(
+                F.concat(F.lit(prefix), F.col("record_id")).alias("path")))
+        else:
+            # full diff: current rows vs cached (first build / post-overwrite
+            # / record selector / meta source)
+            cur = _load_inputs(spark, store, [p]).withColumn("input_idx", F.lit(idx))
+            my_cached = cached_keys.where(F.col("path").startswith(prefix))
+            joined = cur.join(my_cached, "path", "left")
+            fresh_parts.append(joined.where(
+                F.col("cached_version").isNull()
+                | (F.col("version") > F.col("cached_version"))
+            ).drop("cached_version"))
+            gone_parts.append(my_cached.join(cur.select("path"), "path",
+                                             "left_anti").select("path"))
+
+    if not fresh_parts:
+        # every input version-guarded: O(1) no-op rebuild — no Spark job, no
+        # version churn, no change event (nothing advanced, so the cursors
+        # are already current)
+        out_meta = store.get_meta(author, name, source="lenses")
+        return {"mapped": 0, "outputs": None, "version": out_meta.version,
+                "records_changed": False}
+
+    fresh = fresh_parts[0]
+    for d in fresh_parts[1:]:
+        fresh = fresh.unionByName(d)
 
     # ---- map phase over fresh records only --------------------------------
     mapped = map_records(fresh, code, timeout_ms)
@@ -363,45 +454,110 @@ def build_lens(spark, store: DatasetStore, author: str, name: str) -> dict:
     ).select(F.col("cache_rid").alias("record_id"), "value")
 
     # prune cache entries whose input row disappeared (ref lens.js:192-199)
-    gone = cached_keys.join(inputs.select("path"), "path", "left_anti").select(
-        F.col("path").alias("record_id"), F.lit(None).cast("string").alias("value")
-    )
+    gone_paths = gone_parts[0]
+    for d in gone_parts[1:]:
+        gone_paths = gone_paths.unionByName(d)
+    gone = gone_paths.select(F.col("path").alias("record_id"),
+                             F.lit(None).cast("string").alias("value"))
     # persist: the expensive map phase must run exactly once even though the
     # cache write performs several actions (hash, suppression join, write)
     delta = cache_entries.unionByName(gone).persist()
     n_fresh = delta.where(F.col("value").isNotNull()).count()
+    _trace(f"map+count(n={n_fresh})")
     store.write_entries_df(spark, author, _cache_name(name), delta, source=_CACHE_SOURCE)
-    delta.unpersist()
+    _trace("cache_write")
 
-    # ---- reduce over the FULL cache (fresh ∪ retained) --------------------
-    cache_now = store.read_df(spark, author, _cache_name(name), source=_CACHE_SOURCE)
-    parsed = cache_now.select(F.from_json("value", _CACHE_VALUE_SCHEMA).alias("c")).select("c.*")
-    emissions = parsed.select(
-        "input_idx", "nat_key",
-        F.explode(
-            F.from_json("outputs", "array<struct<i:int,k:string,v:string>>")
-        ).alias("e"),
-    ).select(F.col("e.k").alias("out_id"), "input_idx", "nat_key",
-             F.col("e.i").alias("emit_idx"), F.col("e.v").alias("value"))
+    # ---- reduce ------------------------------------------------------------
+    # Emissions of the FULL cache (fresh ∪ retained), keyed for the ordered
+    # fold.  On incremental rebuilds only *affected* out_ids are re-reduced:
+    # keys touched by fresh map results, by the pre-change emissions of
+    # re-mapped paths, or by pruned paths.  Untouched keys keep their stored
+    # reduction — at 100 TB a point-write then re-reduces a handful of keys,
+    # not the whole output table (the reference re-folds everything each
+    # build, lens.js:204-225; this is strictly stronger incrementality).
+    def emissions_of(df):
+        return df.select(
+            "input_idx", "nat_key",
+            F.explode(
+                F.from_json("outputs", "array<struct<i:int,k:string,v:string>>")
+            ).alias("e"),
+        ).select(F.col("e.k").alias("out_id"), "input_idx", "nat_key",
+                 F.col("e.i").alias("emit_idx"), F.col("e.v").alias("value"))
 
-    reduced = reduce_outputs(emissions)
+    # Post-write cache state composed ALGEBRAICALLY (retained ∪ fresh):
+    # re-reading the store here would pay a latest-wins window shuffle over
+    # the whole fat cache; ``cache_cur`` pins the immutable pre-write
+    # segments and the delta is tiny, so a broadcast anti-join gives the
+    # same rows shuffle-free.
+    delta_paths = delta.select(F.col("record_id").alias("path"))
+    retained = cache_cur.join(delta_paths,
+                              cache_cur.record_id == delta_paths.path,
+                              "left_anti").select("value")
+    cache_now = retained.unionByName(
+        delta.where(F.col("value").isNotNull()).select("value"))
+    emissions = emissions_of(
+        cache_now.select(F.from_json("value", _CACHE_VALUE_SCHEMA).alias("c"))
+        .select("c.*"))
 
-    # ---- write output collection (hash suppression keeps stable versions) --
     pre_write_version = store.get_meta(author, name, source="lenses").version
-    stats_meta = store.write_entries_df(spark, author, name, reduced,
-                                        source="lenses", overwrite=True)
+    if first_build:
+        reduced = reduce_outputs(emissions)
+        stats_meta = store.write_entries_df(spark, author, name, reduced,
+                                            source="lenses", overwrite=True)
+    else:
+        # out_ids from NEW map results of changed paths
+        new_ids = emissions_of(
+            delta.where(F.col("value").isNotNull())
+            .select(F.from_json("value", _CACHE_VALUE_SCHEMA).alias("c"))
+            .select("c.*")).select("out_id")
+        # out_ids from the OLD cached emissions of changed + pruned paths
+        old_ids = emissions_of(
+            cache_cur.join(delta_paths, cache_cur.record_id == delta_paths.path,
+                           "left_semi")
+            .select(F.from_json("value", _CACHE_VALUE_SCHEMA).alias("c"))
+            .select("c.*")).select("out_id")
+        affected = new_ids.unionByName(old_ids).distinct().persist()
+        n_affected = affected.count()
+        _trace(f"affected(n={n_affected})")
+        if n_affected == 0:
+            stats_meta = store.get_meta(author, name, source="lenses")
+        else:
+            reduced = reduce_outputs(
+                emissions.join(affected, "out_id", "left_semi")).persist()
+            # materialize NOW: the write plan references `reduced` twice
+            # (upserts + the deletes anti-join); an unmaterialized persist
+            # would re-run the whole reduce per reference inside one job
+            n_reduced = reduced.count()
+            _trace(f"reduce(n={n_reduced})")
+            # affected ids with no remaining emissions are deleted outputs
+            deletes = affected.join(
+                reduced.select(F.col("record_id").alias("out_id")),
+                "out_id", "left_anti"
+            ).select(F.col("out_id").alias("record_id"),
+                     F.lit(None).cast("string").alias("value"))
+            stats_meta = store.write_entries_df(
+                spark, author, name, reduced.unionByName(deletes),
+                source="lenses")
+            _trace("output_write")
+            reduced.unpersist()
+        affected.unpersist()
+    delta.unpersist()
     records_changed = stats_meta.version != pre_write_version
 
-    # bookkeeping: max seen version per input source (ref lens.js:134-137,227)
-    versions = {p: int(v) for p, v in
-                inputs.groupBy("input_idx").agg(F.max("version").alias("v"))
-                .join(spark.createDataFrame(
-                    [(i, p) for i, p in enumerate(input_paths)], "input_idx int, p string"),
-                    "input_idx").select("p", "v").collect()}
-    cfg["input_versions"] = versions
+    # bookkeeping: input versions + segment positions consumed by this build
+    # (ref lens.js:134-137,227 records inputVersions; input_seqs is the CDF
+    # cursor for the next delta scan)
+    cfg["input_seqs"], cfg["input_versions"] = next_seqs, next_versions
     store.set_config(author, name, cfg, source="lenses", memo=meta.memo)
 
+    # keep the cache log short: the NEXT build's freshness read is a window
+    # over its segments (compaction is physical only — no events, no
+    # versions; safe here because every plan pinning old segments has run)
+    if len(store._segments(cache_meta)) > 8:  # noqa: SLF001 — engine-internal
+        store.compact_df(spark, author, _cache_name(name), source=_CACHE_SOURCE)
+
     n_out = store.read_df(spark, author, name, source="lenses").count()
+    _trace(f"n_out(n={n_out})")
     return {"mapped": n_fresh, "outputs": n_out, "version": stats_meta.version,
             "records_changed": records_changed}
 

@@ -295,6 +295,48 @@ class DatasetStore:
         return df.where(~F.col("deleted")).select(
             "record_id", "value", "hash", "links", "version")
 
+    def read_delta_df(self, spark, author: str, name: str, since_seq: int, *,
+                      source: str = "datasets"):
+        """Rows changed AFTER segment ``since_seq`` as a DataFrame
+        ``(record_id, value, hash, links, version, deleted)`` — deletions
+        included as tombstone rows.
+
+        The log-structured segment layout gives change-data-feed semantics
+        for free: a record's current state lives in the newest segment that
+        touched it, so scanning only segments with ``seq > since_seq``
+        (latest-wins within them) yields exactly the delta.  Cost ∝ delta
+        size, not collection size — the basis of incremental lens builds.
+
+        NOT valid across an ``overwrite`` (base segments silently drop
+        unmentioned keys); callers must check ``meta.base_seq <= since_seq``
+        and fall back to a full diff otherwise.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        meta = self._meta(source, author, name)
+        if meta.base_seq > since_seq:
+            raise StoreError(
+                f"delta read across an overwrite (base_seq={meta.base_seq} > "
+                f"since_seq={since_seq}); use read_df")
+        d = self._dir(meta)
+        segs = []
+        for fn in os.listdir(d) if os.path.isdir(d) else []:
+            if fn.endswith(".parquet") and not fn.startswith("_stage"):
+                seq = int(fn.split("_")[1].split(".")[0])
+                if seq > since_seq:
+                    segs.append(os.path.join(d, fn))
+        cols = ["record_id", "value", "hash", "links", "version", "deleted"]
+        if not segs:
+            return spark.createDataFrame(
+                [], "record_id string, value string, hash string, "
+                    "links array<string>, version long, deleted boolean")
+        df = spark.read.parquet(*segs)
+        if len(segs) > 1:
+            w = Window.partitionBy("record_id").orderBy(F.desc("seq"))
+            df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        return df.select(*cols)
+
     # -- writes -------------------------------------------------------------
 
     def write(self, author: str, name: str, record_id: str, value: Any, *,
@@ -531,6 +573,46 @@ class DatasetStore:
             json.dump(evt, f)
 
     # -- maintenance --------------------------------------------------------
+
+    def compact_df(self, spark, author: str, name: str, *,
+                   source: str = "datasets") -> None:
+        """Distributed compaction: rewrite the resolved current state as one
+        base segment (hash/version/links preserved — purely physical, no
+        version bump, no change event).  Keeps the latest-wins resolution at
+        O(1) segments; on a cluster this is OPTIMIZE."""
+        import glob as _glob
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        meta = self._meta(source, author, name)
+        if len(self._segments(meta)) <= 1:
+            return
+        rows = self.read_df(spark, author, name, source=source)
+        seq = meta.last_seq + 1
+        stage = os.path.join(self._dir(meta), f"_stage_{uuid.uuid4().hex}")
+        (rows.withColumn("deleted", F.lit(False)).withColumn("seq", F.lit(seq))
+             .select(*[f.name for f in SEGMENT_SCHEMA])
+             .write.mode("overwrite").parquet(stage))
+        path = os.path.join(self._dir(meta), f"seg_{seq:08d}.base.parquet")
+        n_rows = sum(pq.ParquetFile(p).metadata.num_rows
+                     for p in _glob.glob(os.path.join(stage, "*.parquet")))
+        if n_rows == 0:
+            shutil.rmtree(stage, ignore_errors=True)
+            self._write_segment([], path)
+        else:
+            for fn in os.listdir(stage):
+                if not fn.endswith(".parquet"):
+                    os.remove(os.path.join(stage, fn))
+            os.replace(stage, path)
+        old = self._segments(meta)
+        meta.last_seq = seq
+        meta.base_seq = seq
+        self._save_catalog()
+        for p in old:
+            if not p.endswith(f"seg_{seq:08d}.base.parquet"):
+                (shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p)
+                 else os.remove(p))
 
     def compact(self, author: str, name: str, *, source: str = "datasets") -> None:
         """Fold the segment log into one base segment (keeps resolution O(1)
