@@ -1,0 +1,185 @@
+"""Store-engine queries for the correctness gate (SURVEY §2.1 scans/writes,
+§2.2 projections, §2.6 natural sort, §4 incremental maintenance).
+
+Each query drives the REAL storage engine — ingest into a DatasetStore,
+mutate, read back through ``read_df`` — and returns a typed DataFrame whose
+contents DuckDB can reproduce from the source parquet alone.  That makes the
+store's observable semantics (roundtrip fidelity, natural-sort listing
+order, version stamping, hash change-suppression, incremental lens rebuild)
+oracle-checkable, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lens import build_lens, create_lens
+from ..store import DatasetStore
+from ..values import natural_sort_col_expr
+from . import register
+from ._util import load
+
+_STORES: dict[tuple[str, str], DatasetStore] = {}
+
+
+def _docs_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("record_id"),
+        F.to_json(F.struct("lang", "text")).alias("value"),
+    )
+
+
+def _store_scan(spark: SparkSession, sf_dir: str) -> DatasetStore:
+    """documents ingested once, then half the records rewritten: even doc_ids
+    with IDENTICAL content (suppressed), odd doc_ids with changed content
+    (version bump) — the reference's tested versioning semantics
+    (base-data-model.js:193-197, test-models-dataset.js:115-122)."""
+    key = (sf_dir, "scan")
+    if key in _STORES:
+        return _STORES[key]
+    store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+    store.create("t", "docs")
+    src = _docs_src(spark, sf_dir)
+    store.write_entries_df(spark, "t", "docs", src)          # version 1
+    resend = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("record_id"),
+        F.to_json(F.struct(
+            "lang",
+            F.when(F.col("doc_id") % 2 == 1,
+                   F.concat(F.col("text"), F.lit(" [v2]")))
+            .otherwise(F.col("text")).alias("text"))).alias("value"),
+    )
+    store.write_entries_df(spark, "t", "docs", resend)       # version 2
+    _STORES[key] = store
+    return store
+
+
+def store_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan through the store after the two-batch write: values parsed
+    back out of the dynamic column, version reflecting change-suppression."""
+    store = _store_scan(spark, sf_dir)
+    df = store.read_df(spark, "t", "docs")
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    return df.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        parsed.getField("lang").alias("lang"),
+        F.length(parsed.getField("text")).alias("text_len"),
+        "version",
+    )
+
+
+_SCAN_ORACLE = """
+SELECT doc_id, lang,
+       LENGTH(text) + CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 0 END AS text_len,
+       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS version
+FROM documents
+"""
+
+register("store_scan_documents", store_scan_documents, _SCAN_ORACLE)
+
+
+def store_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point read by key through the store (partition-pruned in read_df)."""
+    store = _store_scan(spark, sf_dir)
+    df = store.read_df(spark, "t", "docs").where(F.col("record_id") == "42")
+    return df.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        F.from_json("value", "struct<lang:string,text:string>")
+        .getField("lang").alias("lang"),
+        "version",
+    )
+
+
+_POINT_ORACLE = """
+SELECT doc_id, lang, CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS version
+FROM documents WHERE doc_id = 42
+"""
+
+register("store_point_lookup", store_point_lookup, _POINT_ORACLE)
+
+
+def store_natural_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-sort listing order (ref base-data-model.js:46): record_ids
+    like doc-2 < doc-10; rank computed over the JVM-side padded sort key."""
+    store = _store_scan(spark, sf_dir)
+    ids = store.read_df(spark, "t", "docs").select(
+        F.concat(F.lit("doc-"), F.col("record_id")).alias("rid"))
+    key = natural_sort_col_expr("rid")
+    w = F.expr(f"row_number() OVER (ORDER BY {key}, rid)")
+    out = ids.select("rid", w.alias("nat_rank"))
+    return out.where(F.col("nat_rank") <= 100)
+
+
+_NAT_ORACLE = """
+WITH ids AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS rid FROM documents),
+keyed AS (
+  SELECT rid,
+         array_to_string(list_transform(regexp_extract_all(rid, '\\d+|\\D+'),
+           t -> CASE WHEN regexp_matches(t, '^\\d+$') THEN lpad(t, 24, '0')
+                     ELSE t END), '') AS k
+  FROM ids
+)
+SELECT rid, CAST(row_number() OVER (ORDER BY k, rid) AS BIGINT) AS nat_rank
+FROM keyed QUALIFY nat_rank <= 100
+"""
+
+register("store_natural_order", store_natural_order, _NAT_ORACLE)
+
+
+def lens_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end-to-end (SURVEY §4 'the one genuinely
+    novel piece'): build a count-by-status lens over orders, then append one
+    synthetic order and rebuild.  The rebuild delta-scans the segment log
+    (maps ONE record) and re-reduces one key; the oracle aggregates the
+    union, so the gate proves incremental == full recompute."""
+    key = (sf_dir, "inc")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store.create("t", "orders")
+        src = load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("string").alias("record_id"),
+            F.to_json(F.struct("o_orderstatus")).alias("value"),
+        )
+        store.write_entries_df(spark, "t", "orders", src)
+        create_lens(store, "t", "by-status", inputs=["/datasets/t:orders"],
+                    code="output(data['o_orderstatus'], 1)")
+        build_lens(spark, store, "t", "by-status")
+        store.write("t", "orders", "synthetic-1", {"o_orderstatus": "Z"})
+        stats = build_lens(spark, store, "t", "by-status")
+        assert stats["mapped"] == 1, f"expected 1-record delta, got {stats}"
+        _STORES[key] = store
+    store = _STORES[key]
+    out = store.read_df(spark, "t", "by-status", source="lenses")
+    return out.select(F.col("record_id").alias("status"),
+                      F.col("value").cast("long").alias("n_orders"))
+
+
+_INC_ORACLE = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders
+FROM (SELECT o_orderstatus FROM orders UNION ALL SELECT 'Z')
+GROUP BY o_orderstatus
+"""
+
+register("lens_incremental_rebuild", lens_incremental_rebuild, _INC_ORACLE)
+
+
+def store_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDF surface itself: rows changed after the first batch (segment
+    seq 1) are exactly the odd-doc_id rewrites from batch two."""
+    store = _store_scan(spark, sf_dir)
+    d = store.read_delta_df(spark, "t", "docs", since_seq=1)
+    return d.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        "version", "deleted",
+    )
+
+
+_DELTA_ORACLE = """
+SELECT doc_id, CAST(2 AS BIGINT) AS version, FALSE AS deleted
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+register("store_delta_read", store_delta_read, _DELTA_ORACLE)
