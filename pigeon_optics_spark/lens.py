@@ -129,6 +129,8 @@ class LensHarness:
         def log(*args):
             logs.append(" ".join(str(a) for a in args))
 
+        from .markup import Markup  # in-sandbox stdlib (ref markup.js:12-34)
+
         env = {
             "__builtins__": _SAFE_BUILTINS,
             "output": output,
@@ -137,6 +139,7 @@ class LensHarness:
             "data": data,
             "Set": PSet,
             "Map": PMap,
+            "Markup": Markup,
         }
         t0 = time.perf_counter()
         try:
