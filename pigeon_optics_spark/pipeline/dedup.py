@@ -187,6 +187,39 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.9,
+                            n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Candidates = random-hyperplane LSH bucket equi-join (near-identical
+    vectors agree on all sign bits with high probability), then exact
+    cosine on candidates only.  Same plan shape as MinHash-LSH text dedup:
+    per-row signatures (no shuffle), one equi-join on the bucket, expensive
+    math only on the tiny candidate set.  Deterministic planes — md5-derived
+    ±1 coefficients — so DuckDB reproduces the result exactly.
+    """
+    from .similarity import dot_col, lsh_bucket_col, norm_col
+
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_col(vec_col).alias("nrm"),
+        lsh_bucket_col(vec_col, n_planes).alias("bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", dot_col("a.v", "b.v")
+                    / (F.col("a.nrm") * F.col("b.nrm")))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                "cosine")
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               token_re: str = "[A-Za-z0-9]+") -> DataFrame:
     """64-bit SimHash per document as a 16-hex-char string.

@@ -356,6 +356,29 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 register("ann_lsh_topk", ann_lsh_topk, _ANN_LSH_ORACLE)
 
 
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import embedding_neardup_pairs
+
+    # the synthetic embeddings are near-orthogonal (max pair cosine ≈ 0.4);
+    # 0.3 exercises the candidate-then-verify path with a non-empty result
+    return embedding_neardup_pairs(load(spark, sf_dir, "embeddings"),
+                                   threshold=0.3)
+
+
+_EMB_DEDUP_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(v='embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cosine
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COS_SQL.format(a='a.embedding', b='b.embedding')} >= 0.3
+"""
+
+register("dedup_embedding_pairs", dedup_embedding_pairs, _EMB_DEDUP_ORACLE)
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (no SQL oracle — binary/mapInPandas; rows-only check)
 # --------------------------------------------------------------------------
