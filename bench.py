@@ -52,6 +52,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("spark_optics_bench")
 
+    # warm up the JVM / codegen / parquet footer cache so the first timed
+    # query doesn't absorb session startup (steady-state throughput is the
+    # comparable number; the queries themselves are still cold)
+    t0 = time.time()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    print(f"# warmup: {time.time() - t0:.2f}s", file=sys.stderr)
+
     qs = all_queries()
     times: dict[str, float] = {}
     total = 0.0

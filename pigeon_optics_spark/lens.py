@@ -277,9 +277,13 @@ def _cache_name(name: str) -> str:
 
 
 def create_lens(store: DatasetStore, author: str, name: str, *, inputs: list[str],
-                code: str, memo: str = "", timeout_ms: float | None = None):
+                code: str, memo: str = "", timeout_ms: float | None = 50.0):
     """Register a lens: validates code compiles (startup-error surface) and
-    input paths parse; creates the output collection + compute cache."""
+    input paths parse; creates the output collection + compute cache.
+
+    ``timeout_ms`` defaults to the reference's 50 ms-per-record envelope
+    (defaults.lensTimeout, applied javascript-lens-worker.js:116,132-135);
+    pass ``None`` to disable."""
     LensHarness(code)  # compile check
     for p in inputs:
         decode_path(p)

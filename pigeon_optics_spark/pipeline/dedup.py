@@ -136,7 +136,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     5. exact n-gram Jaccard on the survivors only.
     """
     r = band_rows
-    sig = minhash_signatures(df, text_col, id_col, k, n)
+    # persist + materialize: the signature table feeds THREE consumers
+    # (banding + both sides of the estimate filter); concurrent stages of
+    # one job each recompute an unmaterialized persist, so force it now.
+    # Tiny (k longs per doc); evicted LRU.
+    sig = minhash_signatures(df, text_col, id_col, k, n).persist()
+    sig.count()
     banded = sig.select(
         "id",
         F.explode(
