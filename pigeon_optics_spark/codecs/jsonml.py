@@ -31,14 +31,27 @@ class XMLError(ValueError):
     pass
 
 
+import re as _re
+
+# XML Name production (simplified): letters/underscore start, then
+# letters/digits/dot/dash/underscore/colon.  '#document'/'#comment'/
+# '#cdata-section' are the special node tags.
+_NAME_RE = _re.compile(r"^[A-Za-z_][\w.:-]*$")
+_TAG_RE = _re.compile(r"^(?:#document|#comment|#cdata-section|[A-Za-z_][\w.:-]*)$")
+
+
 def is_jsonml(v: Any) -> bool:
-    """Shape test: ``[str, ...]`` whose optional 2nd element is an attr dict
-    and children are strings or JsonML (ref pigeonmark-utils isPigeonMark)."""
-    if not (isinstance(v, list) and v and isinstance(v[0], str) and v[0] != ""):
+    """Shape test: ``[tag, ...]`` where tag is a legal XML name (or special
+    node), the optional 2nd element is an attr dict, and children are strings
+    or JsonML (ref pigeonmark-utils isPigeonMark).  The tag-name check
+    matters: ``['0']`` is a plain one-element array, not markup — treating
+    arbitrary strings as tags would emit unparseable XML like ``<0/>``."""
+    if not (isinstance(v, list) and v and isinstance(v[0], str)
+            and _TAG_RE.match(v[0])):
         return False
     rest = v[1:]
     if rest and isinstance(rest[0], dict):
-        if not all(isinstance(k, str) and isinstance(x, str)
+        if not all(isinstance(k, str) and _NAME_RE.match(k) and isinstance(x, str)
                    for k, x in rest[0].items()):
             return False
         rest = rest[1:]
@@ -55,7 +68,10 @@ def _esc_text(s: str) -> str:
 
 
 def _esc_attr(s: str) -> str:
-    return _esc_text(s).replace('"', "&quot;")
+    # tab/newline/cr must ride as character references — XML attribute-value
+    # normalization would otherwise fold them to spaces on parse
+    return (_esc_text(s).replace('"', "&quot;").replace("\t", "&#9;")
+            .replace("\n", "&#10;").replace("\r", "&#13;"))
 
 
 def _node_to_xml(node: Any, out: list[str]) -> None:

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) over the dynamic value domain:
+
+- every codec round-trips arbitrary nested values (canonical-form equality);
+- ``object_hash`` is insensitive to dict key order (the reference's tested
+  property, test-models-codec.js:404-408) and to Set member order;
+- the merge-reduce stays type-correct and the in-place fast path agrees
+  with the pure fold.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pigeon_optics_spark.codecs import CODECS
+from pigeon_optics_spark.reduce import fold, merge2, merge_into
+from pigeon_optics_spark.values import (
+    PMap,
+    PSet,
+    URLValue,
+    canonical_json,
+    object_hash,
+    tagged_to_value,
+    value_to_tagged,
+)
+
+# text without surrogates (json/yaml/xml-safe); XML additionally cannot carry
+# most C0 controls, so keep those out of the shared alphabet
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=40)
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2 ** 80), max_value=2 ** 80),
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    _text,
+    st.binary(max_size=40),
+    st.datetimes(
+        min_value=dt.datetime(1971, 1, 1), max_value=dt.datetime(2200, 1, 1),
+        timezones=st.just(dt.timezone.utc),
+    ).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000)),
+    _text.map(lambda s: URLValue("https://x.test/" + s.replace("\n", ""))),
+)
+
+
+def _extend(children):
+    return st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(_text, children, max_size=4),
+        st.lists(children, max_size=4).map(PSet),
+        st.lists(st.tuples(children, children), max_size=3).map(PMap),
+    )
+
+
+values = st.recursive(_scalar, _extend, max_leaves=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(values)
+def test_tagged_roundtrip(v):
+    assert canonical_json(tagged_to_value(value_to_tagged(v))) == canonical_json(v)
+
+
+@settings(max_examples=40, deadline=None)
+@given(values)
+def test_codec_roundtrips(v):
+    for name in ("json", "jsonl", "cbor", "msgpack", "yaml", "xml"):
+        codec = CODECS[name]
+        got = codec.decode(codec.encode(v))
+        assert canonical_json(got) == canonical_json(v), name
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.dictionaries(_text, values, max_size=5))
+def test_hash_key_order_insensitive(d):
+    items = list(d.items())
+    assert object_hash(dict(items)) == object_hash(dict(reversed(items)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(values, max_size=5))
+def test_hash_set_order_insensitive(members):
+    assert object_hash(PSet(members)) == object_hash(PSet(reversed(members)))
+
+
+@settings(max_examples=60, deadline=None)
+@given(values, values)
+def test_merge2_total(a, b):
+    """merge2 never raises and always yields a value in the domain."""
+    out = merge2(a, b)
+    canonical_json(out)  # in-domain ⟺ canonicalizable
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(values, min_size=1, max_size=6))
+def test_merge_into_agrees_with_pure_fold(vs):
+    """The in-place fast path must be observationally identical to the pure
+    pairwise fold (same deep-clone inputs on both sides)."""
+    def clone(x):
+        return tagged_to_value(json.loads(
+            json.dumps(value_to_tagged(x), ensure_ascii=False)))
+
+    pure = fold([clone(v) for v in vs])
+    acc = clone(vs[0])
+    for v in vs[1:]:
+        acc = merge_into(acc, clone(v))
+    assert canonical_json(acc) == canonical_json(pure)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          min_value=-1e12, max_value=1e12), min_size=1))
+def test_number_fold_is_sum(xs):
+    got = fold(list(xs))
+    assert math.isclose(got, sum(xs), rel_tol=1e-9, abs_tol=1e-9)
