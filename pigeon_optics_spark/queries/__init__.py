@@ -51,4 +51,8 @@ def all_queries() -> dict[str, tuple[QueryFn, Optional[str]]]:
         from . import store_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import codec_queries  # noqa: F401
+    except ImportError:
+        pass
     return dict(_REGISTRY)

