@@ -118,6 +118,15 @@ class DatasetStore:
         os.makedirs(os.path.join(root, "changes"), exist_ok=True)
         self._catalog_path = os.path.join(root, "catalog.json")
         self._catalog: dict[str, CollectionMeta] = {}
+        # per-collection write serialization (the reference queues mutations
+        # per file, tiny-function-queue via fs/raw.js:80, fs/objects.js:127);
+        # concurrent writers to ONE collection must not race seq/version
+        import collections
+        import threading
+
+        self._locks: dict[str, threading.Lock] = collections.defaultdict(
+            threading.Lock)
+        self._locks_guard = threading.Lock()
         self._load_catalog()
         # when set, writes containing hash:// links whose blob is absent are
         # rejected (ref base-data-model.js:185-188)
@@ -348,10 +357,35 @@ class DatasetStore:
         return self.write_entries(author, name, [(record_id, None)], source=source,
                                   _allow_missing_delete=False)
 
+    def _collection_lock(self, source: str, author: str, name: str):
+        with self._locks_guard:
+            return self._locks[f"{source}/{author}/{name}"]
+
     def write_entries(self, author: str, name: str,
                       entries: Iterable[tuple[str, Any]], *,
                       source: str = "datasets", overwrite: bool = False,
                       _allow_missing_delete: bool = True) -> CollectionMeta:
+        with self._collection_lock(source, author, name):
+            return self._write_entries_impl(
+                author, name, entries, source=source, overwrite=overwrite,
+                _allow_missing_delete=_allow_missing_delete)
+
+    def write_entries_df(self, spark, author: str, name: str, df, *,
+                         source: str = "datasets",
+                         overwrite: bool = False) -> CollectionMeta:
+        with self._collection_lock(source, author, name):
+            return self._write_entries_df_impl(
+                spark, author, name, df, source=source, overwrite=overwrite)
+
+    def compact_df(self, spark, author: str, name: str, *,
+                   source: str = "datasets") -> None:
+        with self._collection_lock(source, author, name):
+            return self._compact_df_impl(spark, author, name, source=source)
+
+    def _write_entries_impl(self, author: str, name: str,
+                            entries: Iterable[tuple[str, Any]], *,
+                            source: str = "datasets", overwrite: bool = False,
+                            _allow_missing_delete: bool = True) -> CollectionMeta:
         """Batch upsert/merge (ref base-data-model.js:166-225).
 
         ``(rid, None)`` ⇒ delete that key.  ``overwrite=True`` replaces the
@@ -423,8 +457,9 @@ class DatasetStore:
         self._emit_change(meta)
         return meta
 
-    def write_entries_df(self, spark, author: str, name: str, df, *,
-                         source: str = "datasets", overwrite: bool = False) -> CollectionMeta:
+    def _write_entries_df_impl(self, spark, author: str, name: str, df, *,
+                               source: str = "datasets",
+                               overwrite: bool = False) -> CollectionMeta:
         """Distributed batch write: ``df`` has columns (record_id, value)
         with ``value`` in tagged-JSON form.
 
@@ -574,8 +609,8 @@ class DatasetStore:
 
     # -- maintenance --------------------------------------------------------
 
-    def compact_df(self, spark, author: str, name: str, *,
-                   source: str = "datasets") -> None:
+    def _compact_df_impl(self, spark, author: str, name: str, *,
+                         source: str = "datasets") -> None:
         """Distributed compaction: rewrite the resolved current state as one
         base segment (hash/version/links preserved — purely physical, no
         version bump, no change event).  Keeps the latest-wins resolution at
