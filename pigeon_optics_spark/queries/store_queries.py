@@ -183,3 +183,38 @@ FROM documents WHERE doc_id % 2 = 1
 """
 
 register("store_delta_read", store_delta_read, _DELTA_ORACLE)
+
+
+def attachments_gc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 surface under the driver gate (rows-only): content-addressed blobs
+    + records linking half of them → GC anti-join deletes exactly the
+    orphans.  Deterministic blob contents derived from doc_ids."""
+    from ..attachments import AttachmentStore
+
+    key = (sf_dir, "gc")
+    if key not in _STORES:
+        att_root = tempfile.mkdtemp(prefix="po_gc_blobs_")
+        att = AttachmentStore(att_root)
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_gc_store_"),
+                             attachment_checker=att.checker())
+        store.create("t", "docs")
+        doc_ids = [r["doc_id"] for r in
+                   load(spark, sf_dir, "documents").select("doc_id")
+                   .orderBy("doc_id").limit(40).collect()]
+        entries = []
+        for i, did in enumerate(doc_ids):
+            url = att.add(f"blob-{did}".encode())
+            if i % 2 == 0:  # link only every other blob
+                entries.append((str(did), {"file": url}))
+        store.write_entries("t", "docs", entries)
+        deleted = att.gc(spark, store)
+        store._gc_result = (len(doc_ids), deleted, att)  # noqa: SLF001
+        _STORES[key] = store
+    store = _STORES[key]
+    n_blobs, deleted, att = store._gc_result  # noqa: SLF001
+    rows = [(h, True) for h in deleted] + \
+           [(h, False) for h in att.list_hashes()]
+    return spark.createDataFrame(sorted(rows), "blob_hash string, deleted boolean")
+
+
+register("attachments_gc_sweep", attachments_gc_sweep, None)  # rows-only
