@@ -343,10 +343,13 @@ def _load_inputs(spark, store: DatasetStore, input_paths: list[str]):
     return out
 
 
-def build_lens(spark, store: DatasetStore, author: str, name: str) -> dict:
+def build_lens(spark, store: DatasetStore, author: str, name: str, *,
+               count_outputs: bool = False) -> dict:
     """Incremental lens build (the reference's query execution, SURVEY §3.2).
 
-    Returns build stats {mapped, cached, outputs}.
+    Returns build stats {mapped, outputs, version, records_changed};
+    ``outputs`` is None unless ``count_outputs`` (the count is a whole extra
+    job over the output collection — diagnostics, not engine logic).
     """
     import os as _os
 
@@ -563,7 +566,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str) -> dict:
     if len(store._segments(cache_meta)) > 8:  # noqa: SLF001 — engine-internal
         store.compact_df(spark, author, _cache_name(name), source=_CACHE_SOURCE)
 
-    n_out = store.read_df(spark, author, name, source="lenses").count()
+    n_out = (store.read_df(spark, author, name, source="lenses").count()
+             if count_outputs else None)
     _trace(f"n_out(n={n_out})")
     return {"mapped": n_fresh, "outputs": n_out, "version": stats_meta.version,
             "records_changed": records_changed}
