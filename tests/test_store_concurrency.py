@@ -62,3 +62,54 @@ def test_concurrent_writes_different_collections_parallel(store):
     assert errors == []
     assert store.get_meta("a", "d1").version == 20
     assert store.get_meta("a", "d2").version == 20
+
+
+def test_parallel_attachment_writes(tmp_path):
+    """10 parallel attachment writes (ref test-models-attachments.js:68-99):
+    content-addressing makes concurrent adds idempotent and atomic."""
+    from pigeon_optics_spark.attachments import AttachmentStore
+
+    att = AttachmentStore(str(tmp_path / "blobs"))
+    urls, errors = [], []
+
+    def add(i):
+        try:
+            # half the threads write the SAME content (rename race path)
+            data = b"shared" if i % 2 == 0 else b"unique-%d" % i
+            urls.append(att.add(data))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert len(att.list_hashes()) == 6  # 1 shared + 5 unique
+    for u in urls:
+        assert att.has(u)
+
+
+def test_leftover_stage_dir_ignored(tmp_path, spark):
+    """A crashed distributed write leaves a _stage_* directory; readers and
+    subsequent writes must ignore it (the staged dir only becomes a segment
+    via the atomic rename)."""
+    import os
+
+    from pigeon_optics_spark.store import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "store"))
+    store.create("a", "d")
+    store.write("a", "d", "r1", {"v": 1})
+    seg_dir = os.path.join(str(tmp_path / "store"), "records", "datasets", "a", "d")
+    crash = os.path.join(seg_dir, "_stage_deadbeef")
+    os.makedirs(crash)
+    with open(os.path.join(crash, "part-00000.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    # reads skip the junk
+    assert store.read("a", "d", "r1") == {"v": 1}
+    assert store.read_df(spark, "a", "d").count() == 1
+    # writes still work and get the right seq
+    store.write("a", "d", "r2", {"v": 2})
+    assert store.get_meta("a", "d").last_seq == 2
