@@ -57,6 +57,26 @@ def dsum(expr: str, alias: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE) AS {alias}"
 
 
+#: Exact-decimal money expressions.  The synthetic money columns hold true
+#: 2-decimal values stored as doubles (~1e-14 away from any rounding
+#: midpoint), so casting each OPERAND to a tight decimal is exact and
+#: engine-agreed; the product/sum then stays in decimal arithmetic with no
+#: double rounding anywhere.  Summing the double product instead (even into
+#: a decimal accumulator) lets a single addend land on a double→decimal
+#: rounding tie where Spark (HALF_UP) and DuckDB disagree — observed as a
+#: one-ulp drift in q1's sum_charge at sf0.1.  Tight operand precisions
+#: ((8,2) price, (3,2) rate) keep three-factor products ≤ DECIMAL(18,6), far
+#: from the precision-38 cap where Spark would round.
+DISC_PRICE = ("CAST(l_extendedprice AS DECIMAL(8,2))"
+              " * (1 - CAST(l_discount AS DECIMAL(3,2)))")
+CHARGE = DISC_PRICE + " * (1 + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+def dsum_exact(expr: str, alias: str) -> str:
+    """SUM of an already-decimal expression, surfaced as DOUBLE."""
+    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+
+
 def davg(expr: str, alias: str, scale: int = 4) -> str:
     """Order-independent AVG via decimal sum / count."""
     return (

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import davg, dsum, load, load_events
+from ._util import CHARGE, DISC_PRICE, dsum_exact, davg, dsum, load, load_events
 
 # --------------------------------------------------------------------------
 # q1_pricing_summary — TPC-H Q1 shape: scan + filter + 2-key hash agg.
@@ -30,10 +30,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum("l_quantity", "sum_qty")).alias("sum_qty"),
             F.expr(dsum("l_extendedprice", "sum_base_price")).alias("sum_base_price"),
             F.expr(
-                dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", 8)
+                dsum_exact(DISC_PRICE, "sum_disc_price")
             ).alias("sum_disc_price"),
             F.expr(
-                dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge", 8)
+                dsum_exact(CHARGE, "sum_charge")
             ).alias("sum_charge"),
             F.expr(davg("l_quantity", "avg_qty")).alias("avg_qty"),
             F.expr(davg("l_extendedprice", "avg_price")).alias("avg_price"),
@@ -47,8 +47,8 @@ _Q1_ORACLE = f"""
 SELECT l_returnflag, l_linestatus,
        {dsum('l_quantity', 'sum_qty')},
        {dsum('l_extendedprice', 'sum_base_price')},
-       {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 8)},
-       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 8)},
+       {dsum_exact(DISC_PRICE, 'sum_disc_price')},
+       {dsum_exact(CHARGE, 'sum_charge')},
        {davg('l_quantity', 'avg_qty')},
        {davg('l_extendedprice', 'avg_price')},
        {davg('l_discount', 'avg_disc', 8)},
@@ -82,7 +82,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue", 8)).alias("revenue"))
+        .agg(F.expr(dsum_exact(DISC_PRICE, "revenue")).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "o_orderkey")
         .limit(10)
     )
@@ -90,7 +90,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = f"""
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       {dsum('l_extendedprice * (1 - l_discount)', 'revenue', 8)}
+       {dsum_exact(DISC_PRICE, 'revenue')}
 FROM customer
 JOIN orders   ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -128,14 +128,14 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)", "revenue", 8)).alias("revenue"),
+        .agg(F.expr(dsum_exact(DISC_PRICE, "revenue")).alias("revenue"),
              F.count("*").alias("n_items"))
     )
 
 
 _Q5_ORACLE = f"""
 SELECT r_name, n_name,
-       {dsum('l_extendedprice * (1 - l_discount)', 'revenue', 8)},
+       {dsum_exact(DISC_PRICE, 'revenue')},
        COUNT(*) AS n_items
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
