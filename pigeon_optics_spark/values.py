@@ -80,7 +80,19 @@ class PMap:
     __slots__ = ("entries",)
 
     def __init__(self, entries=()):
-        self.entries = [(k, v) for k, v in entries]
+        # JS Map.set semantics: duplicate keys collapse — first insertion
+        # keeps its position, the LAST value wins (hypothesis found codecs
+        # disagreeing on duplicate-key Maps before this dedup existed)
+        pos: dict[str, int] = {}
+        out: list[tuple] = []
+        for k, v in entries:
+            ck = canonical_json(k)
+            if ck in pos:
+                out[pos[ck]] = (k, v)
+            else:
+                pos[ck] = len(out)
+                out.append((k, v))
+        self.entries = out
 
     def __eq__(self, other):
         return isinstance(other, PMap) and self.entries == other.entries
