@@ -74,6 +74,9 @@ def main() -> None:
         times[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        # drop leftover persisted data so queries don't pay each other's
+        # executor-memory pressure (each query re-persists what it needs)
+        spark.catalog.clearCache()
 
     print(json.dumps({
         "metric": "headline_queries_total",

@@ -446,3 +446,24 @@ GROUP BY o_orderpriority
 """
 
 register("q_orderpriority_checker", q_orderpriority_checker, _Q4_ORACLE)
+
+
+def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (SURVEY §2.4 'free' new surface): HLL distinct
+    + quantile sketches per returnflag.  Rows-only in the gate — sketch
+    internals are engine-specific, so no value-hash oracle; the companion
+    exact queries (q_distinct_suppliers_per_flag) pin exact semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+            .alias("price_quantiles"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register("q_approx_aggregates", q_approx_aggregates, None)  # rows-only
