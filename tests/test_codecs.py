@@ -170,3 +170,26 @@ def test_xml_mixed_content_preserved():
     v = codec.decode(xml)
     assert v == ["doc", {"a": "1", "b": "2"}, "pre", ["span", "mid"], "post"]
     assert codec.encode(v) == xml
+
+
+def test_js_literal_pretty_printer():
+    """Encode-only display codec (ref codec/javascript.js:12-18)."""
+    import datetime as dtm
+
+    from pigeon_optics_spark.codecs.jsliteral import to_js_literal
+
+    out = to_js_literal({
+        "name": "x", "n": 3, "big": 2 ** 60, "inf": float("inf"),
+        "buf": b"\x01", "when": dtm.datetime(2020, 1, 1, tzinfo=dtm.timezone.utc),
+        "tags": PSet(["a"]), "m": PMap([(1, "one")]),
+        "odd key": [1, 2],
+    })
+    assert 'name: "x"' in out and "n: 3" in out
+    assert "1152921504606846976n" in out          # BigInt suffix
+    assert "Infinity" in out
+    assert "Buffer.from('01', 'hex')" in out
+    assert "new Date(1577836800000)" in out
+    assert 'new Set([\n' in out and "new Map(" in out
+    assert '"odd key"' in out                     # non-identifier key quoted
+    assert to_js_literal([]) == "[]" and to_js_literal({}) == "{}"
+    assert to_js_literal(Undefined) == "undefined"
