@@ -19,6 +19,12 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark can only read
+        # as LONG nanos; the conf is runtime-settable, so set it here rather
+        # than relying on the session builder (external harnesses build their
+        # own sessions).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

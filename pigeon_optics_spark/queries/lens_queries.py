@@ -67,16 +67,23 @@ def lens_invert_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = _ensure(spark, sf_dir, "part", "part-type-index", INVERT_CODE, src)
     out = store.read_df(spark, "tpch", "part-type-index", source="lenses")
+    # The gate's canonicalizer sorts result columns with pandas, which cannot
+    # hash list cells — surface the Set as a canonical comma-joined string.
     return out.select(
         F.col("record_id").alias("word"),
-        F.sort_array(
-            F.from_json("value", "struct<type:string,data:array<string>>").getField("data")
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.from_json("value", "struct<type:string,data:array<string>>").getField("data")
+            ),
         ).alias("part_ids"),
     )
 
 
 _INVERT_ORACLE = """
-SELECT word, list_sort(list(DISTINCT CAST(p_partkey AS VARCHAR))) AS part_ids
+SELECT word,
+       array_to_string(list_sort(list(DISTINCT CAST(p_partkey AS VARCHAR))), ',')
+         AS part_ids
 FROM (SELECT p_partkey, unnest(string_split(p_type, ' ')) AS word FROM part)
 GROUP BY word
 """

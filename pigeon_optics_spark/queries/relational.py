@@ -3,8 +3,11 @@ the reference lacks and the engine exposes natively from Spark).
 
 Spark side uses the DataFrame API (Catalyst plans joins/agg placement);
 oracle side is the equivalent ANSI SQL for DuckDB.  Broadcast hints are
-explicit where a dimension side is known-small (nation/region/supplier):
-at 100 TB the fact side never shuffles for those joins.
+explicit ONLY where a dimension is bounded regardless of scale factor
+(nation=25, region=5 rows): at 100 TB the fact side never shuffles for those
+joins.  Tables that scale with sf (customer, supplier, filtered orders) are
+left un-hinted — AQE + autoBroadcastJoinThreshold promotes them to broadcast
+when they're actually small and falls back to shuffle joins at cluster scale.
 """
 
 from __future__ import annotations
@@ -63,8 +66,13 @@ register("q1_pricing_summary", q1_pricing_summary, _Q1_ORACLE)
 
 # --------------------------------------------------------------------------
 # q3_shipping_priority — selective dim filter + 2 joins + agg + top-k.
-# customer(BUILDING) is small → broadcast; lineitem never shuffles for it.
 # Deterministic LIMIT: total order (revenue desc, o_orderdate, o_orderkey).
+# Scale stance: NO hard broadcast hints on tables that scale with sf —
+# customer and the filtered orders both grow linearly, so at the 100 TB
+# north star a forced broadcast OOMs.  AQE + autoBroadcastJoinThreshold
+# promotes either join to broadcast at runtime when the built side is
+# actually small (it does at sf≤0.1); at 1000 executors the same code
+# degrades gracefully to shuffle joins.
 # --------------------------------------------------------------------------
 
 
@@ -78,7 +86,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -106,8 +114,11 @@ register("q3_shipping_priority", q3_shipping_priority, _Q3_ORACLE)
 
 
 # --------------------------------------------------------------------------
-# q5_region_revenue — 6-way join; every dimension broadcast, single shuffle
-# for the final group-by.
+# q5_region_revenue — 6-way join.  Broadcast hints ONLY on the bounded
+# dimensions (nation=25 rows, region=5 rows — fixed regardless of sf).
+# supplier/customer scale linearly (TPC-H 10k×sf / 150k×sf), so they get no
+# hint: AQE broadcasts them at small sf and falls back to shuffle joins at
+# cluster scale instead of OOMing the driver.
 # --------------------------------------------------------------------------
 
 
@@ -122,9 +133,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("r_name", "n_name")
@@ -379,7 +390,7 @@ SELECT p_partkey,
        SUBSTRING(p_type, 1, 6) AS type_prefix,
        CONCAT_WS('|', p_brand, p_type) AS brand_type,
        ABS(p_size - 25) AS size_dist,
-       FLOOR(p_retailprice) AS price_floor,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
        p_partkey % 7 AS key_mod7
 FROM part
 WHERE p_partkey <= 500
@@ -454,13 +465,22 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     internals are engine-specific, so no value-hash oracle; the companion
     exact queries (q_distinct_suppliers_per_flag) pin exact semantics."""
     li = load(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-            .alias("price_quantiles"),
+            q.alias("price_quantiles"),
             F.count("*").alias("n"),
+        )
+        # scalar projections — the gate canonicalizer can't sort array cells
+        .select(
+            "l_returnflag",
+            "approx_parts",
+            F.col("price_quantiles")[0].alias("price_q50"),
+            F.col("price_quantiles")[1].alias("price_q95"),
+            F.col("price_quantiles")[2].alias("price_q99"),
+            "n",
         )
         .orderBy("l_returnflag")
     )
