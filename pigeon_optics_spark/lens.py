@@ -38,6 +38,20 @@ reproducible for last-wins cases.
 
 User code is **Python** here (JS-compat is a non-goal; the capability —
 sandboxed deterministic flatMap with log/error capture — is the requirement).
+
+**TRUST MODEL — read this before exposing lenses to other authors.**  The
+reference runs lens code inside ``isolated-vm`` (a true V8 isolate with a
+hard 50 ms kill and no host references).  Python has no equivalent in-process
+isolation: the ``_SAFE_BUILTINS`` environment removes the obvious IO/import
+names, but CPython introspection (``().__class__.__base__.__subclasses__()``
+etc.) can reach host objects, so **lens code must come from trusted
+authors** — the sandbox here is an accident guard (keeps honest code
+deterministic and IO-free), not a security boundary.  What IS enforced:
+the per-record timeout is preemptive — a ``SIGALRM``-based interrupt fires
+mid-``exec`` (ref worker timeout, javascript-lens-worker.js:116,132-135), so
+an accidental ``while True`` yields a TimeoutError record instead of hanging
+the executor.  (A lens that catches ``BaseException`` in a tight loop can
+still defeat it — trusted-author territory again.)
 """
 
 from __future__ import annotations
@@ -64,12 +78,15 @@ MAX_CODE_SIZE = 5 * 1024 * 1024  # ref defaults.lensCodeSize, lens.js:49
 # Builtins available to lens code.  No __import__/open/eval — the reference
 # runs lens code in an isolate with no IO and bans nondeterminism sources
 # (Math.random throws, ref environment.js/index.js:3-5); here the names are
-# simply absent.
+# simply absent.  ``hash`` is deliberately excluded too: Python string
+# hashing is salted per process (PYTHONHASHSEED), so it is exactly the
+# nondeterminism class the reference bans — a lens calling it would produce
+# different output across executors/restarts and poison the compute cache.
 _SAFE_BUILTINS = {
     name: __builtins__[name] if isinstance(__builtins__, dict) else getattr(__builtins__, name)
     for name in (
         "abs", "all", "any", "bool", "bytes", "chr", "dict", "divmod",
-        "enumerate", "filter", "float", "format", "frozenset", "hash", "int",
+        "enumerate", "filter", "float", "format", "frozenset", "int",
         "isinstance", "len", "list", "map", "max", "min", "ord", "pow",
         "range", "repr", "reversed", "round", "set", "sorted", "str", "sum",
         "tuple", "zip", "True", "False", "None", "Exception", "ValueError",
@@ -83,6 +100,14 @@ _SAFE_BUILTINS = {
 class LensCodeError(ValueError):
     """Raised when lens code fails to compile (startup error — ref
     javascript-lens-worker.js startup compile check)."""
+
+
+class _LensTimeout(BaseException):
+    """Raised by the SIGALRM handler inside lens ``exec``.
+
+    Subclasses BaseException so a lens's ``except Exception`` can't swallow
+    the interrupt (mirrors the isolate kill being outside the guest's reach).
+    """
 
 
 @dataclass
@@ -141,16 +166,51 @@ class LensHarness:
             "Map": PMap,
             "Markup": Markup,
         }
+        # Preemptive timeout (ref javascript-lens-worker.js:116,132-135):
+        # SIGALRM interrupts the running bytecode, so an accidental infinite
+        # loop becomes a TimeoutError record instead of a hung executor.
+        # SIGALRM only delivers to the main thread — PySpark workers run
+        # tasks there, so this covers the distributed map phase; elsewhere
+        # (exotic threaded embedding) we fall back to the post-hoc check.
+        import signal
+        import threading
+
+        use_alarm = (
+            self.timeout_ms is not None
+            and hasattr(signal, "setitimer")
+            and threading.current_thread() is threading.main_thread()
+        )
         t0 = time.perf_counter()
-        try:
-            exec(self._compiled, env)  # noqa: S102 — sandboxed lens execution
-        except Exception as e:  # noqa: BLE001 — user-code error capture
-            tb = traceback.extract_tb(e.__traceback__)
-            user_frames = [f for f in tb if f.filename == "<lens>"]
-            line = user_frames[-1].lineno if user_frames else None
-            errors.append({"type": type(e).__name__, "message": str(e), "line": line})
+        timed_out = False
+        prev_handler = None
+        try:  # outer guard: a pending alarm can deliver during cleanup
+            try:
+                if use_alarm:
+                    def _on_alarm(signum, frame):
+                        raise _LensTimeout()
+
+                    prev_handler = signal.signal(signal.SIGALRM, _on_alarm)
+                    signal.setitimer(signal.ITIMER_REAL, self.timeout_ms / 1000.0)
+                exec(self._compiled, env)  # noqa: S102 — sandboxed lens execution
+            except _LensTimeout:
+                timed_out = True
+            except Exception as e:  # noqa: BLE001 — user-code error capture
+                tb = traceback.extract_tb(e.__traceback__)
+                user_frames = [f for f in tb if f.filename == "<lens>"]
+                line = user_frames[-1].lineno if user_frames else None
+                errors.append({"type": type(e).__name__, "message": str(e), "line": line})
+            finally:
+                if use_alarm and prev_handler is not None:
+                    signal.setitimer(signal.ITIMER_REAL, 0)
+                    signal.signal(signal.SIGALRM, prev_handler)
+        except _LensTimeout:
+            timed_out = True
         elapsed_ms = (time.perf_counter() - t0) * 1000
-        if self.timeout_ms is not None and elapsed_ms > self.timeout_ms:
+        if timed_out or (self.timeout_ms is not None and elapsed_ms > self.timeout_ms):
+            # discard partial emissions: how far a lens got before the alarm
+            # is machine-speed-dependent — a timed-out record deterministically
+            # contributes nothing but the error
+            outputs.clear()
             errors.append({
                 "type": "TimeoutError",
                 "message": f"lens map took {elapsed_ms:.1f}ms (limit {self.timeout_ms}ms)",
@@ -217,18 +277,24 @@ REDUCED_SCHEMA = "record_id string, value string"
 def reduce_outputs(outputs_df, num_partitions: int | None = None):
     """Fold all emissions per out_id in deterministic order.
 
-    ``outputs_df`` columns: out_id, input_idx, nat_key, emit_idx, value
-    (tagged JSON string).  One shuffle (repartition on out_id), then a
+    ``outputs_df`` columns: out_id, input_idx, nat_key, src_rid, emit_idx,
+    value (tagged JSON string).  One shuffle (repartition on out_id), then a
     streaming fold inside sorted partitions — groups never cross partitions,
     and a group split across *Arrow batches* is handled by carrying the
     accumulator over.
+
+    ``src_rid`` (the raw source record id) tie-breaks after ``nat_key``:
+    distinct ids can share a nat_key ('a1' vs 'a01' pad identically, and
+    Spark-side lpad truncates digit runs beyond the pad width), so without it
+    the fold order between such records would be engine-nondeterministic —
+    last-wins merges could differ across runs.
     """
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F401
 
     df = outputs_df.repartition(
         *( [num_partitions] if num_partitions else [] ), "out_id"
-    ).sortWithinPartitions("out_id", "input_idx", "nat_key", "emit_idx")
+    ).sortWithinPartitions("out_id", "input_idx", "nat_key", "src_rid", "emit_idx")
 
     def fold_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cur_id = None
@@ -488,11 +554,13 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     def emissions_of(df):
         return df.select(
             "input_idx", "nat_key",
+            F.col("record_id").alias("src_rid"),
             F.explode(
                 F.from_json("outputs", "array<struct<i:int,k:string,v:string>>")
             ).alias("e"),
         ).select(F.col("e.k").alias("out_id"), "input_idx", "nat_key",
-                 F.col("e.i").alias("emit_idx"), F.col("e.v").alias("value"))
+                 "src_rid", F.col("e.i").alias("emit_idx"),
+                 F.col("e.v").alias("value"))
 
     # Post-write cache state composed ALGEBRAICALLY (retained ∪ fresh):
     # re-reading the store here would pay a latest-wins window shuffle over

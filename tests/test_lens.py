@@ -81,6 +81,45 @@ class TestHarness:
         _, _, errors = h.run(_path(), {})
         assert errors and errors[0]["type"] == "TimeoutError"
 
+    def test_timeout_interrupts_infinite_loop(self):
+        # preemptive kill (ref javascript-lens-worker.js:132-135): an
+        # accidental `while True` must terminate near the limit, not hang
+        import time as _time
+
+        h = LensHarness("while True: pass", timeout_ms=50.0)
+        t0 = _time.perf_counter()
+        outputs, _, errors = h.run(_path(), {})
+        elapsed = _time.perf_counter() - t0
+        assert elapsed < 5.0  # orders of magnitude under "forever"
+        assert errors and errors[0]["type"] == "TimeoutError"
+        assert outputs == []  # partial emissions discarded
+
+    def test_timeout_not_swallowed_by_user_except(self):
+        # a lens's `except Exception` must not eat the interrupt
+        code = ("try:\n"
+                "    while True: pass\n"
+                "except Exception:\n"
+                "    output('caught', 1)\n")
+        h = LensHarness(code, timeout_ms=50.0)
+        outputs, _, errors = h.run(_path(), {})
+        assert errors and errors[0]["type"] == "TimeoutError"
+        assert outputs == []
+
+    def test_timeout_discards_partial_outputs(self):
+        # how far a lens got before the alarm is machine-speed-dependent —
+        # a timed-out record must contribute nothing but the error
+        code = "output('early', 1)\nwhile True: pass"
+        h = LensHarness(code, timeout_ms=50.0)
+        outputs, _, errors = h.run(_path(), {})
+        assert outputs == []
+        assert errors and errors[0]["type"] == "TimeoutError"
+
+    def test_hash_builtin_absent(self):
+        # hash() is salted per process (PYTHONHASHSEED) — exactly the
+        # nondeterminism class the reference bans (Math.random throws)
+        _, _, errors = LensHarness("output('k', hash('x'))").run(_path(), {})
+        assert errors and errors[0]["type"] == "NameError"
+
 
 class TestGoldenBuild:
     def test_inverted_index(self, spark, store):
@@ -209,6 +248,23 @@ class TestGoldenBuild:
         assert bad["logs"] == ["mapping bad"]
         good = rows["/datasets/a:d1/records/good"]
         assert good["errors"] == [] or good["errors"] is None
+
+    def test_distributed_timeout_terminates(self, spark, store):
+        # the preemptive kill must hold inside mapInPandas workers too: an
+        # infinite-loop lens over real records finishes the build with
+        # TimeoutError records instead of hanging the executor (ref isolate
+        # kill, javascript-lens-worker.js:132-135)
+        store.create("a", "dloop")
+        store.write_entries("a", "dloop", [(f"r{i}", {"n": i}) for i in range(3)])
+        create_lens(store, "a", "looper", inputs=["/datasets/a:dloop"],
+                    code="while True: pass", timeout_ms=50.0)
+        build_lens(spark, store, "a", "looper")
+        rows = lens_logs(spark, store, "a", "looper").collect()
+        assert len(rows) == 3
+        for r in rows:
+            assert r["errors"][0]["type"] == "TimeoutError"
+        # no outputs survive a timeout
+        assert store.read_df(spark, "a", "looper", source="lenses").count() == 0
 
     def test_lens_chain_dag(self, spark, store):
         # lens reading a lens (composition, ref: lens outputs are datasets)

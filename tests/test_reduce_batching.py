@@ -24,12 +24,12 @@ def tiny_batches(spark):
 
 
 def _emissions(spark, rows):
-    data = [(oid, 0, natural_pad(rid), emit_idx,
+    data = [(oid, 0, natural_pad(rid), rid, emit_idx,
              json.dumps(value_to_tagged(v), ensure_ascii=False))
             for oid, rid, emit_idx, v in rows]
     return spark.createDataFrame(
-        data, "out_id string, input_idx int, nat_key string, emit_idx int, "
-              "value string")
+        data, "out_id string, input_idx int, nat_key string, src_rid string, "
+              "emit_idx int, value string")
 
 
 def test_group_split_across_arrow_batches(tiny_batches):
@@ -52,6 +52,17 @@ def test_last_wins_order_stable_across_batches(tiny_batches):
     assert len(out) == 1
     # natural order: r1(emit0), r1(emit1), r2, r10 → r10's value wins
     assert tagged_to_value(json.loads(out[0]["value"])) == "from-r10"
+
+
+def test_nat_key_collision_tiebreak(tiny_batches):
+    spark = tiny_batches
+    # 'a01' and 'a1' pad to identical nat_keys — the raw record id must
+    # break the tie so last-wins is run-deterministic ('a01' < 'a1' raw)
+    assert natural_pad("a01") == natural_pad("a1")
+    rows = [("k", "a1", 0, "from-a1"), ("k", "a01", 0, "from-a01")]
+    for _ in range(3):  # stable across repeated runs
+        out = reduce_outputs(_emissions(spark, rows), num_partitions=1).collect()
+        assert tagged_to_value(json.loads(out[0]["value"])) == "from-a1"
 
 
 def test_many_groups_many_partitions(tiny_batches):
