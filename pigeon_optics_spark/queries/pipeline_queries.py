@@ -210,11 +210,21 @@ sig AS (
              j -> (ha[CAST(j AS INT)] + i * hb[CAST(j AS INT)]) % 2305843009213693951))) AS sig
   FROM ab
 ),
-banded AS (
+banded_raw AS (
   SELECT id, CAST(b AS INT) AS band_id,
          md5(array_to_string(list_transform(sig[CAST(b AS INT)*4+1 : CAST(b AS INT)*4+4],
                                             x -> CAST(x AS VARCHAR)), '|')) AS band_hash
   FROM sig, (SELECT unnest(range(0, 8)) AS b)
+),
+-- bucket cap (mirrors max_bucket_size=64): degenerate band buckets are
+-- dropped before the candidate join
+small_buckets AS (
+  SELECT band_id, band_hash FROM banded_raw
+  GROUP BY band_id, band_hash HAVING COUNT(*) <= 64
+),
+banded AS (
+  SELECT banded_raw.* FROM banded_raw
+  JOIN small_buckets USING (band_id, band_hash)
 ),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b

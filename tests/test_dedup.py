@@ -1,0 +1,58 @@
+"""MinHash-LSH bucket-cap behavior on a degenerate (boilerplate) corpus.
+
+At web scale one band hash shared by a huge cluster of near-identical
+boilerplate docs produces a single quadratic bucket — the cap must bound the
+candidate join without losing pairs that share any healthy bucket.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pigeon_optics_spark.pipeline.dedup import (
+    exact_dedup,
+    lsh_bucket_stats,
+    minhash_lsh_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def boilerplate(spark):
+    # 200 identical docs (the degenerate cluster) + one genuine near-dup pair
+    # with unique text.  All buckets of the identical cluster have size 200.
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [(i, base) for i in range(200)]
+    a = "completely unrelated document about spark partitioning strategies and shuffle hash joins in distributed engines"
+    b = "completely unrelated document about spark partitioning strategies and shuffle sort joins in distributed engines"
+    rows += [(1000, a), (1001, b)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cap_drops_degenerate_bucket_keeps_real_pair(boilerplate):
+    pairs = minhash_lsh_pairs(boilerplate, max_bucket_size=64).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the quadratic 200-doc cluster is excluded (exact_dedup's job, not LSH's)
+    assert all(a >= 1000 for a, _ in ids)
+    # the genuine near-dup pair survives via its own small buckets
+    assert (1000, 1001) in ids
+
+
+def test_uncapped_would_be_quadratic(boilerplate):
+    # sanity: without the cap the degenerate cluster floods the candidate set
+    pairs = minhash_lsh_pairs(boilerplate, max_bucket_size=None).collect()
+    assert len(pairs) >= 200 * 199 // 2  # all identical-doc pairs emitted
+
+
+def test_bucket_stats_reports_drop(boilerplate):
+    stats = lsh_bucket_stats(boilerplate, max_bucket_size=64).collect()
+    assert len(stats) == 8  # one row per band
+    for r in stats:
+        assert r["max_bucket"] == 200
+        assert r["n_buckets_dropped"] >= 1
+        assert r["n_rows_dropped"] >= 200
+
+
+def test_exact_dedup_catches_what_cap_drops(boilerplate):
+    groups = exact_dedup(boilerplate).collect()
+    by_count = {r["dup_count"]: r for r in groups}
+    assert 200 in by_count  # the boilerplate cluster collapses to one rep
