@@ -149,8 +149,34 @@ def _yaml_encode(v: Any) -> bytes:
                            sort_keys=False).encode("utf-8")
 
 
+def _yaml_native_nodes_to_tagged(node: Any) -> Any:
+    """Pre-walk a ``yaml.safe_load`` tree converting YAML-native scalar types
+    (unquoted dates/timestamps → datetime.date/datetime, !!binary → bytes)
+    into their tagged-JSON envelopes so external YAML decodes into the engine
+    value domain instead of crashing ``tagged_to_value`` (the reference's
+    YAML codec surfaces these as Date values in the record domain)."""
+    import base64 as _b64
+    import datetime as _dt
+
+    if isinstance(node, _dt.datetime):
+        ms = int(node.timestamp() * 1000) if node.tzinfo else int(
+            node.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+        return {"type": "Date", "data": ms}
+    if isinstance(node, _dt.date):
+        d = _dt.datetime(node.year, node.month, node.day, tzinfo=_dt.timezone.utc)
+        return {"type": "Date", "data": int(d.timestamp() * 1000)}
+    if isinstance(node, bytes):
+        return {"type": "Buffer", "data": _b64.b64encode(node).decode("ascii")}
+    if isinstance(node, list):
+        return [_yaml_native_nodes_to_tagged(v) for v in node]
+    if isinstance(node, dict):
+        return {k: _yaml_native_nodes_to_tagged(v) for k, v in node.items()}
+    return node
+
+
 def _yaml_decode(data: bytes) -> Any:
-    return tagged_to_value(_yaml.safe_load(data.decode("utf-8")))
+    return tagged_to_value(
+        _yaml_native_nodes_to_tagged(_yaml.safe_load(data.decode("utf-8"))))
 
 
 def _yaml_encode_iterable(values: Iterable[Any]) -> bytes:
@@ -164,7 +190,7 @@ def _yaml_encode_iterable(values: Iterable[Any]) -> bytes:
 
 def _yaml_decode_iterable(data: bytes) -> Iterator[Any]:
     for doc in _yaml.safe_load_all(data.decode("utf-8")):
-        yield tagged_to_value(doc)
+        yield tagged_to_value(_yaml_native_nodes_to_tagged(doc))
 
 
 # --------------------------------------------------------------------------

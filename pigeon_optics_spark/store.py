@@ -74,6 +74,9 @@ SEGMENT_SCHEMA = pa.schema(
 
 MAX_RECORD_ID_LEN = 10_000  # ref dataset.js:23
 MAX_NAME_LEN = 250  # ref dataset.js:34
+MAX_RECORD_SIZE = 20 * 1024 * 1024  # ref package.json defaults.maxRecordSize,
+#   enforced at ingest like multipart-files.js:41,73 (size of the record's
+#   serialized tagged-JSON value)
 
 
 class StoreError(ValueError):
@@ -127,6 +130,12 @@ class DatasetStore:
         self._locks: dict[str, threading.Lock] = collections.defaultdict(
             threading.Lock)
         self._locks_guard = threading.Lock()
+        # serializes catalog-dict mutation + snapshot-save: without it a
+        # create() concurrent with another collection's write can hit "dict
+        # changed size during iteration" in _save_catalog or persist a stale
+        # snapshot.  RLock: mutators hold it across mutate+save, and
+        # _save_catalog re-acquires.
+        self._catalog_lock = threading.RLock()
         self._load_catalog()
         # when set, writes containing hash:// links whose blob is absent are
         # rejected (ref base-data-model.js:185-188)
@@ -142,11 +151,12 @@ class DatasetStore:
 
     def _save_catalog(self) -> None:
         # atomic temp+rename, the reference's crash-safe pattern (fs/raw.js:152-197)
-        data = {k: vars(m) for k, m in self._catalog.items()}
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump(data, f)
-        os.replace(tmp, self._catalog_path)
+        with self._catalog_lock:
+            data = {k: vars(m) for k, m in self._catalog.items()}
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                json.dump(data, f)
+            os.replace(tmp, self._catalog_path)
 
     def _meta(self, source: str, author: str, name: str) -> CollectionMeta:
         key = f"{source}/{author}/{name}"
@@ -164,13 +174,14 @@ class DatasetStore:
         _validate_name(name)
         _validate_name(author)
         key = f"{source}/{author}/{name}"
-        if key in self._catalog:
-            raise StoreError(f"collection exists: {key}")
-        meta = CollectionMeta(source=source, author=author, name=name, memo=memo,
-                              config=config or {})
-        os.makedirs(self._dir(meta), exist_ok=True)
-        self._catalog[key] = meta
-        self._save_catalog()
+        with self._catalog_lock:
+            if key in self._catalog:
+                raise StoreError(f"collection exists: {key}")
+            meta = CollectionMeta(source=source, author=author, name=name, memo=memo,
+                                  config=config or {})
+            os.makedirs(self._dir(meta), exist_ok=True)
+            self._catalog[key] = meta
+            self._save_catalog()
         return meta
 
     def exists(self, author: str, name: str, record_id: str | None = None,
@@ -183,12 +194,13 @@ class DatasetStore:
         return record_id in self._state(self._catalog[key])
 
     def delete_collection(self, author: str, name: str, *, source: str = "datasets") -> None:
-        meta = self._meta(source, author, name)
         import shutil
 
-        shutil.rmtree(self._dir(meta), ignore_errors=True)
-        del self._catalog[meta.key]
-        self._save_catalog()
+        with self._catalog_lock:
+            meta = self._meta(source, author, name)
+            shutil.rmtree(self._dir(meta), ignore_errors=True)
+            del self._catalog[meta.key]
+            self._save_catalog()
         self._emit_change(meta)
 
     def list_authors(self, *, source: str = "datasets") -> list[str]:
@@ -204,13 +216,17 @@ class DatasetStore:
 
     def set_config(self, author: str, name: str, config: dict, *,
                    source: str = "datasets", memo: str | None = None) -> CollectionMeta:
-        meta = self._meta(source, author, name)
-        meta.config = config
-        if memo is not None:
-            meta.memo = memo
-        meta.version += 1
-        meta.updated = time.time()
-        self._save_catalog()
+        # collection lock: the version bump races concurrent write_entries
+        # version bumps on the same collection (e.g. lens cursor updates vs
+        # user writes) without it
+        with self._collection_lock(source, author, name):
+            meta = self._meta(source, author, name)
+            meta.config = config
+            if memo is not None:
+                meta.memo = memo
+            meta.version += 1
+            meta.updated = time.time()
+            self._save_catalog()
         self._emit_change(meta)
         return meta
 
@@ -415,6 +431,10 @@ class DatasetStore:
                 continue
             tagged = value_to_tagged(value)
             value_json = json.dumps(tagged, ensure_ascii=False)
+            if len(value_json.encode("utf-8")) > MAX_RECORD_SIZE:
+                raise StoreError(
+                    f"record {rid!r} exceeds maxRecordSize "
+                    f"({MAX_RECORD_SIZE} bytes)")
             h = object_hash(value)
             links = list_hash_urls(value)
             if self.attachment_checker is not None:
@@ -481,6 +501,14 @@ class DatasetStore:
 
         upserts_in = (
             df.select("record_id", "value").where(F.col("value").isNotNull())
+            # maxRecordSize guard, JVM-side (octet_length = UTF-8 bytes):
+            # oversize rows abort the write job before any segment commits
+            .withColumn("value", F.when(
+                F.octet_length("value") > MAX_RECORD_SIZE,
+                F.raise_error(F.concat(
+                    F.lit(f"record exceeds maxRecordSize ({MAX_RECORD_SIZE} bytes): "),
+                    F.col("record_id"))),
+            ).otherwise(F.col("value")))
             .withColumn("hash", hash_value_udf("value"))
             .withColumn("links", links_udf("value"))
         )

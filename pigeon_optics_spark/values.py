@@ -371,15 +371,16 @@ _NAT_SPLIT = re.compile(r"(\d+)")
 def natural_sort_key(s: str) -> tuple:
     """Sort key replicating natural string compare: digit runs compare
     numerically, text runs lexicographically.  Listing/export order of records
-    is natural sort of record_id (a real observable semantic, SURVEY §1.2)."""
-    parts = _NAT_SPLIT.split(s)
-    key = []
-    for i, p in enumerate(parts):
-        if i % 2:  # digit run
-            key.append((1, int(p), len(p)))
-        elif p:
-            key.append((0, p, 0))
-    return tuple(key)
+    is natural sort of record_id (a real observable semantic, SURVEY §1.2).
+
+    Derived from :func:`natural_pad` + the raw string so the driver-side
+    ordering is *by construction* identical to the Spark/oracle path
+    (``ORDER BY natural_sort_col_expr(c), c``): digit runs sort before letter
+    runs ('1' < 'a', matching char-code compare where digits < letters), and
+    ids padding identically ('01' vs '1') tie-break on the raw string.
+    (An earlier hand-rolled tuple key tagged text runs BEFORE digit runs —
+    the reference's opposite — and tie-broke '1' ahead of '01'.)"""
+    return (natural_pad(s), s)
 
 
 def natural_pad(s: str, width: int = 24) -> str:

@@ -145,6 +145,25 @@ def test_json5_tolerant_decode():
     assert v["inf"] == float("inf") and math.isnan(v["nan"]) and v["frac"] == 0.5
 
 
+def test_yaml_external_native_dates():
+    # valid external YAML with unquoted dates/timestamps must decode into the
+    # engine's Date domain (tz-aware UTC datetime), not crash (the reference's
+    # YAML codec surfaces these as Date values)
+    import datetime as dt
+
+    c = CODECS["yaml"]
+    v = c.decode(b"when: 2024-03-01\nstamp: 2024-03-01 12:30:00\n"
+                 b"stamped_tz: 2024-03-01 12:30:00+02:00\n"
+                 b"nested:\n  - 2020-01-01\nblob: !!binary aGk=\n")
+    assert v["when"] == dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    assert v["stamp"] == dt.datetime(2024, 3, 1, 12, 30, tzinfo=dt.timezone.utc)
+    assert v["stamped_tz"] == dt.datetime(2024, 3, 1, 10, 30, tzinfo=dt.timezone.utc)
+    assert v["nested"][0] == dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc)
+    assert v["blob"] == b"hi"
+    # and the engine's own encode→decode of the result roundtrips
+    assert c.decode(c.encode(v)) == v
+
+
 def test_codec_dispatch():
     assert codec_for("application/json").name == "json"
     assert codec_for("application/json; charset=utf-8").name == "json"

@@ -112,6 +112,30 @@ def test_record_validation(store):
         store.write("a", "d", "r" * 10_001, {"x": 1})
 
 
+def test_max_record_size_rejected(store):
+    # ref package.json defaults.maxRecordSize (20MB), multipart-files.js:41
+    store.create("a", "d")
+    with pytest.raises(StoreError, match="maxRecordSize"):
+        store.write("a", "d", "big", {"blob": "x" * (20 * 1024 * 1024 + 1)})
+    # under the cap passes
+    store.write("a", "d", "ok", {"blob": "x" * 1024})
+    assert store.exists("a", "d", "ok")
+
+
+def test_max_record_size_rejected_distributed(store, spark, monkeypatch):
+    import pigeon_optics_spark.store as store_mod
+
+    monkeypatch.setattr(store_mod, "MAX_RECORD_SIZE", 100)
+    store.create("a", "ddist")
+    df = spark.createDataFrame(
+        [("small", '{"x": 1}'), ("big", '{"blob": "' + "y" * 200 + '"}')],
+        "record_id string, value string")
+    with pytest.raises(Exception, match="maxRecordSize"):
+        store.write_entries_df(spark, "a", "ddist", df)
+    # nothing committed — the job aborted before the segment landed
+    assert store.get_meta("a", "ddist").version == 0
+
+
 def test_attachment_checker_rejects_dangling(store, tmp_path):
     present = "hash://sha256/" + "a" * 64
     missing = "hash://sha256/" + "b" * 64

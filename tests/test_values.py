@@ -155,6 +155,28 @@ def test_natural_sort():
     assert got == ["a9b", "a9c", "a10b", "item1", "item2", "item10", "z"]
 
 
+def test_natural_sort_digits_before_letters():
+    # reference char-code compare: '1' < 'a' — digit-leading ids list first
+    assert sorted(["a", "1"], key=natural_sort_key) == ["1", "a"]
+    assert sorted(["b2", "10", "2", "a"], key=natural_sort_key) == ["2", "10", "a", "b2"]
+    # equal numerics tie-break on the raw string: '01' < '1'
+    assert sorted(["1", "01"], key=natural_sort_key) == ["01", "1"]
+
+
+def test_natural_sort_matches_spark_path(spark):
+    # the driver-side key and the Spark ORDER BY must produce the same order
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.values import natural_sort_col_expr
+
+    ids = ["1", "01", "a", "a1", "a01", "10", "2", "z9", "z10", "B", "item1"]
+    df = spark.createDataFrame([(i,) for i in ids], "record_id string")
+    expr = natural_sort_col_expr("record_id")
+    spark_order = [r["record_id"] for r in df.orderBy(
+        F.expr(expr), F.col("record_id")).collect()]
+    assert sorted(ids, key=natural_sort_key) == spark_order
+
+
 def test_path_roundtrip():
     p = encode_path("datasets", "author one", "data:set", "rec/1")
     d = decode_path(p)
