@@ -342,6 +342,142 @@ def _cache_name(name: str) -> str:
     return f"lens-cache.{name}"
 
 
+# --------------------------------------------------------------------------
+# emissions store — the reduce-side index
+#
+# The map cache is keyed by input *path* (right for freshness / log capture),
+# but the reduce gathers by *out_id*: deriving emissions from the cache means
+# JSON-parsing and exploding the ENTIRE cache even when one key changed.  The
+# emissions store is the same data exploded once at write time and persisted
+# as parquet segments RANGE-SORTED BY out_id, so an incremental re-reduce
+# reads only the row groups holding affected keys (min/max pruning on the
+# pushed-down ``out_id IN (...)`` filter).  No tombstones: an emission row is
+# current iff its (path, seq) matches the cache's current entry for that
+# path — re-mapped paths' old rows fail the seq match, pruned paths have no
+# cache entry at all.  Segments compact alongside the cache.
+# --------------------------------------------------------------------------
+
+_EMIT_COLS = ["out_id", "input_idx", "nat_key", "src_rid", "emit_idx", "value"]
+
+
+def _emit_dir(store: DatasetStore, author: str, name: str) -> str:
+    import os
+
+    return os.path.join(store.root, "records", "meta", author, f"lens-emit.{name}")
+
+
+def _emit_segments(store: DatasetStore, author: str, name: str) -> list[str]:
+    """Emission segment paths in seq order; a base segment supersedes all
+    earlier segments (same convention as the store's segment log)."""
+    import os
+
+    d = _emit_dir(store, author, name)
+    if not os.path.isdir(d):
+        return []
+    items = []
+    for fn in os.listdir(d):
+        if fn.endswith(".parquet") and not fn.startswith("_stage"):
+            bits = fn.split("_")[1].split(".")
+            items.append((int(bits[0]), bits[1] == "base", os.path.join(d, fn)))
+    base_seqs = [s for s, b, _p in items if b]
+    floor = max(base_seqs) if base_seqs else None
+    keep = [(s, p) for s, b, p in sorted(items)
+            if (b and s == floor) or (not b and (floor is None or s > floor))]
+    return [p for _s, p in keep]
+
+
+def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
+                        num_parts: int = 1) -> str:
+    """Stage-then-rename write of one emissions segment, range-partitioned and
+    sorted by out_id so every file carries tight min/max stats for pruning."""
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(d, exist_ok=True)
+    stage = os.path.join(d, f"_stage_{uuid.uuid4().hex}")
+    (df.repartitionByRange(num_parts, "out_id")
+       .sortWithinPartitions("out_id")
+       .write.mode("overwrite").parquet(stage))
+    for fn in os.listdir(stage):
+        if not fn.endswith(".parquet"):
+            os.remove(os.path.join(stage, fn))
+    final = os.path.join(d, f"seg_{seq:08d}.{'base' if base else 'delta'}.parquet")
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(stage, final)
+    return final
+
+
+def _cache_keys_df(spark, segs: list[str]):
+    """Current (path, seq) of a cache segment log — a thin columnar read
+    (record_id/seq/deleted only; the fat ``value`` column never leaves
+    parquet), latest-wins window only when >1 segment."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not segs:
+        return None
+    df = spark.read.parquet(*segs).select(
+        F.col("record_id").alias("path"), "seq", "deleted")
+    if len(segs) > 1:
+        w = Window.partitionBy("path").orderBy(F.desc("seq"))
+        df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return df.where(~F.col("deleted")).select("path", "seq")
+
+
+def _emissions_from_cache_df(df):
+    """(path, input_idx, record_id, nat_key, outputs) → one row per emission
+    (path, out_id, input_idx, nat_key, src_rid, emit_idx, value)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "path", "input_idx", "nat_key",
+        F.col("record_id").alias("src_rid"),
+        F.explode(
+            F.from_json("outputs", "array<struct<i:int,k:string,v:string>>")
+        ).alias("e"),
+    ).select("path", F.col("e.k").alias("out_id"), "input_idx", "nat_key",
+             "src_rid", F.col("e.i").alias("emit_idx"),
+             F.col("e.v").alias("value"))
+
+
+def _parsed_cache_rows(df):
+    """Cache rows (record_id=path, value=JSON) → flat struct columns + path."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("record_id").alias("path"),
+        F.from_json("value", _CACHE_VALUE_SCHEMA).alias("c"),
+    ).select("path", "c.*")
+
+
+def _compact_emissions(spark, store: DatasetStore, author: str, name: str) -> None:
+    """Fold the emissions log into one base segment of currently-valid rows
+    (physical only, like cache compaction)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    segs = _emit_segments(store, author, name)
+    if len(segs) <= 1:
+        return
+    cache_meta = store.get_meta(author, _cache_name(name), source=_CACHE_SOURCE)
+    keys = _cache_keys_df(spark, store._segments(cache_meta))  # noqa: SLF001
+    log = spark.read.parquet(*segs)
+    valid = log.join(keys, ["path", "seq"], "left_semi") if keys is not None \
+        else log.limit(0)
+    n = valid.count()
+    num_parts = max(1, min(256, n // 200_000 + 1))
+    d = _emit_dir(store, author, name)
+    final = _write_emit_segment(valid, d, cache_meta.last_seq, base=True,
+                                num_parts=num_parts)
+    for p in segs:
+        if os.path.abspath(p) != os.path.abspath(final):
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                else os.remove(p)
+
+
 def create_lens(store: DatasetStore, author: str, name: str, *, inputs: list[str],
                 code: str, memo: str = "", timeout_ms: float | None = 50.0):
     """Register a lens: validates code compiles (startup-error surface) and
@@ -357,6 +493,10 @@ def create_lens(store: DatasetStore, author: str, name: str, *, inputs: list[str
               "timeout_ms": timeout_ms, "input_versions": {}}
     meta = store.create(author, name, source="lenses", memo=memo, config=config)
     store.create(author, _cache_name(name), source=_CACHE_SOURCE)
+    # a recreated lens must not inherit a prior incarnation's emissions log
+    import shutil
+
+    shutil.rmtree(_emit_dir(store, author, name), ignore_errors=True)
     return meta
 
 
@@ -540,68 +680,103 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     delta = cache_entries.unionByName(gone).persist()
     n_fresh = delta.where(F.col("value").isNotNull()).count()
     _trace(f"map+count(n={n_fresh})")
+    pre_segs = store._segments(cache_meta)  # noqa: SLF001 — pre-write log
     store.write_entries_df(spark, author, _cache_name(name), delta, source=_CACHE_SOURCE)
     _trace("cache_write")
+    seq_now = store.get_meta(author, _cache_name(name),
+                             source=_CACHE_SOURCE).last_seq
 
     # ---- reduce ------------------------------------------------------------
-    # Emissions of the FULL cache (fresh ∪ retained), keyed for the ordered
-    # fold.  On incremental rebuilds only *affected* out_ids are re-reduced:
-    # keys touched by fresh map results, by the pre-change emissions of
-    # re-mapped paths, or by pruned paths.  Untouched keys keep their stored
-    # reduction — at 100 TB a point-write then re-reduces a handful of keys,
-    # not the whole output table (the reference re-folds everything each
-    # build, lens.js:204-225; this is strictly stronger incrementality).
-    def emissions_of(df):
-        return df.select(
-            "input_idx", "nat_key",
-            F.col("record_id").alias("src_rid"),
-            F.explode(
-                F.from_json("outputs", "array<struct<i:int,k:string,v:string>>")
-            ).alias("e"),
-        ).select(F.col("e.k").alias("out_id"), "input_idx", "nat_key",
-                 "src_rid", F.col("e.i").alias("emit_idx"),
-                 F.col("e.v").alias("value"))
-
-    # Post-write cache state composed ALGEBRAICALLY (retained ∪ fresh):
-    # re-reading the store here would pay a latest-wins window shuffle over
-    # the whole fat cache; ``cache_cur`` pins the immutable pre-write
-    # segments and the delta is tiny, so a broadcast anti-join gives the
-    # same rows shuffle-free.
+    # Emissions come from the EMISSIONS STORE (exploded at write time,
+    # range-sorted by out_id), not from re-parsing the cache.  On incremental
+    # rebuilds only *affected* out_ids are re-reduced: keys touched by fresh
+    # map results, by the pre-change emissions of re-mapped paths, or by
+    # pruned paths.  Gathering those keys' emissions is a PRUNED scan — the
+    # ``out_id IN (...)`` predicate pushes into the sorted parquet and skips
+    # non-matching row groups; validity (latest generation only) is a thin
+    # (path, seq) join, never a fat-value parse.  Untouched keys keep their
+    # stored reduction — at 100 TB a point-write re-reduces a handful of
+    # keys reading a handful of row groups (the reference re-folds everything
+    # each build, lens.js:204-225; this is strictly stronger incrementality).
+    emit_d = _emit_dir(store, author, name)
+    old_emit_segs = _emit_segments(store, author, name)
     delta_paths = delta.select(F.col("record_id").alias("path"))
-    retained = cache_cur.join(delta_paths,
-                              cache_cur.record_id == delta_paths.path,
-                              "left_anti").select("value")
-    cache_now = retained.unionByName(
-        delta.where(F.col("value").isNotNull()).select("value"))
-    emissions = emissions_of(
-        cache_now.select(F.from_json("value", _CACHE_VALUE_SCHEMA).alias("c"))
-        .select("c.*"))
+    emit_delta = (
+        _emissions_from_cache_df(
+            _parsed_cache_rows(delta.where(F.col("value").isNotNull())))
+        .withColumn("seq", F.lit(seq_now))
+    )
 
     pre_write_version = store.get_meta(author, name, source="lenses").version
     if first_build:
-        reduced = reduce_outputs(emissions)
+        num_parts = max(1, min(256, n_fresh // 200_000 + 1))
+        seg_path = _write_emit_segment(emit_delta, emit_d, seq_now,
+                                       base=True, num_parts=num_parts)
+        _trace("emit_write")
+        # reduce straight off the sorted segment (single JSON parse, done
+        # above at write time)
+        reduced = reduce_outputs(spark.read.parquet(seg_path).select(*_EMIT_COLS))
         stats_meta = store.write_entries_df(spark, author, name, reduced,
                                             source="lenses", overwrite=True)
     else:
-        # out_ids from NEW map results of changed paths
-        new_ids = emissions_of(
-            delta.where(F.col("value").isNotNull())
-            .select(F.from_json("value", _CACHE_VALUE_SCHEMA).alias("c"))
-            .select("c.*")).select("out_id")
-        # out_ids from the OLD cached emissions of changed + pruned paths
-        old_ids = emissions_of(
-            cache_cur.join(delta_paths, cache_cur.record_id == delta_paths.path,
-                           "left_semi")
-            .select(F.from_json("value", _CACHE_VALUE_SCHEMA).alias("c"))
-            .select("c.*")).select("out_id")
+        if n_fresh > 0:
+            num_parts = max(1, min(256, n_fresh // 200_000 + 1))
+            _write_emit_segment(emit_delta, emit_d, seq_now,
+                                num_parts=num_parts)
+            _trace("emit_write")
+        pre_keys = _cache_keys_df(spark, pre_segs)
+        if old_emit_segs:
+            old_log = spark.read.parquet(*old_emit_segs)
+        else:
+            # migration backfill (store predates the emissions log): derive
+            # the valid pre-state log from the cache once, attach each path's
+            # current seq, and persist it so every later build prunes
+            state_emits = _emissions_from_cache_df(
+                _parsed_cache_rows(cache_cur)).join(pre_keys, "path")
+            seg_path = _write_emit_segment(
+                state_emits, emit_d, max(0, seq_now - 1), base=True,
+                num_parts=32)
+            old_log = spark.read.parquet(seg_path)
+            _trace("emit_backfill")
+
+        # out_ids from NEW map results + from the pre-state emissions of
+        # changed/pruned paths (valid generation only: seq must match the
+        # path's pre-write cache seq)
+        changed_pre_keys = pre_keys.join(F.broadcast(delta_paths), "path",
+                                         "left_semi") if pre_keys is not None \
+            else None
+        new_ids = emit_delta.select("out_id")
+        old_ids = (old_log.join(changed_pre_keys, ["path", "seq"], "left_semi")
+                   .select("out_id")) if changed_pre_keys is not None \
+            else new_ids.limit(0)
         affected = new_ids.unionByName(old_ids).distinct().persist()
         n_affected = affected.count()
         _trace(f"affected(n={n_affected})")
         if n_affected == 0:
             stats_meta = store.get_meta(author, name, source="lenses")
         else:
-            reduced = reduce_outputs(
-                emissions.join(affected, "out_id", "left_semi")).persist()
+            # post-write current keys, composed algebraically (pre-state
+            # minus touched paths, plus this build's fresh paths) — no
+            # re-read, no window over the new log
+            delta_keys = (delta.where(F.col("value").isNotNull())
+                          .select(F.col("record_id").alias("path"),
+                                  F.lit(seq_now).alias("seq")))
+            post_keys = (pre_keys.join(F.broadcast(delta_paths), "path",
+                                       "left_anti").unionByName(delta_keys)
+                         if pre_keys is not None else delta_keys)
+            if n_affected <= 10_000:
+                # driver-side key list ⇒ parquet pushdown prunes row groups
+                # of the sorted log; the whole gather reads ~|affected| keys
+                ids = [r["out_id"] for r in affected.collect()]
+                old_part = old_log.where(F.col("out_id").isin(ids))
+                new_part = emit_delta.where(F.col("out_id").isin(ids))
+            else:
+                old_part = old_log.join(affected, "out_id", "left_semi")
+                new_part = emit_delta.join(affected, "out_id", "left_semi")
+            valid_old = old_part.join(post_keys, ["path", "seq"], "left_semi")
+            gathered = valid_old.select(*_EMIT_COLS).unionByName(
+                new_part.select(*_EMIT_COLS))
+            reduced = reduce_outputs(gathered).persist()
             # materialize NOW: the write plan references `reduced` twice
             # (upserts + the deletes anti-join); an unmaterialized persist
             # would re-run the whole reduce per reference inside one job
@@ -628,11 +803,14 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     cfg["input_seqs"], cfg["input_versions"] = next_seqs, next_versions
     store.set_config(author, name, cfg, source="lenses", memo=meta.memo)
 
-    # keep the cache log short: the NEXT build's freshness read is a window
-    # over its segments (compaction is physical only — no events, no
-    # versions; safe here because every plan pinning old segments has run)
+    # keep the cache + emissions logs short: the NEXT build's freshness read
+    # is a window over cache segments and the gather unions emission
+    # segments (compaction is physical only — no events, no versions; safe
+    # here because every plan pinning old segments has run)
     if len(store._segments(cache_meta)) > 8:  # noqa: SLF001 — engine-internal
         store.compact_df(spark, author, _cache_name(name), source=_CACHE_SOURCE)
+    if len(_emit_segments(store, author, name)) > 8:
+        _compact_emissions(spark, store, author, name)
 
     n_out = (store.read_df(spark, author, name, source="lenses").count()
              if count_outputs else None)

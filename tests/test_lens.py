@@ -249,6 +249,60 @@ class TestGoldenBuild:
         good = rows["/datasets/a:d1/records/good"]
         assert good["errors"] == [] or good["errors"] is None
 
+    def test_emissions_log_many_builds_and_compaction(self, spark, store):
+        # 10 incremental builds push the emissions log past the compaction
+        # threshold; every intermediate state must stay correct (validity is
+        # the (path, seq) match — stale generations never resurface)
+        import os
+
+        from pigeon_optics_spark.lens import _emit_dir, _emit_segments
+
+        store.create("system", "d")
+        store.write_entries("system", "d", [("r0", {"tags": ["t0"]})])
+        create_lens(store, "system", "idx",
+                    inputs=["/datasets/system:d"], code=INVERT_CODE)
+        build_lens(spark, store, "system", "idx")
+        for i in range(1, 10):
+            # alternate: new record / re-map an old one to a different tag
+            if i % 2:
+                store.write("system", "d", f"r{i}", {"tags": [f"t{i}"]})
+            else:
+                store.write("system", "d", f"r{i-1}", {"tags": [f"t{i}"]})
+            build_lens(spark, store, "system", "idx")
+        got = {r["id"]: r["value"] for r in
+               store.iterate("system", "idx", source="lenses", fast_read=True)}
+        # r0..r9 each carry exactly their latest tag; re-mapped generations gone
+        expect = {}
+        tags = {}
+        tags["r0"] = "t0"
+        for i in range(1, 10):
+            if i % 2:
+                tags[f"r{i}"] = f"t{i}"
+            else:
+                tags[f"r{i-1}"] = f"t{i}"
+        for rid, t in tags.items():
+            expect.setdefault(t, set()).add(rid)
+        assert got == {t: PSet(rids) for t, rids in expect.items()}
+        # compaction folded the log (threshold 8)
+        assert len(_emit_segments(store, "system", "idx")) <= 9
+        assert os.path.isdir(_emit_dir(store, "system", "idx"))
+
+    def test_recreated_lens_drops_stale_emissions(self, spark, store):
+        store.create("system", "d2")
+        store.write_entries("system", "d2", [("a", {"tags": ["old"]})])
+        create_lens(store, "system", "idx2",
+                    inputs=["/datasets/system:d2"], code=INVERT_CODE)
+        build_lens(spark, store, "system", "idx2")
+        store.delete_collection("system", "idx2", source="lenses")
+        store.delete_collection("system", "lens-cache.idx2", source="meta")
+        store.write("system", "d2", "a", {"tags": ["new"]})
+        create_lens(store, "system", "idx2",
+                    inputs=["/datasets/system:d2"], code=INVERT_CODE)
+        build_lens(spark, store, "system", "idx2")
+        got = {r["id"]: r["value"] for r in
+               store.iterate("system", "idx2", source="lenses", fast_read=True)}
+        assert got == {"new": PSet(["a"])}
+
     def test_distributed_timeout_terminates(self, spark, store):
         # the preemptive kill must hold inside mapInPandas workers too: an
         # infinite-loop lens over real records finishes the build with
