@@ -129,6 +129,128 @@ FROM keyed QUALIFY nat_rank <= 100
 register("store_natural_order", store_natural_order, _NAT_ORACLE)
 
 
+def store_readpath_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readPath over a path LIST (SURVEY §2.1/§2.3 multi-input union): two
+    datasets + a duplicate path (skipped first-seen-wins, ref
+    read-path.js:22-25, lens.js:127-133) resolved through the real VFS."""
+    from ..vfs import read_path_df
+
+    key = (sf_dir, "readpath")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store.create("t", "rp_docs")
+        store.write_entries_df(spark, "t", "rp_docs",
+                               load(spark, sf_dir, "documents")
+                               .where(F.col("doc_id") <= 300)
+                               .select(F.col("doc_id").alias("record_id"),
+                                       F.to_json(F.struct("lang")).alias("value")))
+        store.create("t", "rp_parts")
+        store.write_entries_df(spark, "t", "rp_parts",
+                               load(spark, sf_dir, "part")
+                               .where(F.col("p_partkey") <= 200)
+                               .select(F.col("p_partkey").alias("record_id"),
+                                       F.to_json(F.struct("p_brand")).alias("value")))
+        _STORES[key] = store
+    store = _STORES[key]
+    df = read_path_df(spark, store, [
+        "/datasets/t:rp_docs",
+        "/datasets/t:rp_parts",
+        "/datasets/t:rp_docs",            # duplicate — must be skipped
+        "/datasets/t:rp_parts/records/7"  # duplicate collection — skipped too
+    ])
+    return df.select(
+        "collection",
+        F.col("record_id").cast("long").alias("rid"),
+        F.coalesce(F.get_json_object("value", "$.lang"),
+                   F.get_json_object("value", "$.p_brand")).alias("payload"),
+        "version",
+    )
+
+
+_READPATH_ORACLE = """
+SELECT '/datasets/t:rp_docs' AS collection, doc_id AS rid, lang AS payload,
+       CAST(1 AS BIGINT) AS version
+FROM documents WHERE doc_id <= 300
+UNION ALL
+SELECT '/datasets/t:rp_parts', p_partkey, p_brand, 1
+FROM part WHERE p_partkey <= 200
+"""
+
+register("store_readpath_union", store_readpath_union, _READPATH_ORACLE)
+
+
+def store_export_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``?at=`` incremental-pull flat-file export driven by
+    the store's OWN version stamps (ref export-controller.js:25-41): records
+    below the cutoff ship as envelope stubs without data.  Exercises the real
+    export bytes (jsonl envelope stream) end to end."""
+    import json as _json
+
+    from ..sources.files import export_collection_bytes
+
+    store = _store_scan(spark, sf_dir)  # even ids v1, odd ids v2
+    payload = export_collection_bytes(store, "t", "docs", "jsonl", at=2)
+    rows = []
+    for line in payload.decode("utf-8").splitlines():
+        if not line.strip():
+            continue
+        env = _json.loads(line)
+        rows.append((int(env["id"]), env["version"], "data" in env,
+                     (env.get("data") or {}).get("lang")))
+    return spark.createDataFrame(
+        rows, "doc_id long, version long, has_data boolean, lang string"
+    ).where(F.col("doc_id") <= 400)
+
+
+_EXPORT_AT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS version,
+       doc_id % 2 = 1 AS has_data,
+       CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+FROM documents WHERE doc_id <= 400
+"""
+
+register("store_export_at", store_export_at, _EXPORT_AT_ORACLE)
+
+
+def codec_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip-archive export manifest (ref export-controller.js:43-91): entry
+    names records/{id}.{ext}, payload decoded back through the codec."""
+    import io
+    import zipfile
+
+    from ..codecs import CODECS
+    from ..sources.files import export_zip_archive
+
+    key = (sf_dir, "zip")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store.create("t", "zdocs")
+        store.write_entries_df(spark, "t", "zdocs",
+                               load(spark, sf_dir, "documents")
+                               .where(F.col("doc_id") <= 100)
+                               .select(F.col("doc_id").alias("record_id"),
+                                       F.to_json(F.struct("lang")).alias("value")))
+        _STORES[key] = store
+    store = _STORES[key]
+    blob = export_zip_archive(store, "t", "zdocs", "yaml")
+    codec = CODECS["yaml"]
+    rows = []
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        for info in zf.infolist():
+            v = codec.decode(zf.read(info.filename))
+            rows.append((info.filename, v["lang"]))
+    return spark.createDataFrame(rows, "entry_name string, lang string")
+
+
+_ZIP_ORACLE = """
+SELECT 'records/' || CAST(doc_id AS VARCHAR) || '.yaml' AS entry_name, lang
+FROM documents WHERE doc_id <= 100
+"""
+
+register("codec_zip_manifest", codec_zip_manifest, _ZIP_ORACLE)
+
+
 def lens_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance end-to-end (SURVEY §4 'the one genuinely
     novel piece'): build a count-by-status lens over orders, then append one

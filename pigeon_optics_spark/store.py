@@ -499,6 +499,10 @@ class DatasetStore:
         next_version = meta.version + 1
         empty = not self._segments(meta)
 
+        # record ids are strings in the data model — coerce here so a caller
+        # passing a numeric key column doesn't write a drifted segment schema
+        # (driver-side iterate/export would then crash on natural-sort)
+        df = df.withColumn("record_id", F.col("record_id").cast("string"))
         upserts_in = (
             df.select("record_id", "value").where(F.col("value").isNotNull())
             # maxRecordSize guard, JVM-side (octet_length = UTF-8 bytes):
