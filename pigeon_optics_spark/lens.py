@@ -811,6 +811,11 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         store.compact_df(spark, author, _cache_name(name), source=_CACHE_SOURCE)
     if len(_emit_segments(store, author, name)) > 8:
         _compact_emissions(spark, store, author, name)
+    # the OUTPUT collection also gains a segment per build; unchecked, the
+    # suppression join inside every write pays an ever-taller latest-wins
+    # window over the log
+    if len(store._segments(stats_meta)) > 8:  # noqa: SLF001
+        store.compact_df(spark, author, name, source="lenses")
 
     n_out = (store.read_df(spark, author, name, source="lenses").count()
              if count_outputs else None)

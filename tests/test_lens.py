@@ -287,6 +287,27 @@ class TestGoldenBuild:
         assert len(_emit_segments(store, "system", "idx")) <= 9
         assert os.path.isdir(_emit_dir(store, "system", "idx"))
 
+    def test_build_deterministic_across_stores(self, spark, tmp_path):
+        # the same lens over the same data must produce a bit-identical
+        # output archive in independent store instances (determinism is the
+        # contract the compute cache and the DAG depend on; ref bans
+        # Math.random for the same reason)
+        results = []
+        for i in range(2):
+            st = DatasetStore(str(tmp_path / f"det{i}"))
+            st.create("a", "src")
+            st.write_entries("a", "src", [
+                (f"r{j}", {"tags": [f"t{j % 3}", "common"]}) for j in range(20)
+            ])
+            create_lens(st, "a", "idx", inputs=["/datasets/a:src"],
+                        code=INVERT_CODE)
+            build_lens(spark, st, "a", "idx")
+            results.append([
+                (r["id"], r["version"], r["hash"], sorted(r["value"].members))
+                for r in st.iterate("a", "idx", source="lenses", fast_read=True)
+            ])
+        assert results[0] == results[1]
+
     def test_recreated_lens_drops_stale_emissions(self, spark, store):
         store.create("system", "d2")
         store.write_entries("system", "d2", [("a", {"tags": ["old"]})])
