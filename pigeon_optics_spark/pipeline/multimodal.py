@@ -1,12 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode kernels themselves are STUBBED (this container has no
-image/audio libraries): ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder produces metadata derived from the bytes — so the Spark-side
-contract (schema, batch shape, partition behavior, null handling) is real
-and tested end-to-end even though the pixel math is not.
+Two kernel tiers:
+
+- **Container/header parsing is REAL** (pure-Python byte parsing, no
+  libraries): :func:`sniff_image_meta` reads PNG / GIF / BMP / JPEG headers
+  for (width, height, channels, format); :func:`sniff_wav_meta` reads RIFF
+  WAVE fmt chunks for (channels, sample rate, bit depth, duration).
+  ``decode_image_meta(fake=False)`` / ``decode_audio_meta`` use these.
+- **Pixel/sample decode is STUBBED** (this container has no PIL/OpenCV/
+  ffmpeg): frame extraction raises ``NotImplementedError`` unless
+  ``fake=True``, in which case a deterministic fake kernel hashes byte
+  windows — the Spark-side contract (schema, batch shape, flatMap
+  iterator, null handling) is real and tested end-to-end even though the
+  pixel math is not.
 
 Scale notes: media blobs ride in their own column so Parquet keeps them in
 separate pages — metadata-only queries never read the bytes (column pruning);
@@ -19,6 +26,7 @@ iterator contract (flatMap shape).
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -28,7 +36,80 @@ IMAGE_META_SCHEMA = (
     "width int, height int, channels int, format string"
 )
 
+AUDIO_META_SCHEMA = (
+    "media_id long, byte_len long, channels int, sample_rate int, "
+    "bits_per_sample int, duration_ms double, format string"
+)
+
 FRAME_SCHEMA = "media_id long, frame_no int, frame_hash string, ts_ms double"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG start-of-frame markers (baseline/progressive/etc.); C4=DHT, C8=JPG
+#: extension and CC=DAC are not SOFs.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def sniff_image_meta(data: bytes) -> tuple[int, int, int, str] | None:
+    """(width, height, channels, format) from container headers, or None if
+    the bytes are not a recognized image.  Pure byte parsing — real decode
+    of real files, no image library."""
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", data[16:24])
+        color_type = data[25] if len(data) > 25 else 6
+        return w, h, _PNG_CHANNELS.get(color_type, 3), "png"
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h, 3, "gif"
+    if len(data) >= 30 and data[:2] == b"BM":
+        header_size = struct.unpack("<I", data[14:18])[0]
+        if header_size >= 40:  # BITMAPINFOHEADER family
+            w, h = struct.unpack("<ii", data[18:26])
+            bpp = struct.unpack("<H", data[28:30])[0]
+            return w, abs(h), max(1, bpp // 8), "bmp"
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        # scan marker segments for a start-of-frame
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2
+                continue
+            if i + 4 > len(data):
+                break
+            seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+            if marker in _JPEG_SOF and i + 9 <= len(data):
+                h, w = struct.unpack(">HH", data[i + 5:i + 9])
+                n_comp = data[i + 9] if i + 9 < len(data) else 3
+                return w, h, n_comp, "jpeg"
+            i += 2 + seg_len
+    return None
+
+
+def sniff_wav_meta(data: bytes) -> tuple[int, int, int, float] | None:
+    """(channels, sample_rate, bits_per_sample, duration_ms) from a RIFF
+    WAVE header, or None.  Walks the chunk list for fmt/data."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    channels = rate = bits = None
+    data_len = None
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        clen = struct.unpack("<I", data[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(data):
+            channels, rate = struct.unpack("<HI", data[i + 10:i + 16])
+            bits = struct.unpack("<H", data[i + 22:i + 24])[0]
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if channels is None or not rate:
+        return None
+    byte_rate = rate * channels * max(1, (bits or 8) // 8)
+    duration_ms = (data_len / byte_rate * 1000.0) if data_len else 0.0
+    return channels, rate, bits or 8, duration_ms
 
 
 def _fake_image_meta(data: bytes) -> tuple[int, int, int, str]:
@@ -44,12 +125,12 @@ def _fake_image_meta(data: bytes) -> tuple[int, int, int, str]:
 
 def decode_image_meta(df: DataFrame, binary_col: str = "data",
                       id_col: str = "media_id", *, fake: bool = False) -> DataFrame:
-    """binary column → typed image metadata rows via mapInPandas."""
-    if not fake:
-        raise NotImplementedError(
-            "real image decoding needs PIL/OpenCV (not in this container); "
-            "pass fake=True for the deterministic stub")
+    """binary column → typed image metadata rows via mapInPandas.
 
+    ``fake=False`` (default) parses REAL container headers
+    (:func:`sniff_image_meta`); unrecognized bytes get format='unknown' and
+    null dimensions.  ``fake=True`` keeps the deterministic stub for driving
+    the plumbing with arbitrary (non-image) bytes."""
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -58,7 +139,12 @@ def decode_image_meta(df: DataFrame, binary_col: str = "data",
                                     "width", "height", "channels", "format")}
             for mid, data in zip(pdf[id_col], pdf[binary_col]):
                 b = bytes(data) if data is not None else b""
-                w, hgt, ch, fmt = _fake_image_meta(b)
+                if fake:
+                    w, hgt, ch, fmt = _fake_image_meta(b)
+                else:
+                    sniffed = sniff_image_meta(b)
+                    w, hgt, ch, fmt = sniffed if sniffed is not None else (
+                        None, None, None, "unknown")
                 rows["media_id"].append(mid)
                 rows["byte_len"].append(len(b))
                 rows["content_hash"].append(hashlib.sha256(b).hexdigest())
@@ -69,6 +155,38 @@ def decode_image_meta(df: DataFrame, binary_col: str = "data",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def decode_audio_meta(df: DataFrame, binary_col: str = "data",
+                      id_col: str = "media_id") -> DataFrame:
+    """binary column → typed audio metadata rows (REAL RIFF/WAVE header
+    parse, :func:`sniff_wav_meta`); non-WAV bytes get format='unknown'."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "byte_len", "channels",
+                                    "sample_rate", "bits_per_sample",
+                                    "duration_ms", "format")}
+            for mid, data in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(data) if data is not None else b""
+                sniffed = sniff_wav_meta(b)
+                if sniffed is None:
+                    ch, rate, bits, dur = None, None, None, None
+                    fmt = "unknown"
+                else:
+                    ch, rate, bits, dur = sniffed
+                    fmt = "wav"
+                rows["media_id"].append(mid)
+                rows["byte_len"].append(len(b))
+                rows["channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["bits_per_sample"].append(bits)
+                rows["duration_ms"].append(dur)
+                rows["format"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
 def sample_frames(df: DataFrame, binary_col: str = "data",

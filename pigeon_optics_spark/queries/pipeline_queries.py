@@ -420,3 +420,105 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("multimodal_frame_sample", multimodal_frame_sample, None)
+
+
+def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Synthesize REAL container bytes (valid PNG/GIF/BMP headers or RIFF
+    WAVE files) per document, dimensions derived from doc_id so DuckDB can
+    reproduce the expected metadata arithmetically.  The bytes are built in
+    an executor-side mapInPandas kernel — the decode below then parses
+    genuine format headers, not a fake."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def make_png(w: int, h: int) -> bytes:
+        ihdr = _struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+        chunk = b"IHDR" + ihdr
+        return (b"\x89PNG\r\n\x1a\n" + _struct.pack(">I", 13) + chunk
+                + _struct.pack(">I", _zlib.crc32(chunk) & 0xFFFFFFFF))
+
+    def make_gif(w: int, h: int) -> bytes:
+        return b"GIF89a" + _struct.pack("<HH", w, h) + b"\x00\x00\x00;"
+
+    def make_bmp(w: int, h: int) -> bytes:
+        info = _struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 20
+        return (b"BM" + _struct.pack("<I", 54) + b"\x00" * 4
+                + _struct.pack("<I", 54) + info)
+
+    def make_wav(rate: int, ch: int, data_len: int) -> bytes:
+        fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        body = (b"fmt " + _struct.pack("<I", 16) + fmt
+                + b"data" + _struct.pack("<I", data_len) + b"\x00" * data_len)
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "data": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if kind == "image":
+                    w, h = mid % 640 + 16, mid % 480 + 16
+                    b = [make_png, make_gif, make_bmp][mid % 3](w, h)
+                else:
+                    rate = 8000 + (mid % 8) * 1000
+                    ch = 1 + mid % 2
+                    b = make_wav(rate, ch, (mid % 50 + 1) * 320)
+                out["media_id"].append(mid)
+                out["data"].append(b)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema="media_id long, data binary")
+
+
+def multimodal_real_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL header decode (no fake): synthesized PNG/GIF/BMP bytes parsed by
+    the pure-Python container sniffers — oracle-checked dimensions."""
+    from ..pipeline.multimodal import decode_image_meta
+
+    media = _synth_media(spark, sf_dir, "image")
+    return decode_image_meta(media).select(
+        "media_id", "width", "height", "channels", "format")
+
+
+_REAL_IMAGE_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST(doc_id % 480 + 16 AS INT) AS height,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS INT) AS channels,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END
+         AS format
+FROM documents WHERE doc_id <= 300
+"""
+
+register("multimodal_real_image_meta", multimodal_real_image_meta,
+         _REAL_IMAGE_ORACLE)
+
+
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE header decode of synthesized audio bytes."""
+    from ..pipeline.multimodal import decode_audio_meta
+
+    media = _synth_media(spark, sf_dir, "audio")
+    return decode_audio_meta(media).select(
+        "media_id", "channels", "sample_rate", "bits_per_sample",
+        "duration_ms", "format")
+
+
+_AUDIO_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST((doc_id % 50 + 1) * 320 AS DOUBLE)
+         / ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2) * 1000
+         AS duration_ms,
+       'wav' AS format
+FROM documents WHERE doc_id <= 300
+"""
+
+register("multimodal_audio_meta", multimodal_audio_meta, _AUDIO_ORACLE)
