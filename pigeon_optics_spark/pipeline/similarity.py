@@ -10,8 +10,17 @@
 
 At 100 TB: norms and bucket signatures are per-row (no shuffle); the
 candidate join shuffles only on (bucket), and the query side is tiny →
-broadcast.  An IVF variant (k-means coarse quantizer) would replace the
-bucket fn; LSH is preferred here because it needs no training state.
+broadcast.
+
+- ``ivf_topk``: IVF-flat with a deterministic TRAINLESS coarse quantizer —
+  centroids are the corpus vectors with the smallest ids (sampled-centroid
+  initialization; a production deployment would train k-means offline and
+  ship the centroids the same way).  Cell assignment is a per-row argmax
+  over literal centroid arrays (no shuffle, no training state on
+  executors); queries probe their ``n_probe`` nearest cells and the exact
+  cosine runs only inside probed cells.  This is the partition-pruning
+  family of ANN: at scale, cells map to partitions and a query touches
+  n_probe/n_centroids of the corpus.
 """
 
 from __future__ import annotations
@@ -93,6 +102,64 @@ def lsh_bucket_col(vec, n_planes: int = N_PLANES) -> Column:
         F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)),
                     lambda p: F.when(plane_dot(p) >= 0, "1").otherwise("0")),
         "",
+    )
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             q_id: str = "vec_id", q_vec: str = "embedding",
+             c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+    """IVF-flat approximate top-k (see module docstring for the quantizer).
+
+    → (query_id, rank, neighbor_id, cosine).  Plan: per-row cell argmax over
+    literal centroids (no shuffle) → corpus partitioned by cell; query side
+    probes its n_probe best cells and broadcasts into the cell equi-join;
+    exact cosine only inside probed cells.  Ties in centroid scores break
+    toward the larger cid (max-struct semantics, mirrored in the oracle)."""
+    cents = corpus.orderBy(c_id).limit(n_centroids) \
+        .select(c_id, c_vec).collect()
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(j).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in row[c_vec]]).alias("cv"),
+        )
+        for j, row in enumerate(cents)
+    ])
+
+    def scored(vec) -> Column:
+        v = F.col(vec) if isinstance(vec, str) else vec
+        return F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (dot_col(v, c["cv"]) / (norm_col(v) * norm_col(c["cv"])))
+                .alias("cos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
+        norm_col(c_vec).alias("cn"),
+        F.array_max(scored(c_vec)).getField("cid").alias("cell"),
+    )
+    q = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
+        norm_col(q_vec).alias("qn"),
+        F.explode(F.transform(
+            F.slice(F.reverse(F.array_sort(scored(q_vec))), 1, n_probe),
+            lambda s: s["cid"],
+        )).alias("cell"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
     )
 
 

@@ -366,6 +366,50 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 register("ann_lsh_topk", ann_lsh_topk, _ANN_LSH_ORACLE)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+
+
+_ANN_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+assign AS (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid DESC) AS rn
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           {_COS_SQL.format(a='e.embedding', b='c.cv')} AS cos
+    FROM embeddings e CROSS JOIN cents c
+  )
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell
+           FROM assign WHERE vec_id < 10 AND rn <= 4),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='p.qv', b='c.embedding')} AS cosine
+  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+register("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.dedup import embedding_neardup_pairs
 

@@ -251,6 +251,56 @@ FROM documents WHERE doc_id <= 100
 register("codec_zip_manifest", codec_zip_manifest, _ZIP_ORACLE)
 
 
+def reactive_dag_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reactive lens DAG (SURVEY §2.9): dataset → lens A → lens B, built by
+    the change-propagation CASCADE (rebuild_affected), not by direct build
+    calls; then a point write re-cascades incrementally.  Lens B's final
+    state is the oracle-checked result — covering lens-reads-lens
+    composition, transitive change propagation, and convergence."""
+    from ..streaming import rebuild_affected
+
+    key = (sf_dir, "reactive")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store.create("t", "ro")
+        store.write_entries_df(spark, "t", "ro",
+                               load(spark, sf_dir, "orders")
+                               .where(F.col("o_orderkey") <= 2000)
+                               .select(F.col("o_orderkey").alias("record_id"),
+                                       F.to_json(F.struct(
+                                           "o_orderstatus",
+                                           "o_orderpriority")).alias("value")))
+        create_lens(store, "t", "by-status-prio",
+                    inputs=["/datasets/t:ro"],
+                    code="output(data['o_orderstatus'] + '|' "
+                         "+ data['o_orderpriority'], 1)")
+        create_lens(store, "t", "by-status",
+                    inputs=["/lenses/t:by-status-prio"],
+                    code="output(path.recordID.split('|')[0], data)")
+        # cascade builds BOTH lenses transitively off the dataset change
+        built = rebuild_affected(spark, store, ["/datasets/t:ro"])
+        assert [b["lens"] for b in built][:2] == ["t:by-status-prio", "t:by-status"]
+        # point mutation → incremental re-cascade
+        store.write_entries("t", "ro", [("synthetic-1", {
+            "o_orderstatus": "F", "o_orderpriority": "1-URGENT"})])
+        rebuild_affected(spark, store, ["/datasets/t:ro"])
+        _STORES[key] = store
+    store = _STORES[key]
+    out = store.read_df(spark, "t", "by-status", source="lenses")
+    return out.select(F.col("record_id").alias("status"),
+                      F.col("value").cast("long").alias("n_orders"))
+
+
+_REACTIVE_ORACLE = """
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders FROM (
+  SELECT o_orderstatus AS status FROM orders WHERE o_orderkey <= 2000
+  UNION ALL SELECT 'F'
+) GROUP BY status
+"""
+
+register("reactive_dag_cascade", reactive_dag_cascade, _REACTIVE_ORACLE)
+
+
 def lens_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance end-to-end (SURVEY §4 'the one genuinely
     novel piece'): build a count-by-status lens over orders, then append one
