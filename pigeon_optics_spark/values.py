@@ -386,12 +386,15 @@ def natural_sort_key(s: str) -> tuple:
 def natural_pad(s: str, width: int = 24) -> str:
     """Python twin of :func:`natural_sort_col_expr`: left-pad digit runs so
     plain string comparison gives natural order.  Must stay byte-identical to
-    the SQL expression (both are used as sort keys for the same data)."""
+    the SQL expression (both are used as sort keys for the same data) —
+    including Spark ``lpad``'s truncate-to-width behavior for digit runs
+    longer than ``width`` (pathological ids; the raw-string tiebreak keeps
+    ordering deterministic for them on both paths)."""
     parts = _NAT_SPLIT.split(s)
     out = []
     for i, p in enumerate(parts):
         if i % 2:
-            out.append(p.rjust(width, "0"))
+            out.append(p[:width] if len(p) > width else p.rjust(width, "0"))
         elif p:
             out.append(p)
     return "".join(out)

@@ -163,13 +163,26 @@ def test_natural_sort_digits_before_letters():
     assert sorted(["1", "01"], key=natural_sort_key) == ["01", "1"]
 
 
+def test_natural_pad_truncates_like_spark_lpad(spark):
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.values import natural_pad, natural_sort_col_expr
+
+    long_run = "x" + "9" * 30 + "y"  # digit run longer than the pad width
+    df = spark.createDataFrame([(long_run,)], "rid string")
+    spark_key = df.select(
+        F.expr(natural_sort_col_expr("rid")).alias("k")).collect()[0]["k"]
+    assert natural_pad(long_run) == spark_key
+
+
 def test_natural_sort_matches_spark_path(spark):
     # the driver-side key and the Spark ORDER BY must produce the same order
     from pyspark.sql import functions as F
 
     from pigeon_optics_spark.values import natural_sort_col_expr
 
-    ids = ["1", "01", "a", "a1", "a01", "10", "2", "z9", "z10", "B", "item1"]
+    ids = ["1", "01", "a", "a1", "a01", "10", "2", "z9", "z10", "B", "item1",
+           "n" + "1" * 30, "n" + "2" * 25]
     df = spark.createDataFrame([(i,) for i in ids], "record_id string")
     expr = natural_sort_col_expr("record_id")
     spark_order = [r["record_id"] for r in df.orderBy(
