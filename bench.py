@@ -58,6 +58,17 @@ def main() -> None:
     t0 = time.time()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    # first Arrow/pandas-UDF stage in a process pays ~2.5s of one-time
+    # ArrowPythonRunner + worker-pool setup — warm it (with the store's own
+    # hash/links UDFs) so the first store ingest measures throughput, not
+    # infrastructure init
+    from pyspark.sql import functions as _F
+
+    from pigeon_optics_spark.udfs import hash_value_udf, links_udf
+
+    (spark.range(64, numPartitions=32)
+     .select(_F.lit('{"a":1}').alias("value"))
+     .select(hash_value_udf("value"), links_udf("value")).collect())
     print(f"# warmup: {time.time() - t0:.2f}s", file=sys.stderr)
 
     qs = all_queries()

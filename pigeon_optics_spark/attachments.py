@@ -129,7 +129,8 @@ class AttachmentStore:
             df = store.read_df(spark, meta.author, meta.name, source=meta.source)
             dfs.append(df.select(F.explode("links").alias("url")))
         if not dfs:
-            return spark.createDataFrame([], "hash string")
+            from .store import empty_local_df
+            return empty_local_df(spark, "hash string")
         allu = dfs[0]
         for d in dfs[1:]:
             allu = allu.unionByName(d)

@@ -661,6 +661,14 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         fresh = fresh.unionByName(d)
 
     # ---- map phase over fresh records only --------------------------------
+    # The per-record ``exec`` is the CPU-bound stage of the whole build, but
+    # its natural partitioning is whatever the upstream scan/shuffle left
+    # (AQE's 64MB advisory coalesces a 600k-row delta to 1-2 partitions —
+    # sized for shuffle IO, ~30x under-parallel for Python execution).
+    # Round-robin to the session's parallelism: the shuffle moves a few
+    # dozen MB once, the exec stage then uses every core.  Same sizing a
+    # cluster job would pick for a CPU-bound stage (2-3x total cores).
+    fresh = fresh.repartition(spark.sparkContext.defaultParallelism)
     mapped = map_records(fresh, code, timeout_ms)
 
     cache_entries = mapped.select(

@@ -101,6 +101,24 @@ class CollectionMeta:
         return f"{self.source}/{self.author}/{self.name}"
 
 
+def empty_local_df(spark, schema: str):
+    """Zero-row DataFrame backed by an empty ``LocalTableScan``, NOT
+    ``createDataFrame([])``'s ExistingRDD scan: Catalyst's
+    PropagateEmptyRelation then deletes joins AND unions against it at plan
+    time, where an ExistingRDD's unknown stats force real shuffle stages
+    (a first lens build was paying a 32-task sort-merge join against an
+    empty cache).  Built via ``WHERE 1=0`` so the optimizer folds it to a
+    true LocalRelation (an empty ``Range`` only gets join elimination,
+    not union elimination)."""
+    from pyspark.sql.types import StructType
+
+    fields = StructType.fromDDL(schema)
+    cols = ", ".join(
+        f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for f in fields)
+    return spark.sql(f"SELECT {cols} WHERE 1=0")
+
+
 def _validate_name(name: str) -> None:
     if not isinstance(name, str) or not (1 <= len(name) <= MAX_NAME_LEN):
         raise StoreError(f"invalid collection name: {name!r}")
@@ -309,7 +327,9 @@ class DatasetStore:
         meta = self._meta(source, author, name)
         segs = self._segments(meta)
         if not segs:
-            return spark.createDataFrame([], schema="record_id string, value string, hash string, links array<string>, version long")
+            return empty_local_df(
+                spark, "record_id string, value string, hash string, "
+                       "links array<string>, version long")
         df = spark.read.parquet(*segs)
         if len(segs) > 1:
             # latest-wins only matters when a record_id can appear in more
@@ -353,9 +373,9 @@ class DatasetStore:
                     segs.append(os.path.join(d, fn))
         cols = ["record_id", "value", "hash", "links", "version", "deleted"]
         if not segs:
-            return spark.createDataFrame(
-                [], "record_id string, value string, hash string, "
-                    "links array<string>, version long, deleted boolean")
+            return empty_local_df(
+                spark, "record_id string, value string, hash string, "
+                       "links array<string>, version long, deleted boolean")
         df = spark.read.parquet(*segs)
         if len(segs) > 1:
             w = Window.partitionBy("record_id").orderBy(F.desc("seq"))
@@ -495,6 +515,11 @@ class DatasetStore:
 
         from .udfs import hash_value_udf, links_udf
 
+        _t0 = time.time()
+        _trace = (lambda tag: print(
+            f"[write_entries_df {author}:{name}] {tag}: {time.time() - _t0:.2f}s",
+            flush=True)) if os.environ.get("PO_STORE_TIMING") else (lambda tag: None)
+
         meta = self._meta(source, author, name)
         next_version = meta.version + 1
         empty = not self._segments(meta)
@@ -503,6 +528,13 @@ class DatasetStore:
         # passing a numeric key column doesn't write a drifted segment schema
         # (driver-side iterate/export would then crash on natural-sort)
         df = df.withColumn("record_id", F.col("record_id").cast("string"))
+        # canonical-hash + link extraction are CPU-bound Python (Arrow
+        # batches); inherit-the-scan partitioning routinely under-parallelizes
+        # them (AQE's IO-sized coalesce can leave a 600k-row batch on 1-2
+        # partitions).  Round-robin to session parallelism first — the
+        # shuffle is cheap relative to ~16us/record hashing, and the segment
+        # directory tolerates any file count.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
         upserts_in = (
             df.select("record_id", "value").where(F.col("value").isNotNull())
             # maxRecordSize guard, JVM-side (octet_length = UTF-8 bytes):
@@ -567,9 +599,11 @@ class DatasetStore:
         seq = meta.last_seq + 1
         suffix = "base" if overwrite else "delta"
         stage = os.path.join(self._dir(meta), f"_stage_{uuid.uuid4().hex}")
+        _trace("plan")
         rows.withColumn("seq", F.lit(seq)).select(
             *[f.name for f in SEGMENT_SCHEMA]
         ).write.mode("overwrite").parquet(stage)
+        _trace("write_job")
 
         parts = _glob.glob(os.path.join(stage, "*.parquet"))
         ver_idx = SEGMENT_SCHEMA.get_field_index("version")
@@ -609,8 +643,10 @@ class DatasetStore:
             meta.base_seq = seq
         meta.version = next_version
         meta.updated = time.time()
+        _trace("footer_scan+rename")
         self._save_catalog()
         self._emit_change(meta)
+        _trace("catalog+events")
         return meta
 
     # -- internals ----------------------------------------------------------

@@ -52,7 +52,8 @@ def read_changes_df(spark, store: DatasetStore):
     """The change feed as a batch DataFrame."""
     d = changes_dir(store)
     if not os.listdir(d):
-        return spark.createDataFrame([], CHANGE_SCHEMA)
+        from .store import empty_local_df
+        return empty_local_df(spark, CHANGE_SCHEMA)
     return spark.read.schema(CHANGE_SCHEMA).json(d)
 
 
