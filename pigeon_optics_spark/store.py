@@ -209,7 +209,7 @@ class DatasetStore:
             return False
         if record_id is None:
             return True
-        return record_id in self._state(self._catalog[key])
+        return record_id in self._state_meta(self._catalog[key])
 
     def delete_collection(self, author: str, name: str, *, source: str = "datasets") -> None:
         import shutil
@@ -268,7 +268,11 @@ class DatasetStore:
         return [p for _s, p in sorted(segs)]
 
     def _state(self, meta: CollectionMeta) -> dict[str, dict]:
-        """record_id -> {value, hash, links, version} latest-wins resolution."""
+        """record_id -> {value, hash, links, version} latest-wins resolution.
+
+        Loads VALUES into driver memory — only for whole-collection rewrites
+        (compact, overwrite).  Everything else uses :meth:`_state_meta`
+        (metadata only) + :meth:`_read_values` (filtered value fetch)."""
         state: dict[str, dict] = {}
         for path in self._segments(meta):
             table = pq.read_table(path)
@@ -284,33 +288,88 @@ class DatasetStore:
                     }
         return state
 
+    def _state_meta(self, meta: CollectionMeta) -> dict[str, dict]:
+        """record_id -> {hash, links, version} latest-wins resolution with
+        the fat ``value`` column never leaving parquet: driver memory is
+        O(ids + hashes), not O(data).  Backs listing, existence tests,
+        iteration order, and write-path hash suppression."""
+        state: dict[str, dict] = {}
+        for path in self._segments(meta):
+            table = pq.read_table(
+                path, columns=["record_id", "hash", "links", "version", "deleted"])
+            for row in table.to_pylist():
+                if row["deleted"]:
+                    state.pop(row["record_id"], None)
+                else:
+                    state[row["record_id"]] = {
+                        "hash": row["hash"],
+                        "links": row["links"],
+                        "version": row["version"],
+                    }
+        return state
+
+    def _read_values(self, meta: CollectionMeta,
+                     ids: Iterable[str]) -> dict[str, str]:
+        """Latest-wins tagged-JSON values for the given ids only — one
+        filtered, column-pruned read per segment (the ``record_id IN (...)``
+        predicate prunes row groups via parquet statistics), so a point read
+        touches a handful of pages regardless of collection size."""
+        import pyarrow.compute as pc
+
+        wanted = list(dict.fromkeys(ids))
+        if not wanted:
+            return {}
+        vals: dict[str, str] = {}
+        flt = pc.field("record_id").isin(wanted)
+        for path in self._segments(meta):
+            table = pq.read_table(
+                path, columns=["record_id", "value", "deleted"], filters=flt)
+            for row in table.to_pylist():
+                if row["deleted"]:
+                    vals.pop(row["record_id"], None)
+                else:
+                    vals[row["record_id"]] = row["value"]
+        return vals
+
     # -- reads --------------------------------------------------------------
 
     def read(self, author: str, name: str, record_id: str, *,
              source: str = "datasets") -> Any:
+        """Point lookup: a filtered parquet read per segment (row-group
+        pruned), never a collection load."""
         meta = self._meta(source, author, name)
-        st = self._state(meta)
-        if record_id not in st:
+        vals = self._read_values(meta, [record_id])
+        if record_id not in vals:
             raise KeyError(record_id)
-        return tagged_to_value(json.loads(st[record_id]["value"]))
+        return tagged_to_value(json.loads(vals[record_id]))
 
     def list_record_ids(self, author: str, name: str, *, source: str = "datasets") -> list[str]:
         meta = self._meta(source, author, name)
-        return sorted(self._state(meta), key=natural_sort_key)
+        return sorted(self._state_meta(meta), key=natural_sort_key)
 
     def iterate(self, author: str, name: str, *, source: str = "datasets",
-                fast_read: bool = False) -> Iterator[dict]:
+                fast_read: bool = False,
+                value_chunk_size: int = 10_000) -> Iterator[dict]:
         """Yield {id, version, hash, links[, value]} in natural-sort order
-        (ref base-data-model.js:89-117)."""
+        (ref base-data-model.js:89-117).
+
+        Memory-bounded: the id/metadata index is resolved without loading
+        values; with ``fast_read`` values are fetched in natural-order
+        chunks of ``value_chunk_size`` ids via filtered segment reads, so
+        peak driver memory is one chunk of values, not the collection."""
         meta = self._meta(source, author, name)
-        st = self._state(meta)
-        for rid in sorted(st, key=natural_sort_key):
-            rec = st[rid]
-            out = {"id": rid, "version": rec["version"], "hash": rec["hash"],
-                   "links": rec["links"]}
-            if fast_read:
-                out["value"] = tagged_to_value(json.loads(rec["value"]))
-            yield out
+        st = self._state_meta(meta)
+        order = sorted(st, key=natural_sort_key)
+        for start in range(0, len(order), value_chunk_size):
+            chunk = order[start:start + value_chunk_size]
+            vals = self._read_values(meta, chunk) if fast_read else {}
+            for rid in chunk:
+                rec = st[rid]
+                out = {"id": rid, "version": rec["version"],
+                       "hash": rec["hash"], "links": rec["links"]}
+                if fast_read:
+                    out["value"] = tagged_to_value(json.loads(vals[rid]))
+                yield out
 
     def read_df(self, spark, author: str, name: str, *, source: str = "datasets"):
         """Current state as a Spark DataFrame
@@ -430,7 +489,9 @@ class DatasetStore:
         row nor bump versions.
         """
         meta = self._meta(source, author, name)
-        current = self._state(meta)
+        # overwrite re-emits suppressed rows' values into the base segment;
+        # plain upserts only compare hashes — keep values out of memory there
+        current = self._state(meta) if overwrite else self._state_meta(meta)
         next_version = meta.version + 1
 
         rows: list[dict] = []

@@ -184,3 +184,35 @@ def test_change_events_written(store, tmp_path):
     evt = json.load(open(os.path.join(changes_dir, files[-1])))
     assert evt["path"] == "/datasets/a:d"
     assert evt["version"] == 1
+
+
+def test_point_read_is_filtered_not_full_scan(store):
+    """read() resolves via per-segment filtered reads (latest-wins across
+    segments, tombstone-aware) without a collection load."""
+    store.create("a", "pr")
+    store.write_entries("a", "pr", [(f"r{i}", {"v": i}) for i in range(20)])
+    store.write_entries("a", "pr", [("r3", {"v": 333}), ("r4", None)])
+    assert store.read("a", "pr", "r3") == {"v": 333}
+    assert store.read("a", "pr", "r5") == {"v": 5}
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        store.read("a", "pr", "r4")  # tombstoned in the newest segment
+    with _pytest.raises(KeyError):
+        store.read("a", "pr", "nope")
+
+
+def test_iterate_chunked_fast_read(store):
+    """fast_read fetches values in natural-order chunks; results must be
+    identical across chunk sizes and reflect cross-segment updates."""
+    store.create("a", "ch")
+    store.write_entries("a", "ch", [(f"r{i}", {"v": i}) for i in range(25)])
+    store.write_entries("a", "ch", [("r7", {"v": 700}), ("r12", None)])
+    whole = list(store.iterate("a", "ch", fast_read=True,
+                               value_chunk_size=1000))
+    tiny = list(store.iterate("a", "ch", fast_read=True, value_chunk_size=4))
+    assert whole == tiny
+    ids = [r["id"] for r in whole]
+    assert "r12" not in ids
+    by_id = {r["id"]: r["value"] for r in whole}
+    assert by_id["r7"] == {"v": 700}
+    assert by_id["r24"] == {"v": 24}
