@@ -370,3 +370,61 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         ).alias("simhash"))
         .select(F.col("id").alias(id_col), "simhash")
     )
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components → (id, component_id),
+    ``component_id`` = the lexicographically smallest member.
+
+    This is the step after pair detection in a dedup pipeline: keep one
+    canonical doc per component instead of dropping one doc per pair (pair-
+    wise dropping over-deletes chains: a~b, b~c drops b AND c even when
+    a~c is false).
+
+    Algorithm: min-label propagation with pointer jumping — each round a
+    node adopts the smallest label among itself, its neighbors' labels, and
+    its label's own label (``comp[comp[n]]``, the doubling step that makes
+    long chains converge in O(log n) rounds instead of O(diameter)).  Each
+    round is two shuffles (join + groupBy-min) over the label table; edges
+    are never mutated.  Convergence = a round changes no label (checked on
+    the driver with one count per round — scalar, not collect).
+
+    Determinism: labels are ids, min is total, order-free.
+
+    Iteration hygiene: every round ends in ``localCheckpoint`` — the
+    self-join (pointer jump) references the label table twice, so without
+    lineage truncation the logical plan DOUBLES per round and the driver
+    spends exponential time planning (the classic Spark iterative-algorithm
+    trap; this hung before the checkpoint was added).
+    """
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .unionByName(pairs.select(F.col(dst).alias("a"),
+                                       F.col(src).alias("b")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint())
+
+    for _ in range(max_iter):
+        # neighbor labels ∪ own label ∪ label-of-label (pointer jump)
+        via_edge = (edges.join(labels, edges["b"] == labels["node"])
+                    .select(F.col("a").alias("node"), "comp"))
+        via_jump = (labels.alias("l1")
+                    .join(labels.alias("l2"),
+                          F.col("l1.comp") == F.col("l2.node"))
+                    .select(F.col("l1.node").alias("node"),
+                            F.col("l2.comp").alias("comp")))
+        nxt = (labels.unionByName(via_edge).unionByName(via_jump)
+               .groupBy("node").agg(F.min("comp").alias("comp"))
+               .localCheckpoint())
+        changed = (nxt.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = nxt
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node").alias("id"),
+                         F.col("comp").alias("component_id"))

@@ -253,6 +253,49 @@ WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 register("dedup_minhash_pairs", dedup_minhash_pairs, _MINHASH_ORACLE)
 
 
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: minhash pairs → connected components → one
+    (doc_id, component_id) row per doc that has at least one near-dup.
+    component_id = smallest member under the id column's ordering (the canonical doc a
+    dedup pass would keep).  The iterative min-label/pointer-jump algorithm
+    is in pipeline.dedup.connected_components; the oracle replays it as a
+    DuckDB recursive CTE (transitive closure + MIN — fine at oracle scale,
+    the Spark side is the log-round scale path)."""
+    from ..pipeline.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return (connected_components(pairs)
+            .select(F.col("id").alias("doc_id"), "component_id"))
+
+
+_COMPONENTS_ORACLE = _MINHASH_ORACLE.replace(
+    "SELECT id_a, id_b,", "SELECT id_a, id_b FROM (SELECT id_a, id_b,",
+    1).replace("WITH sh AS (", "WITH RECURSIVE sh AS (", 1) + """
+) pairs_q
+"""
+# splice the recursive closure on top of the pair query
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE final_pairs AS (
+""" + _COMPONENTS_ORACLE.replace("WITH RECURSIVE sh AS (", "WITH sh AS (", 1) + """
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM final_pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM final_pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+"""
+
+register("dedup_minhash_components", dedup_minhash_components,
+         _COMPONENTS_ORACLE)
+
+
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load(spark, sf_dir, "documents"))
 

@@ -56,3 +56,28 @@ def test_exact_dedup_catches_what_cap_drops(boilerplate):
     groups = exact_dedup(boilerplate).collect()
     by_count = {r["dup_count"]: r for r in groups}
     assert 200 in by_count  # the boilerplate cluster collapses to one rep
+
+
+def test_connected_components_chain_and_islands(spark):
+    from pigeon_optics_spark.pipeline.dedup import connected_components
+
+    # chain a-b-c-d (one component, min=a), island x-y, pair m-n
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"), ("n", "m")],
+        "id_a string, id_b string")
+    out = {r["id"]: r["component_id"]
+           for r in connected_components(pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x", "m": "m", "n": "m"}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from pigeon_optics_spark.pipeline.dedup import connected_components
+
+    # 40-node chain: pointer jumping must converge well under max_iter
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(39)],
+        "id_a string, id_b string")
+    rows = connected_components(pairs, max_iter=10).collect()
+    assert len(rows) == 40
+    assert {r["component_id"] for r in rows} == {"n00"}
