@@ -113,3 +113,57 @@ def fingerprint(df: DataFrame, text_col: str = "text", shingle: int = 8) -> Data
             F.transform(positions,
                         lambda i: F.md5(F.col(text_col).substr(i, F.lit(shingle)))))
     )
+
+
+def deterministic_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                         salt: str = "po") -> DataFrame:
+    """Reproducible corpus subsample: keep rows whose md5(salt||key) falls
+    under ``rate`` of the hash space.
+
+    The property that matters for training-data work is that the SAME rows
+    are kept on every run, every engine, any partitioning — unlike
+    ``df.sample`` (seeded per-partition, so repartitioning changes the
+    sample).  Pure filter: no shuffle, pushes to the scan, composes with
+    stratification by salting per stratum (``salt=f"{lang}:{snapshot}"``).
+    16 hex digits = 64 bits; threshold computed in exact integer space.
+    """
+    threshold = int(rate * (1 << 60))
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                               F.col(key_col).cast("string"))),
+                                1, 15), 16, 10).cast("long")
+    return df.where(bucket < F.lit(threshold))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top_k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    → (doc_id, term, tf, doc_freq, score, rank).
+
+    idf is the RATIONAL variant ``(N + 1) / (doc_freq + 1)`` — a single
+    exactly-rounded IEEE division — rather than the usual logarithm:
+    ``ln`` is not guaranteed bit-identical across math libraries (JVM
+    StrictMath vs DuckDB's libm), and the correctness gate hashes values
+    exactly.  Ranking is unaffected (x ↦ ln is monotone), which is what
+    top-k consumes.
+
+    Shape: explode → (doc,term) count [map-side combine] → term doc-freq
+    [second combine agg] → broadcast-join doc-freqs if small / shuffle
+    join otherwise (AQE decides) → per-doc window top-k.  Ties break on
+    term ASC so the result is a deterministic set.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(words_col(text_col)).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n")).collect()[0]["n"]
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score",
+                          F.col("tf").cast("double")
+                          * (F.lit(float(n_docs + 1))
+                             / (F.col("doc_freq") + F.lit(1)).cast("double"))))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("doc_id", "term", "tf", "doc_freq", "score", "rank"))

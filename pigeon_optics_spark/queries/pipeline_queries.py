@@ -19,6 +19,8 @@ from ..pipeline.dedup import (
 )
 from ..pipeline.similarity import cosine_topk, lsh_bucketed_topk
 from ..pipeline.text import (
+    deterministic_sample,
+    tfidf_top_terms,
     STOPWORDS,
     TOKEN_RE,
     fingerprint,
@@ -138,6 +140,60 @@ FROM documents
 """
 
 register("text_fingerprint", text_fingerprint, _FP_ORACLE)
+
+
+def text_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 25% corpus sample — same rows on every engine/run
+    (md5-threshold keep rule; pipeline.text.deterministic_sample)."""
+    docs = load(spark, sf_dir, "documents")
+    return (deterministic_sample(docs, 0.25, "doc_id")
+            .select("doc_id", F.length("text").alias("text_len")))
+
+
+#: int(0.25 * 2**60) — the sampler's exact integer threshold for rate=0.25
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, LENGTH(text) AS text_len
+FROM documents
+WHERE ('0x' || substr(md5('po' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < {int(0.25 * (1 << 60))}
+"""
+
+register("text_sample_documents", text_sample_documents, _SAMPLE_ORACLE)
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc, rational-idf tf·idf (see
+    pipeline.text.tfidf_top_terms for why idf is (N+1)/(df+1), not ln)."""
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=3)
+
+
+_TFIDF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, w AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         CAST(tf.tf AS DOUBLE)
+         * (CAST((SELECT n_docs FROM n) + 1 AS DOUBLE)
+            / CAST(dfreq.doc_freq + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, doc_freq, score, rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+register("text_tfidf_top_terms", text_tfidf_top_terms, _TFIDF_ORACLE)
 
 
 # --------------------------------------------------------------------------

@@ -8,6 +8,7 @@ candidate join without losing pairs that share any healthy bucket.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from pigeon_optics_spark.pipeline.dedup import (
     exact_dedup,
@@ -81,3 +82,31 @@ def test_connected_components_long_chain_converges(spark):
     rows = connected_components(pairs, max_iter=10).collect()
     assert len(rows) == 40
     assert {r["component_id"] for r in rows} == {"n00"}
+
+
+def test_deterministic_sample_partition_invariant(spark):
+    from pigeon_optics_spark.pipeline.text import deterministic_sample
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"] for r in deterministic_sample(df, 0.3).collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(df.repartition(13), 0.3).collect()}
+    assert a == b            # unlike df.sample, repartitioning changes nothing
+    assert 0.2 < len(a) / 2000 < 0.4
+    # salt gives an independent sample
+    c = {r["doc_id"] for r in deterministic_sample(df, 0.3, salt="other").collect()}
+    assert c != a
+
+
+def test_tfidf_top_terms_tiny(spark):
+    from pigeon_optics_spark.pipeline.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id int, text string")
+    out = tfidf_top_terms(docs, top_k=1).collect()
+    top = {r["doc_id"]: (r["term"], r["tf"], r["doc_freq"]) for r in out}
+    # doc 1: apple tf=2 df=1 → score 2*(4/2)=4 beats banana 1*(4/3)
+    assert top[1] == ("apple", 2, 1)
+    # doc 3: date tf=1 df=1 (2.0) beats cherry 1*(4/3)
+    assert top[3] == ("date", 1, 1)
