@@ -68,6 +68,7 @@ from .store import DatasetStore
 from .values import (
     PMap,
     PSet,
+    canonical_json,
     natural_pad,
     tagged_to_value,
     value_to_tagged,
@@ -137,9 +138,60 @@ class LensHarness:
         except SyntaxError as e:
             raise LensCodeError(f"lens code syntax error: {e}") from e
         self.timeout_ms = timeout_ms
+        self._alarm_active = False
+
+    def _can_alarm(self) -> bool:
+        # SIGALRM only delivers to the main thread — PySpark workers run
+        # tasks there, so this covers the distributed map phase; elsewhere
+        # (exotic threaded embedding) we fall back to the post-hoc check.
+        import signal
+        import threading
+
+        return (self.timeout_ms is not None
+                and hasattr(signal, "setitimer")
+                and threading.current_thread() is threading.main_thread())
+
+    def alarm_scope(self):
+        """Context manager installing the SIGALRM handler ONCE for a run of
+        many records (handler (re)installation costs ~6µs/record — measured —
+        so per-partition installation matters at millions of records).
+        ``run`` then only arms/disarms the interval timer per record."""
+        import signal
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _scope():
+            if not self._can_alarm() or self._alarm_active:
+                yield
+                return
+
+            def _on_alarm(signum, frame):
+                raise _LensTimeout()
+
+            prev_handler = signal.signal(signal.SIGALRM, _on_alarm)
+            self._alarm_active = True
+            try:
+                yield
+            finally:
+                self._alarm_active = False
+                signal.setitimer(signal.ITIMER_REAL, 0)
+                signal.signal(signal.SIGALRM, prev_handler)
+
+        return _scope()
 
     def run(self, path: PathInfo, data: Any):
         """→ (outputs [(emit_idx, out_id, value)], logs [str], errors [dict])"""
+        # Preemptive timeout (ref javascript-lens-worker.js:116,132-135):
+        # SIGALRM interrupts the running bytecode, so an accidental infinite
+        # loop becomes a TimeoutError record instead of a hung executor.
+        # Direct callers get a handler installed around this single record;
+        # batch callers (map_records) hold alarm_scope open across the
+        # partition and only pay the timer syscalls here.
+        if self.timeout_ms is not None and not self._alarm_active \
+                and self._can_alarm():
+            with self.alarm_scope():
+                return self.run(path, data)
+
         outputs: list[tuple[int, str, Any]] = []
         logs: list[str] = []
         errors: list[dict] = []
@@ -166,30 +218,14 @@ class LensHarness:
             "Map": PMap,
             "Markup": Markup,
         }
-        # Preemptive timeout (ref javascript-lens-worker.js:116,132-135):
-        # SIGALRM interrupts the running bytecode, so an accidental infinite
-        # loop becomes a TimeoutError record instead of a hung executor.
-        # SIGALRM only delivers to the main thread — PySpark workers run
-        # tasks there, so this covers the distributed map phase; elsewhere
-        # (exotic threaded embedding) we fall back to the post-hoc check.
         import signal
-        import threading
 
-        use_alarm = (
-            self.timeout_ms is not None
-            and hasattr(signal, "setitimer")
-            and threading.current_thread() is threading.main_thread()
-        )
+        use_alarm = self._alarm_active
         t0 = time.perf_counter()
         timed_out = False
-        prev_handler = None
         try:  # outer guard: a pending alarm can deliver during cleanup
             try:
                 if use_alarm:
-                    def _on_alarm(signum, frame):
-                        raise _LensTimeout()
-
-                    prev_handler = signal.signal(signal.SIGALRM, _on_alarm)
                     signal.setitimer(signal.ITIMER_REAL, self.timeout_ms / 1000.0)
                 exec(self._compiled, env)  # noqa: S102 — sandboxed lens execution
             except _LensTimeout:
@@ -200,9 +236,8 @@ class LensHarness:
                 line = user_frames[-1].lineno if user_frames else None
                 errors.append({"type": type(e).__name__, "message": str(e), "line": line})
             finally:
-                if use_alarm and prev_handler is not None:
+                if use_alarm:
                     signal.setitimer(signal.ITIMER_REAL, 0)
-                    signal.signal(signal.SIGALRM, prev_handler)
         except _LensTimeout:
             timed_out = True
         elapsed_ms = (time.perf_counter() - t0) * 1000
@@ -225,7 +260,7 @@ class LensHarness:
 
 MAP_RESULT_SCHEMA = (
     "path string, record_id string, input_idx int, nat_key string, "
-    "version long, outputs string, logs string, errors string"
+    "version long, outputs string, logs string, errors string, value string"
 )
 
 
@@ -235,34 +270,59 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
 
     One output row per input record; emissions are embedded as a JSON array of
     ``[emit_idx, out_id, tagged_value_json]`` so the row schema stays fixed
-    regardless of the user value shapes.
+    regardless of the user value shapes.  The ``value`` output column is the
+    complete cache-entry JSON in **canonical form** (we are already in Python
+    here, so serializing it at the source is free) — the cache write can then
+    hash it JVM-side (``sha2(value) == object_hash`` for canonical bytes)
+    instead of paying a second Python pass over every row.
     """
     import pandas as pd
 
     def run_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         harness = LensHarness(code, timeout_ms)
-        for pdf in batches:
-            out_rows = {k: [] for k in
-                        ("path", "record_id", "input_idx", "nat_key", "version",
-                         "outputs", "logs", "errors")}
-            for row in pdf.itertuples(index=False):
-                data = tagged_to_value(json.loads(row.value))
-                pinfo = PathInfo(string=row.path, source=row.source,
-                                 author=row.author, name=row.name,
-                                 recordID=row.record_id)
-                outputs, logs, errors = harness.run(pinfo, data)
-                out_rows["path"].append(row.path)
-                out_rows["record_id"].append(row.record_id)
-                out_rows["input_idx"].append(row.input_idx)
-                out_rows["nat_key"].append(natural_pad(row.record_id))
-                out_rows["version"].append(row.version)
-                out_rows["outputs"].append(json.dumps(
-                    [{"i": i, "k": oid,
-                      "v": json.dumps(value_to_tagged(v), ensure_ascii=False)}
-                     for i, oid, v in outputs], ensure_ascii=False))
-                out_rows["logs"].append(json.dumps(logs, ensure_ascii=False))
-                out_rows["errors"].append(json.dumps(errors, ensure_ascii=False))
-            yield pd.DataFrame(out_rows)
+        dumps = json.dumps
+        with harness.alarm_scope():  # install the SIGALRM handler once
+            for pdf in batches:
+                out_rows = {k: [] for k in
+                            ("path", "record_id", "input_idx", "nat_key",
+                             "version", "outputs", "logs", "errors", "value")}
+                for path_s, source, author_s, name_s, rid, version, value, idx in zip(
+                        pdf["path"].tolist(), pdf["source"].tolist(),
+                        pdf["author"].tolist(), pdf["name"].tolist(),
+                        pdf["record_id"].tolist(), pdf["version"].tolist(),
+                        pdf["value"].tolist(), pdf["input_idx"].tolist()):
+                    data = tagged_to_value(json.loads(value))
+                    pinfo = PathInfo(string=path_s, source=source,
+                                     author=author_s, name=name_s,
+                                     recordID=rid)
+                    outputs, logs, errors = harness.run(pinfo, data)
+                    nat_key = natural_pad(rid)
+                    outputs_json = dumps(
+                        [{"i": i, "k": oid,
+                          "v": dumps(value_to_tagged(v), ensure_ascii=False)}
+                         for i, oid, v in outputs], ensure_ascii=False)
+                    logs_json = dumps(logs, ensure_ascii=False)
+                    errors_json = dumps(errors, ensure_ascii=False)
+                    out_rows["path"].append(path_s)
+                    out_rows["record_id"].append(rid)
+                    out_rows["input_idx"].append(idx)
+                    out_rows["nat_key"].append(nat_key)
+                    out_rows["version"].append(version)
+                    out_rows["outputs"].append(outputs_json)
+                    out_rows["logs"].append(logs_json)
+                    out_rows["errors"].append(errors_json)
+                    # plain sorted dumps == canonical_json here: fixed
+                    # identifier keys (never tag-shaped) and str/int values
+                    # are fixpoints of the tagged encoding — verified by
+                    # tests/test_lens.py::test_cache_value_is_canonical
+                    out_rows["value"].append(dumps({
+                        "input_idx": idx, "record_id": rid,
+                        "nat_key": nat_key, "version": int(version),
+                        "outputs": outputs_json, "logs": logs_json,
+                        "errors": errors_json,
+                    }, sort_keys=True, separators=(",", ":"),
+                        ensure_ascii=False))
+                yield pd.DataFrame(out_rows)
 
     return inputs_df.mapInPandas(run_partition, schema=MAP_RESULT_SCHEMA)
 
@@ -274,7 +334,8 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
 REDUCED_SCHEMA = "record_id string, value string"
 
 
-def reduce_outputs(outputs_df, num_partitions: int | None = None):
+def reduce_outputs(outputs_df, num_partitions: int | None = None, *,
+                   presorted: bool = False):
     """Fold all emissions per out_id in deterministic order.
 
     ``outputs_df`` columns: out_id, input_idx, nat_key, src_rid, emit_idx,
@@ -288,23 +349,32 @@ def reduce_outputs(outputs_df, num_partitions: int | None = None):
     Spark-side lpad truncates digit runs beyond the pad width), so without it
     the fold order between such records would be engine-nondeterministic —
     last-wins merges could differ across runs.
+
+    ``presorted=True`` skips the shuffle+sort: the caller guarantees every
+    out_id group is contiguous within one read partition and rows are already
+    in fold order within each group (the emissions store writes segments
+    range-partitioned by out_id and sorted by the full fold key — see
+    ``build_lens``'s first-build path, which validates the single-row-group
+    precondition before taking this branch).
+
+    Output values are serialized in **canonical** form, so the store write
+    can hash them JVM-side (``precanonical=True``) with byte-identical
+    semantics to ``object_hash``.
     """
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F401
 
-    df = outputs_df.repartition(
-        *( [num_partitions] if num_partitions else [] ), "out_id"
-    ).sortWithinPartitions("out_id", "input_idx", "nat_key", "src_rid", "emit_idx")
+    if presorted:
+        df = outputs_df
+    else:
+        df = outputs_df.repartition(
+            *( [num_partitions] if num_partitions else [] ), "out_id"
+        ).sortWithinPartitions("out_id", "input_idx", "nat_key", "src_rid",
+                               "emit_idx")
 
     def fold_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cur_id = None
         cur_acc = None
-
-        def emit(rid, acc):
-            return pd.DataFrame({
-                "record_id": [rid],
-                "value": [json.dumps(value_to_tagged(acc), ensure_ascii=False)],
-            })
 
         for pdf in batches:
             done_ids, done_vals = [], []
@@ -313,15 +383,15 @@ def reduce_outputs(outputs_df, num_partitions: int | None = None):
                 if row.out_id != cur_id:
                     if cur_id is not None:
                         done_ids.append(cur_id)
-                        done_vals.append(json.dumps(value_to_tagged(cur_acc),
-                                                    ensure_ascii=False))
+                        done_vals.append(canonical_json(cur_acc))
                     cur_id, cur_acc = row.out_id, v
                 else:
                     cur_acc = merge_into(cur_acc, v)
             if done_ids:
                 yield pd.DataFrame({"record_id": done_ids, "value": done_vals})
         if cur_id is not None:
-            yield emit(cur_id, cur_acc)
+            yield pd.DataFrame({"record_id": [cur_id],
+                                "value": [canonical_json(cur_acc)]})
 
     return df.mapInPandas(fold_partition, schema=REDUCED_SCHEMA)
 
@@ -388,8 +458,10 @@ def _emit_segments(store: DatasetStore, author: str, name: str) -> list[str]:
 
 def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
                         num_parts: int = 1) -> str:
-    """Stage-then-rename write of one emissions segment, range-partitioned and
-    sorted by out_id so every file carries tight min/max stats for pruning."""
+    """Stage-then-rename write of one emissions segment, range-partitioned by
+    out_id (tight min/max stats per file for pruning) and sorted by the FULL
+    fold key — a fresh segment is then directly foldable without another
+    shuffle (groups are contiguous and internally ordered)."""
     import os
     import shutil
     import uuid
@@ -397,7 +469,8 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
     os.makedirs(d, exist_ok=True)
     stage = os.path.join(d, f"_stage_{uuid.uuid4().hex}")
     (df.repartitionByRange(num_parts, "out_id")
-       .sortWithinPartitions("out_id")
+       .sortWithinPartitions("out_id", "input_idx", "nat_key", "src_rid",
+                             "emit_idx")
        .write.mode("overwrite").parquet(stage))
     for fn in os.listdir(stage):
         if not fn.endswith(".parquet"):
@@ -406,6 +479,26 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
     shutil.rmtree(final, ignore_errors=True)
     os.replace(stage, final)
     return final
+
+
+def _segment_foldable(seg_path: str) -> bool:
+    """True iff every file in the segment is a single parquet row group.
+
+    Row groups are atomic units of Spark's file scan (a split gets the whole
+    row group or none of it), so single-row-group files guarantee no out_id
+    group straddles two read partitions — the precondition for the
+    shuffle-free ``reduce_outputs(presorted=True)`` fold.  Multi-row-group
+    files (values fatter than the ~20k-rows/file sizing assumed) fall back to
+    the shuffle fold.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(seg_path, "*.parquet"))
+    return bool(files) and all(
+        pq.ParquetFile(p).metadata.num_row_groups <= 1 for p in files)
 
 
 def _cache_keys_df(spark, segs: list[str]):
@@ -669,13 +762,15 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # dozen MB once, the exec stage then uses every core.  Same sizing a
     # cluster job would pick for a CPU-bound stage (2-3x total cores).
     fresh = fresh.repartition(spark.sparkContext.defaultParallelism)
-    mapped = map_records(fresh, code, timeout_ms)
+    # persist: the expensive map phase must run exactly once even though the
+    # cache write, the emissions write, and the reduce all derive from it
+    mapped = map_records(fresh, code, timeout_ms).persist()
+    n_fresh = mapped.count()
+    _trace(f"map+count(n={n_fresh})")
 
-    cache_entries = mapped.select(
-        F.col("path").alias("cache_rid"),
-        F.to_json(F.struct("input_idx", "record_id", "nat_key", "version",
-                           "outputs", "logs", "errors")).alias("value"),
-    ).select(F.col("cache_rid").alias("record_id"), "value")
+    # the map phase already serialized each cache entry canonically (its
+    # ``value`` column), so the cache write hashes JVM-side (precanonical)
+    cache_entries = mapped.select(F.col("path").alias("record_id"), "value")
 
     # prune cache entries whose input row disappeared (ref lens.js:192-199)
     gone_paths = gone_parts[0]
@@ -683,13 +778,11 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         gone_paths = gone_paths.unionByName(d)
     gone = gone_paths.select(F.col("path").alias("record_id"),
                              F.lit(None).cast("string").alias("value"))
-    # persist: the expensive map phase must run exactly once even though the
-    # cache write performs several actions (hash, suppression join, write)
-    delta = cache_entries.unionByName(gone).persist()
-    n_fresh = delta.where(F.col("value").isNotNull()).count()
-    _trace(f"map+count(n={n_fresh})")
+    delta = cache_entries.unionByName(gone)
     pre_segs = store._segments(cache_meta)  # noqa: SLF001 — pre-write log
-    store.write_entries_df(spark, author, _cache_name(name), delta, source=_CACHE_SOURCE)
+    store.write_entries_df(spark, author, _cache_name(name), delta,
+                           source=_CACHE_SOURCE, precanonical=True,
+                           no_links=True)
     _trace("cache_write")
     seq_now = store.get_meta(author, _cache_name(name),
                              source=_CACHE_SOURCE).last_seq
@@ -708,27 +801,33 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # each build, lens.js:204-225; this is strictly stronger incrementality).
     emit_d = _emit_dir(store, author, name)
     old_emit_segs = _emit_segments(store, author, name)
-    delta_paths = delta.select(F.col("record_id").alias("path"))
-    emit_delta = (
-        _emissions_from_cache_df(
-            _parsed_cache_rows(delta.where(F.col("value").isNotNull())))
-        .withColumn("seq", F.lit(seq_now))
-    )
+    delta_paths = mapped.select("path").unionByName(gone_paths)
+    # emissions come straight off the persisted map result — only the
+    # ``outputs`` column is parsed, never the full cache-entry JSON
+    emit_delta = (_emissions_from_cache_df(mapped)
+                  .withColumn("seq", F.lit(seq_now)))
 
     pre_write_version = store.get_meta(author, name, source="lenses").version
     if first_build:
-        num_parts = max(1, min(256, n_fresh // 200_000 + 1))
+        # ~20k rows/file: single-row-group files (foldable without a
+        # shuffle) AND enough files that the direct fold uses every core
+        num_parts = max(1, min(256, n_fresh // 20_000 + 1))
         seg_path = _write_emit_segment(emit_delta, emit_d, seq_now,
                                        base=True, num_parts=num_parts)
         _trace("emit_write")
-        # reduce straight off the sorted segment (single JSON parse, done
-        # above at write time)
-        reduced = reduce_outputs(spark.read.parquet(seg_path).select(*_EMIT_COLS))
+        # The segment was written range-partitioned by out_id and sorted by
+        # the full fold key, so when every file is a single row group (row
+        # groups are atomic in Spark's scan — no out_id group can straddle
+        # two read partitions) the reduce folds DIRECTLY off the files: no
+        # second shuffle, no re-sort of the emissions.
+        emits = spark.read.parquet(seg_path).select(*_EMIT_COLS)
+        reduced = reduce_outputs(emits, presorted=_segment_foldable(seg_path))
         stats_meta = store.write_entries_df(spark, author, name, reduced,
-                                            source="lenses", overwrite=True)
+                                            source="lenses", overwrite=True,
+                                            precanonical=True)
     else:
         if n_fresh > 0:
-            num_parts = max(1, min(256, n_fresh // 200_000 + 1))
+            num_parts = max(1, min(256, n_fresh // 20_000 + 1))
             _write_emit_segment(emit_delta, emit_d, seq_now,
                                 num_parts=num_parts)
             _trace("emit_write")
@@ -766,9 +865,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             # post-write current keys, composed algebraically (pre-state
             # minus touched paths, plus this build's fresh paths) — no
             # re-read, no window over the new log
-            delta_keys = (delta.where(F.col("value").isNotNull())
-                          .select(F.col("record_id").alias("path"),
-                                  F.lit(seq_now).alias("seq")))
+            delta_keys = mapped.select("path", F.lit(seq_now).alias("seq"))
             post_keys = (pre_keys.join(F.broadcast(delta_paths), "path",
                                        "left_anti").unionByName(delta_keys)
                          if pre_keys is not None else delta_keys)
@@ -798,11 +895,11 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
                      F.lit(None).cast("string").alias("value"))
             stats_meta = store.write_entries_df(
                 spark, author, name, reduced.unionByName(deletes),
-                source="lenses")
+                source="lenses", precanonical=True)
             _trace("output_write")
             reduced.unpersist()
         affected.unpersist()
-    delta.unpersist()
+    mapped.unpersist()
     records_changed = stats_meta.version != pre_write_version
 
     # bookkeeping: input versions + segment positions consumed by this build

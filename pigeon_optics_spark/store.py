@@ -466,11 +466,13 @@ class DatasetStore:
                 _allow_missing_delete=_allow_missing_delete)
 
     def write_entries_df(self, spark, author: str, name: str, df, *,
-                         source: str = "datasets",
-                         overwrite: bool = False) -> CollectionMeta:
+                         source: str = "datasets", overwrite: bool = False,
+                         precanonical: bool = False,
+                         no_links: bool = False) -> CollectionMeta:
         with self._collection_lock(source, author, name):
             return self._write_entries_df_impl(
-                spark, author, name, df, source=source, overwrite=overwrite)
+                spark, author, name, df, source=source, overwrite=overwrite,
+                precanonical=precanonical, no_links=no_links)
 
     def compact_df(self, spark, author: str, name: str, *,
                    source: str = "datasets") -> None:
@@ -560,7 +562,9 @@ class DatasetStore:
 
     def _write_entries_df_impl(self, spark, author: str, name: str, df, *,
                                source: str = "datasets",
-                               overwrite: bool = False) -> CollectionMeta:
+                               overwrite: bool = False,
+                               precanonical: bool = False,
+                               no_links: bool = False) -> CollectionMeta:
         """Distributed batch write: ``df`` has columns (record_id, value)
         with ``value`` in tagged-JSON form.
 
@@ -568,6 +572,14 @@ class DatasetStore:
         linearly, no shuffle); change-suppression joins the incoming batch
         against current state on record_id — at scale this is the Delta MERGE
         matched-condition.  The changed subset is written as one segment.
+
+        ``precanonical=True`` asserts every value string is EXACTLY its
+        ``values.canonical_json`` form (engine-internal writers — the lens
+        cache/output paths — serialize that way at the source).  Then
+        ``object_hash(value) == sha256(value_string)`` by definition, so the
+        hash moves into whole-stage codegen (``F.sha2``) and the write job
+        needs no Python hash pass at all — byte-identical hashes, zero
+        convention drift against driver-side ``write_entries``.
         """
         import glob as _glob
         import shutil
@@ -606,8 +618,14 @@ class DatasetStore:
                     F.lit(f"record exceeds maxRecordSize ({MAX_RECORD_SIZE} bytes): "),
                     F.col("record_id"))),
             ).otherwise(F.col("value")))
-            .withColumn("hash", hash_value_udf("value"))
-            .withColumn("links", links_udf("value"))
+            .withColumn("hash", F.sha2("value", 256) if precanonical
+                        else hash_value_udf("value"))
+            # no_links: writers whose values structurally cannot reference
+            # attachments (the lens compute cache embeds user outputs inside
+            # JSON *strings*, where a bare hash:// URL can't occur) skip the
+            # Arrow roundtrip entirely
+            .withColumn("links", F.array().cast("array<string>") if no_links
+                        else links_udf("value"))
         )
         n_dropped = 0
         if empty:

@@ -19,7 +19,17 @@ def hash_value_udf(v: pd.Series) -> pd.Series:
     return v.map(hash_json_str)
 
 
+def _links_fast(s: str) -> list:
+    # A hash URL can only appear as a complete string token, so a value whose
+    # raw JSON lacks the literal substring cannot reference any attachment —
+    # skip the full parse+walk (the common case pays ~ns/byte instead of a
+    # JSON decode).
+    if "hash://sha256/" not in s:
+        return []
+    return list_hash_urls(tagged_to_value(json.loads(s)))
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def links_udf(v: pd.Series) -> pd.Series:
     """hash:// attachment URIs referenced by a tagged-JSON value column."""
-    return v.map(lambda s: list_hash_urls(tagged_to_value(json.loads(s))))
+    return v.map(_links_fast)

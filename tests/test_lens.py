@@ -355,3 +355,29 @@ class TestGoldenBuild:
         got = {r["id"]: r["value"] for r in
                store.iterate("a", "tag-counts", source="lenses", fast_read=True)}
         assert got == {"total_tags": 2, "cat": 2, "dog": 1}
+
+
+def test_cache_value_is_canonical():
+    """The map phase serializes cache entries with a plain sorted
+    ``json.dumps``; the store then hashes them JVM-side assuming the bytes
+    are EXACTLY ``canonical_json`` (sha2(value) == object_hash).  Verify the
+    fixpoint claim for the cache-entry shape: fixed identifier keys, str/int
+    values (including awkward strings: unicode, embedded JSON, quotes)."""
+    import hashlib
+    import json
+
+    from pigeon_optics_spark.values import canonical_json, object_hash
+
+    d = {
+        "input_idx": 3,
+        "record_id": 'we"ird — ユニコード',
+        "nat_key": "a0001",
+        "version": 17,
+        "outputs": '[{"i":0,"k":"k","v":"{\\"type\\":\\"Set\\",\\"data\\":[1]}"}]',
+        "logs": '["x y"]',
+        "errors": "[]",
+    }
+    plain = json.dumps(d, sort_keys=True, separators=(",", ":"),
+                       ensure_ascii=False)
+    assert plain == canonical_json(d)
+    assert hashlib.sha256(plain.encode("utf-8")).hexdigest() == object_hash(d)
