@@ -190,3 +190,50 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """One Lloyd assignment step over a deterministic trainless quantizer:
+    centroids are the ``k`` smallest-id vectors (same convention as
+    ``ivf_topk``; production would train offline and ship centroids as
+    literals the same way).
+
+    → (vec_id, centroid, dist2) — nearest centroid by squared L2, ties to
+    the smaller centroid id (lexicographic struct min, mirrored in the
+    oracle's ORDER BY d2, cid).
+
+    Scale shape: centroids are a driver-side literal array (k·dim doubles),
+    so assignment is a pure per-row expression — no shuffle, no join, no
+    state on executors; at 100 TB this is a map-only pass.  The squared-L2
+    fold is sequential in double precision (bit-stable across engines, same
+    class as ``dot_col``).
+    """
+    cents = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(j).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in row[vec_col]]).alias("cv"),
+        )
+        for j, row in enumerate(cents)
+    ])
+
+    def d2(a, b) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b,
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.array_min(F.transform(
+        cent_lit,
+        lambda c: F.struct(d2(F.col(vec_col), c["cv"]).alias("d2"),
+                           c["cid"].alias("cid")),
+    ))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        best.getField("cid").alias("centroid"),
+        best.getField("d2").alias("dist2"),
+    )

@@ -134,6 +134,165 @@ def deterministic_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
     return df.where(bucket < F.lit(threshold))
 
 
+def chunk_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                chunk_words: int = 10, max_docs: int = 2) -> DataFrame:
+    """Boilerplate removal at sub-document granularity (the CCNet/RefinedWeb
+    line-dedup family, applied to fixed word windows): a *chunk* is
+    ``chunk_words`` consecutive whitespace tokens; chunks whose text occurs
+    in more than ``max_docs`` distinct documents are dropped corpus-wide,
+    and each document is reassembled from its surviving chunks in order.
+
+    → (doc_id, n_chunks, n_kept, clean_len, clean_hash) — the cleaned text
+    itself stays distributed; the md5 proves byte-identical reassembly.
+
+    Scale shape: chunking is per-row (codegen); the global frequency is ONE
+    groupBy on chunk text (map-side combine collapses within-partition
+    repeats — boilerplate is by definition repetitive, so the shuffle
+    carries ≪ corpus volume); the keep-join shuffles on chunk text; the
+    reassembly is one groupBy on doc_id.  No all-pairs anything — cost is
+    linear in corpus size at 100 TB.  Hot chunks (the empty-ish tail bucket)
+    are bounded because only (chunk → doc count) crosses the wire, never doc
+    lists.
+    """
+    words = words_col(text_col)
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    # guard: sequence(0, -1) would generate a DESCENDING range, not empty
+    chunks = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks"))
+    exploded = base.select("doc_id", F.posexplode("chunks").alias("idx", "chunk"))
+    freq = exploded.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    kept = (exploded.join(freq, "chunk")
+            .where(F.col("n_docs") <= max_docs)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                         lambda s: s.getField("chunk")),
+                     " ").alias("clean_text")))
+    totals = base.select("doc_id", F.size("chunks").alias("n_chunks"))
+    return (totals.join(kept, "doc_id", "left")
+            .select("doc_id", "n_chunks",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.length(F.coalesce("clean_text", F.lit(""))).alias("clean_len"),
+                    F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash")))
+
+
+def ngram_contamination(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5,
+                        bench_mod: int = 97) -> DataFrame:
+    """Benchmark-contamination check: fraction of a document's distinct word
+    ``n``-grams that appear in a held-out benchmark set (docs with
+    ``doc_id % bench_mod == 0`` stand in for the eval corpus).
+
+    → (doc_id, n_ngrams, n_overlap, overlap_frac) for non-benchmark docs.
+
+    Scale shape: eval sets are small and bounded (thousands of items, not
+    corpus-scale), so the benchmark n-gram set broadcasts; the corpus side
+    is one scan + per-doc aggregation — contamination checking at 100 TB is
+    a broadcast-semi-join, never a shuffle of the corpus.
+    """
+    words = words_col(text_col)
+    # docs shorter than n words contribute no n-grams (sequence(1, 0) would
+    # generate a DESCENDING range, hence the explicit guard)
+    grams = F.when(F.size(words) >= n, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    ))).otherwise(F.array().cast("array<string>"))
+    is_bench = (F.col(id_col) % bench_mod) == 0
+    base = df.select(F.col(id_col).alias("doc_id"), grams.alias("grams"),
+                     is_bench.alias("is_bench"))
+    bench_grams = (base.where("is_bench")
+                   .select(F.explode("grams").alias("gram")).distinct()
+                   .withColumn("hit", F.lit(1)))
+    # ONE pass over corpus grams: n_ngrams rides along the explode_outer
+    # (docs with no grams keep their row via the null gram), the broadcast
+    # left join marks benchmark hits, and a single per-doc aggregation
+    # yields both the total and the overlap — the gram arrays are computed
+    # once, not once per derived branch
+    doc_grams = (base.where(~F.col("is_bench"))
+                 .select("doc_id", F.size("grams").alias("n_ngrams"),
+                         F.explode_outer("grams").alias("gram")))
+    return (doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.first("n_ngrams").alias("n_ngrams"),
+                 F.count("hit").alias("n_overlap"))
+            .select("doc_id", "n_ngrams", "n_overlap",
+                    (F.col("n_overlap").cast("double")
+                     / F.greatest("n_ngrams", F.lit(1))).alias("overlap_frac")))
+
+
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", budget: int = 512,
+                   shard_size: int = 1000) -> DataFrame:
+    """Sequence packing for training: documents are concatenated in id order
+    and cut into fixed ``budget``-token windows (the GPT-style pack-then-
+    chunk policy — a document may straddle a window boundary).
+
+    → (doc_id, shard, n_tokens, start_offset, first_pack, n_packs) where
+    ``start_offset`` is the document's token offset within its shard and
+    packs are counted per shard.
+
+    Scale shape: a single global running sum would serialize the corpus
+    through one task, so packing is SHARDED — each ``shard_size``-id range
+    packs independently (shard = doc_id / shard_size), which is exactly how
+    a 100 TB tokenization job runs: per-shard prefix sums, embarrassingly
+    parallel, deterministic output regardless of cluster layout.  Window
+    spec is (partitionBy shard, orderBy doc_id) — partial aggregation within
+    a shard's partition, no global ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)))
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.floor(F.col(id_col) / shard_size).cast("long").alias("shard"),
+                     toks.alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        "doc_id", "shard", "n_tokens", start,
+        F.floor((cum - F.col("n_tokens")) / budget).alias("first_pack"),
+        (F.floor((cum - 1) / budget)
+         - F.floor((cum - F.col("n_tokens")) / budget) + 1).alias("n_packs"),
+    )
+
+
+# PII patterns shared verbatim with the oracle SQL — plain character-class
+# regexes (no lookarounds, no shorthand classes) so Java regex and RE2 parse
+# them identically.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_NUMBER_RE = "[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction pass: emails → ``<EMAIL>``, 7+-digit runs → ``<NUM>``.
+
+    → (doc_id, n_emails, n_numbers, scrubbed_len, scrubbed_hash).  Pure
+    per-row regex work inside whole-stage codegen — no shuffle, linear at
+    any scale; the md5 witnesses the exact redacted bytes.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    scrub1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_numbers = F.size(F.regexp_extract_all(scrub1, F.lit(PII_NUMBER_RE), F.lit(0)))
+    scrub2 = F.regexp_replace(scrub1, PII_NUMBER_RE, "<NUM>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_emails.alias("n_emails"),
+        n_numbers.alias("n_numbers"),
+        F.length(scrub2).alias("scrubbed_len"),
+        F.md5(scrub2).alias("scrubbed_hash"),
+    )
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", top_k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf

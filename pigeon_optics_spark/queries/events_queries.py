@@ -223,3 +223,61 @@ GROUP BY v.user_id
 """
 
 register("events_range_join", events_range_join, _RANGE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming under the oracle gate
+# --------------------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling counts computed by an ACTUAL Structured Streaming
+    query (readStream file source → window agg → memory sink, availableNow),
+    not the batch engine: processing every record through the streaming path
+    must converge to exactly the batch/oracle answer (Spark's unified-model
+    guarantee, which this entry turns into a gate check).
+
+    The events fixture is normalized (nanos→timestamp) into a file-source
+    dir once per process; complete output mode keeps every window in the
+    sink so the final table equals the batch aggregation regardless of how
+    availableNow slices micro-batches.  Decimal sums (dsum) keep the
+    value-hash engine-independent, same as the batch twin.
+    """
+    import tempfile
+
+    ev = load_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="po_stream_ev_")
+    ev.write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_tumbling_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema).parquet(d)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.expr(dsum("value", "total_value", 8)).alias("total_value"))
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type",
+        "n_events", "total_value")
+
+
+_STREAM_TUMBLING_ORACLE = f"""
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {dsum('value', 'total_value', 8)}
+FROM events
+GROUP BY 1, 2
+"""
+
+register("events_stream_tumbling", events_stream_tumbling,
+         _STREAM_TUMBLING_ORACLE)

@@ -665,3 +665,231 @@ FROM documents WHERE doc_id <= 300
 """
 
 register("multimodal_audio_meta", multimodal_audio_meta, _AUDIO_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: chunk dedup / contamination / packing / PII
+# --------------------------------------------------------------------------
+
+
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal (CCNet line-dedup family over 10-word
+    chunks): corpus-wide chunks seen in >2 docs are dropped, docs reassembled
+    (pipeline.text.chunk_dedup; md5 witnesses exact reassembly)."""
+    from ..pipeline.text import chunk_dedup
+
+    return chunk_dedup(load(spark, sf_dir, "documents"),
+                       chunk_words=10, max_docs=2)
+
+
+_CHUNK_DEDUP_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN len(words) > 0 THEN
+           list_transform(range(0, CAST(CEIL(len(words) / 10.0) AS INT)),
+                          i -> array_to_string(list_slice(words,
+                                 CAST(i * 10 + 1 AS INT),
+                                 CAST(i * 10 + 10 AS INT)), ' '))
+         ELSE [] END AS chunks
+  FROM w
+),
+e0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(chunks)),
+                i -> {'idx': CAST(i AS INT),
+                      'chunk': chunks[CAST(i AS INT) + 1]})) AS u
+  FROM c
+),
+e AS (SELECT doc_id, u.idx AS idx, u.chunk AS chunk FROM e0),
+freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM e GROUP BY chunk),
+kept AS (
+  SELECT e.doc_id, COUNT(*) AS n_kept,
+         string_agg(e.chunk, ' ' ORDER BY e.idx) AS clean_text
+  FROM e JOIN freq USING (chunk)
+  WHERE freq.n_docs <= 2
+  GROUP BY e.doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.chunks) AS INT) AS n_chunks,
+       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(LENGTH(COALESCE(kept.clean_text, '')) AS INT) AS clean_len,
+       md5(COALESCE(kept.clean_text, '')) AS clean_hash
+FROM c LEFT JOIN kept USING (doc_id)
+"""
+
+register("text_chunk_dedup", text_chunk_dedup, _CHUNK_DEDUP_ORACLE)
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: distinct word-5-gram overlap of each
+    corpus doc against the held-out benchmark slice (doc_id % 97 == 0),
+    benchmark n-gram set broadcast (pipeline.text.ngram_contamination)."""
+    from ..pipeline.text import ngram_contamination
+
+    return ngram_contamination(load(spark, sf_dir, "documents"),
+                               n=5, bench_mod=97)
+
+
+_CONTAMINATION_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, doc_id % 97 = 0 AS is_bench,
+         CASE WHEN len(words) >= 5 THEN
+           list_distinct(list_transform(range(1, len(words) - 3),
+                          i -> array_to_string(list_slice(words,
+                                 CAST(i AS INT), CAST(i + 4 AS INT)), ' ')))
+         ELSE [] END AS grams
+  FROM w
+),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE is_bench),
+dg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_bench),
+ov AS (
+  SELECT dg.doc_id, COUNT(*) AS n_overlap
+  FROM dg JOIN bench USING (gram)
+  GROUP BY dg.doc_id
+)
+SELECT g.doc_id,
+       CAST(len(g.grams) AS INT) AS n_ngrams,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+         / GREATEST(len(g.grams), 1) AS overlap_frac
+FROM g LEFT JOIN ov USING (doc_id)
+WHERE NOT g.is_bench
+"""
+
+register("text_contamination", text_contamination, _CONTAMINATION_ORACLE)
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk into 512-token windows), sharded
+    by id range so no global ordering exists anywhere
+    (pipeline.text.pack_sequences)."""
+    from ..pipeline.text import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"),
+                          budget=512, shard_size=1000)
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(FLOOR(doc_id / 1000) AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       cum - n_tokens AS start_offset,
+       CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS first_pack,
+       CAST(FLOOR((cum - 1) / 512.0)
+            - FLOOR((cum - n_tokens) / 512.0) + 1 AS BIGINT) AS n_packs
+FROM c
+"""
+
+register("text_pack_sequences", text_pack_sequences, _PACK_ORACLE)
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministic fixture (an email + numeric code
+    derived from doc_id appended to each doc — the raw corpus contains no
+    PII, so the fixture is what makes the scrubber falsifiable).  Emails
+    first, then 7+-digit runs (pipeline.text.pii_scrub)."""
+    from ..pipeline.text import pii_scrub
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com code "),
+            (F.col("doc_id") * 7919).cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
+_PII_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com code ' || CAST(doc_id * 7919 AS VARCHAR) AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS INT)
+           AS n_emails,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+',
+           '<EMAIL>', 'g') AS scrub1
+  FROM t
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(scrub1,
+         '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+')) AS INT) AS n_numbers,
+       CAST(LENGTH(regexp_replace(scrub1,
+         '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g')) AS INT)
+         AS scrubbed_len,
+       md5(regexp_replace(scrub1,
+         '[0-9][0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g')) AS scrubbed_hash
+FROM s1
+"""
+
+register("text_pii_scrub", text_pii_scrub, _PII_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# embeddings: k-means assignment
+# --------------------------------------------------------------------------
+
+
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step against the deterministic trainless
+    quantizer (k=8 smallest-id vectors as centroids) — the clustering
+    primitive under IVF cells and corpus bucketing
+    (pipeline.similarity.kmeans_assign)."""
+    from ..pipeline.similarity import kmeans_assign
+
+    return kmeans_assign(load(spark, sf_dir, "embeddings"), k=8)
+
+
+_D2_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                   * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (acc, v) -> acc + v)
+"""
+
+_KMEANS_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+pairs AS (
+  SELECT e.vec_id, CAST(c.cid AS INT) AS centroid,
+         {_D2_SQL.format(a='e.embedding', b='c.cv')} AS dist2
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, centroid, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2 ASC, centroid ASC) AS rn
+  FROM pairs
+)
+SELECT vec_id, centroid, dist2 FROM ranked WHERE rn = 1
+"""
+
+register("emb_kmeans_assign", emb_kmeans_assign, _KMEANS_ORACLE)

@@ -1,0 +1,133 @@
+"""Training-data text operators: chunk dedup, contamination, sequence
+packing, PII scrubbing, k-means assignment (pipeline.text / .similarity).
+
+The oracle gate proves engine parity at corpus scale; these tests pin the
+EDGE semantics: empty/short docs, boundary-straddling packs, tie-breaks.
+"""
+
+from pyspark.sql import functions as F
+
+from pigeon_optics_spark.pipeline.similarity import kmeans_assign
+from pigeon_optics_spark.pipeline.text import (
+    chunk_dedup,
+    ngram_contamination,
+    pack_sequences,
+    pii_scrub,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestChunkDedup:
+    def test_boilerplate_dropped_everywhere(self, spark):
+        boiler = " ".join(f"b{i}" for i in range(10))
+        uniq = ["u v w x y z a1 b2 c3 d4", "k l m n o p q r s t", "solo"]
+        rows = [(i, f"{boiler} {u}") for i, u in enumerate(uniq)]
+        out = {r["doc_id"]: r for r in
+               chunk_dedup(_docs(spark, rows), max_docs=2).collect()}
+        # the shared first chunk appears in 3 docs (> max_docs) → dropped;
+        # each doc keeps only its unique tail chunk
+        assert out[0]["n_chunks"] == 2 and out[0]["n_kept"] == 1
+        assert out[2]["n_kept"] == 1  # 'solo' is a partial chunk, kept
+        assert out[2]["clean_len"] == len("solo")
+
+    def test_empty_and_fully_dropped_docs_survive(self, spark):
+        boiler = " ".join(f"b{i}" for i in range(10))
+        rows = [(0, ""), (1, boiler), (2, boiler), (3, boiler)]
+        out = {r["doc_id"]: r for r in
+               chunk_dedup(_docs(spark, rows), max_docs=2).collect()}
+        assert out[0]["n_chunks"] == 0 and out[0]["clean_len"] == 0
+        # boilerplate in 3 docs → all chunks dropped, but rows remain
+        assert out[1]["n_kept"] == 0 and out[1]["clean_len"] == 0
+        assert len(out) == 4
+
+    def test_reassembly_preserves_order(self, spark):
+        words = " ".join(f"w{i:03d}" for i in range(25))
+        out = chunk_dedup(_docs(spark, [(0, words)]), max_docs=5).collect()[0]
+        assert out["n_chunks"] == 3 and out["n_kept"] == 3
+        assert out["clean_len"] == len(words)
+
+
+class TestContamination:
+    def test_overlap_counts(self, spark):
+        # doc 0 is the benchmark (0 % 97 == 0); doc 1 shares its text
+        # entirely, doc 2 shares nothing
+        bench = "alpha beta gamma delta epsilon zeta"
+        rows = [(0, bench), (1, bench), (2, "one two three four five six")]
+        out = {r["doc_id"]: r for r in
+               ngram_contamination(_docs(spark, rows), n=5).collect()}
+        assert 0 not in out  # benchmark rows excluded from the report
+        assert out[1]["n_overlap"] == out[1]["n_ngrams"] == 2
+        assert out[1]["overlap_frac"] == 1.0
+        assert out[2]["n_overlap"] == 0
+
+    def test_short_doc_has_no_ngrams(self, spark):
+        rows = [(0, "a b c d e f"), (1, "too short")]
+        out = {r["doc_id"]: r for r in
+               ngram_contamination(_docs(spark, rows), n=5).collect()}
+        assert out[1]["n_ngrams"] == 0 and out[1]["overlap_frac"] == 0.0
+
+
+class TestPackSequences:
+    def test_offsets_and_straddling(self, spark):
+        # three docs of 300 tokens in one shard, budget 512:
+        # doc0 [0,300) → pack 0; doc1 [300,600) straddles packs 0-1;
+        # doc2 [600,900) → pack 1 only
+        text = " ".join("tok" for _ in range(300))
+        rows = [(0, text), (1, text), (2, text)]
+        out = {r["doc_id"]: r for r in
+               pack_sequences(_docs(spark, rows), budget=512).collect()}
+        assert [out[i]["start_offset"] for i in range(3)] == [0, 300, 600]
+        assert out[0]["n_packs"] == 1 and out[0]["first_pack"] == 0
+        assert out[1]["n_packs"] == 2
+        assert out[2]["first_pack"] == 1 and out[2]["n_packs"] == 1
+
+    def test_shards_pack_independently(self, spark):
+        text = " ".join("tok" for _ in range(100))
+        rows = [(0, text), (1500, text)]  # different shards at shard_size=1000
+        out = {r["doc_id"]: r for r in
+               pack_sequences(_docs(spark, rows), budget=512,
+                              shard_size=1000).collect()}
+        assert out[0]["shard"] == 0 and out[1500]["shard"] == 1
+        # each shard starts its own offset space
+        assert out[1500]["start_offset"] == 0
+
+
+class TestPiiScrub:
+    def test_redaction(self, spark):
+        rows = [(0, "mail me at a.b+c@test-site.org or call 12345678 now"),
+                (1, "clean text no pii"),
+                (2, "short digits 123456 stay")]
+        out = {r["doc_id"]: r for r in pii_scrub(_docs(spark, rows)).collect()}
+        assert out[0]["n_emails"] == 1 and out[0]["n_numbers"] == 1
+        assert out[1]["n_emails"] == 0 and out[1]["n_numbers"] == 0
+        assert out[2]["n_numbers"] == 0  # 6 digits < threshold
+        # scrubbed text replaces, never deletes surrounding content
+        assert out[0]["scrubbed_len"] == len(
+            "mail me at <EMAIL> or call <NUM> now")
+
+
+class TestKmeansAssign:
+    def test_nearest_and_tiebreak(self, spark):
+        rows = [
+            (0, [0.0, 0.0]),   # centroid 0
+            (1, [10.0, 10.0]),  # centroid 1
+            (2, [1.0, 0.0]),   # near centroid 0
+            (3, [9.0, 10.0]),  # near centroid 1
+            (4, [5.0, 5.0]),   # EQUIDISTANT → tie to smaller cid
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r for r in kmeans_assign(emb, k=2).collect()}
+        assert out[0]["centroid"] == 0 and out[0]["dist2"] == 0.0
+        assert out[2]["centroid"] == 0
+        assert out[3]["centroid"] == 1
+        assert out[4]["centroid"] == 0  # tie-break
+
+    def test_assignment_plan_is_map_only(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(20)],
+            "vec_id long, embedding array<float>")
+        plan = kmeans_assign(emb, k=4)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # no shuffle: pure per-row expression
