@@ -293,6 +293,29 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     )
 
 
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "lang", key_col: str = "doc_id",
+                      default_rate: float = 0.0, salt: str = "strat") -> DataFrame:
+    """Per-stratum deterministic subsample — the corpus-rebalancing pass of
+    a training-data mix (downsample the majority language, keep the tail).
+
+    Same md5-threshold keep rule as ``deterministic_sample``, but the salt
+    incorporates the stratum and each stratum gets its own rate; strata not
+    in ``rates`` fall back to ``default_rate``.  Still a pure filter: no
+    shuffle, partition-invariant, reproducible on any engine.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(stratum_col),
+                                   F.lit(":"),
+                                   F.col(key_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    thresh = F.lit(int(default_rate * (1 << 60)))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(F.col(stratum_col) == stratum,
+                        F.lit(int(rate * (1 << 60)))).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", top_k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf

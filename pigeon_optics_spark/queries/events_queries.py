@@ -281,3 +281,68 @@ GROUP BY 1, 2
 
 register("events_stream_tumbling", events_stream_tumbling,
          _STREAM_TUMBLING_ORACLE)
+
+
+def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the oracle gate: a running
+    per-event-type (count, max value) carried in ``GroupState`` across
+    micro-batches via ``applyInPandasWithState`` — the engine's arbitrary-
+    stateful surface (SURVEY §2.9), previously pytest-only.
+
+    Update mode emits one row per key per touched batch; the final
+    projection takes the struct-max per key, and since the running count is
+    strictly increasing that selects each key's LAST emission — equal to
+    the batch aggregate no matter how availableNow slices the input.
+    """
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = load_events(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="po_stream_st_")
+    ev.write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+
+    def track(key, pdfs, state: GroupState):
+        total, max_val = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                m = float(pdf["value"].max())
+                max_val = m if max_val is None else max(max_val, m)
+        state.update((total, max_val))
+        yield pd.DataFrame({"event_type": [key[0]], "n_events": [total],
+                            "max_value": [max_val]})
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_stateful_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema).parquet(d)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            outputStructType="event_type string, n_events long, max_value double",
+            stateStructType="n_events long, max_value double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    final = F.max(F.struct("n_events", "max_value")).alias("s")
+    return (spark.table(name).groupBy("event_type").agg(final)
+            .select("event_type", F.col("s.n_events").alias("n_events"),
+                    F.col("s.max_value").alias("max_value")))
+
+
+_STREAM_STATEFUL_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+register("events_stream_stateful", events_stream_stateful,
+         _STREAM_STATEFUL_ORACLE)

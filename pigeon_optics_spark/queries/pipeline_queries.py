@@ -893,3 +893,27 @@ SELECT vec_id, centroid, dist2 FROM ranked WHERE rn = 1
 """
 
 register("emb_kmeans_assign", emb_kmeans_assign, _KMEANS_ORACLE)
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: downsample English to 25%, keep other languages
+    at 75% — per-stratum salted md5 thresholds, same rows on every engine
+    and partitioning (pipeline.text.stratified_sample)."""
+    from ..pipeline.text import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    rates = {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 0.75}
+    return (stratified_sample(docs, rates)
+            .select("doc_id", "lang", F.length("text").alias("text_len")))
+
+
+_STRAT_ORACLE = f"""
+SELECT doc_id, lang, LENGTH(text) AS text_len
+FROM documents
+WHERE ('0x' || substr(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)),
+                      1, 15))::BIGINT
+      < CASE WHEN lang = 'en' THEN {int(0.25 * (1 << 60))}
+             ELSE {int(0.75 * (1 << 60))} END
+"""
+
+register("text_stratified_sample", text_stratified_sample, _STRAT_ORACLE)
