@@ -237,3 +237,108 @@ def kmeans_assign(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
         best.getField("cid").alias("centroid"),
         best.getField("d2").alias("dist2"),
     )
+
+
+def _pq_codebook(emb: DataFrame, m: int, k: int, dim_sub: int,
+                 id_col: str, vec_col: str):
+    """Deterministic trainless PQ codebook: codeword ``j`` of subspace ``s``
+    is dims ``[s*dim_sub, (s+1)*dim_sub)`` of the vector with id ``j``
+    (same smallest-id convention as ``ivf_topk``/``kmeans_assign``)."""
+    rows = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    return [
+        [[float(x) for x in row[vec_col][s * dim_sub:(s + 1) * dim_sub]]
+         for row in rows]
+        for s in range(m)
+    ]
+
+
+def _d2_col(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b,
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(emb: DataFrame, m: int = 8, k: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encoding: each vector becomes ``m`` small codes
+    (argmin codeword per subspace, ties to the smaller code).
+
+    → (vec_id, codes array<int>) — 64 floats compress to 8 codes; at
+    100 TB this is the difference between an ANN index that fits in
+    executor memory and one that doesn't (PQ is the standard memory tier
+    under IVF — see Jégou et al., PAMI 2011).
+
+    Scale shape: the codebook is an m·k·dim_sub literal (a few KB), so
+    encoding is a map-only pass — no shuffle, no training state; the
+    squared-L2 folds are sequential doubles (engine-portable, same class
+    as ``dot_col``).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    dim_sub = dim // m
+    cb = _pq_codebook(emb, m, k, dim_sub, id_col, vec_col)
+    # the transform lambda's subspace index is a Column, so the codebook is
+    # shipped as one nested literal and indexed with element_at
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
+        for s in range(m)
+    ])
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.struct(
+                _d2_col(F.slice(F.col(vec_col), s * dim_sub + 1, dim_sub),
+                        F.element_at(F.element_at(cb_lit, s + 1), j + 1))
+                .alias("d2"),
+                j.alias("j"),
+            ),
+        )).getField("j"),
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, m: int = 8, k: int = 16,
+            topk: int = 5, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: corpus rows are RECONSTRUCTED
+    from their codes (the only corpus-side data a PQ index stores); queries
+    keep full precision.
+
+    → (query_id, rank, neighbor_id, adc_dist2).  The ADC distance is the
+    full-vector squared L2 between the exact query and the reconstruction —
+    one sequential fold, mirrored exactly in the oracle.
+
+    Scale shape: codes + codebook replace the corpus vectors (8 bytes/vec
+    here vs 256), queries broadcast, one corpus scan; composes with IVF
+    cells for the scan-pruning tier.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    dim_sub = dim // m
+    cb = _pq_codebook(corpus, m, k, dim_sub, id_col, vec_col)
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
+        for s in range(m)
+    ])
+    coded = pq_encode(corpus, m, k, id_col, vec_col)
+    decoded = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.flatten(F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(F.element_at(cb_lit, s + 1),
+                                   F.element_at(F.col("codes"), s + 1) + 1),
+        )).alias("decoded"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    pairs = (decoded.join(F.broadcast(q),
+                          F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("adc_dist2", _d2_col("qv", "decoded")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk)
+            .select("query_id", "rank", "neighbor_id", "adc_dist2"))

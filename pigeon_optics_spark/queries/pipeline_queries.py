@@ -917,3 +917,92 @@ WHERE ('0x' || substr(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)),
 """
 
 register("text_stratified_sample", text_stratified_sample, _STRAT_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# embeddings: product quantization
+# --------------------------------------------------------------------------
+
+_PQ_CTES = f"""
+cb AS (
+  SELECT CAST(r.range AS INT) AS s, e.vec_id AS j,
+         list_slice(e.embedding, CAST(r.range * 8 + 1 AS INT),
+                    CAST(r.range * 8 + 8 AS INT)) AS cw
+  FROM embeddings e CROSS JOIN range(0, 8) r
+  WHERE e.vec_id < 16
+),
+enc0 AS (
+  SELECT e.vec_id, cb.s, cb.j,
+         {_D2_SQL.format(
+             a='list_slice(e.embedding, CAST(cb.s * 8 + 1 AS INT), '
+               'CAST(cb.s * 8 + 8 AS INT))',
+             b='cb.cw')} AS d
+  FROM embeddings e CROSS JOIN cb
+),
+best AS (
+  SELECT vec_id, s, j,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+  FROM enc0
+),
+codes AS (
+  SELECT vec_id, list(j ORDER BY s) AS codes FROM best WHERE rn = 1
+  GROUP BY vec_id
+)
+"""
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: 64-dim float vectors → 8 codes against
+    the deterministic trainless codebook (16 codewords per subspace = dims
+    of the 16 smallest-id vectors; pipeline.similarity.pq_encode)."""
+    from ..pipeline.similarity import pq_encode
+
+    coded = pq_encode(load(spark, sf_dir, "embeddings"), m=8, k=16)
+    return coded.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",")
+        .alias("code_str"))
+
+
+_PQ_CODES_ORACLE = f"""
+WITH {_PQ_CTES}
+SELECT vec_id, array_to_string(codes, ',') AS code_str FROM codes
+"""
+
+register("emb_pq_codes", emb_pq_codes, _PQ_CODES_ORACLE)
+
+
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5 neighbors over PQ codes: the corpus side is
+    reconstructed from its 8 codes (all a PQ index stores), queries stay
+    full-precision (pipeline.similarity.pq_topk)."""
+    from ..pipeline.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(emb.where(F.col("vec_id") < 10), emb, m=8, k=16, topk=5)
+
+
+_PQ_TOPK_ORACLE = f"""
+WITH {_PQ_CTES},
+dec AS (
+  SELECT b.vec_id AS neighbor_id, flatten(list(cb.cw ORDER BY b.s)) AS decoded
+  FROM best b JOIN cb ON cb.s = b.s AND cb.j = b.j
+  WHERE b.rn = 1
+  GROUP BY b.vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, d.neighbor_id,
+         {_D2_SQL.format(a='q.embedding', b='d.decoded')} AS adc_dist2
+  FROM embeddings q CROSS JOIN dec d
+  WHERE q.vec_id < 10 AND d.neighbor_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, adc_dist2 FROM ranked WHERE rank <= 5
+"""
+
+register("emb_pq_topk", emb_pq_topk, _PQ_TOPK_ORACLE)

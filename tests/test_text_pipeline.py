@@ -131,3 +131,44 @@ class TestKmeansAssign:
             "vec_id long, embedding array<float>")
         plan = kmeans_assign(emb, k=4)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # no shuffle: pure per-row expression
+
+
+class TestProductQuantization:
+    def _emb(self, spark, n=40, dim=16):
+        # deterministic spread-out vectors
+        rows = [(i, [float((i * 7 + d * 3) % 13) for d in range(dim)])
+                for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_codebook_vectors_encode_to_themselves(self, spark):
+        from pigeon_optics_spark.pipeline.similarity import pq_encode
+
+        emb = self._emb(spark)
+        out = {r["vec_id"]: r["codes"] for r in
+               pq_encode(emb, m=4, k=8).collect()}
+        # a codeword-source vector has d2 == 0 against its own codeword in
+        # every subspace → encodes to its own id (no duplicate codewords in
+        # this fixture)
+        for j in range(8):
+            assert out[j] == [j, j, j, j]
+
+    def test_adc_ranks_reconstruction_error(self, spark):
+        from pigeon_optics_spark.pipeline.similarity import pq_topk
+
+        emb = self._emb(spark)
+        out = pq_topk(emb.where("vec_id < 2"), emb, m=4, k=8, topk=3).collect()
+        assert {r["query_id"] for r in out} == {0, 1}
+        for r in out:
+            assert r["neighbor_id"] != r["query_id"]
+            assert r["adc_dist2"] >= 0.0
+        # ranks are dense 1..3 per query
+        ranks = sorted(r["rank"] for r in out if r["query_id"] == 0)
+        assert ranks == [1, 2, 3]
+
+    def test_encode_plan_is_map_only(self, spark):
+        from pigeon_optics_spark.pipeline.similarity import pq_encode
+
+        emb = self._emb(spark)
+        plan = pq_encode(emb, m=4, k=8)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
