@@ -230,6 +230,20 @@ register("events_range_join", events_range_join, _RANGE_ORACLE)
 # --------------------------------------------------------------------------
 
 _STREAM_SEQ = [0]
+_STREAM_SRC: dict[str, str] = {}
+
+
+def _stream_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Normalized (nanos→timestamp) events as a file-source directory,
+    written once per process per sf_dir — streaming queries re-read it, they
+    don't re-normalize it."""
+    import tempfile
+
+    if sf_dir not in _STREAM_SRC:
+        d = tempfile.mkdtemp(prefix="po_stream_ev_")
+        load_events(spark, sf_dir).write.mode("overwrite").parquet(d)
+        _STREAM_SRC[sf_dir] = d
+    return _STREAM_SRC[sf_dir]
 
 
 def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,9 +261,7 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    ev = load_events(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="po_stream_ev_")
-    ev.write.mode("overwrite").parquet(d)
+    d = _stream_source_dir(spark, sf_dir)
     schema = spark.read.parquet(d).schema
 
     _STREAM_SEQ[0] += 1
@@ -299,9 +311,7 @@ def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = load_events(spark, sf_dir)
-    d = tempfile.mkdtemp(prefix="po_stream_st_")
-    ev.write.mode("overwrite").parquet(d)
+    d = _stream_source_dir(spark, sf_dir)
     schema = spark.read.parquet(d).schema
 
     def track(key, pdfs, state: GroupState):

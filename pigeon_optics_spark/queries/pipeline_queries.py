@@ -1006,3 +1006,109 @@ SELECT query_id, rank, neighbor_id, adc_dist2 FROM ranked WHERE rank <= 5
 """
 
 register("emb_pq_topk", emb_pq_topk, _PQ_TOPK_ORACLE)
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: corpus-trained add-one bigram LM, mean
+    bigram probability per doc (rational probabilities, per-doc sequential
+    fold — pipeline.text.bigram_lm_score)."""
+    from ..pipeline.text import bigram_lm_score
+
+    return bigram_lm_score(load(spark, sf_dir, "documents"))
+
+
+_BIGRAM_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+bi0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 2 THEN
+           list_transform(range(1, len(ws)),
+                          i -> {'pos': CAST(i - 1 AS INT),
+                                'w1': ws[CAST(i AS INT)],
+                                'w2': ws[CAST(i AS INT) + 1]})
+         ELSE [] END) AS u
+  FROM w
+),
+bi AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM bi0),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(ws) AS w FROM w)),
+sc AS (
+  SELECT bi.doc_id, bi.pos,
+         CAST(c2.c2 + 1 AS DOUBLE)
+         / CAST(c1.c1 + (SELECT v FROM v) AS DOUBLE) AS prob
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         list_reduce(list(prob ORDER BY pos), (acc, p) -> acc + p) AS sum_prob
+  FROM sc GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(pd.sum_prob, 0.0)
+         / GREATEST(COALESCE(pd.n_bigrams, 1), 1) AS avg_prob
+FROM w LEFT JOIN pd USING (doc_id)
+"""
+
+register("text_bigram_lm", text_bigram_lm, _BIGRAM_ORACLE)
+
+
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed preprocessing pass a training-data pipeline actually
+    runs: quality filter (score ≥ 0.5) → exact dedup (min-id representative)
+    → deterministic 50% sample → token count.  Each stage is an operator
+    gated on its own elsewhere; this entry gates their COMPOSITION."""
+    from pyspark.sql import Window
+
+    from ..pipeline.text import deterministic_sample, quality_score, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    q = quality_score(docs).where(F.col("quality_score") >= 0.5)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    reps = (q.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+    kept = deterministic_sample(reps, 0.5, "doc_id", salt="e2e")
+    return token_count(kept).select("doc_id", "lang", "quality_score",
+                                    "n_tokens")
+
+
+_E2E_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, text, LENGTH(text) AS char_len,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, text,
+         len(words) AS word_count,
+         len(list_distinct(words)) AS distinct_words,
+         CAST(len(list_filter(words, x -> list_contains({_STOPLIST_SQL}, lower(x)))) AS DOUBLE)
+           / GREATEST(len(words), 1) AS stopword_ratio
+  FROM w
+),
+q AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN word_count BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+         + LEAST(stopword_ratio * 4.0, 1.0) * 0.3
+         + LEAST((CAST(distinct_words AS DOUBLE) / GREATEST(word_count, 1)) * 2.0,
+                 1.0) * 0.3 AS quality_score
+  FROM s
+),
+f AS (SELECT * FROM q WHERE quality_score >= 0.5),
+d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn FROM f)
+SELECT doc_id, lang, quality_score,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_tokens
+FROM d
+WHERE rn = 1
+  AND ('0x' || substr(md5('e2e' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < {int(0.5 * (1 << 60))}
+"""
+
+register("pipeline_end_to_end", pipeline_end_to_end, _E2E_ORACLE)

@@ -172,3 +172,22 @@ class TestProductQuantization:
         plan = pq_encode(emb, m=4, k=8)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestBigramLm:
+    def test_probabilities_and_short_docs(self, spark):
+        from pigeon_optics_spark.pipeline.text import bigram_lm_score
+
+        rows = [(0, "a b a b"), (1, "a b"), (2, "solo"), (3, "")]
+        out = {r["doc_id"]: r for r in
+               bigram_lm_score(_docs(spark, rows)).collect()}
+        # corpus bigrams: doc0: (a,b),(b,a),(a,b); doc1: (a,b)
+        # c(a,b)=3, c(b,a)=1; bigram-left counts c1(a)=3, c1(b)=1; V=3
+        p_ab = (3 + 1) / (3 + 3)
+        p_ba = (1 + 1) / (1 + 3)
+        assert out[0]["n_bigrams"] == 3
+        assert abs(out[0]["avg_prob"] - (p_ab + p_ba + p_ab) / 3) < 1e-15
+        assert out[1]["avg_prob"] == p_ab
+        # <2 words → no bigrams, zero score, row retained
+        assert out[2]["n_bigrams"] == 0 and out[2]["avg_prob"] == 0.0
+        assert out[3]["n_bigrams"] == 0
