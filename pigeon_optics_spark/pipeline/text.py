@@ -259,8 +259,11 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
     return base.select(
         "doc_id", "shard", "n_tokens", start,
         F.floor((cum - F.col("n_tokens")) / budget).alias("first_pack"),
-        (F.floor((cum - 1) / budget)
-         - F.floor((cum - F.col("n_tokens")) / budget) + 1).alias("n_packs"),
+        # a zero-token doc occupies no window — without the guard the span
+        # formula says 1 mid-window but 0 at window boundaries
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((cum - 1) / budget)
+            - F.floor((cum - F.col("n_tokens")) / budget) + 1).alias("n_packs"),
     )
 
 

@@ -795,8 +795,10 @@ c AS (
 SELECT doc_id, shard, n_tokens,
        cum - n_tokens AS start_offset,
        CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS first_pack,
-       CAST(FLOOR((cum - 1) / 512.0)
-            - FLOOR((cum - n_tokens) / 512.0) + 1 AS BIGINT) AS n_packs
+       CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(FLOOR((cum - 1) / 512.0)
+                      - FLOOR((cum - n_tokens) / 512.0) + 1 AS BIGINT)
+       END AS n_packs
 FROM c
 """
 
