@@ -63,6 +63,15 @@ def dsum(expr: str, alias: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE) AS {alias}"
 
 
+# NOTE (found at sf0.1, q_cube_volumes): the final decimal->double cast is
+# itself an engine-divergence class at large magnitudes.  DuckDB computes
+# int128 * 10^-scale in FLOAT arithmetic (1 ulp off around ~2e10 with
+# scale 8); Spark rounds correctly via BigDecimal.doubleValue().  When a
+# summed magnitude approaches ulp(x) ~ 10^-scale, bounce the ORACLE's cast
+# through VARCHAR (decimal->varchar is exact, varchar->double correctly
+# rounded): CAST(CAST(SUM(...) AS VARCHAR) AS DOUBLE).
+
+
 #: Exact-decimal money expressions.  The synthetic money columns hold true
 #: 2-decimal values stored as doubles (~1e-14 away from any rounding
 #: midpoint), so casting each OPERAND to a tight decimal is exact and

@@ -141,3 +141,50 @@ FROM orders GROUP BY o_orderstatus
 """
 
 register("lens_count_orders_by_status", lens_count_orders_by_status, _COUNT_ORACLE)
+
+
+STATS_CODE = (
+    'output(data["o_orderstatus"], {"n": 1, "total": data["o_totalprice"], '
+    '"last_priority": data["o_orderpriority"]})'
+)
+
+
+def lens_object_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive OBJECT-merge reduce idiom end-to-end (ref
+    test/test-utility-reduce.js object rules): each record emits a dict —
+    ints add (count), floats add in the deterministic fold order (sum), and
+    strings last-win (the final record's priority).  The oracle reproduces
+    the float sum with a list_reduce over the SAME natural record order and
+    the last-wins with arg_max — this is the cross-engine proof that the
+    fold order contract (input_idx, natural(record_id), emit_idx) holds.
+    """
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("record_id"),
+        F.to_json(F.struct("o_orderstatus", "o_totalprice",
+                           "o_orderpriority")).alias("value"),
+    )
+    # distinct dataset name: lens_count_orders_by_status ingests "orders"
+    # with status-only values in the same process-wide store — sharing it
+    # would leave this lens's records without o_totalprice
+    store = _ensure(spark, sf_dir, "orders-full", "order-stats", STATS_CODE, src)
+    out = store.read_df(spark, "tpch", "order-stats", source="lenses")
+    parsed = F.from_json(
+        "value", "struct<n:bigint,total:double,last_priority:string>")
+    return out.select(
+        F.col("record_id").alias("status"),
+        parsed.getField("n").alias("n"),
+        parsed.getField("total").alias("total"),
+        parsed.getField("last_priority").alias("last_priority"),
+    )
+
+
+_OBJ_MERGE_ORACLE = """
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n,
+       list_reduce(list(o_totalprice ORDER BY o_orderkey),
+                   (acc, v) -> acc + v) AS total,
+       arg_max(o_orderpriority, o_orderkey) AS last_priority
+FROM orders GROUP BY o_orderstatus
+"""
+
+register("lens_object_merge_stats", lens_object_merge_stats, _OBJ_MERGE_ORACLE)

@@ -487,3 +487,119 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_approx_aggregates", q_approx_aggregates, None)  # rows-only
+
+
+# --------------------------------------------------------------------------
+# q_full_outer_join — FULL OUTER (SURVEY §2.3 completeness): regions with
+# or without matching customers-by-nation rollups on both sides.  Plan: the
+# nation dim broadcasts; the outer preserves unmatched rows of BOTH inputs.
+# --------------------------------------------------------------------------
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    # per-nation customer counts for ONE market segment (some nations will
+    # have zero rows on the left → exercised outer semantics), full-outer
+    # against the full nation dim
+    seg = (cust.where(F.col("c_mktsegment") == "AUTOMOBILE")
+           .where(F.col("c_acctbal") > 9000)
+           .groupBy("c_nationkey").agg(F.count("*").alias("n_rich")))
+    return (seg.join(nation, seg["c_nationkey"] == nation["n_nationkey"],
+                     "full_outer")
+            .select(
+                F.coalesce(F.col("n_name"), F.lit("<none>")).alias("nation"),
+                F.coalesce(F.col("n_rich"), F.lit(0)).alias("n_rich"),
+                F.col("n_regionkey").isNotNull().alias("has_nation"),
+            ))
+
+
+_FULL_OUTER_ORACLE = """
+WITH seg AS (
+  SELECT c_nationkey, COUNT(*) AS n_rich
+  FROM customer
+  WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000
+  GROUP BY c_nationkey
+)
+SELECT COALESCE(n.n_name, '<none>') AS nation,
+       COALESCE(seg.n_rich, 0) AS n_rich,
+       n.n_regionkey IS NOT NULL AS has_nation
+FROM seg FULL OUTER JOIN nation n ON seg.c_nationkey = n.n_nationkey
+"""
+
+register("q_full_outer_join", q_full_outer_join, _FULL_OUTER_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_moving_average — sliding ROWS window frame (SURVEY §2.6 depth): 7-row
+# centered moving average of daily order totals.  Exact decimal partials
+# inside the frame keep the doubles engine-identical.
+# --------------------------------------------------------------------------
+
+
+def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (orders.groupBy("o_orderdate")
+             .agg(F.expr(dsum("o_totalprice", "day_total", 8))
+                  .alias("day_total"),
+                  F.count("*").alias("n_orders")))
+    w = (Window.orderBy("o_orderdate").rowsBetween(-3, 3))
+    # the moving SUM re-enters decimal so the frame accumulation is
+    # order-free; cast to double BEFORE dividing — decimal÷int scale rules
+    # differ between engines, double÷double is one exactly-rounded op
+    mov = (F.sum(F.col("day_total").cast("decimal(30,8)")).over(w)
+           .cast("double") / F.count("*").over(w))
+    return daily.select("o_orderdate", "day_total", "n_orders",
+                        mov.alias("ma7"))
+
+
+_MOVAVG_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderdate, {dsum('o_totalprice', 'day_total', 8)},
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_orderdate
+)
+SELECT o_orderdate, day_total, n_orders,
+       CAST(SUM(CAST(day_total AS DECIMAL(30,8)))
+              OVER (ORDER BY o_orderdate ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            AS DOUBLE)
+       / COUNT(*) OVER (ORDER BY o_orderdate
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma7
+FROM daily
+"""
+
+register("q_moving_average", q_moving_average, _MOVAVG_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_cube_volumes — CUBE grouping sets (all 4 combinations; rollup covers
+# the hierarchy case, cube the full lattice — SURVEY §2.4).
+# --------------------------------------------------------------------------
+
+
+def q_cube_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.expr(dsum("o_totalprice", "total", 8)).alias("total"))
+            .select(
+                F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+                "n_orders", "total"))
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       COUNT(*) AS n_orders,
+       -- VARCHAR bounce: DuckDB's decimal->double cast computes
+       -- int128 * 10^-s in FLOAT arithmetic (1 ulp off at ~2e10 subtotal
+       -- magnitudes), while Spark rounds correctly via BigDecimal; the
+       -- decimal->varchar->double path is correctly rounded in both
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR)
+            AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+register("q_cube_volumes", q_cube_volumes, _CUBE_ORACLE)
