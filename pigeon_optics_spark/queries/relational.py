@@ -603,3 +603,92 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 register("q_cube_volumes", q_cube_volumes, _CUBE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_event_zscores — statistical profiling / anomaly flagging: per-type mean
+# and stddev from EXACT decimal partials, then per-event z-scores.  All
+# double ops downstream of the exact sums are single exactly-rounded
+# expressions, so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def q_event_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    stats = (ev.groupBy("event_type")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.col("value").cast("decimal(28,8)")).alias("_s"),
+                  # (12,6) operands: events.value is a small 2-decimal
+                  # quantity, and DuckDB computes the product at operand
+                  # width (no auto-widening — (18,8)² overflows int64)
+                  F.sum((F.col("value").cast("decimal(12,6)")
+                         * F.col("value").cast("decimal(12,6)"))
+                        .cast("decimal(38,12)"))
+                  .alias("_ss"))
+             .select("event_type", "n",
+                     (F.col("_s").cast("double") / F.col("n")).alias("mean"),
+                     F.sqrt(F.col("_ss").cast("double") / F.col("n")
+                            - (F.col("_s").cast("double") / F.col("n"))
+                            * (F.col("_s").cast("double") / F.col("n")))
+                     .alias("sd")))
+    return (ev.join(stats, "event_type")
+            .where(F.abs((F.col("value") - F.col("mean")) / F.col("sd")) > 2.5)
+            .select("event_id", "event_type", "value", "mean", "sd",
+                    ((F.col("value") - F.col("mean")) / F.col("sd"))
+                    .alias("zscore")))
+
+
+_ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         -- VARCHAR bounce (see _util note): DuckDB's decimal->double cast
+         -- is 1 ulp off at large magnitudes
+         CAST(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS VARCHAR)
+              AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(12,6))
+                            * CAST(value AS DECIMAL(12,6))
+                            AS DECIMAL(38,12))) AS VARCHAR)
+              AS DOUBLE) AS ss
+  FROM events GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, s / n AS mean,
+         sqrt(ss / n - (s / n) * (s / n)) AS sd
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value, m.mean, m.sd,
+       (e.value - m.mean) / m.sd AS zscore
+FROM events e JOIN m USING (event_type)
+WHERE ABS((e.value - m.mean) / m.sd) > 2.5
+"""
+
+register("q_event_zscores", q_event_zscores, _ZSCORE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q_exact_quantiles — EXACT interpolated quantiles per group (the exact twin
+# of the rows-only approx-sketch query).  Safe for the hash gate because
+# l_quantity is integer-valued, so every interpolation lands on x.0/x.25/
+# x.5/x.75 — exactly representable, no engine drift.
+# --------------------------------------------------------------------------
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+                 F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+                 F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+                 F.count("*").alias("n")))
+
+
+_EXACT_Q_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+register("q_exact_quantiles", q_exact_quantiles, _EXACT_Q_ORACLE)
