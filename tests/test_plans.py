@@ -133,3 +133,46 @@ def test_lens_map_phase_runs_at_session_parallelism(spark, store):
     assert "fresh.repartition(spark.sparkContext.defaultParallelism)" in src
     stats = build_lens(spark, store, "t", "plens")
     assert stats["mapped"] == 50
+
+
+def test_contamination_bench_side_broadcasts(spark, sf_dir):
+    """The benchmark n-gram set must broadcast (eval sets are bounded) —
+    a shuffle join here would shuffle corpus-scale gram volume."""
+    from pigeon_optics_spark.pipeline.text import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(ngram_contamination(docs))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_dir):
+    """Packing must partition its window by shard — an unpartitioned window
+    serializes the corpus through a single task."""
+    from pigeon_optics_spark.pipeline.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(pack_sequences(docs), "formatted")
+    # the window's required distribution is hashpartitioning on shard, not
+    # a SinglePartition sort
+    assert "hashpartitioning(shard" in p
+
+
+def test_pq_topk_query_side_broadcasts(spark, sf_dir):
+    from pigeon_optics_spark.pipeline.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(pq_topk(emb.where(F.col("vec_id") < 5), emb))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_stratified_sample_is_scan_plus_filter(spark, sf_dir):
+    """The sampler must stay a pure filter over the scan — no shuffle, no
+    join; rebalancing a 100 TB mix is a map-only pass."""
+    from pigeon_optics_spark.pipeline.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(stratified_sample(docs, {"en": 0.25}, default_rate=0.75))
+    assert "Exchange" not in p
+    assert "Join" not in p
