@@ -246,9 +246,13 @@ class LensHarness:
             # is machine-speed-dependent — a timed-out record deterministically
             # contributes nothing but the error
             outputs.clear()
+            # fixed message: embedding the measured elapsed time would make
+            # a borderline lens's cached error bytes (and thus cache hashes)
+            # machine-dependent — the same nondeterminism class the
+            # outputs.clear() above removes
             errors.append({
                 "type": "TimeoutError",
-                "message": f"lens map took {elapsed_ms:.1f}ms (limit {self.timeout_ms}ms)",
+                "message": f"lens map exceeded {self.timeout_ms}ms",
                 "line": None,
             })
         return outputs, logs, errors
@@ -422,9 +426,16 @@ def _cache_name(name: str) -> str:
 # as parquet segments RANGE-SORTED BY out_id, so an incremental re-reduce
 # reads only the row groups holding affected keys (min/max pruning on the
 # pushed-down ``out_id IN (...)`` filter).  No tombstones: an emission row is
-# current iff its (path, seq) matches the cache's current entry for that
-# path — re-mapped paths' old rows fail the seq match, pruned paths have no
-# cache entry at all.  Segments compact alongside the cache.
+# current iff its (path, version) matches the cache's current entry for that
+# path — re-mapped paths' old rows fail the version match, pruned paths have
+# no cache entry at all.  The validity key is the cache ROW's version, NOT
+# its segment seq: cache compaction re-stamps every row with one new seq
+# (physical), but preserves per-row versions (logical) — seq-keyed validity
+# would invalidate the whole emissions log at the first compaction (silently
+# dropping retained contributions on later incremental rebuilds).  A cache
+# row's version advances exactly when its path is re-mapped: the cache value
+# embeds the input record's version, so hash suppression can never keep an
+# old version on a re-map.  Segments compact alongside the cache.
 # --------------------------------------------------------------------------
 
 _EMIT_COLS = ["out_id", "input_idx", "nat_key", "src_rid", "emit_idx", "value"]
@@ -502,20 +513,22 @@ def _segment_foldable(seg_path: str) -> bool:
 
 
 def _cache_keys_df(spark, segs: list[str]):
-    """Current (path, seq) of a cache segment log — a thin columnar read
-    (record_id/seq/deleted only; the fat ``value`` column never leaves
-    parquet), latest-wins window only when >1 segment."""
+    """Current (path, version) of a cache segment log — a thin columnar read
+    (record_id/seq/version/deleted only; the fat ``value`` column never
+    leaves parquet), latest-wins window only when >1 segment.  ``seq`` is
+    read purely for latest-wins resolution; the returned validity key is the
+    row's *version* (survives cache compaction, which re-stamps seq)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if not segs:
         return None
     df = spark.read.parquet(*segs).select(
-        F.col("record_id").alias("path"), "seq", "deleted")
+        F.col("record_id").alias("path"), "seq", "version", "deleted")
     if len(segs) > 1:
         w = Window.partitionBy("path").orderBy(F.desc("seq"))
         df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
-    return df.where(~F.col("deleted")).select("path", "seq")
+    return df.where(~F.col("deleted")).select("path", "version")
 
 
 def _emissions_from_cache_df(df):
@@ -558,7 +571,7 @@ def _compact_emissions(spark, store: DatasetStore, author: str, name: str) -> No
     cache_meta = store.get_meta(author, _cache_name(name), source=_CACHE_SOURCE)
     keys = _cache_keys_df(spark, store._segments(cache_meta))  # noqa: SLF001
     log = spark.read.parquet(*segs)
-    valid = log.join(keys, ["path", "seq"], "left_semi") if keys is not None \
+    valid = log.join(keys, ["path", "version"], "left_semi") if keys is not None \
         else log.limit(0)
     n = valid.count()
     num_parts = max(1, min(256, n // 200_000 + 1))
@@ -784,8 +797,10 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
                            source=_CACHE_SOURCE, precanonical=True,
                            no_links=True)
     _trace("cache_write")
-    seq_now = store.get_meta(author, _cache_name(name),
-                             source=_CACHE_SOURCE).last_seq
+    cache_meta_now = store.get_meta(author, _cache_name(name),
+                                    source=_CACHE_SOURCE)
+    seq_now = cache_meta_now.last_seq       # emission SEGMENT numbering
+    ver_now = cache_meta_now.version        # per-row validity stamp
 
     # ---- reduce ------------------------------------------------------------
     # Emissions come from the EMISSIONS STORE (exploded at write time,
@@ -795,7 +810,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # pruned paths.  Gathering those keys' emissions is a PRUNED scan — the
     # ``out_id IN (...)`` predicate pushes into the sorted parquet and skips
     # non-matching row groups; validity (latest generation only) is a thin
-    # (path, seq) join, never a fat-value parse.  Untouched keys keep their
+    # (path, version) join, never a fat-value parse.  Untouched keys keep their
     # stored reduction — at 100 TB a point-write re-reduces a handful of
     # keys reading a handful of row groups (the reference re-folds everything
     # each build, lens.js:204-225; this is strictly stronger incrementality).
@@ -805,7 +820,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # emissions come straight off the persisted map result — only the
     # ``outputs`` column is parsed, never the full cache-entry JSON
     emit_delta = (_emissions_from_cache_df(mapped)
-                  .withColumn("seq", F.lit(seq_now)))
+                  .withColumn("version", F.lit(ver_now)))
 
     pre_write_version = store.get_meta(author, name, source="lenses").version
     if first_build:
@@ -837,7 +852,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         else:
             # migration backfill (store predates the emissions log): derive
             # the valid pre-state log from the cache once, attach each path's
-            # current seq, and persist it so every later build prunes
+            # current cache-row version, and persist it so every later build
+            # prunes
             state_emits = _emissions_from_cache_df(
                 _parsed_cache_rows(cache_cur)).join(pre_keys, "path")
             seg_path = _write_emit_segment(
@@ -847,13 +863,14 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             _trace("emit_backfill")
 
         # out_ids from NEW map results + from the pre-state emissions of
-        # changed/pruned paths (valid generation only: seq must match the
-        # path's pre-write cache seq)
+        # changed/pruned paths (valid generation only: version must match
+        # the path's pre-write cache-row version)
         changed_pre_keys = pre_keys.join(F.broadcast(delta_paths), "path",
                                          "left_semi") if pre_keys is not None \
             else None
         new_ids = emit_delta.select("out_id")
-        old_ids = (old_log.join(changed_pre_keys, ["path", "seq"], "left_semi")
+        old_ids = (old_log.join(changed_pre_keys, ["path", "version"],
+                                "left_semi")
                    .select("out_id")) if changed_pre_keys is not None \
             else new_ids.limit(0)
         affected = new_ids.unionByName(old_ids).distinct().persist()
@@ -865,7 +882,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             # post-write current keys, composed algebraically (pre-state
             # minus touched paths, plus this build's fresh paths) — no
             # re-read, no window over the new log
-            delta_keys = mapped.select("path", F.lit(seq_now).alias("seq"))
+            delta_keys = mapped.select("path", F.lit(ver_now).alias("version"))
             post_keys = (pre_keys.join(F.broadcast(delta_paths), "path",
                                        "left_anti").unionByName(delta_keys)
                          if pre_keys is not None else delta_keys)
@@ -878,7 +895,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             else:
                 old_part = old_log.join(affected, "out_id", "left_semi")
                 new_part = emit_delta.join(affected, "out_id", "left_semi")
-            valid_old = old_part.join(post_keys, ["path", "seq"], "left_semi")
+            valid_old = old_part.join(post_keys, ["path", "version"],
+                                      "left_semi")
             gathered = valid_old.select(*_EMIT_COLS).unionByName(
                 new_part.select(*_EMIT_COLS))
             reduced = reduce_outputs(gathered).persist()

@@ -73,6 +73,12 @@ def sniff_image_meta(data: bytes) -> tuple[int, int, int, str] | None:
         while i + 4 <= len(data):
             if data[i] != 0xFF:
                 break
+            # 0xFF fill bytes are legal padding between segments — skip them
+            # so the marker byte is never read from a padding position
+            while i + 1 < len(data) and data[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(data):
+                break
             marker = data[i + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2

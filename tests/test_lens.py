@@ -252,7 +252,7 @@ class TestGoldenBuild:
     def test_emissions_log_many_builds_and_compaction(self, spark, store):
         # 10 incremental builds push the emissions log past the compaction
         # threshold; every intermediate state must stay correct (validity is
-        # the (path, seq) match — stale generations never resurface)
+        # the (path, version) match — stale generations never resurface)
         import os
 
         from pigeon_optics_spark.lens import _emit_dir, _emit_segments
@@ -286,6 +286,52 @@ class TestGoldenBuild:
         # compaction folded the log (threshold 8)
         assert len(_emit_segments(store, "system", "idx")) <= 9
         assert os.path.isdir(_emit_dir(store, "system", "idx"))
+
+    def test_remap_shared_out_id_after_cache_compaction(self, spark, store):
+        # ADVICE r2 (high): cache compaction re-stamps every cache row with
+        # ONE new seq, so seq-keyed emission validity invalidated the whole
+        # emissions log after 9+ builds — incremental rebuilds then silently
+        # dropped retained contributions of untouched records, and
+        # _compact_emissions wrote an empty base (log destroyed).  Validity
+        # is keyed on (path, version) now, which compaction preserves.
+        from pigeon_optics_spark.lens import _cache_name, _emit_segments
+
+        store.create("system", "d")
+        store.write_entries("system", "d", [
+            ("keep", {"tags": ["shared"]}),
+            ("move", {"tags": ["shared"]}),
+        ])
+        create_lens(store, "system", "idx",
+                    inputs=["/datasets/system:d"], code=INVERT_CODE)
+        build_lens(spark, store, "system", "idx")
+        # one cache segment per build: 9 more builds cross the >8 compaction
+        # threshold for BOTH the cache log and the emissions log
+        for i in range(9):
+            store.write("system", "d", f"filler{i}", {"tags": [f"f{i}"]})
+            build_lens(spark, store, "system", "idx")
+        cache_meta = store.get_meta("system", _cache_name("idx"), source="meta")
+        assert cache_meta.base_seq > 0, "cache compaction must have happened"
+        # the compacted emissions log must NOT be empty (the old bug wrote an
+        # empty base, destroying every retained emission)
+        emit_segs = _emit_segments(store, "system", "idx")
+        emit_rows = spark.read.parquet(*emit_segs).count()
+        assert emit_rows >= 11  # keep+move+9 fillers, ≥1 emission each
+
+        # post-compaction incremental: re-map 'move' away from the shared
+        # out_id; the untouched 'keep' contribution must be retained
+        store.write("system", "d", "move", {"tags": ["elsewhere"]})
+        build_lens(spark, store, "system", "idx")
+        got = {r["id"]: r["value"] for r in
+               store.iterate("system", "idx", source="lenses", fast_read=True)}
+        assert got["shared"] == PSet(["keep"])
+        assert got["elsewhere"] == PSet(["move"])
+
+        # stale out_ids of post-compaction re-maps must still be pruned
+        store.write("system", "d", "keep", {"tags": ["other"]})
+        build_lens(spark, store, "system", "idx")
+        ids = store.list_record_ids("system", "idx", source="lenses")
+        assert "shared" not in ids
+        assert "other" in ids and "elsewhere" in ids
 
     def test_build_deterministic_across_stores(self, spark, tmp_path):
         # the same lens over the same data must produce a bit-identical
