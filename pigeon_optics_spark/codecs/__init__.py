@@ -170,7 +170,23 @@ def _yaml_native_nodes_to_tagged(node: Any) -> Any:
     if isinstance(node, list):
         return [_yaml_native_nodes_to_tagged(v) for v in node]
     if isinstance(node, dict):
-        return {k: _yaml_native_nodes_to_tagged(v) for k, v in node.items()}
+        # YAML mapping keys may themselves be native scalars (an unquoted
+        # ``2024-01-01: x`` loads a datetime.date KEY) — the value domain is
+        # string-keyed, so stringify deterministically: ISO 8601 for
+        # date/datetime, base64 for bytes, json.dumps' coercion for the rest
+        def _key(k: Any) -> str:
+            if isinstance(k, str):
+                return k
+            if isinstance(k, (_dt.datetime, _dt.date)):
+                return k.isoformat()
+            if isinstance(k, bytes):
+                return _b64.b64encode(k).decode("ascii")
+            if k is True or k is False or k is None:
+                return {True: "true", False: "false", None: "null"}[k]
+            return str(k)  # int/float — json.dumps' own key coercion
+
+        return {_key(k): _yaml_native_nodes_to_tagged(v)
+                for k, v in node.items()}
     return node
 
 

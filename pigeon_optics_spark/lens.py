@@ -449,8 +449,19 @@ def _emit_dir(store: DatasetStore, author: str, name: str) -> str:
 
 def _emit_segments(store: DatasetStore, author: str, name: str) -> list[str]:
     """Emission segment paths in seq order; a base segment supersedes all
-    earlier segments (same convention as the store's segment log)."""
+    earlier segments (same convention as the store's segment log).
+
+    Pre-(path,version) segments (the r2-era format stamped a ``seq`` column
+    instead of ``version``) are detected by schema and the whole log is
+    dropped: the log is a derived cache, and returning [] routes the next
+    incremental build through the migration-backfill path, which regenerates
+    it from the compute cache with correct per-row versions.  Joining the old
+    format on ``["path", "version"]`` would either raise AnalysisException or
+    — under schema merging — null out ``version`` for old rows and silently
+    invalidate retained emissions."""
+    import glob
     import os
+    import shutil
 
     d = _emit_dir(store, author, name)
     if not os.path.isdir(d):
@@ -464,7 +475,19 @@ def _emit_segments(store: DatasetStore, author: str, name: str) -> list[str]:
     floor = max(base_seqs) if base_seqs else None
     keep = [(s, p) for s, b, p in sorted(items)
             if (b and s == floor) or (not b and (floor is None or s > floor))]
-    return [p for _s, p in keep]
+    segs = [p for _s, p in keep]
+    if segs:
+        import pyarrow.parquet as pq
+
+        try:
+            first = sorted(glob.glob(os.path.join(segs[0], "*.parquet")))[0]
+            migrated = "version" in pq.read_schema(first).names
+        except (IndexError, OSError):
+            migrated = False  # unreadable/empty segment: treat as stale
+        if not migrated:
+            shutil.rmtree(d, ignore_errors=True)
+            return []
+    return segs
 
 
 def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,

@@ -83,8 +83,6 @@ def sniff_image_meta(data: bytes) -> tuple[int, int, int, str] | None:
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
                 i += 2
                 continue
-            if i + 4 > len(data):
-                break
             seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
             if marker in _JPEG_SOF and i + 9 <= len(data):
                 h, w = struct.unpack(">HH", data[i + 5:i + 9])

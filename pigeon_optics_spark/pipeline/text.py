@@ -125,7 +125,8 @@ def deterministic_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
     ``df.sample`` (seeded per-partition, so repartitioning changes the
     sample).  Pure filter: no shuffle, pushes to the scan, composes with
     stratification by salting per stratum (``salt=f"{lang}:{snapshot}"``).
-    16 hex digits = 64 bits; threshold computed in exact integer space.
+    15 hex digits = 60 bits (fits a signed 64-bit long on both engines);
+    threshold computed in exact integer space against ``1 << 60``.
     """
     threshold = int(rate * (1 << 60))
     bucket = F.conv(F.substring(F.md5(F.concat(F.lit(salt),

@@ -164,6 +164,20 @@ def test_yaml_external_native_dates():
     assert c.decode(c.encode(v)) == v
 
 
+def test_yaml_external_native_date_keys():
+    # unquoted dates/timestamps in KEY position load as datetime.date/datetime
+    # keys — the string-keyed value domain must stringify them (ISO 8601)
+    # instead of crashing json.dumps inside tagged_to_value
+    c = CODECS["yaml"]
+    v = c.decode(b"2024-01-01: x\n2024-03-01 12:30:00: y\n"
+                 b"? !!binary aGk=\n: z\n7: int-key\n")
+    assert v["2024-01-01"] == "x"
+    assert v["2024-03-01T12:30:00"] == "y"
+    assert v["aGk="] == "z"
+    assert v["7"] == "int-key"
+    assert c.decode(c.encode(v)) == v
+
+
 def test_codec_dispatch():
     assert codec_for("application/json").name == "json"
     assert codec_for("application/json; charset=utf-8").name == "json"

@@ -333,6 +333,53 @@ class TestGoldenBuild:
         assert "shared" not in ids
         assert "other" in ids and "elsewhere" in ids
 
+    def test_pre_version_emission_segments_trigger_backfill(self, spark, store):
+        # ADVICE r3 (medium): segments written by the r2-era code carry a
+        # per-row 'seq' column, not 'version'.  Reading them and joining on
+        # ['path', 'version'] would crash or (under schema inference across
+        # mixed segments) silently null-invalidate retained emissions.  The
+        # schema guard in _emit_segments must drop the stale log so the
+        # migration-backfill path regenerates it from the compute cache.
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from pigeon_optics_spark.lens import _emit_dir, _emit_segments
+
+        store.create("system", "d")
+        store.write_entries("system", "d", [
+            ("keep", {"tags": ["shared"]}),
+            ("move", {"tags": ["shared"]}),
+        ])
+        create_lens(store, "system", "idx",
+                    inputs=["/datasets/system:d"], code=INVERT_CODE)
+        build_lens(spark, store, "system", "idx")
+
+        # rewrite every emission part file in the old format: version -> seq
+        d = _emit_dir(store, "system", "idx")
+        for part in glob.glob(os.path.join(d, "*.parquet", "*.parquet")):
+            t = pq.read_table(part)
+            t = t.rename_columns(
+                ["seq" if c == "version" else c for c in t.column_names])
+            pq.write_table(t, part)
+        assert _emit_segments(store, "system", "idx") == []
+        assert not os.path.isdir(d)  # stale log dropped wholesale
+
+        # incremental build over the migrated store: backfill must regenerate
+        # the log and retain the untouched 'keep' contribution
+        store.write("system", "d", "move", {"tags": ["elsewhere"]})
+        build_lens(spark, store, "system", "idx")
+        got = {r["id"]: r["value"] for r in
+               store.iterate("system", "idx", source="lenses", fast_read=True)}
+        assert got["shared"] == PSet(["keep"])
+        assert got["elsewhere"] == PSet(["move"])
+        # regenerated log is in the new format and non-empty
+        segs = _emit_segments(store, "system", "idx")
+        assert segs
+        first = sorted(glob.glob(os.path.join(segs[0], "*.parquet")))[0]
+        assert "version" in pq.read_schema(first).names
+
     def test_build_deterministic_across_stores(self, spark, tmp_path):
         # the same lens over the same data must produce a bit-identical
         # output archive in independent store instances (determinism is the
