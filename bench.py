@@ -38,8 +38,8 @@ HEADLINE = [
     "lens_sum_qty_by_partkey",
     "dedup_exact_documents",
     "dedup_minhash_pairs",
-    "text_quality_documents",
-    "ann_topk_bruteforce",
+    "text_profile",
+    "ann_topk_methods",
     "events_tumbling_counts",
     "events_sessionize",
     "asof_join_events_orders",

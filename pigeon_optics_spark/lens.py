@@ -440,6 +440,12 @@ def _cache_name(name: str) -> str:
 
 _EMIT_COLS = ["out_id", "input_idx", "nat_key", "src_rid", "emit_idx", "value"]
 
+#: Incremental rebuilds gather affected-out_id emissions either via a
+#: driver-side ``IN`` list (≤ this many keys: the literal list pushes into
+#: the sorted log's row-group pruning) or via a left-semi join (unbounded).
+#: Module-level so tests can lower it to exercise the semi-join path.
+AFFECTED_COLLECT_MAX = 10_000
+
 
 def _emit_dir(store: DatasetStore, author: str, name: str) -> str:
     import os
@@ -909,7 +915,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             post_keys = (pre_keys.join(F.broadcast(delta_paths), "path",
                                        "left_anti").unionByName(delta_keys)
                          if pre_keys is not None else delta_keys)
-            if n_affected <= 10_000:
+            if n_affected <= AFFECTED_COLLECT_MAX:
                 # driver-side key list ⇒ parquet pushdown prunes row groups
                 # of the sorted log; the whole gather reads ~|affected| keys
                 ids = [r["out_id"] for r in affected.collect()]

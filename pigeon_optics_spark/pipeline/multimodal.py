@@ -43,6 +43,9 @@ AUDIO_META_SCHEMA = (
 
 FRAME_SCHEMA = "media_id long, frame_no int, frame_hash string, ts_ms double"
 
+GIF_FRAME_SCHEMA = ("media_id long, frame_no int, x int, y int, "
+                    "width int, height int, ts_ms double")
+
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 #: JPEG start-of-frame markers (baseline/progressive/etc.); C4=DHT, C8=JPG
 #: extension and CC=DAC are not SOFs.
@@ -193,16 +196,106 @@ def decode_audio_meta(df: DataFrame, binary_col: str = "data",
     return df.select(id_col, binary_col).mapInPandas(run, schema=AUDIO_META_SCHEMA)
 
 
+def gif_frame_index(data: bytes) -> list[tuple[int, int, int, int, int, float]]:
+    """REAL frame enumeration for animated GIFs by block-walk — NO pixel
+    decode, no external library: ``[(frame_no, x, y, width, height, ts_ms)]``
+    per image descriptor.
+
+    Walks the GIF grammar (GIF89a spec, Appendix A): header + logical screen
+    descriptor (skipping the global color table), then blocks — 0x21
+    extensions (a Graphic Control Extension's delay field, in centiseconds,
+    is the presentation delay carried into the NEXT image descriptor), 0x2C
+    image descriptors (left/top/width/height, skipping any local color table
+    and the LZW sub-block chain), 0x3B trailer.  ``ts_ms`` of frame *i* is
+    the cumulative delay of frames ``0..i-1`` (frame 0 shows at t=0).
+    Truncated or non-GIF bytes yield the frames parsed so far ([] if none).
+    """
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return []
+    packed = data[10]
+    i = 13
+    if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        i += 3 * (2 << (packed & 0x07))
+    frames: list[tuple[int, int, int, int, int, float]] = []
+    pending_delay_cs = 0
+    t_ms = 0.0
+    while i < len(data):
+        block = data[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-block chain
+            if i + 2 > len(data):
+                break
+            label = data[i + 1]
+            i += 2
+            while i < len(data) and data[i] != 0:
+                sz = data[i]
+                if label == 0xF9 and sz >= 4 and i + 4 <= len(data):
+                    pending_delay_cs = struct.unpack(
+                        "<H", data[i + 2:i + 4])[0]
+                i += 1 + sz
+            i += 1  # block terminator
+        elif block == 0x2C:  # image descriptor
+            if i + 10 > len(data):
+                break
+            x, y, w, h = struct.unpack("<HHHH", data[i + 1:i + 9])
+            fpacked = data[i + 9]
+            i += 10
+            if fpacked & 0x80:  # local color table
+                i += 3 * (2 << (fpacked & 0x07))
+            i += 1  # LZW minimum code size
+            while i < len(data) and data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+            frames.append((len(frames), x, y, w, h, t_ms))
+            t_ms += pending_delay_cs * 10.0
+            pending_delay_cs = 0
+        else:
+            break  # unknown block type: stop rather than misparse
+    return frames
+
+
+def enumerate_gif_frames(df: DataFrame, binary_col: str = "data",
+                         id_col: str = "media_id") -> DataFrame:
+    """binary column → one row per REAL GIF frame (:func:`gif_frame_index`)
+    via the mapInPandas flatMap contract; non-GIF bytes contribute no rows.
+    This is the real-kernel sibling of :func:`sample_frames`' fake stub —
+    frame *enumeration* needs only the block grammar, no pixel decode."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_no", "x", "y",
+                                    "width", "height", "ts_ms")}
+            for mid, data in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(data) if data is not None else b""
+                for n, x, y, w, h, ts in gif_frame_index(b):
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(n)
+                    rows["x"].append(x)
+                    rows["y"].append(y)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["ts_ms"].append(ts)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run, schema=GIF_FRAME_SCHEMA)
+
+
 def sample_frames(df: DataFrame, binary_col: str = "data",
                   id_col: str = "media_id", every_n_bytes: int = 1024,
                   *, fake: bool = False) -> DataFrame:
     """Video frame sampling shape: one input row → N frame rows (flatMap via
     the mapInPandas iterator contract).  Fake kernel hashes fixed-size byte
-    windows as stand-in 'frames'."""
+    windows as stand-in 'frames'.  For GIF containers the REAL sibling is
+    :func:`enumerate_gif_frames` (block-walk, no pixel decode); general
+    video (mp4/webm) frame extraction needs ffmpeg/PyAV, absent here."""
     if not fake:
         raise NotImplementedError(
-            "real frame extraction needs ffmpeg/PyAV (not in this container); "
-            "pass fake=True for the deterministic stub")
+            "real frame extraction for general video needs ffmpeg/PyAV (not "
+            "in this container); use enumerate_gif_frames for GIFs, or pass "
+            "fake=True for the deterministic byte-window stub")
 
     import pandas as pd
 

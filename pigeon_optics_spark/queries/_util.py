@@ -34,19 +34,30 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper TIMESTAMP.
+    """events with ``ts`` as a proper (session-UTC) TIMESTAMP.
 
-    The parquet stores TIMESTAMP(NANOS), which Spark lacks; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as LONG nanos
-    and is floor-divided to micros JVM-side (DuckDB's TIMESTAMP_NS→TIMESTAMP
-    cast truncates identically).
+    The driver's parquet has shipped two encodings across rounds, both
+    handled here so the queries are storage-agnostic:
+
+    - TIMESTAMP(NANOS): Spark lacks nanos; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as LONG
+      nanos and is floor-divided to micros JVM-side (DuckDB's
+      TIMESTAMP_NS→TIMESTAMP cast truncates identically).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (the r4 testdata): Spark
+      reads TIMESTAMP_NTZ; cast to TIMESTAMP — the session timezone is
+      pinned UTC (session.py), so the wall-clock reinterpretation is the
+      identity and epoch arithmetic (unix_micros, windows) matches DuckDB's
+      naive-TIMESTAMP semantics bit-for-bit.
     """
     from pyspark.sql import functions as F
 
     ev = load(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
         # integer division — double division would lose precision at 1e18 nanos
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

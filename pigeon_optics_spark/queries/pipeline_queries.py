@@ -74,7 +74,7 @@ SELECT doc_id, char_len, word_count, distinct_words, stopword_ratio,
 FROM s
 """
 
-register("text_quality_documents", text_quality_documents, _QUALITY_ORACLE)
+# registered via the merged text_profile gate (r4) — see below
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +87,7 @@ SELECT doc_id, n_chars, len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens
 FROM documents
 """
 
-register("text_token_count", text_token_count, _TOKENS_ORACLE)
+# registered via the merged text_profile gate (r4) — see below
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,7 +124,7 @@ SELECT doc_id, lang, score_en, score_es, score_de, score_fr, score_zh,
 FROM s
 """
 
-register("text_langid", text_langid, _LANGID_ORACLE)
+# registered via the merged text_profile gate (r4) — see below
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,7 +139,40 @@ SELECT doc_id,
 FROM documents
 """
 
-register("text_fingerprint", text_fingerprint, _FP_ORACLE)
+# registered via the merged text_profile gate (r4) — see below
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r4): the former ``text_quality_documents`` +
+    ``text_token_count`` + ``text_langid`` + ``text_fingerprint`` columns in
+    ONE driver slot — all four operators remain individually value-hashed
+    (each contributes its own columns).  The merged plan is strictly better
+    than four gates: one scan of ``documents``, one map pass (the four
+    operators compose as column expressions — zero shuffle, zero join)."""
+    docs = load(spark, sf_dir, "documents")
+    df = fingerprint(lang_id(token_count(quality_score(docs))))
+    return df.select(
+        "doc_id", "char_len", "word_count", "distinct_words",
+        "stopword_ratio", "punct_ratio", "avg_word_len", "quality_score",
+        "n_chars", "n_tokens",
+        "lang", "score_en", "score_es", "score_de", "score_fr", "score_zh",
+        "predicted_lang", "fingerprint",
+    )
+
+
+_PROFILE_ORACLE = f"""
+SELECT q.doc_id, q.char_len, q.word_count, q.distinct_words,
+       q.stopword_ratio, q.punct_ratio, q.avg_word_len, q.quality_score,
+       t.n_chars, t.n_tokens,
+       l.lang, l.score_en, l.score_es, l.score_de, l.score_fr, l.score_zh,
+       l.predicted_lang, f.fingerprint
+FROM ({_QUALITY_ORACLE}) q
+JOIN ({_TOKENS_ORACLE}) t USING (doc_id)
+JOIN ({_LANGID_ORACLE}) l USING (doc_id)
+JOIN ({_FP_ORACLE}) f USING (doc_id)
+"""
+
+register("text_profile", text_profile, _PROFILE_ORACLE)
 
 
 def text_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,7 +191,7 @@ WHERE ('0x' || substr(md5('po' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       < {int(0.25 * (1 << 60))}
 """
 
-register("text_sample_documents", text_sample_documents, _SAMPLE_ORACLE)
+# registered via the merged text_samples gate (r4) — see text_stratified_sample
 
 
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,7 +453,7 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
-register("ann_topk_bruteforce", ann_topk_bruteforce, _ANN_ORACLE)
+# registered via the merged ann_topk_methods gate (r4) — see below
 
 
 _BUCKET_SQL = """
@@ -462,7 +495,7 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
-register("ann_lsh_topk", ann_lsh_topk, _ANN_LSH_ORACLE)
+# registered via the merged ann_topk_methods gate (r4) — see below
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,7 +539,36 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
-register("ann_ivf_topk", ann_ivf_topk, _ANN_IVF_ORACLE)
+# registered via the merged ann_topk_methods gate (r4) — see below
+
+
+def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r4): the former ``ann_topk_bruteforce`` +
+    ``ann_lsh_topk`` + ``ann_ivf_topk`` results, method-tagged and unioned
+    into one driver slot — all three ANN strategies stay individually
+    value-hashed (same (query_id, rank, neighbor_id, cosine) schema).  The
+    union is three independent sub-plans; no cross-method shuffle."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select(
+        F.lit("bruteforce").alias("method"), "query_id", "rank",
+        "neighbor_id", "cosine")
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "rank",
+        "neighbor_id", "cosine")
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "rank",
+        "neighbor_id", "cosine")
+    return bf.unionByName(lsh).unionByName(ivf)
+
+
+_ANN_METHODS_ORACLE = f"""
+SELECT 'bruteforce' AS method, * FROM ({_ANN_ORACLE})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({_ANN_LSH_ORACLE})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({_ANN_IVF_ORACLE})
+"""
+
+register("ann_topk_methods", ann_topk_methods, _ANN_METHODS_ORACLE)
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,32 +599,80 @@ register("dedup_embedding_pairs", dedup_embedding_pairs, _EMB_DEDUP_ORACLE)
 # --------------------------------------------------------------------------
 
 
-def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents' text bytes stand in for media blobs: binary column →
-    fake-decoded typed metadata via the real mapInPandas plumbing."""
-    from ..pipeline.multimodal import decode_image_meta
-
-    docs = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("data"),
-    )
-    return decode_image_meta(docs, fake=True)
+# r4: the two fake-kernel gates (multimodal_image_meta — arbitrary bytes
+# through the fake decoder — and multimodal_frame_sample — byte-window
+# stub) are retired: every registered multimodal gate now parses REAL
+# container bytes (multimodal_real_image_meta, multimodal_audio_meta,
+# multimodal_gif_frames below).  The fake kernels remain available as
+# functions (decode_image_meta(fake=True), sample_frames(fake=True)) for
+# driving the plumbing with arbitrary bytes, covered by pytest.
 
 
-register("multimodal_image_meta", multimodal_image_meta, None)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame enumeration: synthesized multi-frame animated GIFs (real
+    GIF89a block grammar: graphic-control extensions with per-frame delays,
+    local/global color tables, LZW sub-block chains) walked by
+    pipeline.multimodal.gif_frame_index — no pixel decode, no external lib.
+    Frame geometry and timestamps derive from doc_id arithmetically so the
+    oracle reproduces them in SQL."""
+    import struct as _struct
+
+    import pandas as pd
+
+    from ..pipeline.multimodal import enumerate_gif_frames
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 200) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def make_gif(d: int) -> bytes:
+        n_frames = d % 5 + 2
+        out = [b"GIF89a", _struct.pack("<HH", 128, 128)]
+        if d % 2:  # global color table: 2 entries -> 6 bytes
+            out.append(bytes([0x80, 0, 0]))
+            out.append(b"\x01\x02\x03\x04\x05\x06")
+        else:
+            out.append(bytes([0x00, 0, 0]))
+        for i in range(n_frames):
+            delay_cs = (d + i) % 10 + 1
+            # graphic control extension (delay in centiseconds)
+            out.append(b"\x21\xf9\x04\x00"
+                       + _struct.pack("<H", delay_cs) + b"\x00\x00")
+            x, y = i % 5, i % 7
+            w, h = (d + 7 * i) % 64 + 8, (d + 11 * i) % 48 + 8
+            packed = 0x80 if i % 2 else 0x00  # alternate local color tables
+            out.append(b"\x2c" + _struct.pack("<HHHH", x, y, w, h)
+                       + bytes([packed]))
+            if packed:
+                out.append(b"\x07\x08\x09\x0a\x0b\x0c")  # 2-entry LCT
+            out.append(b"\x02\x03\x84\x51\x10\x00")  # LZW min + 1 sub-block
+        out.append(b"\x3b")
+        return b"".join(out)
+
+    def run(batches):
+        for pdf in batches:
+            ids = [int(m) for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": ids,
+                                "data": [make_gif(d) for d in ids]})
+
+    media = docs.mapInPandas(run, schema="media_id long, data binary")
+    return enumerate_gif_frames(media)
 
 
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline.multimodal import sample_frames
+_GIF_FRAMES_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(r.range AS INT) AS frame_no,
+       CAST(r.range % 5 AS INT) AS x,
+       CAST(r.range % 7 AS INT) AS y,
+       CAST((doc_id + 7 * r.range) % 64 + 8 AS INT) AS width,
+       CAST((doc_id + 11 * r.range) % 48 + 8 AS INT) AS height,
+       10.0 * CAST(COALESCE(list_sum(list_transform(range(0, r.range),
+                                     j -> (doc_id + j) % 10 + 1)), 0)
+                   AS DOUBLE) AS ts_ms
+FROM documents CROSS JOIN range(0, 6) r
+WHERE doc_id <= 200 AND r.range < doc_id % 5 + 2
+"""
 
-    docs = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("data"),
-    )
-    return sample_frames(docs, every_n_bytes=256, fake=True)
-
-
-register("multimodal_frame_sample", multimodal_frame_sample, None)
+register("multimodal_gif_frames", multimodal_gif_frames, _GIF_FRAMES_ORACLE)
 
 
 def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
@@ -918,7 +1028,44 @@ WHERE ('0x' || substr(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)),
              ELSE {int(0.75 * (1 << 60))} END
 """
 
-register("text_stratified_sample", text_stratified_sample, _STRAT_ORACLE)
+# registered via the merged text_samples gate (r4) — see below
+
+
+def text_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r4): the former ``text_sample_documents`` (uniform
+    deterministic 25 % sample) and ``text_stratified_sample`` (per-language
+    salted thresholds) rows, tag-unioned into one driver slot — both
+    samplers stay individually value-hashed.  Each side remains a pure
+    scan+filter (the union is two scans, no shuffle; plan pinned in
+    tests/test_plans.py)."""
+    docs = load(spark, sf_dir, "documents")
+    from ..pipeline.text import stratified_sample
+
+    uniform = (deterministic_sample(docs, 0.25, "doc_id")
+               .select(F.lit("uniform").alias("method"), "doc_id", "lang",
+                       F.length("text").alias("text_len")))
+    rates = {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 0.75}
+    strat = (stratified_sample(docs, rates)
+             .select(F.lit("stratified").alias("method"), "doc_id", "lang",
+                     F.length("text").alias("text_len")))
+    return uniform.unionByName(strat)
+
+
+_SAMPLES_ORACLE = f"""
+SELECT 'uniform' AS method, doc_id, lang, LENGTH(text) AS text_len
+FROM documents
+WHERE ('0x' || substr(md5('po' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < {int(0.25 * (1 << 60))}
+UNION ALL
+SELECT 'stratified' AS method, doc_id, lang, LENGTH(text) AS text_len
+FROM documents
+WHERE ('0x' || substr(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)),
+                      1, 15))::BIGINT
+      < CASE WHEN lang = 'en' THEN {int(0.25 * (1 << 60))}
+             ELSE {int(0.75 * (1 << 60))} END
+"""
+
+register("text_samples", text_samples, _SAMPLES_ORACLE)
 
 
 # --------------------------------------------------------------------------

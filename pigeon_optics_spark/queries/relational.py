@@ -219,8 +219,6 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 GROUP BY n_name
 """
 
-register("q_customers_without_orders", q_customers_without_orders, _ANTI_ORACLE)
-
 
 # --------------------------------------------------------------------------
 # q_urgent_order_customers — semi join (EXISTS).
@@ -247,7 +245,47 @@ WHERE EXISTS (SELECT 1 FROM orders
 GROUP BY c_mktsegment
 """
 
-register("q_urgent_order_customers", q_urgent_order_customers, _SEMI_ORACLE)
+
+def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r4): the former ``q_customers_without_orders`` (anti
+    join / NOT EXISTS) and ``q_urgent_order_customers`` (semi join / EXISTS)
+    rows, tag-unioned — one driver slot, both join strategies value-hashed.
+    Union of two independent aggregates; each side keeps its own plan
+    (broadcast dim for the anti side, semi against the filtered fact)."""
+    anti = q_customers_without_orders(spark, sf_dir).select(
+        F.lit("anti").alias("join_kind"),
+        F.col("n_name").alias("group_key"),
+        F.col("n_customers_no_orders").alias("n_customers"),
+        F.lit(None).cast("double").alias("total_acctbal"),
+    )
+    semi = q_urgent_order_customers(spark, sf_dir).select(
+        F.lit("semi").alias("join_kind"),
+        F.col("c_mktsegment").alias("group_key"),
+        F.col("n_customers"),
+        "total_acctbal",
+    )
+    return anti.unionByName(semi)
+
+
+_SEMI_ANTI_ORACLE = f"""
+SELECT 'anti' AS join_kind, n_name AS group_key,
+       COUNT(*) AS n_customers,
+       CAST(NULL AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 2001)
+GROUP BY n_name
+UNION ALL
+SELECT 'semi' AS join_kind, c_mktsegment AS group_key,
+       COUNT(*) AS n_customers, {dsum('c_acctbal', 'total_acctbal')}
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+register("q_semi_anti_joins", q_semi_anti_joins, _SEMI_ANTI_ORACLE)
 
 
 # --------------------------------------------------------------------------
@@ -461,32 +499,61 @@ register("q_orderpriority_checker", q_orderpriority_checker, _Q4_ORACLE)
 
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (SURVEY §2.4 'free' new surface): HLL distinct
-    + quantile sketches per returnflag.  Rows-only in the gate — sketch
-    internals are engine-specific, so no value-hash oracle; the companion
-    exact queries (q_distinct_suppliers_per_flag) pin exact semantics."""
+    + quantile sketches per returnflag, ORACLE-GATED via tolerance booleans
+    (r3 verdict item 4): the sketch values themselves are engine-specific,
+    so the gate emits the EXACT values (hash-compared) plus ``within_tol``
+    booleans asserting the sketches landed inside their published error
+    envelopes; the oracle returns the exact side with trivially-true
+    booleans.  A sketch drifting out of envelope flips a boolean and fails
+    the value-hash.
+
+    Tolerances: HLL++ rsd defaults to 0.05 → 0.2 is 4σ; percentile_approx
+    with accuracy 10000 bounds RANK error at 1e-4, and the synthetic price
+    distribution is dense enough that 5 % value error is generous."""
     li = load(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return (
+    aq = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    eq = F.expr("percentile(l_extendedprice, array(0.5D, 0.95D, 0.99D))")
+    out = (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            q.alias("price_quantiles"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            aq.alias("aq"),
+            eq.alias("eq"),
             F.count("*").alias("n"),
         )
-        # scalar projections — the gate canonicalizer can't sort array cells
-        .select(
-            "l_returnflag",
-            "approx_parts",
-            F.col("price_quantiles")[0].alias("price_q50"),
-            F.col("price_quantiles")[1].alias("price_q95"),
-            F.col("price_quantiles")[2].alias("price_q99"),
-            "n",
+    )
+
+    def _tol(a, e, rel):
+        return F.abs(a - e) <= F.lit(rel) * e
+
+    return (
+        out.select(
+            "l_returnflag", "exact_parts", "n",
+            _tol(F.col("approx_parts").cast("double"),
+                 F.col("exact_parts").cast("double"), 0.2)
+            .alias("parts_within_tol"),
+            _tol(F.col("aq")[0], F.col("eq")[0], 0.05).alias("q50_within_tol"),
+            _tol(F.col("aq")[1], F.col("eq")[1], 0.05).alias("q95_within_tol"),
+            _tol(F.col("aq")[2], F.col("eq")[2], 0.05).alias("q99_within_tol"),
         )
         .orderBy("l_returnflag")
     )
 
 
-register("q_approx_aggregates", q_approx_aggregates, None)  # rows-only
+_APPROX_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n,
+       TRUE AS parts_within_tol,
+       TRUE AS q50_within_tol,
+       TRUE AS q95_within_tol,
+       TRUE AS q99_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+register("q_approx_aggregates", q_approx_aggregates, _APPROX_ORACLE)
 
 
 # --------------------------------------------------------------------------
@@ -543,6 +610,12 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.expr(dsum("o_totalprice", "day_total", 8))
                   .alias("day_total"),
                   F.count("*").alias("n_orders")))
+    # BOUNDEDNESS INVARIANT (r3 verdict item 5): this unpartitioned window
+    # is single-partition by definition, which is safe ONLY because its
+    # input is the per-day aggregate — bounded by the date-domain
+    # cardinality (~2.4k rows at ANY scale factor), not by data volume.
+    # Never move this window below the groupBy.  Pinned by
+    # tests/test_plans.py::test_moving_average_window_input_is_aggregated.
     w = (Window.orderBy("o_orderdate").rowsBetween(-3, 3))
     # the moving SUM re-enters decimal so the frame accumulation is
     # order-free; cast to double BEFORE dividing — decimal÷int scale rules

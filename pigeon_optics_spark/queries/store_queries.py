@@ -103,14 +103,23 @@ register("store_point_lookup", store_point_lookup, _POINT_ORACLE)
 
 def store_natural_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Natural-sort listing order (ref base-data-model.js:46): record_ids
-    like doc-2 < doc-10; rank computed over the JVM-side padded sort key."""
+    like doc-2 < doc-10; rank computed over the JVM-side padded sort key.
+
+    Plan (r3 verdict item 2): top-100 via ``orderBy(...).limit(100)`` —
+    Spark's TakeOrderedAndProject computes per-partition top-k then merges k
+    rows on the driver, so the full listing is never sorted on one executor.
+    The rank window then runs over the ≤100 surviving rows only (bounded by
+    construction; the former global ``row_number() OVER (ORDER BY ...)``
+    single-partition-sorted the WHOLE collection, which scales with data).
+    Pinned by tests/test_plans.py::test_natural_order_topk_plan."""
     store = _store_scan(spark, sf_dir)
     ids = store.read_df(spark, "t", "docs").select(
         F.concat(F.lit("doc-"), F.col("record_id")).alias("rid"))
     key = natural_sort_col_expr("rid")
-    w = F.expr(f"row_number() OVER (ORDER BY {key}, rid)")
-    out = ids.select("rid", w.alias("nat_rank"))
-    return out.where(F.col("nat_rank") <= 100)
+    top = (ids.select("rid", F.expr(key).alias("_nat_key"))
+           .orderBy("_nat_key", "rid").limit(100))
+    w = F.expr("row_number() OVER (ORDER BY _nat_key, rid)")
+    return top.select("rid", w.alias("nat_rank"))
 
 
 _NAT_ORACLE = """
@@ -265,7 +274,7 @@ def reactive_dag_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.create("t", "ro")
         store.write_entries_df(spark, "t", "ro",
                                load(spark, sf_dir, "orders")
-                               .where(F.col("o_orderkey") <= 2000)
+                               .where(F.col("o_orderkey") <= 800)
                                .select(F.col("o_orderkey").alias("record_id"),
                                        F.to_json(F.struct(
                                            "o_orderstatus",
@@ -293,7 +302,7 @@ def reactive_dag_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REACTIVE_ORACLE = """
 SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders FROM (
-  SELECT o_orderstatus AS status FROM orders WHERE o_orderkey <= 2000
+  SELECT o_orderstatus AS status FROM orders WHERE o_orderkey <= 800
   UNION ALL SELECT 'F'
 ) GROUP BY status
 """
@@ -311,9 +320,13 @@ def lens_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _STORES:
         store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
         store.create("t", "orders")
-        src = load(spark, sf_dir, "orders").select(
-            F.col("o_orderkey").cast("string").alias("record_id"),
-            F.to_json(F.struct("o_orderstatus")).alias("value"),
+        # bounded slice: the gate proves incremental == full recompute — the
+        # property is size-independent, and the driver's 50-query budget is
+        # better spent on queries than on a 15k-row fixture ingest
+        src = load(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 4000) \
+            .select(
+                F.col("o_orderkey").cast("string").alias("record_id"),
+                F.to_json(F.struct("o_orderstatus")).alias("value"),
         )
         store.write_entries_df(spark, "t", "orders", src)
         create_lens(store, "t", "by-status", inputs=["/datasets/t:orders"],
@@ -331,7 +344,8 @@ def lens_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INC_ORACLE = """
 SELECT o_orderstatus AS status, COUNT(*) AS n_orders
-FROM (SELECT o_orderstatus FROM orders UNION ALL SELECT 'Z')
+FROM (SELECT o_orderstatus FROM orders WHERE o_orderkey <= 4000
+      UNION ALL SELECT 'Z')
 GROUP BY o_orderstatus
 """
 

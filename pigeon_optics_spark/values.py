@@ -295,11 +295,50 @@ def object_hash(value: Any) -> str:
     return hashlib.sha256(canonical_json(value).encode("utf-8")).hexdigest()
 
 
+#: Substrings whose absence PROVES a raw tagged-JSON string contains no tag
+#: envelope ({"type": ...} needs the literal '"type"') and no non-finite
+#: float literal — the preconditions for the direct canonicalization below.
+_HASH_SLOW_MARKERS = ('"type"', "NaN", "Infinity")
+
+
+def _canon_plain(node: Any) -> Any:
+    """Canonicalize a PLAIN parsed-JSON tree (caller guarantees no tag
+    envelopes / non-finite floats — see ``_HASH_SLOW_MARKERS``).  Mirrors
+    ``_canonical_node(tagged_to_value(node))`` exactly: the only rewrite
+    possible on such a tree is big-int promotion (value_to_tagged wraps ints
+    beyond 2^53 as BigInteger)."""
+    if isinstance(node, dict):
+        return {k: _canon_plain(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_canon_plain(v) for v in node]
+    if isinstance(node, bool) or isinstance(node, float) \
+            or node is None or isinstance(node, str):
+        return node
+    if isinstance(node, int):
+        if -_SAFE_INT < node < _SAFE_INT:
+            return node
+        return {"type": "BigInteger", "data": str(node)}
+    return node
+
+
 def hash_json_str(value_json: str) -> str:
     """object_hash for a value already in tagged-JSON string form (the Spark
-    column representation): parse → canonicalize → hash.  Used by the store's
-    pandas UDFs."""
-    return object_hash(tagged_to_value(json.loads(value_json)))
+    column representation).  Used by the store's pandas UDFs — the per-row
+    cost of bulk ingest, so it matters at 100 TB.
+
+    Fast path: a value with no tag envelope and no non-finite literal (the
+    overwhelming case for ingested records — flat JSON from ``to_json`` or
+    external sources) canonicalizes in ONE tree walk (loads → key-sort dump
+    → sha256; both ends C-speed).  Tagged values (Set ordering, Date ms
+    normalization, object-envelope collapse...) take the exact three-walk
+    semantic path.  Byte-identical by construction — property-tested in
+    tests/test_values_property.py."""
+    if any(m in value_json for m in _HASH_SLOW_MARKERS):
+        return object_hash(tagged_to_value(json.loads(value_json)))
+    return hashlib.sha256(
+        json.dumps(_canon_plain(json.loads(value_json)), sort_keys=True,
+                   separators=(",", ":"), ensure_ascii=False,
+                   allow_nan=False).encode("utf-8")).hexdigest()
 
 
 # --- attachment links (ref library/utility/record-structure.js) -------------

@@ -380,6 +380,35 @@ class TestGoldenBuild:
         first = sorted(glob.glob(os.path.join(segs[0], "*.parquet")))[0]
         assert "version" in pq.read_schema(first).names
 
+    def test_affected_gather_semi_join_fallback(self, spark, store,
+                                                monkeypatch):
+        # r2 item 8 / r3 item 8: the >AFFECTED_COLLECT_MAX incremental path
+        # gathers emissions via left-semi join instead of a driver-side IN
+        # list; force it by dropping the threshold to 1 and re-mapping
+        # records that touch 3 out_ids — results must match the collect path
+        import pigeon_optics_spark.lens as lens_mod
+
+        store.create("system", "d")
+        store.write_entries("system", "d", [
+            ("r1", {"tags": ["a", "b"]}),
+            ("r2", {"tags": ["b", "c"]}),
+            ("r3", {"tags": ["c"]}),
+        ])
+        create_lens(store, "system", "idx",
+                    inputs=["/datasets/system:d"], code=INVERT_CODE)
+        build_lens(spark, store, "system", "idx")
+
+        monkeypatch.setattr(lens_mod, "AFFECTED_COLLECT_MAX", 1)
+        # re-map r1 a->d and add r4: affected out_ids {a, b, d, e} > 1
+        store.write("system", "d", "r1", {"tags": ["d", "b"]})
+        store.write("system", "d", "r4", {"tags": ["e", "a"]})
+        build_lens(spark, store, "system", "idx")
+        got = {r["id"]: r["value"] for r in
+               store.iterate("system", "idx", source="lenses", fast_read=True)}
+        assert got == {"a": PSet(["r4"]), "b": PSet(["r1", "r2"]),
+                       "c": PSet(["r2", "r3"]), "d": PSet(["r1"]),
+                       "e": PSet(["r4"])}
+
     def test_build_deterministic_across_stores(self, spark, tmp_path):
         # the same lens over the same data must produce a bit-identical
         # output archive in independent store instances (determinism is the

@@ -87,3 +87,74 @@ def test_decode_image_meta_distributed(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["format"]) == (30, 40, "jpeg")
     assert got[3]["format"] == "unknown" and got[3]["width"] is None
     assert got[4]["format"] == "unknown" and got[4]["byte_len"] == 0
+
+
+def _gif_anim(frames, *, gct=False, screen=(100, 100)):
+    """Minimal valid animated GIF: frames = [(x, y, w, h, delay_cs, lct)]."""
+    out = [b"GIF89a", struct.pack("<HH", *screen)]
+    if gct:
+        out.append(bytes([0x80, 0, 0]) + b"\x00" * 6)  # 2-entry GCT
+    else:
+        out.append(bytes([0x00, 0, 0]))
+    for x, y, w, h, delay_cs, lct in frames:
+        if delay_cs is not None:  # GCE is optional per frame
+            out.append(b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs)
+                       + b"\x00\x00")
+        out.append(b"\x2c" + struct.pack("<HHHH", x, y, w, h)
+                   + bytes([0x80 if lct else 0x00]))
+        if lct:
+            out.append(b"\x00" * 6)  # 2-entry LCT
+        out.append(b"\x02\x02\x4c\x01\x00")  # LZW min + one sub-block + term
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def test_gif_frame_index_multiframe():
+    from pigeon_optics_spark.pipeline.multimodal import gif_frame_index
+
+    b = _gif_anim([(0, 0, 10, 20, 5, False), (2, 3, 30, 40, 10, True),
+                   (4, 5, 50, 60, None, False)], gct=True)
+    got = gif_frame_index(b)
+    # ts is cumulative PRIOR delay: frame0 at 0, frame1 after 50ms,
+    # frame2 after 50+100ms (its own missing GCE means delay 0 carried out)
+    assert got == [(0, 0, 0, 10, 20, 0.0), (1, 2, 3, 30, 40, 50.0),
+                   (2, 4, 5, 50, 60, 150.0)]
+
+
+def test_gif_frame_index_plain_comment_and_netscape_extensions():
+    from pigeon_optics_spark.pipeline.multimodal import gif_frame_index
+
+    # comment extension (0xFE) and application extension (0xFF) between
+    # frames must be walked over without affecting delays
+    b = (b"GIF89a" + struct.pack("<HH", 10, 10) + bytes([0, 0, 0])
+         + b"\x21\xfe\x05hello\x00"                      # comment
+         + b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # app ext + loop
+         + b"\x2c" + struct.pack("<HHHH", 1, 2, 3, 4) + b"\x00"
+         + b"\x02\x02\x4c\x01\x00" + b"\x3b")
+    assert gif_frame_index(b) == [(0, 1, 2, 3, 4, 0.0)]
+
+
+def test_gif_frame_index_rejects_and_truncation():
+    from pigeon_optics_spark.pipeline.multimodal import gif_frame_index
+
+    assert gif_frame_index(b"") == []
+    assert gif_frame_index(b"GIF89a\x01") == []          # truncated header
+    assert gif_frame_index(b"not a gif at all") == []
+    # single-frame still GIF parses as one frame
+    single = _gif_anim([(0, 0, 8, 8, None, False)])
+    assert gif_frame_index(single) == [(0, 0, 0, 8, 8, 0.0)]
+    # truncation mid-descriptor yields the frames parsed so far
+    two = _gif_anim([(0, 0, 8, 8, 1, False), (1, 1, 9, 9, 2, False)])
+    cut = two[:two.index(b"\x2c", two.index(b"\x2c") + 1) + 4]
+    assert [f[:5] for f in gif_frame_index(cut)] == [(0, 0, 0, 8, 8)]
+
+
+def test_enumerate_gif_frames_distributed(spark):
+    from pigeon_optics_spark.pipeline.multimodal import enumerate_gif_frames
+
+    rows = [(1, _gif_anim([(0, 0, 5, 6, 4, False), (1, 1, 7, 8, 0, True)])),
+            (2, b"not a gif"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = sorted((r["media_id"], r["frame_no"], r["width"], r["height"],
+                  r["ts_ms"]) for r in enumerate_gif_frames(df).collect())
+    assert got == [(1, 0, 5, 6, 0.0), (1, 1, 7, 8, 40.0)]

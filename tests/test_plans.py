@@ -176,3 +176,75 @@ def test_stratified_sample_is_scan_plus_filter(spark, sf_dir):
     p = plan_of(stratified_sample(docs, {"en": 0.25}, default_rate=0.75))
     assert "Exchange" not in p
     assert "Join" not in p
+
+
+# --------------------------------------------------------------------------
+# Unpartitioned-window discipline (r3 verdict items 2 & 5): a window with no
+# PARTITION BY forces an Exchange SinglePartition — acceptable ONLY over an
+# input bounded by construction (a per-key aggregate, a top-k limit), never
+# over a data-scaled relation.
+# --------------------------------------------------------------------------
+
+
+def _unpartitioned_window_lines(plan: str) -> list[str]:
+    """Physical-plan lines holding a window WITHOUT a partition spec.
+
+    A partitioned window prints three bracket groups
+    (``Window [fns], [partition], [order]``), an unpartitioned one only two
+    (``Window [fns], [order]``) — so one ``], [`` separator means global."""
+    return [ln for ln in plan.splitlines()
+            if "Window [" in ln and " WindowGroupLimit" not in ln
+            and ln.count("], [") == 1]
+
+
+def test_natural_order_topk_plan(spark, sf_dir):
+    """store_natural_order's top-100 must be TakeOrderedAndProject
+    (per-partition top-k, k-row driver merge) — NOT a global row_number
+    window over the full listing, which single-partition-sorts a relation
+    that scales with the collection (the r3 'weak plan' finding)."""
+    from pigeon_optics_spark.queries.store_queries import store_natural_order
+
+    p = plan_of(store_natural_order(spark, sf_dir))
+    assert "TakeOrderedAndProject(limit=100" in p, p
+    # the only remaining global window ranks the ≤100 surviving rows
+    for ln in _unpartitioned_window_lines(p):
+        assert "nat_rank" in ln or "row_number" in ln
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_moving_average_window_input_is_aggregated(spark, sf_dir):
+    """q_moving_average's global window is bounded by construction: its
+    SinglePartition exchange must sit ABOVE the per-day HashAggregate (the
+    window input is the date-domain aggregate, ~2.4k rows at any sf).  If
+    the aggregate ever moves above the window this fails."""
+    from pigeon_optics_spark.queries.relational import q_moving_average
+
+    p = plan_of(q_moving_average(spark, sf_dir))
+    assert _unpartitioned_window_lines(p), "expected the global ma7 window"
+    i_exch = p.index("Exchange SinglePartition")
+    i_agg = p.index("HashAggregate")
+    # plans print top-down: the aggregate is the exchange's child
+    assert i_exch < i_agg, p
+
+
+def test_no_unbounded_global_windows_in_scan_gates(spark, sf_dir):
+    """Sweep: across every registry gate that is a pure parquet-scan query
+    (relational/pipeline/events — no store fixture, no streaming run), an
+    unpartitioned window may appear only when the plan also carries a
+    bounded-input marker upstream (aggregate or top-k limit).  Catches the
+    store_natural_order class of regression suite-wide."""
+    from pigeon_optics_spark.queries import all_queries
+
+    skip_prefixes = ("store_", "codec_", "lens_", "reactive_",
+                     "attachments_", "pipeline_end_to_end",
+                     "events_stream_")  # fixtures / streaming runs
+    offenders = []
+    for name, (fn, _oracle) in all_queries().items():
+        if name.startswith(skip_prefixes):
+            continue
+        p = plan_of(fn(spark, sf_dir))
+        if _unpartitioned_window_lines(p) and not (
+                "HashAggregate" in p or "TakeOrderedAndProject" in p
+                or "GlobalLimit" in p):
+            offenders.append(name)
+    assert not offenders, offenders

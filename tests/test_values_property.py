@@ -88,6 +88,33 @@ def test_hash_set_order_insensitive(members):
     assert object_hash(PSet(members)) == object_hash(PSet(reversed(members)))
 
 
+@settings(max_examples=200, deadline=None)
+@given(values)
+def test_hash_json_str_fast_path_matches_object_hash(v):
+    """hash_json_str (store-ingest hot path, with its marker-gated direct
+    canonicalization) must agree byte-for-byte with the semantic
+    object_hash for EVERY value — including values that force the slow
+    path (Sets, Dates, buffers) and key-order permutations."""
+    from pigeon_optics_spark.values import hash_json_str
+
+    tagged_str = json.dumps(value_to_tagged(v), ensure_ascii=False)
+    assert hash_json_str(tagged_str) == object_hash(v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.dictionaries(_text, st.one_of(
+    st.integers(min_value=-(2 ** 80), max_value=2 ** 80),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    _text, st.booleans(), st.none()), max_size=6))
+def test_hash_json_str_fast_path_plain_objects(d):
+    """The fast path proper (no tag markers): unsorted-key JSON of a flat
+    object hashes identically to the semantic path."""
+    from pigeon_optics_spark.values import hash_json_str
+
+    raw = json.dumps(value_to_tagged(d), ensure_ascii=False)
+    assert hash_json_str(raw) == object_hash(d)
+
+
 @settings(max_examples=60, deadline=None)
 @given(values, values)
 def test_merge2_total(a, b):
