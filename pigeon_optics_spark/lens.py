@@ -506,12 +506,27 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
     import shutil
     import uuid
 
+    import time as _time
+    _t0 = _time.time()
+    _tr = (lambda tag: print(f"[emit_seg] {tag}: {_time.time() - _t0:.2f}s",
+                             flush=True)) if os.environ.get("PO_LENS_TIMING") \
+        else (lambda tag: None)
     os.makedirs(d, exist_ok=True)
     stage = os.path.join(d, f"_stage_{uuid.uuid4().hex}")
-    (df.repartitionByRange(num_parts, "out_id")
-       .sortWithinPartitions("out_id", "input_idx", "nat_key", "src_rid",
-                             "emit_idx")
-       .write.mode("overwrite").parquet(stage))
+    # range partitioning SAMPLES the frame before shuffling it — two full
+    # executions of the emissions plan (which sits on the fat map output).
+    # Persist across the pair; callers re-deriving from the same upstream
+    # afterwards pay one cheap recompute, not two heavy ones here.
+    cache = df if num_parts <= 1 else df.persist()
+    try:
+        (cache.repartitionByRange(num_parts, "out_id")
+         .sortWithinPartitions("out_id", "input_idx", "nat_key", "src_rid",
+                               "emit_idx")
+         .write.mode("overwrite").parquet(stage))
+    finally:
+        if cache is not df:
+            cache.unpersist()
+    _tr("shuffle+sort+write")
     for fn in os.listdir(stage):
         if not fn.endswith(".parquet"):
             os.remove(os.path.join(stage, fn))

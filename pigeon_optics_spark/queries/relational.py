@@ -606,9 +606,15 @@ register("q_full_outer_join", q_full_outer_join, _FULL_OUTER_ORACLE)
 
 def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    # the daily total stays in EXACT decimal through the window: re-casting
+    # the COMPUTED double day_total back to decimal would round at the 8th
+    # decimal, where Spark (HALF_UP on the shortest string repr) and DuckDB
+    # (binary-exact) can disagree near midpoints — found by the r4 sf0.5
+    # float sweep (1.5e-8 drift on 4 of 2405 rows).  Source money columns
+    # are midpoint-safe (_util.py), computed doubles are not.
     daily = (orders.groupBy("o_orderdate")
-             .agg(F.expr(dsum("o_totalprice", "day_total", 8))
-                  .alias("day_total"),
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                  .alias("_dec"),
                   F.count("*").alias("n_orders")))
     # BOUNDEDNESS INVARIANT (r3 verdict item 5): this unpartitioned window
     # is single-partition by definition, which is safe ONLY because its
@@ -617,25 +623,33 @@ def q_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Never move this window below the groupBy.  Pinned by
     # tests/test_plans.py::test_moving_average_window_input_is_aggregated.
     w = (Window.orderBy("o_orderdate").rowsBetween(-3, 3))
-    # the moving SUM re-enters decimal so the frame accumulation is
-    # order-free; cast to double BEFORE dividing — decimal÷int scale rules
-    # differ between engines, double÷double is one exactly-rounded op
-    mov = (F.sum(F.col("day_total").cast("decimal(30,8)")).over(w)
-           .cast("double") / F.count("*").over(w))
-    return daily.select("o_orderdate", "day_total", "n_orders",
-                        mov.alias("ma7"))
+    # exact decimal frame sum; cast to double BEFORE dividing — decimal÷int
+    # scale rules differ between engines, double÷double is one exactly-
+    # rounded op
+    mov = F.sum("_dec").over(w).cast("double") / F.count("*").over(w)
+    return daily.select(
+        "o_orderdate",
+        F.col("_dec").cast("double").alias("day_total"),
+        "n_orders",
+        mov.alias("ma7"))
 
 
-_MOVAVG_ORACLE = f"""
+# oracle casts of the (wide) decimal sums bounce through VARCHAR: DuckDB's
+# direct decimal->double computes int128 * 10^-scale in FLOAT arithmetic
+# (documented in _util.py), varchar->double is correctly rounded
+_MOVAVG_ORACLE = """
 WITH daily AS (
-  SELECT o_orderdate, {dsum('o_totalprice', 'day_total', 8)},
+  SELECT o_orderdate,
+         SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS _dec,
          COUNT(*) AS n_orders
   FROM orders GROUP BY o_orderdate
 )
-SELECT o_orderdate, day_total, n_orders,
-       CAST(SUM(CAST(day_total AS DECIMAL(30,8)))
+SELECT o_orderdate,
+       CAST(CAST(_dec AS VARCHAR) AS DOUBLE) AS day_total,
+       n_orders,
+       CAST(CAST(SUM(_dec)
               OVER (ORDER BY o_orderdate ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-            AS DOUBLE)
+            AS VARCHAR) AS DOUBLE)
        / COUNT(*) OVER (ORDER BY o_orderdate
                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ma7
 FROM daily

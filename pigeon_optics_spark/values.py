@@ -300,6 +300,10 @@ def object_hash(value: Any) -> str:
 #: float literal — the preconditions for the direct canonicalization below.
 _HASH_SLOW_MARKERS = ('"type"', "NaN", "Infinity")
 
+#: 2^53 has 16 digits: a string with no 16-digit run cannot hold an int
+#: outside the safe range, so BigInteger promotion is impossible.
+_BIGNUM_RE = re.compile(r"\d{16}")
+
 
 def _canon_plain(node: Any) -> Any:
     """Canonicalize a PLAIN parsed-JSON tree (caller guarantees no tag
@@ -333,11 +337,16 @@ def hash_json_str(value_json: str) -> str:
     normalization, object-envelope collapse...) take the exact three-walk
     semantic path.  Byte-identical by construction — property-tested in
     tests/test_values_property.py."""
-    if any(m in value_json for m in _HASH_SLOW_MARKERS):
+    if '"type"' in value_json or "NaN" in value_json \
+            or "Infinity" in value_json:
         return object_hash(tagged_to_value(json.loads(value_json)))
+    node = json.loads(value_json)
+    if _BIGNUM_RE.search(value_json) is not None:
+        # a ≥16-digit run may be an int beyond 2^53 → BigInteger promotion
+        node = _canon_plain(node)
     return hashlib.sha256(
-        json.dumps(_canon_plain(json.loads(value_json)), sort_keys=True,
-                   separators=(",", ":"), ensure_ascii=False,
+        json.dumps(node, sort_keys=True, separators=(",", ":"),
+                   ensure_ascii=False,
                    allow_nan=False).encode("utf-8")).hexdigest()
 
 
