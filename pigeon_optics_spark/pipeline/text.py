@@ -407,3 +407,65 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= top_k)
             .select("doc_id", "term", "tf", "doc_freq", "score", "rank"))
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/composition quality rules (Rae et al. 2021,
+    §A1.1 "repetition removal" + "quality filtering" heuristics), the
+    n-gram-repetition subset that is line-structure independent:
+
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — fraction of word n-grams
+      that are repeats (1 − distinct/total); high values flag boilerplate
+      loops and keyword stuffing;
+    - ``symbol_word_ratio`` — '#' and ellipsis occurrences per word;
+    - ``alpha_word_frac`` — fraction of words containing ≥1 alphabetic
+      character;
+    - ``gopher_pass`` — the conjunctive keep decision at the paper's
+      published thresholds (dup n-gram fractions, symbol ratio 0.1,
+      80 % alpha words, 50–100k words relaxed to ≥10 for short corpora).
+
+    All pure ``pyspark.sql.functions`` column expressions — exact integer
+    counts and rational divisions, zero shuffle, same whole-stage-codegen
+    scale shape as :func:`text_stats`; mirrored 1:1 in the gate's oracle.
+    """
+    words = words_col(text_col)
+    lowered = F.transform(words, lambda w: F.lower(w))
+    n_words = F.size(words)
+
+    def ngrams(n: int):
+        # positions 0..len-n (empty when len < n)
+        idx = F.sequence(
+            F.lit(0),
+            F.greatest(F.size(lowered) - n, F.lit(-1)))
+        return F.when(F.size(lowered) < n, F.array()).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(
+                " ", *[F.element_at(lowered, (i + k + 1).cast("int"))
+                       for k in range(n)])))
+
+    def dup_frac(n: int):
+        grams = ngrams(n)
+        total = F.size(grams)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            (total - F.size(F.array_distinct(grams))).cast("double")
+            / total)
+
+    n_symbols = (F.size(F.split(F.col(text_col), "#", -1)) - 1
+                 + F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    out = df.select(
+        "*",
+        n_words.alias("n_words"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        (n_symbols.cast("double") / F.greatest(n_words, F.lit(1)))
+        .alias("symbol_word_ratio"),
+        (n_alpha.cast("double") / F.greatest(n_words, F.lit(1)))
+        .alias("alpha_word_frac"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 10)
+        & (F.col("dup_2gram_frac") <= 0.2)
+        & (F.col("dup_3gram_frac") <= 0.18)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("alpha_word_frac") >= 0.8))

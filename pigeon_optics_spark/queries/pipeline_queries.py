@@ -385,6 +385,38 @@ register("dedup_minhash_components", dedup_minhash_components,
          _COMPONENTS_ORACLE)
 
 
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL (the operation a training-data pipeline
+    actually runs): minhash pairs → connected components → keep the
+    canonical (smallest-id) member of each cluster, pass every unique doc
+    through.  → (doc_id, component_id|null, kept).  The component frame
+    holds only docs with ≥1 near-dup (≪ corpus), left-joined back onto the
+    corpus on doc_id — at 100 TB that join broadcasts or AQE-plans; nothing
+    here is all-pairs."""
+    from ..pipeline.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    comp = (connected_components(minhash_lsh_pairs(docs))
+            .select(F.col("id").alias("doc_id"), "component_id"))
+    return (docs.select("doc_id").join(comp, "doc_id", "left")
+            .select(
+                "doc_id", "component_id",
+                (F.col("component_id").isNull()
+                 | (F.col("component_id") == F.col("doc_id"))).alias("kept")))
+
+
+_SURVIVORS_ORACLE = _COMPONENTS_ORACLE.replace(
+    "SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node",
+    """,
+comp AS (SELECT node AS doc_id, MIN(r) AS component_id
+         FROM reach GROUP BY node)
+SELECT d.doc_id, c.component_id,
+       (c.component_id IS NULL OR c.component_id = d.doc_id) AS kept
+FROM documents d LEFT JOIN comp c USING (doc_id)""")
+
+register("dedup_survivors", dedup_survivors, _SURVIVORS_ORACLE)
+
+
 def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(load(spark, sf_dir, "documents"))
 
@@ -1066,6 +1098,72 @@ WHERE ('0x' || substr(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)),
 """
 
 register("text_samples", text_samples, _SAMPLES_ORACLE)
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/composition rules (pipeline.text.gopher_quality)
+    over the documents corpus — the n-gram-repetition family of filters a
+    pre-training pipeline applies corpus-wide.  Map-only, zero shuffle."""
+    from ..pipeline.text import gopher_quality
+
+    docs = load(spark, sf_dir, "documents")
+    return gopher_quality(docs).select(
+        "doc_id", "n_words", "dup_2gram_frac", "dup_3gram_frac",
+        "symbol_word_ratio", "alpha_word_frac", "gopher_pass")
+
+
+_GOPHER_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         LENGTH(text) - LENGTH(replace(text, '#', '')) AS n_hash,
+         (LENGTH(text) - LENGTH(replace(text, '...', ''))) // 3 AS n_ell,
+         list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '')
+           AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_hash + n_ell AS n_symbols,
+         len(words) AS n_words,
+         list_transform(words, x -> lower(x)) AS lw,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha
+  FROM w
+),
+h AS (
+  SELECT doc_id, n_words, n_symbols, n_alpha,
+         CASE WHEN len(lw) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(lw)),
+                                  i -> lw[CAST(i AS INT)] || ' '
+                                       || lw[CAST(i + 1 AS INT)]) END AS g2,
+         CASE WHEN len(lw) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(lw) - 1),
+                                  i -> lw[CAST(i AS INT)] || ' '
+                                       || lw[CAST(i + 1 AS INT)] || ' '
+                                       || lw[CAST(i + 2 AS INT)]) END AS g3
+  FROM g
+),
+s AS (
+  SELECT doc_id, n_words,
+         CASE WHEN len(g2) <= 0 THEN 0.0
+              ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                   / len(g2) END AS dup_2gram_frac,
+         CASE WHEN len(g3) <= 0 THEN 0.0
+              ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                   / len(g3) END AS dup_3gram_frac,
+         CAST(n_symbols AS DOUBLE) / GREATEST(n_words, 1)
+           AS symbol_word_ratio,
+         CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1) AS alpha_word_frac
+  FROM h
+)
+SELECT doc_id, n_words, dup_2gram_frac, dup_3gram_frac, symbol_word_ratio,
+       alpha_word_frac,
+       (n_words >= 10 AND dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18
+        AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8)
+         AS gopher_pass
+FROM s
+"""
+
+register("text_gopher_quality", text_gopher_quality, _GOPHER_ORACLE)
 
 
 # --------------------------------------------------------------------------

@@ -191,3 +191,42 @@ class TestBigramLm:
         # <2 words → no bigrams, zero score, row retained
         assert out[2]["n_bigrams"] == 0 and out[2]["avg_prob"] == 0.0
         assert out[3]["n_bigrams"] == 0
+
+
+class TestGopherQuality:
+    def test_repetition_and_composition_rules(self, spark):
+        from pigeon_optics_spark.pipeline.text import gopher_quality
+
+        rows = [
+            (0, "the quick brown fox jumps over a lazy dog while the sun"
+                " sets slowly behind them"),
+            (1, "buy now buy now buy now buy now buy now"),   # 2-gram loop
+            (2, "# # # # # # # # # # tag soup everywhere ..."),
+            (3, "1 2 3 4 5 6 7 8 9 10 11 12"),                # no alpha words
+            (4, ""),                                           # empty
+            (5, "one two"),                                    # < 3 words
+        ]
+        out = {r["doc_id"]: r for r in
+               gopher_quality(_docs(spark, rows)).collect()}
+        # doc1: grams ["buy now"]*5 + ["now buy"]*4 -> 9 grams, 2 distinct
+        assert abs(out[1]["dup_2gram_frac"] - 7 / 9) < 1e-15
+        assert not out[1]["gopher_pass"]
+        # doc2: 10 '#' + 1 '...' over 14 words
+        assert abs(out[2]["symbol_word_ratio"] - 11 / 14) < 1e-15
+        assert not out[2]["gopher_pass"]
+        # doc3: zero alpha words
+        assert out[3]["alpha_word_frac"] == 0.0
+        assert not out[3]["gopher_pass"]
+        # empty/short docs: defined ratios, no crash, fail the length rule
+        assert out[4]["n_words"] == 0 and out[4]["dup_2gram_frac"] == 0.0
+        assert out[5]["dup_2gram_frac"] == 0.0 and out[5]["dup_3gram_frac"] == 0.0
+        assert not out[4]["gopher_pass"] and not out[5]["gopher_pass"]
+        # doc0: clean English sentence, long enough, passes
+        assert out[0]["gopher_pass"]
+
+    def test_plan_is_map_only(self, spark):
+        from pigeon_optics_spark.pipeline.text import gopher_quality
+
+        plan = gopher_quality(_docs(spark, [(0, "a b c")]))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
