@@ -197,6 +197,24 @@ def _unpartitioned_window_lines(plan: str) -> list[str]:
             and ln.count("], [") == 1]
 
 
+def test_text_profile_is_one_scan_no_shuffle(spark, sf_dir):
+    """The merged text_profile gate (r4) composes 4 operators as column
+    expressions — the plan must stay ONE parquet scan with zero exchange
+    (the whole point of merging over 4 separate gates)."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        text_profile,
+        text_samples,
+    )
+
+    p = plan_of(text_profile(spark, sf_dir))
+    assert p.count("FileScan") == 1, p
+    assert "Exchange" not in p
+    # samples: one scan per union side, still no shuffle and no join
+    p2 = plan_of(text_samples(spark, sf_dir))
+    assert "Exchange" not in p2
+    assert "Join" not in p2
+
+
 def test_natural_order_topk_plan(spark, sf_dir):
     """store_natural_order's top-100 must be TakeOrderedAndProject
     (per-partition top-k, k-row driver merge) — NOT a global row_number
