@@ -286,7 +286,15 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16,
         F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
         for s in range(m)
     ])
-    codes = F.transform(
+    codes = _pq_codes_col(cb_lit, vec_col, m, k, dim_sub)
+    return emb.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
+
+
+def _pq_codes_col(cb_lit: Column, vec_col: str, m: int, k: int,
+                  dim_sub: int) -> Column:
+    """argmin-codeword codes expression (shared by pq_encode / ivfpq_topk —
+    a pure column so composition stays map-only, never a self-join)."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda s: F.array_min(F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),
@@ -298,7 +306,6 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16,
             ),
         )).getField("j"),
     )
-    return emb.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
 
 
 def pq_topk(queries: DataFrame, corpus: DataFrame, m: int = 8, k: int = 16,
@@ -337,6 +344,87 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, m: int = 8, k: int = 16,
     pairs = (decoded.join(F.broadcast(q),
                           F.col("neighbor_id") != F.col("query_id"))
              .withColumn("adc_dist2", _d2_col("qv", "decoded")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk)
+            .select("query_id", "rank", "neighbor_id", "adc_dist2"))
+
+
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
+               n_centroids: int = 16, n_probe: int = 4, m: int = 8,
+               k: int = 16, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ approximate top-k — the two ANN tiers composed the way a
+    production index runs them (Jégou et al., PAMI 2011; FAISS ``IVFPQ``):
+    the IVF coarse quantizer prunes the SCAN (only ``n_probe`` cells of the
+    corpus are touched per query) and PQ compresses the STORAGE (only codes
+    + a literal codebook live corpus-side; ADC distances run against the
+    reconstruction).
+
+    → (query_id, rank, neighbor_id, adc_dist2).
+
+    Scale shape: both quantizers are deterministic literals (a few KB
+    broadcast inside the plan), cell assignment and PQ decode are map-only,
+    queries broadcast into the cell equi-join, and per-query cost is
+    ``n_probe/n_centroids`` of a corpus scan over 8-byte codes instead of
+    full vectors — the memory/IO tiering that makes ANN feasible at 100 TB.
+    """
+    cents = corpus.orderBy(id_col).limit(n_centroids) \
+        .select(id_col, vec_col).collect()
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(j).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in row[vec_col]]).alias("cv"),
+        )
+        for j, row in enumerate(cents)
+    ])
+
+    def scored(vec) -> Column:
+        v = F.col(vec) if isinstance(vec, str) else vec
+        return F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (dot_col(v, c["cv"]) / (norm_col(v) * norm_col(c["cv"])))
+                .alias("cos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    dim = len(corpus.select(vec_col).first()[0])
+    dim_sub = dim // m
+    cb = _pq_codebook(corpus, m, k, dim_sub, id_col, vec_col)
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
+        for s in range(m)
+    ])
+    # ONE map-only corpus pass computes the cell AND the PQ codes (the two
+    # quantizers are independent literals — composing them must not add a
+    # self-join/shuffle)
+    decoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array_max(scored(vec_col)).getField("cid").alias("cell"),
+        _pq_codes_col(cb_lit, vec_col, m, k, dim_sub).alias("codes"),
+    ).select(
+        "neighbor_id", "cell",
+        F.flatten(F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(F.element_at(cb_lit, s + 1),
+                                   F.element_at(F.col("codes"), s + 1) + 1),
+        )).alias("decoded"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(F.transform(
+            F.slice(F.reverse(F.array_sort(scored(vec_col))), 1, n_probe),
+            lambda s: s["cid"],
+        )).alias("cell"),
+    )
+    pairs = (
+        decoded.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist2", _d2_col("qv", "decoded"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
                                                F.asc("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))

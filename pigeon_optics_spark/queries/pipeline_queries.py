@@ -1255,6 +1255,65 @@ SELECT query_id, rank, neighbor_id, adc_dist2 FROM ranked WHERE rank <= 5
 register("emb_pq_topk", emb_pq_topk, _PQ_TOPK_ORACLE)
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (pipeline.similarity.ivfpq_topk): coarse cells
+    prune the scan, PQ codes + ADC replace full-precision distances — the
+    production two-tier index (FAISS IVFPQ) as one map-only corpus pass +
+    broadcast cell join."""
+    from ..pipeline.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return ivfpq_topk(queries, emb, topk=5, n_centroids=16, n_probe=4,
+                      m=8, k=16)
+
+
+_IVFPQ_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         embedding AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+assign AS (
+  SELECT vec_id, embedding, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid DESC) AS rn
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           {_COS_SQL.format(a='e.embedding', b='c.cv')} AS cos
+    FROM embeddings e CROSS JOIN cents c
+  )
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell
+           FROM assign WHERE vec_id < 10 AND rn <= 4),
+{_PQ_CTES},
+dec AS (
+  SELECT b.vec_id AS neighbor_id, flatten(list(cb.cw ORDER BY b.s)) AS decoded
+  FROM best b JOIN cb ON cb.s = b.s AND cb.j = b.j
+  WHERE b.rn = 1
+  GROUP BY b.vec_id
+),
+pairs AS (
+  SELECT p.query_id, d.neighbor_id,
+         {_D2_SQL.format(a='p.qv', b='d.decoded')} AS adc_dist2
+  FROM probes p
+  JOIN cells c ON c.cell = p.cell
+  JOIN dec d ON d.neighbor_id = c.vec_id
+  WHERE d.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_dist2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist2 ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, adc_dist2 FROM ranked WHERE rank <= 5
+"""
+
+register("ann_ivfpq_topk", ann_ivfpq_topk, _IVFPQ_ORACLE)
+
+
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring: corpus-trained add-one bigram LM, mean
     bigram probability per doc (rational probabilities, per-doc sequential

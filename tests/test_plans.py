@@ -167,6 +167,19 @@ def test_pq_topk_query_side_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_ivfpq_is_two_scans_broadcast_no_cartesian(spark, sf_dir):
+    """IVF-PQ composition must stay: ONE map-only corpus pass (cell argmax
+    + PQ codes in the same select — no corpus self-join), queries broadcast
+    into the cell equi-join, never a cartesian."""
+    from pigeon_optics_spark.pipeline.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(ivfpq_topk(emb.where(F.col("vec_id") < 5), emb))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("FileScan") == 2, p  # corpus pass + query pass
+
+
 def test_stratified_sample_is_scan_plus_filter(spark, sf_dir):
     """The sampler must stay a pure filter over the scan — no shuffle, no
     join; rebalancing a 100 TB mix is a map-only pass."""
