@@ -43,7 +43,7 @@ _DRIVER_PRIORITY = [
     # never driver-checked through r3 — events/streaming/as-of (§2.9, §2.3)
     "events_tumbling_counts", "events_sliding_windows", "events_sessionize",
     "events_topk_per_type", "asof_join_events_orders", "events_range_join",
-    "events_stream_tumbling", "events_stream_stateful",
+    "events_stream_tumbling", "events_stream_stateful", "events_stream_dedup",
     # never driver-checked through r3 — store/codec/reactive (§2.1, §2.2)
     "store_scan_documents", "store_point_lookup", "store_natural_order",
     "store_readpath_union", "store_export_at", "codec_zip_manifest",

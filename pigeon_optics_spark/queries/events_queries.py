@@ -356,3 +356,58 @@ FROM events GROUP BY event_type
 
 register("events_stream_stateful", events_stream_stateful,
          _STREAM_STATEFUL_ORACLE)
+
+
+_STREAM_DUP_SRC: dict[str, str] = {}
+
+
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT DEDUP under the oracle gate — the ingest-time shape
+    of a training-data pipeline (drop repeats as the firehose arrives, not
+    in a later batch pass): the file source carries every event TWICE (two
+    parquet copies), an actual Structured Streaming query deduplicates on
+    ``event_id`` with keyed state (``dropDuplicates``), and the sink must
+    reduce back to exactly the original corpus no matter how availableNow
+    slices micro-batches (first-seen wins; copies are byte-identical so
+    the choice is immaterial).  The gate aggregates the deduped sink
+    batch-side; the oracle aggregates the ORIGINAL events — equality
+    proves the stream removed precisely the injected duplicates.
+
+    At scale the unbounded keyed state is the documented cost of exact
+    streaming dedup; the watermark-bounded variant
+    (``dropDuplicatesWithinWatermark``) trades state for a lateness bound
+    but its emissions depend on batch slicing, so the exact form is the
+    gate-able one."""
+    import tempfile
+
+    if sf_dir not in _STREAM_DUP_SRC:
+        d = tempfile.mkdtemp(prefix="po_stream_dup_")
+        ev = load_events(spark, sf_dir)
+        ev.write.mode("overwrite").parquet(d)
+        ev.write.mode("append").parquet(d)  # the duplicate copy
+        _STREAM_DUP_SRC[sf_dir] = d
+    d = _STREAM_DUP_SRC[sf_dir]
+    schema = spark.read.parquet(d).schema
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_dedup_{_STREAM_SEQ[0]}"
+    stream = (spark.readStream.schema(schema).parquet(d)
+              .dropDuplicates(["event_id"]))
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.table(name).groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.expr(dsum("value", "total_value", 8)).alias("total_value")))
+
+
+_STREAM_DEDUP_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {dsum('value', 'total_value', 8)}
+FROM events GROUP BY event_type
+"""
+
+register("events_stream_dedup", events_stream_dedup, _STREAM_DEDUP_ORACLE)
