@@ -413,7 +413,13 @@ def resolve_cid_links(value: Any, cid_map: dict[str, str]) -> Any:
 
 # --- natural sort (ref string-natural-compare via base-data-model.js:46) ----
 
-_NAT_SPLIT = re.compile(r"(\d+)")
+# ASCII digit runs ONLY: Java/RE2/JS '\d' (the Spark expression, the DuckDB
+# oracle, and the reference's string-natural-compare) are all ASCII-bound,
+# while Python's '\d' also matches unicode digits (fullwidth '５',
+# Arabic-Indic '٣') — padding those Python-side would diverge the map-side
+# nat_key from every JVM/SQL ordering of the same ids (caught r4 by the
+# byte-parity corpus test).
+_NAT_SPLIT = re.compile(r"([0-9]+)")
 
 
 def natural_sort_key(s: str) -> tuple:

@@ -190,6 +190,35 @@ def test_natural_sort_matches_spark_path(spark):
     assert sorted(ids, key=natural_sort_key) == spark_order
 
 
+def test_natural_pad_byte_parity_adversarial_corpus(spark):
+    """Byte-level parity of the Python map-side key (natural_pad, stamped
+    into emission rows) and the JVM expression (natural_sort_col_expr, used
+    for store ordering and — planned r5 — re-deriving emission nat_keys at
+    read time).  One Spark job over an adversarial corpus: unicode, digit
+    runs at every boundary, runs at/over the 24 pad width, digits-only,
+    empty-ish, separators."""
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.values import natural_pad, natural_sort_col_expr
+
+    ids = [
+        "a", "A", "0", "00", "0a0", "a0a", "1-2-3", "doc-10", "doc-9",
+        "9" * 24, "9" * 25, "1" + "0" * 23, "x" + "5" * 24 + "x",
+        "héllo42", "日本語7語", "emoji🙂123", "tab\tsep", "dot.5.dot",
+        "under_score_001", "MiXeD10CaSe", "trailing9", "7leading",
+        "multi 33 space 44 runs", "a" * 50 + "123" + "b" * 50,
+        "0" * 5 + "x" + "0" * 5, "−123", "+44", "1.5e10", "v1.2.10-rc3",
+        # unicode digits: Python \d matches them, Java/RE2/JS \d do not —
+        # the engine is ASCII-digit-only everywhere (r4 parity fix)
+        "a５b", "x٣y", "fullwidth１２３run", "mixed5５5run",
+    ]
+    df = spark.createDataFrame([(i,) for i in ids], "rid string")
+    got = {r["rid"]: r["k"] for r in df.select(
+        "rid", F.expr(natural_sort_col_expr("rid")).alias("k")).collect()}
+    for i in ids:
+        assert got[i] == natural_pad(i), repr(i)
+
+
 def test_path_roundtrip():
     p = encode_path("datasets", "author one", "data:set", "rec/1")
     d = decode_path(p)
