@@ -501,7 +501,13 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
     """Stage-then-rename write of one emissions segment, range-partitioned by
     out_id (tight min/max stats per file for pruning) and sorted by the FULL
     fold key — a fresh segment is then directly foldable without another
-    shuffle (groups are contiguous and internally ordered)."""
+    shuffle (groups are contiguous and internally ordered).
+
+    ``nat_key`` is SORTED BY but not STORED (r4): it is a pure function of
+    ``src_rid`` (byte-parity of the Python and JVM derivations is pinned by
+    tests/test_values.py), and for padded ids it is the widest column in the
+    row — deriving it at read time (:func:`_read_emit_log`) cuts emission
+    shuffle and parquet bytes ~30% with identical fold order."""
     import os
     import shutil
     import uuid
@@ -522,6 +528,7 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
         (cache.repartitionByRange(num_parts, "out_id")
          .sortWithinPartitions("out_id", "input_idx", "nat_key", "src_rid",
                                "emit_idx")
+         .drop("nat_key")  # Project preserves the sort; column derives at read
          .write.mode("overwrite").parquet(stage))
     finally:
         if cache is not df:
@@ -534,6 +541,25 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
     shutil.rmtree(final, ignore_errors=True)
     os.replace(stage, final)
     return final
+
+
+def _read_emit_log(spark, segs: list[str]):
+    """Read emission segments → the full fold frame, with ``nat_key``
+    DERIVED from ``src_rid`` via the JVM natural-sort expression (stored
+    segments don't carry it — r4).  The explicit column list also makes the
+    read schema-stable across segment generations: pre-r4 segments that
+    still store a ``nat_key`` column are pruned to the same seven columns,
+    and the derived value is byte-identical to what they stored (parity
+    test in tests/test_values.py)."""
+    from pyspark.sql import functions as F
+
+    from .values import natural_sort_col_expr
+
+    return (spark.read.parquet(*segs)
+            .select("path", "version", "out_id", "input_idx", "src_rid",
+                    "emit_idx", "value")
+            .withColumn("nat_key",
+                        F.expr(natural_sort_col_expr("src_rid"))))
 
 
 def _segment_foldable(seg_path: str) -> bool:
@@ -614,7 +640,7 @@ def _compact_emissions(spark, store: DatasetStore, author: str, name: str) -> No
         return
     cache_meta = store.get_meta(author, _cache_name(name), source=_CACHE_SOURCE)
     keys = _cache_keys_df(spark, store._segments(cache_meta))  # noqa: SLF001
-    log = spark.read.parquet(*segs)
+    log = _read_emit_log(spark, segs)
     valid = log.join(keys, ["path", "version"], "left_semi") if keys is not None \
         else log.limit(0)
     n = valid.count()
@@ -879,7 +905,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         # groups are atomic in Spark's scan — no out_id group can straddle
         # two read partitions) the reduce folds DIRECTLY off the files: no
         # second shuffle, no re-sort of the emissions.
-        emits = spark.read.parquet(seg_path).select(*_EMIT_COLS)
+        emits = _read_emit_log(spark, [seg_path]).select(*_EMIT_COLS)
         reduced = reduce_outputs(emits, presorted=_segment_foldable(seg_path))
         stats_meta = store.write_entries_df(spark, author, name, reduced,
                                             source="lenses", overwrite=True,
@@ -892,7 +918,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             _trace("emit_write")
         pre_keys = _cache_keys_df(spark, pre_segs)
         if old_emit_segs:
-            old_log = spark.read.parquet(*old_emit_segs)
+            old_log = _read_emit_log(spark, old_emit_segs)
         else:
             # migration backfill (store predates the emissions log): derive
             # the valid pre-state log from the cache once, attach each path's
@@ -903,7 +929,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             seg_path = _write_emit_segment(
                 state_emits, emit_d, max(0, seq_now - 1), base=True,
                 num_parts=32)
-            old_log = spark.read.parquet(seg_path)
+            old_log = _read_emit_log(spark, [seg_path])
             _trace("emit_backfill")
 
         # out_ids from NEW map results + from the pre-state emissions of
