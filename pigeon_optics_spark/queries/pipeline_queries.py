@@ -1039,6 +1039,75 @@ SELECT vec_id, centroid, dist2 FROM ranked WHERE rn = 1
 register("emb_kmeans_assign", emb_kmeans_assign, _KMEANS_ORACLE)
 
 
+def corpus_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pipeline composition: k-means cells over the EMBEDDING
+    table joined to text-quality features of the DOCUMENT table (ids
+    correspond 1:1 in the corpus), profiled per cluster — the "what is in
+    each semantic bucket" report a curation pipeline runs before choosing
+    per-cluster sampling rates.
+
+    Aggregates are chosen engine-exact (the q_moving_average lesson:
+    never SUM a computed double): integer sums, threshold counts, and
+    min/max order statistics only.
+
+    Scale shape: cell assignment is map-only (literal centroids), the
+    doc↔embedding join is a 1:1 id equi-join (co-partitionable / AQE),
+    one aggregation shuffle on the 8 cells with map-side combine."""
+    from ..pipeline.similarity import kmeans_assign
+    from ..pipeline.text import quality_score, token_count
+
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents")
+    cells = kmeans_assign(emb, k=8).select(
+        F.col("vec_id").alias("doc_id"), "centroid")
+    feats = token_count(quality_score(docs)).select(
+        "doc_id", "lang", "quality_score", "n_tokens")
+    return (feats.join(cells, "doc_id")
+            .groupBy("centroid")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+                 F.count(F.when(F.col("quality_score") >= 0.7, 1))
+                 .alias("n_good"),
+                 F.min("quality_score").alias("min_quality"),
+                 F.max("quality_score").alias("max_quality")))
+
+
+_CLUSTER_PROFILE_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+pairs AS (
+  SELECT e.vec_id, CAST(c.cid AS INT) AS centroid,
+         {_D2_SQL.format(a='e.embedding', b='c.cv')} AS dist2
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id AS doc_id, centroid FROM (
+    SELECT vec_id, centroid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2 ASC, centroid ASC) AS rn
+    FROM pairs) WHERE rn = 1
+),
+feats AS (
+  SELECT q.doc_id, d.lang, q.quality_score,
+         len(regexp_extract_all(d.text, '{TOKEN_RE}')) AS n_tokens
+  FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)
+)
+SELECT centroid, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+       COUNT(CASE WHEN quality_score >= 0.7 THEN 1 END) AS n_good,
+       MIN(quality_score) AS min_quality,
+       MAX(quality_score) AS max_quality
+FROM feats JOIN cells USING (doc_id)
+GROUP BY centroid
+"""
+
+register("corpus_cluster_profile", corpus_cluster_profile,
+         _CLUSTER_PROFILE_ORACLE)
+
+
 def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rebalancing: downsample English to 25%, keep other languages
     at 75% — per-stratum salted md5 thresholds, same rows on every engine
