@@ -185,8 +185,17 @@ def _yaml_native_nodes_to_tagged(node: Any) -> Any:
                 return {True: "true", False: "false", None: "null"}[k]
             return str(k)  # int/float — json.dumps' own key coercion
 
-        return {_key(k): _yaml_native_nodes_to_tagged(v)
-                for k, v in node.items()}
+        out: dict[str, Any] = {}
+        for k, v in node.items():
+            sk = _key(k)
+            if sk in out:
+                # stringification can collapse distinct YAML keys (int 7 vs
+                # "7", date 2024-01-01 vs the literal string): last-one-wins
+                # would silently drop data, so refuse the decode (ADVICE r4)
+                raise ValueError(
+                    f"YAML mapping keys collide after stringification: {sk!r}")
+            out[sk] = _yaml_native_nodes_to_tagged(v)
+        return out
     return node
 
 

@@ -39,24 +39,48 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 #: codec, bigram LM, end-to-end) plus this round's new/merged gates lead;
 #: gates with two rounds of green driver history absorb the overflow.
 #: Rotate this list in later rounds so every gate accumulates driver rows.
+#: r5 rotation (VERDICT r4 item 2).  Window composition:
+#:   1. the 4 gates introduced in r4 that have NEVER had a driver row;
+#:   2. the 14 r4-overflow gates whose last driver rows are r2/r3;
+#:   3. events_sessionize — r4's one red row (oracle HUGEINT typing, fixed
+#:      this round) — must re-green;
+#:   4. attachments_gc_sweep — newly oracle-gated this round (was the
+#:      registry's last no_oracle row);
+#:   5. gates NEW in r5 (add names here as they are registered — unlisted
+#:      gates land after position 50 and get no driver row);
+#:   6. fill to 50 with r4-green gates (flagship/heavy first).
+#: The 19 gates left outside the window all carry green r4 driver rows, so
+#: after r5 every registry gate has driver evidence from r4 or r5.
 _DRIVER_PRIORITY = [
-    # never driver-checked through r3 — events/streaming/as-of (§2.9, §2.3)
-    "events_tumbling_counts", "events_sliding_windows", "events_sessionize",
-    "events_topk_per_type", "asof_join_events_orders", "events_range_join",
-    "events_stream_tumbling", "events_stream_stateful", "events_stream_dedup",
-    # never driver-checked through r3 — store/codec/reactive (§2.1, §2.2)
-    "store_scan_documents", "store_point_lookup", "store_natural_order",
-    "store_readpath_union", "store_export_at", "codec_zip_manifest",
-    "reactive_dag_cascade", "lens_incremental_rebuild", "store_delta_read",
-    "attachments_gc_sweep", "codec_transcode_roundtrip",
-    # never driver-checked through r3 — pipeline tail
-    "text_bigram_lm", "pipeline_end_to_end",
-    # new or newly-merged gates this round (no driver history yet)
-    "multimodal_gif_frames", "text_profile", "text_samples",
-    "ann_topk_methods", "q_semi_anti_joins", "q_approx_aggregates",
-    # scale-path dedup operators: keep fresh driver rows over the simpler
-    # exact/ngram gates when the 50-row budget forces a choice
+    # --- 1. never driver-checked (new in r4, local-only until now) ---
+    "dedup_survivors", "text_gopher_quality", "ann_ivfpq_topk",
+    "corpus_cluster_profile",
+    # --- 2. last driver row r2/r3 (rotated out of the r4 window) ---
+    "text_tfidf_top_terms", "dedup_exact_documents", "dedup_ngram_pairs",
+    "dedup_simhash_signatures", "dedup_embedding_pairs",
+    "multimodal_real_image_meta", "multimodal_audio_meta",
+    "text_chunk_dedup", "text_contamination", "text_pack_sequences",
+    "text_pii_scrub", "emb_kmeans_assign", "emb_pq_codes", "emb_pq_topk",
+    # --- 3. r4 red row, oracle typing fixed this round ---
+    "events_sessionize",
+    # --- 4. newly oracle-gated this round ---
+    "attachments_gc_sweep",
+    # --- 5. new in r5 ---
+    "multimodal_mp4_meta",
+    # --- 6. r4-green fill (flagship / heavy / merged gates) ---
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q_top3_customers_per_nation", "q_rollup_returns", "q_cube_volumes",
+    "q_moving_average", "q_event_zscores", "q_exact_quantiles",
+    "q_semi_anti_joins", "q_approx_aggregates", "q_full_outer_join",
+    "q_scalar_functions",
+    "lens_sum_qty_by_partkey", "lens_invert_part_types",
+    "lens_count_orders_by_status", "lens_object_merge_stats",
+    "lens_incremental_rebuild",
     "dedup_minhash_pairs", "dedup_minhash_components",
+    "text_profile", "text_samples", "ann_topk_methods",
+    "multimodal_gif_frames", "events_stream_dedup",
+    "store_scan_documents", "store_natural_order",
+    "codec_transcode_roundtrip", "pipeline_end_to_end",
 ]
 
 

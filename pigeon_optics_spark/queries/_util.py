@@ -74,6 +74,13 @@ def dsum(expr: str, alias: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE) AS {alias}"
 
 
+# NOTE (r4 driver, events_sessionize): DuckDB's *windowed* SUM over an
+# integer column returns HUGEINT (int128).  pandas has no int128 dtype and
+# materializes it as float64, while Spark's SUM(int) is LONG — the driver's
+# value-hash then mismatches on numerically identical results (5.0 vs 5).
+# Any oracle windowed integer SUM must be wrapped CAST(... AS BIGINT);
+# plain COUNT(*) / ROW_NUMBER() are BIGINT already and safe.
+
 # NOTE (found at sf0.1, q_cube_volumes): the final decimal->double cast is
 # itself an engine-divergence class at large magnitudes.  DuckDB computes
 # int128 * 10^-scale in FLOAT arithmetic (1 ulp off around ~2e10 with

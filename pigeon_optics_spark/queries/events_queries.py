@@ -91,9 +91,16 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Cross-engine typing note (r4 driver red row): DuckDB's windowed
+#: ``SUM(int)`` yields HUGEINT (int128), which pandas materializes as
+#: float64 (``5.0``) while Spark emits LONG (``5``) — the value-hash then
+#: mismatches on identical answers.  ``CAST(... AS BIGINT)`` normalizes it
+#: (same pattern as store_queries._NAT_ORACLE).  Plain COUNT(*) is BIGINT
+#: and safe.  The cumsum window also orders by event_id like the Spark
+#: side so same-(user, ts) ties fold deterministically in both engines.
 _SESSION_ORACLE = f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS is_new
@@ -102,8 +109,8 @@ WITH flagged AS (
 ),
 sessioned AS (
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no,

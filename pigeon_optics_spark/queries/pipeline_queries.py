@@ -1115,8 +1115,11 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.text import stratified_sample
 
     docs = load(spark, sf_dir, "documents")
-    rates = {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 0.75}
-    return (stratified_sample(docs, rates)
+    # default_rate matches the oracle's CASE ELSE branch, so a language the
+    # testdata grows later (testdata changes between rounds) keeps 75 % on
+    # both sides instead of being silently dropped Spark-side (ADVICE r4).
+    rates = {"en": 0.25}
+    return (stratified_sample(docs, rates, default_rate=0.75)
             .select("doc_id", "lang", F.length("text").alias("text_len")))
 
 
@@ -1145,8 +1148,9 @@ def text_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform = (deterministic_sample(docs, 0.25, "doc_id")
                .select(F.lit("uniform").alias("method"), "doc_id", "lang",
                        F.length("text").alias("text_len")))
-    rates = {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 0.75}
-    strat = (stratified_sample(docs, rates)
+    # default_rate mirrors the oracle's CASE ELSE so future testdata
+    # languages sample identically on both sides (ADVICE r4)
+    strat = (stratified_sample(docs, {"en": 0.25}, default_rate=0.75)
              .select(F.lit("stratified").alias("method"), "doc_id", "lang",
                      F.length("text").alias("text_len")))
     return uniform.unionByName(strat)

@@ -344,10 +344,17 @@ def hash_json_str(value_json: str) -> str:
     if _BIGNUM_RE.search(value_json) is not None:
         # a ≥16-digit run may be an int beyond 2^53 → BigInteger promotion
         node = _canon_plain(node)
-    return hashlib.sha256(
-        json.dumps(node, sort_keys=True, separators=(",", ":"),
-                   ensure_ascii=False,
-                   allow_nan=False).encode("utf-8")).hexdigest()
+    try:
+        canonical = json.dumps(node, sort_keys=True, separators=(",", ":"),
+                               ensure_ascii=False, allow_nan=False)
+    except ValueError:
+        # A finite-looking literal can still PARSE non-finite: "1e999"
+        # overflows to inf without any 'Infinity' substring, so the marker
+        # screen misses it and allow_nan=False balks.  Take the semantic
+        # path, which hashes it as the tagged Infinity constant — identical
+        # to what the slow path always did for such values.
+        return object_hash(tagged_to_value(json.loads(value_json)))
+    return hashlib.sha256(canonical.encode("utf-8")).hexdigest()
 
 
 # --- attachment links (ref library/utility/record-structure.js) -------------

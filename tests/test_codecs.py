@@ -178,6 +178,16 @@ def test_yaml_external_native_date_keys():
     assert c.decode(c.encode(v)) == v
 
 
+def test_yaml_native_key_collision_refused():
+    # int 7 and string "7" both stringify to "7" — last-one-wins would
+    # silently drop a value, so the decode must refuse instead (ADVICE r4)
+    c = CODECS["yaml"]
+    with pytest.raises(ValueError, match="collide"):
+        c.decode(b'7: a\n"7": b\n')
+    with pytest.raises(ValueError, match="collide"):
+        c.decode(b'2024-01-01: a\n"2024-01-01": b\n')
+
+
 def test_codec_dispatch():
     assert codec_for("application/json").name == "json"
     assert codec_for("application/json; charset=utf-8").name == "json"

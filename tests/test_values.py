@@ -112,6 +112,15 @@ def test_hash_json_str_matches_object_hash():
     assert hash_json_str(s) == object_hash(v)
 
 
+def test_hash_json_str_overflow_literal_matches_slow_path():
+    # "1e999" parses to inf with no 'Infinity' substring, dodging the
+    # fast-path marker screen; must fall back to the tagged-constant hash
+    # instead of raising (ADVICE r4).
+    for s in ('{"a": 1e999}', '{"a": -1e999}', '[1e999, 2.5]',
+              '{"nested": {"x": [3, 1e999]}}'):
+        assert hash_json_str(s) == object_hash(tagged_to_value(json.loads(s)))
+
+
 def test_tag_envelope_escaping():
     v = {"type": "not-a-tag", "data": 42}
     back = tagged_to_value(value_to_tagged(v))
