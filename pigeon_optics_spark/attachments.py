@@ -22,7 +22,6 @@ from __future__ import annotations
 import hashlib
 import os
 import tempfile
-import time
 from typing import BinaryIO, Iterator
 
 from .values import HASH_URL_RE
@@ -138,32 +137,79 @@ class AttachmentStore:
             F.regexp_extract("url", r"^hash://sha256/([0-9a-f]{64})", 1).alias("hash")
         ).where(F.col("hash") != "").distinct()
 
-    def gc(self, spark, store, *, grace_seconds: float = 0.0) -> list[str]:
-        """Delete unreferenced blobs; returns deleted hashes.
+    def inventory_df(self, spark):
+        """Blob inventory as a DataFrame — the GC join's probe side.
 
-        ``blob inventory LEFT ANTI JOIN live links`` — at 100 TB both sides
-        are DataFrames (object-store listing vs records scan) and the join
-        shuffles only 32-byte hashes.  ``grace_seconds`` protects blobs
-        younger than the window (upload-before-reference race, the
-        reference's hold/release, attachments.js:117-152).
+        Listed with the ``binaryFile`` source so the scan is distributed
+        (on a cluster this is the object-store listing); only ``path`` and
+        ``modificationTime`` are projected, so column pruning keeps blob
+        CONTENT out of the scan entirely.  Non-blob names (.tmp spool
+        files) are filtered by the 64-hex shape.
         """
-        inventory = [(h,) for h in self.list_hashes()]
-        if not inventory:
-            return []
-        inv_df = spark.createDataFrame(inventory, "hash string")
-        orphans = inv_df.join(self.live_links_df(spark, store), "hash", "left_anti")
-        now = time.time()
-        deleted = []
-        for row in orphans.collect():
-            path = self._path(row["hash"])
-            try:
-                if now - os.path.getmtime(path) < grace_seconds:
-                    continue
-                os.remove(path)
-                deleted.append(row["hash"])
-            except OSError:
-                continue
-        return sorted(deleted)
+        from pyspark.sql import functions as F
+
+        if not any(e for e in os.listdir(self.root) if not e.endswith(".tmp")):
+            from .store import empty_local_df
+            return empty_local_df(spark, "hash string, mtime double")
+        df = spark.read.format("binaryFile").load(self.root)
+        return (df.select(
+                    F.element_at(F.split("path", "/"), -1).alias("hash"),
+                    (F.unix_millis("modificationTime") / F.lit(1000.0))
+                    .alias("mtime"))
+                .where(F.col("hash").rlike("^[0-9a-f]{64}$")))
+
+    def gc_df(self, spark, store, *, grace_seconds: float = 0.0):
+        """The GC sweep as a DataFrame of ``(hash, deleted)``.
+
+        ``blob inventory LEFT ANTI JOIN live links`` — both sides are
+        DataFrames (distributed listing vs records scan) and the join
+        shuffles only hash strings.  Deletes execute EXECUTOR-SIDE inside
+        a ``mapInPandas`` pass when the result is consumed, so no orphan
+        list ever materializes on the driver; at 100 TB the caller writes
+        this result to a reporting table instead of collecting it.
+        ``grace_seconds`` protects blobs younger than the window
+        (upload-before-reference race, the reference's hold/release,
+        attachments.js:117-152) — enforced against the file's CURRENT
+        mtime at delete time, not the listing snapshot.  Deletion is
+        idempotent (content-addressed names), so a retried task re-deleting
+        its partition is harmless.
+        """
+        orphans = self.inventory_df(spark).join(
+            self.live_links_df(spark, store), "hash", "left_anti")
+        root, grace = self.root, grace_seconds
+
+        def _delete(batches):
+            import os as _os
+            import time as _time
+
+            import pandas as _pd
+
+            for pdf in batches:
+                done = []
+                for h in pdf["hash"]:
+                    path = _os.path.join(root, h)
+                    try:
+                        if grace and _time.time() - _os.path.getmtime(path) < grace:
+                            done.append(False)
+                            continue
+                        _os.remove(path)
+                        done.append(True)
+                    except OSError:
+                        done.append(False)
+                yield _pd.DataFrame({"hash": pdf["hash"], "deleted": done})
+
+        return orphans.select("hash").mapInPandas(
+            _delete, "hash string, deleted boolean")
+
+    def gc(self, spark, store, *, grace_seconds: float = 0.0) -> list[str]:
+        """Delete unreferenced blobs; returns the deleted hashes, sorted.
+
+        Small-store convenience wrapper: runs :meth:`gc_df` (deletes still
+        happen executor-side) and collects the per-blob outcomes — bounded
+        by the orphan count, fine for a local store, not the 100 TB path
+        (use :meth:`gc_df` and sink the result there)."""
+        return sorted(r["hash"] for r in self.gc_df(
+            spark, store, grace_seconds=grace_seconds).collect() if r["deleted"])
 
     def iterate(self) -> Iterator[tuple[str, int]]:
         for h in self.list_hashes():

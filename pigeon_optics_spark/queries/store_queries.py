@@ -372,9 +372,14 @@ register("store_delta_read", store_delta_read, _DELTA_ORACLE)
 
 
 def attachments_gc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4 surface under the driver gate (rows-only): content-addressed blobs
-    + records linking half of them → GC anti-join deletes exactly the
-    orphans.  Deterministic blob contents derived from doc_ids."""
+    """M4 surface under the driver gate: content-addressed blobs + records
+    linking every other one → GC anti-join (distributed listing, executor-
+    side deletes — attachments.gc_df) removes exactly the orphans.
+
+    Blob contents are ``blob-{doc_id}`` for the first 40 doc_ids, and only
+    even-INDEXED blobs (in doc_id order) are linked, so the whole outcome —
+    sha256 name and deleted flag alike — is derivable in pure SQL from the
+    ``documents`` table (ref GC semantics: attachments.js:161-195)."""
     from ..attachments import AttachmentStore
 
     key = (sf_dir, "gc")
@@ -403,4 +408,17 @@ def attachments_gc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(sorted(rows), "blob_hash string, deleted boolean")
 
 
-register("attachments_gc_sweep", attachments_gc_sweep, None)  # rows-only
+#: The fixture is deterministic in ``documents``: blob name = sha256 of
+#: 'blob-<doc_id>' (DuckDB's sha256 = hashlib's, verified), and odd-indexed
+#: blobs (doc_id order) are unlinked → deleted.
+_GC_ORACLE = """
+WITH ids AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40) t
+)
+SELECT sha256('blob-' || CAST(doc_id AS VARCHAR)) AS blob_hash,
+       (i % 2 = 1) AS deleted
+FROM ids
+"""
+
+register("attachments_gc_sweep", attachments_gc_sweep, _GC_ORACLE)

@@ -85,6 +85,32 @@ def test_gc_removes_orphans(spark, store, att):
     assert AttachmentStore.normalize(kept) in deleted2
 
 
+def test_gc_grace_window_protects_young_blobs(spark, store, att):
+    url = att.add(b"young orphan")
+    store.create("a", "d")
+    assert att.gc(spark, store, grace_seconds=3600) == []
+    assert att.has(url)
+    assert att.gc(spark, store) == [AttachmentStore.normalize(url)]
+
+
+def test_gc_inventory_is_distributed_and_pruned(spark, store, att):
+    # The inventory side must be a binaryFile listing scan with the blob
+    # CONTENT column pruned away (at 100 TB reading content to list names
+    # would be a full-store read), and the sweep itself must contain no
+    # driver-side materialization — gc_df is lazy until consumed.
+    att.add(b"one")
+    att.add(b"two")
+    plan = att.inventory_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "binaryFile" in plan or "BinaryFile" in plan
+    assert "content" not in plan.lower().split("readschema")[-1][:200]
+    store.create("a", "d")
+    sweep = att.gc_df(spark, store)  # no deletes yet: lazy
+    assert len(att.list_hashes()) == 2
+    out = {r["hash"]: r["deleted"] for r in sweep.collect()}
+    assert all(out.values()) and len(out) == 2
+    assert att.list_hashes() == []
+
+
 def test_import_files_df(spark, store, tmp_path):
     d = tmp_path / "up"
     d.mkdir()
