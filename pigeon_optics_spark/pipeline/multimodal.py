@@ -6,8 +6,12 @@ Two kernel tiers:
 - **Container/header parsing is REAL** (pure-Python byte parsing, no
   libraries): :func:`sniff_image_meta` reads PNG / GIF / BMP / JPEG headers
   for (width, height, channels, format); :func:`sniff_wav_meta` reads RIFF
-  WAVE fmt chunks for (channels, sample rate, bit depth, duration).
-  ``decode_image_meta(fake=False)`` / ``decode_audio_meta`` use these.
+  WAVE fmt chunks for (channels, sample rate, bit depth, duration);
+  :func:`sniff_mp4_meta` box-walks ISO-BMFF (mp4/mov) moov/mvhd/tkhd for
+  (timescale, duration, track count, presentation dims);
+  :func:`gif_frame_index` enumerates animated-GIF frames.
+  ``decode_image_meta(fake=False)`` / ``decode_audio_meta`` /
+  ``decode_mp4_meta`` / ``enumerate_gif_frames`` use these.
 - **Pixel/sample decode is STUBBED** (this container has no PIL/OpenCV/
   ffmpeg): frame extraction raises ``NotImplementedError`` unless
   ``fake=True``, in which case a deterministic fake kernel hashes byte
@@ -281,6 +285,120 @@ def enumerate_gif_frames(df: DataFrame, binary_col: str = "data",
 
     return df.select(id_col, binary_col).mapInPandas(
         run, schema=GIF_FRAME_SCHEMA)
+
+
+MP4_META_SCHEMA = ("media_id long, byte_len long, timescale int, "
+                   "duration_ms double, n_tracks int, width int, height int, "
+                   "format string")
+
+
+def _bmff_boxes(data: bytes, start: int, end: int):
+    """Yield ``(type, payload_start, box_end)`` for each ISO-BMFF box in
+    ``data[start:end]``.  Handles 32-bit sizes, ``size==1`` + 64-bit
+    largesize, and ``size==0`` (box runs to the end of the enclosing
+    scope).  Stops cleanly on truncated/garbage bytes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i:i + 4], "big")
+        btype = data[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(data[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def sniff_mp4_meta(data: bytes) \
+        -> tuple[int, int, float, int, int | None, int | None] | None:
+    """(timescale, duration, duration_ms, n_tracks, width, height) from an
+    ISO-BMFF (mp4/mov) container by box-walk — REAL parse of the moov/mvhd/
+    trak/tkhd grammar (ISO 14496-12 §8.2/§8.3), no pixel or sample decode,
+    no external library.  The same kernel class as the GIF block-walk:
+    container metadata is byte arithmetic, only frame DECODE needs ffmpeg.
+
+    mvhd carries the movie timescale (units/second) and duration (units);
+    each tkhd carries 16.16 fixed-point presentation width/height — the
+    first track with a nonzero width is reported (video track; audio tracks
+    store 0x0).  Both v0 (32-bit times) and v1 (64-bit) layouts are parsed.
+    Returns None for non-BMFF bytes (no leading ftyp or no moov/mvhd).
+    """
+    top = list(_bmff_boxes(data, 0, len(data)))
+    if not top or top[0][0] != b"ftyp":
+        return None
+    timescale = duration = None
+    n_tracks = 0
+    width = height = None
+    for btype, s, e in top:
+        if btype != b"moov":
+            continue
+        for bt2, s2, e2 in _bmff_boxes(data, s, e):
+            if bt2 == b"mvhd" and s2 < e2:
+                v = data[s2]
+                if v == 1 and s2 + 32 <= e2:
+                    timescale = int.from_bytes(data[s2 + 20:s2 + 24], "big")
+                    duration = int.from_bytes(data[s2 + 24:s2 + 32], "big")
+                elif v == 0 and s2 + 20 <= e2:
+                    timescale = int.from_bytes(data[s2 + 12:s2 + 16], "big")
+                    duration = int.from_bytes(data[s2 + 16:s2 + 20], "big")
+            elif bt2 == b"trak":
+                n_tracks += 1
+                for bt3, s3, e3 in _bmff_boxes(data, s2, e2):
+                    if bt3 != b"tkhd" or s3 >= e3:
+                        continue
+                    # payload offset of the 16.16 width field: version+flags
+                    # (4) + times/track_id/reserved/duration (32 for v1,
+                    # 20 for v0) + reserved/layer/group/volume (16) +
+                    # matrix (36)
+                    off = s3 + (88 if data[s3] == 1 else 76)
+                    if off + 8 <= e3:
+                        w = int.from_bytes(data[off:off + 4], "big") >> 16
+                        h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
+                        if width is None and w:
+                            width, height = w, h
+    if timescale is None or duration is None:
+        return None
+    duration_ms = duration / timescale * 1000.0 if timescale else 0.0
+    return timescale, duration, duration_ms, n_tracks, width, height
+
+
+def decode_mp4_meta(df: DataFrame, binary_col: str = "data",
+                    id_col: str = "media_id") -> DataFrame:
+    """binary column → typed mp4/ISO-BMFF container metadata rows (REAL
+    box-walk, :func:`sniff_mp4_meta`); non-BMFF bytes get format='unknown'
+    with null fields.  Same mapInPandas shape as the image/audio decoders."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "byte_len", "timescale",
+                                    "duration_ms", "n_tracks", "width",
+                                    "height", "format")}
+            for mid, data in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(data) if data is not None else b""
+                sniffed = sniff_mp4_meta(b)
+                if sniffed is None:
+                    ts, dur_ms, nt, w, h, fmt = None, None, None, None, None, "unknown"
+                else:
+                    ts, _dur, dur_ms, nt, w, h = sniffed
+                    fmt = "mp4"
+                rows["media_id"].append(mid)
+                rows["byte_len"].append(len(b))
+                rows["timescale"].append(ts)
+                rows["duration_ms"].append(dur_ms)
+                rows["n_tracks"].append(nt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["format"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=MP4_META_SCHEMA)
 
 
 def sample_frames(df: DataFrame, binary_col: str = "data",

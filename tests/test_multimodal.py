@@ -158,3 +158,87 @@ def test_enumerate_gif_frames_distributed(spark):
     got = sorted((r["media_id"], r["frame_no"], r["width"], r["height"],
                   r["ts_ms"]) for r in enumerate_gif_frames(df).collect())
     assert got == [(1, 0, 5, 6, 0.0), (1, 1, 7, 8, 40.0)]
+
+
+# --- mp4 / ISO-BMFF box-walk ------------------------------------------------
+
+
+def _bmff_box(btype, payload):
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4(ts, dur, tracks, *, mvhd_v=0, tkhd_v=0, largesize_mdat=False):
+    if mvhd_v:
+        mvhd = _bmff_box(b"mvhd", bytes([1, 0, 0, 0])
+                         + struct.pack(">QQIQ", 0, 0, ts, dur))
+    else:
+        mvhd = _bmff_box(b"mvhd", bytes([0, 0, 0, 0])
+                         + struct.pack(">IIII", 0, 0, ts, dur))
+    trak_boxes = []
+    for i, (w, h) in enumerate(tracks):
+        head = (bytes([1, 0, 0, 0]) + struct.pack(">QQIIQ", 0, 0, i + 1, 0, dur)
+                if tkhd_v else
+                bytes([0, 0, 0, 0]) + struct.pack(">IIIII", 0, 0, i + 1, 0, dur))
+        tkhd = _bmff_box(b"tkhd", head + b"\x00" * 8
+                         + struct.pack(">HHHH", 0, 0, 0, 0) + b"\x00" * 36
+                         + struct.pack(">II", w << 16, h << 16))
+        trak_boxes.append(_bmff_box(b"trak", tkhd))
+    moov = _bmff_box(b"moov", mvhd + b"".join(trak_boxes)
+                     + _bmff_box(b"free", b""))
+    ftyp = _bmff_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"iso2mp41")
+    if largesize_mdat:
+        mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 20) + b"\x00" * 4
+    else:
+        mdat = _bmff_box(b"mdat", b"\x00" * 4)
+    return ftyp + moov + mdat
+
+
+def test_mp4_meta_v0_and_v1():
+    from pigeon_optics_spark.pipeline.multimodal import sniff_mp4_meta
+
+    got = sniff_mp4_meta(_mp4(1000, 2500, [(640, 360)]))
+    assert got == (1000, 2500, 2500.0, 1, 640, 360)
+    # v1 (64-bit) layouts parse to the same answer
+    got = sniff_mp4_meta(_mp4(1000, 2500, [(640, 360)], mvhd_v=1, tkhd_v=1))
+    assert got == (1000, 2500, 2500.0, 1, 640, 360)
+
+
+def test_mp4_meta_audio_track_and_largesize():
+    from pigeon_optics_spark.pipeline.multimodal import sniff_mp4_meta
+
+    # audio-only track stores 0x0 dims -> no width reported, track counted
+    ts, dur, dur_ms, nt, w, h = sniff_mp4_meta(
+        _mp4(600, 600, [(0, 0)], largesize_mdat=True))
+    assert (ts, dur, dur_ms, nt, w, h) == (600, 600, 1000.0, 1, None, None)
+    # first VIDEO track wins when audio precedes it
+    got = sniff_mp4_meta(_mp4(600, 300, [(0, 0), (1280, 720)]))
+    assert got[3:] == (2, 1280, 720)
+
+
+def test_mp4_meta_rejects_and_truncation():
+    from pigeon_optics_spark.pipeline.multimodal import sniff_mp4_meta
+
+    assert sniff_mp4_meta(b"") is None
+    assert sniff_mp4_meta(b"not an mp4 container") is None
+    # moov-less file (no mvhd) -> None
+    ftyp = _bmff_box(b"ftyp", b"isom\x00\x00\x02\x00")
+    assert sniff_mp4_meta(ftyp + _bmff_box(b"mdat", b"xx")) is None
+    # truncated mid-moov: the walker stops instead of misparsing
+    whole = _mp4(1000, 2500, [(640, 360)])
+    assert sniff_mp4_meta(whole[:40]) is None
+    # RIFF/WAV bytes are not BMFF
+    assert sniff_mp4_meta(_wav(8000, 1, 16, 64)) is None
+
+
+def test_decode_mp4_meta_distributed(spark):
+    from pigeon_optics_spark.pipeline.multimodal import decode_mp4_meta
+
+    rows = [(1, _mp4(1000, 5000, [(320, 240)])),
+            (2, b"garbage"), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r["media_id"]: (r["timescale"], r["duration_ms"], r["n_tracks"],
+                           r["width"], r["height"], r["format"])
+           for r in decode_mp4_meta(df).collect()}
+    assert got[1] == (1000, 5000.0, 1, 320, 240, "mp4")
+    assert got[2] == (None, None, None, None, None, "unknown")
+    assert got[3] == (None, None, None, None, None, "unknown")
