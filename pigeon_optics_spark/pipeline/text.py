@@ -374,6 +374,83 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.where(bucket < thresh)
 
 
+def exact_k_sample(df: DataFrame, k: int, stratum_col: str = "lang",
+                   key_col: str = "doc_id", salt: str = "topk") -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: rank every row within its
+    stratum by a salted md5 of its key and keep the ``k`` smallest — the
+    "give me exactly 10k docs per language" budgeted-curation op.  The rate
+    samplers (:func:`deterministic_sample` / :func:`stratified_sample`) keep
+    a FRACTION whose realized count fluctuates; this hits ``min(k, |stratum|)``
+    exactly, still fully deterministic and engine-reproducible (md5 hex
+    ordering is plain byte order in Spark and DuckDB alike).
+
+    Scale shape: one shuffle on the stratum key; per-stratum ordering is a
+    rank-truncated window (Spark inserts a per-partition rank limit before
+    the final sort at execution), never a global sort.  Adds ``rk`` (1-based
+    rank within the stratum's kept set).
+    """
+    from pyspark.sql import Window
+
+    tag = F.md5(F.concat(F.lit(salt + ":"), F.col(stratum_col), F.lit(":"),
+                         F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(tag, F.col(key_col))
+    return (df.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k))
+
+
+def split_assign(df: DataFrame, key_col: str = "doc_id",
+                 val_frac: float = 0.05, test_frac: float = 0.05,
+                 salt: str = "split") -> DataFrame:
+    """Stable train/val/test assignment by salted md5 threshold — the same
+    15-hex-nibble / 2^60 bucket arithmetic as :func:`deterministic_sample`,
+    cut into three disjoint, exhaustive ranges.  Membership depends only on
+    (salt, key), so re-runs, repartitions, and incremental appends never move
+    a document across splits (the leakage-safety property train/eval hygiene
+    needs).  Adds a ``split`` column; a pure map-side expression, no shuffle.
+    """
+    bucket = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    train_hi = int((1.0 - val_frac - test_frac) * (1 << 60))
+    val_hi = int((1.0 - test_frac) * (1 << 60))
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < val_hi, F.lit("val"))
+        .otherwise(F.lit("test")))
+
+
+def mix_weights(df: DataFrame, stratum_col: str = "lang",
+                text_col: str = "text") -> DataFrame:
+    """Training-mix design table: per-stratum doc/token counts, the
+    proportional token share, and the temperature-α=0.5 weight numerator
+    (sqrt of token count) used for tail-upweighting a multilingual mix.
+
+    Exact-arithmetic contract (the reason this hash-gates cleanly): counts
+    are integers; ``share`` is ONE double division of two exact integers
+    (correctly rounded, engine-agreed); ``sqrt_tokens`` is IEEE-754 sqrt
+    (required correctly rounded everywhere).  The NORMALIZED α-weight —
+    sqrt_n / Σ sqrt_n — is deliberately left to the consumer: a sum of
+    irrational doubles is fold-order-dependent, the one arithmetic class
+    the oracle discipline refuses to hash.
+
+    Scale shape: single groupBy(stratum) with map-side partial aggregation;
+    the grand total joins back as a broadcast of a 1-row aggregate.
+    """
+    toks = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE),
+                                       F.lit(0)))
+    per = df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("long")).alias("n_tokens"))
+    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (per.crossJoin(F.broadcast(total))
+            .select(stratum_col, "n_docs", "n_tokens",
+                    (F.col("n_tokens").cast("double")
+                     / F.col("total_tokens")).alias("share"),
+                    F.sqrt(F.col("n_tokens").cast("double"))
+                    .alias("sqrt_tokens")))
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", top_k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf

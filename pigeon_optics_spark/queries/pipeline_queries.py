@@ -603,6 +603,68 @@ SELECT 'ivf' AS method, * FROM ({_ANN_IVF_ORACLE})
 register("ann_topk_methods", ann_topk_methods, _ANN_METHODS_ORACLE)
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation (new r5): recall@5 of each approximate tier
+    (LSH buckets, IVF cell-probe) against the exact brute-force baseline,
+    per query — the measurement loop that justifies an ANN tier before a
+    100 TB index build.  n_hits/recall are exact-rational (int count over
+    fixed k), so the gate value-hashes cleanly.
+
+    Plan shape: each method's top-k joins the baseline with a left-semi on
+    (query_id, neighbor_id) — the baseline is a tiny broadcast (n_queries·k
+    rows); missing queries (empty LSH bucket) surface as recall 0 via the
+    left join from the query list, not as absent rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10) \
+        .select(F.col("vec_id").alias("query_id"))
+    bf = ann_topk_bruteforce(spark, sf_dir) \
+        .select("query_id", "neighbor_id").persist()
+    parts = []
+    for method, df in (("lsh", ann_lsh_topk(spark, sf_dir)),
+                       ("ivf", ann_ivf_topk(spark, sf_dir))):
+        got = df.select("query_id", "neighbor_id")
+        ret = got.groupBy("query_id").agg(F.count("*").alias("n_retrieved"))
+        hits = (got.join(F.broadcast(bf), ["query_id", "neighbor_id"],
+                         "left_semi")
+                .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+        parts.append(
+            queries.join(ret, "query_id", "left")
+            .join(hits, "query_id", "left")
+            .select(F.lit(method).alias("method"), "query_id",
+                    F.coalesce("n_retrieved", F.lit(0)).cast("long")
+                    .alias("n_retrieved"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)).cast("double") / 5)
+                    .alias("recall_at_k")))
+    return parts[0].unionByName(parts[1])
+
+
+def _recall_branch(method: str, method_sql: str) -> str:
+    return f"""
+SELECT '{method}' AS method, q.query_id,
+       CAST(COALESCE(ret.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5 AS recall_at_k
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+LEFT JOIN (SELECT query_id, COUNT(*) AS n_retrieved
+           FROM ({method_sql}) GROUP BY query_id) ret USING (query_id)
+LEFT JOIN (SELECT m.query_id, COUNT(*) AS n_hits
+           FROM ({method_sql}) m
+           JOIN ({_ANN_ORACLE}) bf
+             ON m.query_id = bf.query_id
+            AND m.neighbor_id = bf.neighbor_id
+           GROUP BY m.query_id) h USING (query_id)
+"""
+
+
+_RECALL_ORACLE = (_recall_branch("lsh", _ANN_LSH_ORACLE)
+                  + "\nUNION ALL\n"
+                  + _recall_branch("ivf", _ANN_IVF_ORACLE))
+
+register("ann_recall_eval", ann_recall_eval, _RECALL_ORACLE)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.dedup import embedding_neardup_pairs
 
@@ -1247,6 +1309,83 @@ WHERE ('0x' || substr(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)),
 """
 
 register("text_samples", text_samples, _SAMPLES_ORACLE)
+
+
+def text_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted curation (new r5): EXACTLY k docs per language by salted
+    md5 rank (pipeline.text.exact_k_sample) — the fixed-budget counterpart
+    of the rate samplers.  One shuffle on lang; rank-truncated window."""
+    from ..pipeline.text import exact_k_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_k_sample(docs, 25).select("doc_id", "lang", "rk")
+
+
+_EXACT_K_ORACLE = """
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY lang
+              ORDER BY md5('topk:' || lang || ':' || CAST(doc_id AS VARCHAR)),
+                       doc_id) AS INT) AS rk
+  FROM documents) t
+WHERE rk <= 25
+"""
+
+register("text_exact_k_sample", text_exact_k_sample, _EXACT_K_ORACLE)
+
+
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment (new r5): salted md5-threshold
+    buckets (90/5/5), membership a pure function of doc_id so appends and
+    repartitions never leak a doc across splits
+    (pipeline.text.split_assign).  Map-only, no shuffle."""
+    from ..pipeline.text import split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    return split_assign(docs).select("doc_id", "lang", "split")
+
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id, lang,
+       CASE WHEN b < {int(0.90 * (1 << 60))} THEN 'train'
+            WHEN b < {int(0.95 * (1 << 60))} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, lang,
+             ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS b
+      FROM documents) t
+"""
+
+register("text_split_assign", text_split_assign, _SPLIT_ORACLE)
+
+
+def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix design (new r5): per-language doc/token counts,
+    proportional share, and the α=0.5 temperature weight numerator
+    (pipeline.text.mix_weights).  Every emitted number is engine-exact:
+    integer counts, one int/int double division, IEEE sqrt."""
+    from ..pipeline.text import mix_weights
+
+    return mix_weights(load(spark, sf_dir, "documents"))
+
+
+#: SUM(len(...)) is HUGEINT in DuckDB — CAST to BIGINT (see _util.py note).
+_MIX_ORACLE = f"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per)
+SELECT lang, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / total_tokens AS share,
+       SQRT(CAST(n_tokens AS DOUBLE)) AS sqrt_tokens
+FROM per CROSS JOIN tot
+"""
+
+register("text_mix_weights", text_mix_weights, _MIX_ORACLE)
 
 
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

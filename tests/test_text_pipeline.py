@@ -230,3 +230,67 @@ class TestGopherQuality:
         plan = gopher_quality(_docs(spark, [(0, "a b c")]))._jdf \
             .queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestCurationOps:
+    def _docs_lang(self, spark, n=40):
+        rows = [(i, f"word{i} text body {'x ' * (i % 7)}",
+                 ["en", "de", "es"][i % 3]) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_exact_k_budget_and_determinism(self, spark):
+        from pigeon_optics_spark.pipeline.text import exact_k_sample
+
+        docs = self._docs_lang(spark)
+        out = exact_k_sample(docs, 5).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["lang"], []).append((r["rk"], r["doc_id"]))
+        # exactly k per stratum, ranks 1..k, stable across re-runs and
+        # repartitionings
+        assert all(sorted(rk for rk, _ in v) == [1, 2, 3, 4, 5]
+                   for v in per.values())
+        again = exact_k_sample(docs.repartition(7), 5).collect()
+        assert sorted((r["lang"], r["rk"], r["doc_id"]) for r in again) == \
+            sorted((r["lang"], r["rk"], r["doc_id"]) for r in out)
+
+    def test_exact_k_small_stratum_keeps_all(self, spark):
+        from pigeon_optics_spark.pipeline.text import exact_k_sample
+
+        docs = spark.createDataFrame(
+            [(1, "a", "en"), (2, "b", "en"), (3, "c", "zh")],
+            "doc_id long, text string, lang string")
+        out = exact_k_sample(docs, 10).collect()
+        assert len(out) == 3  # min(k, |stratum|)
+
+    def test_split_assign_disjoint_exhaustive_stable(self, spark):
+        from pigeon_optics_spark.pipeline.text import split_assign
+
+        docs = self._docs_lang(spark, 200)
+        out = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+        assert len(out) == 200
+        assert set(out.values()) <= {"train", "val", "test"}
+        # membership is a pure function of doc_id: a subset gets the
+        # identical assignment (append-stability / no leakage)
+        sub = {r["doc_id"]: r["split"]
+               for r in split_assign(docs.where("doc_id < 50")).collect()}
+        assert all(out[d] == s for d, s in sub.items())
+        # map-only: no shuffle in the plan
+        plan = split_assign(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_mix_weights_exact_arithmetic(self, spark):
+        from pigeon_optics_spark.pipeline.text import mix_weights
+
+        docs = spark.createDataFrame(
+            [(1, "one two three", "en"), (2, "vier funf", "de"),
+             (3, "six seven eight nine", "en")],
+            "doc_id long, text string, lang string")
+        out = {r["lang"]: r for r in mix_weights(docs).collect()}
+        assert out["en"]["n_docs"] == 2 and out["en"]["n_tokens"] == 7
+        assert out["de"]["n_tokens"] == 2
+        assert out["en"]["share"] == 7 / 9 and out["de"]["share"] == 2 / 9
+        assert out["de"]["sqrt_tokens"] == 2 ** 0.5
+        # the 1-row grand total joins as a broadcast, not a shuffle join
+        plan = mix_weights(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
