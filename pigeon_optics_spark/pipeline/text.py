@@ -451,6 +451,34 @@ def mix_weights(df: DataFrame, stratum_col: str = "lang",
                     .alias("sqrt_tokens")))
 
 
+def heavy_hitters(df: DataFrame, min_doc_frac: float = 0.2,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus heavy-hitter terms by DOCUMENT frequency — the boilerplate /
+    stop-phrase detector of a curation pipeline: tokens appearing in at
+    least ``min_doc_frac`` of all documents.
+
+    Exact and fully distributed: per-doc distinct tokens (``array_distinct``
+    BEFORE the explode, so dedup is map-side), one groupBy(word) with
+    partial aggregation, and the corpus totals broadcast back as a 1-row
+    aggregate.  ``doc_frac`` is one int/int double division (engine-exact).
+    The sketch-based variant (count-min over the same stream) lives in the
+    gate, where its estimates are tolerance-checked against this exact
+    result.
+    """
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)))
+    words = df.select(F.col(id_col), F.explode(toks).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    totals = (df.agg(F.count("*").alias("n_docs"))
+              .crossJoin(words.agg(F.count("*").alias("n_adds"))))
+    return (counts.crossJoin(F.broadcast(totals))
+            .where(F.col("doc_freq")
+                   >= F.lit(min_doc_frac) * F.col("n_docs"))
+            .select("word", "doc_freq", "n_docs", "n_adds",
+                    (F.col("doc_freq").cast("double") / F.col("n_docs"))
+                    .alias("doc_frac")))
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", top_k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf

@@ -67,14 +67,15 @@ _DRIVER_PRIORITY = [
     "attachments_gc_sweep",
     # --- 5. new in r5 ---
     "multimodal_mp4_meta", "text_exact_k_sample", "text_split_assign",
-    "text_mix_weights", "ann_recall_eval",
-    # --- 6. r4-green fill (flagship / heavy / merged gates; the four
+    "text_mix_weights", "ann_recall_eval", "text_heavy_hitters",
+    # --- 6. r4-green fill (flagship / heavy / merged gates; the five
     # relational gates dropped to make room for section 5 all carry
     # multi-round green rows: q_top3_customers_per_nation,
-    # q_rollup_returns, q_cube_volumes, q_full_outer_join) ---
+    # q_rollup_returns, q_cube_volumes, q_full_outer_join,
+    # q_scalar_functions) ---
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q_moving_average", "q_event_zscores", "q_exact_quantiles",
-    "q_semi_anti_joins", "q_approx_aggregates", "q_scalar_functions",
+    "q_semi_anti_joins", "q_approx_aggregates",
     "lens_sum_qty_by_partkey", "lens_invert_part_types",
     "lens_count_orders_by_status", "lens_object_merge_stats",
     "lens_incremental_rebuild",

@@ -1388,6 +1388,66 @@ FROM per CROSS JOIN tot
 register("text_mix_weights", text_mix_weights, _MIX_ORACLE)
 
 
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter terms (new r5): tokens in ≥20 % of documents, exact and
+    distributed (pipeline.text.heavy_hitters), PLUS a count-min-sketch pass
+    over the same (doc, word)-distinct stream whose estimates are checked
+    against the CMS guarantee — ``exact ≤ est ≤ exact + eps·N`` (the sketch
+    never undercounts; overcount is bounded by eps times total insertions
+    with prob ≥ confidence).  Sketch bytes are engine-specific, so the gate
+    hash-compares the EXACT values and the tolerance BOOLEAN, oracle side
+    trivially true (the q_approx_aggregates pattern).
+
+    The sketch is ONE small aggregated object; querying it for the bounded
+    heavy-hitter list is inherently driver-side (documented, like the
+    bigram LM's scalar vocab collects) — the candidate discovery and exact
+    counts stay fully distributed."""
+    from ..pipeline.text import TOKEN_RE, heavy_hitters
+
+    eps, conf = 0.001, 0.99
+    docs = load(spark, sf_dir, "documents")
+    hh = heavy_hitters(docs, 0.2).persist()
+    rows = hh.collect()  # bounded: words in >=20 % of docs
+
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0)))
+    sketch_bytes = bytes(
+        docs.select(F.explode(toks).alias("word"))
+        .agg(F.expr(f"count_min_sketch(word, {eps}d, {conf}d, 1)")
+             .alias("s")).collect()[0]["s"])
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        sketch_bytes)
+    out = []
+    for r in rows:
+        est = jcms.estimateCount(r["word"])
+        ok = r["doc_freq"] <= est <= r["doc_freq"] + eps * r["n_adds"]
+        out.append((r["word"], r["doc_freq"], r["n_docs"], r["doc_frac"],
+                    bool(ok)))
+    hh.unpersist()
+    return spark.createDataFrame(
+        out, "word string, doc_freq long, n_docs long, doc_frac double, "
+             "cms_within_tol boolean")
+
+
+_HEAVY_ORACLE = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM documents, UNNEST(regexp_extract_all(text, '{TOKEN_RE}')) AS t(w)
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT word,
+       COUNT(*) AS doc_freq,
+       n.n_docs,
+       CAST(COUNT(*) AS DOUBLE) / n.n_docs AS doc_frac,
+       TRUE AS cms_within_tol
+FROM words CROSS JOIN n
+GROUP BY word, n.n_docs
+HAVING COUNT(*) >= 0.2 * n.n_docs
+"""
+
+register("text_heavy_hitters", text_heavy_hitters, _HEAVY_ORACLE)
+
+
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition/composition rules (pipeline.text.gopher_quality)
     over the documents corpus — the n-gram-repetition family of filters a

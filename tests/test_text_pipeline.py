@@ -294,3 +294,18 @@ class TestCurationOps:
         # the 1-row grand total joins as a broadcast, not a shuffle join
         plan = mix_weights(docs)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    def test_heavy_hitters_doc_frequency(self, spark):
+        from pigeon_optics_spark.pipeline.text import heavy_hitters
+
+        # 'common' in 4/5 docs (repeats inside a doc count once);
+        # 'rare' in 1/5
+        rows = [(i, "common common filler" + (" rare" if i == 0 else ""))
+                for i in range(4)] + [(4, "other words only")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["word"]: r for r in heavy_hitters(docs, 0.5).collect()}
+        assert "rare" not in out
+        assert out["common"]["doc_freq"] == 4
+        assert out["common"]["doc_frac"] == 4 / 5
+        assert out["common"]["n_adds"] == sum(
+            len(set(t.split())) for _, t in rows)
