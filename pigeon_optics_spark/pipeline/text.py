@@ -451,6 +451,33 @@ def mix_weights(df: DataFrame, stratum_col: str = "lang",
                     .alias("sqrt_tokens")))
 
 
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """INTRA-document duplicate-line removal, first occurrence kept — the
+    within-doc half of the CCNet line-dedup recipe (:func:`chunk_dedup` is
+    the across-docs half).  Repeated nav/footer lines inside one page
+    collapse to their first occurrence; document order is otherwise
+    preserved.
+
+    → (doc_id, n_lines, n_kept, clean_len, clean_hash); the md5 witnesses
+    byte-identical reassembly without shipping the cleaned text.
+
+    Scale shape: entirely map-side — split, ``array_distinct`` (which keeps
+    FIRST occurrences in encounter order), join, hash are all per-row
+    codegen expressions; zero shuffles, so this costs one corpus scan at
+    any scale.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.array_distinct(lines)
+    clean = F.array_join(kept, "\n")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_hash"))
+
+
 def heavy_hitters(df: DataFrame, min_doc_frac: float = 0.2,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus heavy-hitter terms by DOCUMENT frequency — the boilerplate /

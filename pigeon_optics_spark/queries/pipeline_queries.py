@@ -1448,6 +1448,45 @@ HAVING COUNT(*) >= 0.2 * n.n_docs
 register("text_heavy_hitters", text_heavy_hitters, _HEAVY_ORACLE)
 
 
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc line dedup (new r5) over a deterministic fixture: each doc
+    gets doc_id%6+4 lines 'ln<(doc_id+i²)%5>' — modulus collisions produce
+    real repeated lines — then pipeline.text.line_dedup collapses them to
+    first occurrences (map-only; the raw corpus has no newlines, so the
+    fixture is what makes the operator falsifiable, like the PII gate)."""
+    from ..pipeline.text import line_dedup
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 400)
+    lines = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 6 + 3).cast("int")),
+        lambda i: F.concat(F.lit("ln"),
+                           ((F.col("doc_id") + i * i) % 5).cast("string")))
+    fixture = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return line_dedup(fixture)
+
+
+_LINE_DEDUP_ORACLE = """
+WITH ex AS (
+  SELECT doc_id, CAST(r.range AS INT) AS ord,
+         'ln' || CAST((doc_id + r.range * r.range) % 5 AS VARCHAR) AS l
+  FROM documents CROSS JOIN range(0, 10) r
+  WHERE doc_id <= 400 AND r.range < doc_id % 6 + 4
+),
+firsts AS (SELECT doc_id, l, MIN(ord) AS ord FROM ex GROUP BY doc_id, l),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines FROM ex GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+         CAST(LENGTH(string_agg(l, chr(10) ORDER BY ord)) AS INT) AS clean_len,
+         md5(string_agg(l, chr(10) ORDER BY ord)) AS clean_hash
+  FROM firsts GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines, k.n_kept, k.clean_len, k.clean_hash
+FROM tot t JOIN kept k USING (doc_id)
+"""
+
+register("text_line_dedup", text_line_dedup, _LINE_DEDUP_ORACLE)
+
+
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition/composition rules (pipeline.text.gopher_quality)
     over the documents corpus — the n-gram-repetition family of filters a

@@ -309,3 +309,17 @@ class TestCurationOps:
         assert out["common"]["doc_frac"] == 4 / 5
         assert out["common"]["n_adds"] == sum(
             len(set(t.split())) for _, t in rows)
+
+    def test_line_dedup_first_occurrence_order(self, spark):
+        from pigeon_optics_spark.pipeline.text import line_dedup
+
+        # pins array_distinct's first-occurrence-in-order semantics, which
+        # the operator (and its oracle's MIN(ord) reconstruction) rely on
+        text = "nav\nbody one\nnav\nbody two\nfooter\nnav\nfooter"
+        out = line_dedup(spark.createDataFrame(
+            [(1, text)], "doc_id long, text string")).collect()[0]
+        clean = "nav\nbody one\nbody two\nfooter"
+        import hashlib
+        assert (out["n_lines"], out["n_kept"]) == (7, 4)
+        assert out["clean_len"] == len(clean)
+        assert out["clean_hash"] == hashlib.md5(clean.encode()).hexdigest()
