@@ -279,3 +279,36 @@ def test_no_unbounded_global_windows_in_scan_gates(spark, sf_dir):
                 or "GlobalLimit" in p):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """The 100 TB co-located-join recipe SCALING.md claims: two tables
+    bucketed by the join key (same bucket count) hash-join with ZERO
+    Exchange — each task reads matching buckets from both sides.  This
+    pins that the recipe actually works in this engine's session config
+    (bucketing survives spark.sql.sources.bucketing.enabled, AQE, etc.)."""
+    wh = str(tmp_path_factory.mktemp("bucket_wh"))
+    a = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("va"))
+    b = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("vb"))
+    for name, df in (("po_bucket_a", a), ("po_bucket_b", b)):
+        df.write.mode("overwrite").bucketBy(8, "k").sortBy("k") \
+            .option("path", f"{wh}/{name}").saveAsTable(name)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: the point is the co-located
+        # shuffle-free SortMergeJoin that carries the 100 TB case, where
+        # neither side is broadcastable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (spark.table("po_bucket_a")
+                  .join(spark.table("po_bucket_b"), "k")
+                  .select("k", "va", "vb"))
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+        assert "Exchange" not in p, p
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS po_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS po_bucket_b")
