@@ -232,6 +232,86 @@ GROUP BY v.user_id
 register("events_range_join", events_range_join, _RANGE_ORACLE)
 
 
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-user feature (new r5): for every event, the count
+    and decimal-exact value sum of the SAME user's events in the preceding
+    60 minutes — a RANGE frame over epoch micros (value-based, so same-ts
+    ties are frame-symmetric and deterministic; a ROWS frame would be
+    neither).  The per-user feature-engineering pass of an events pipeline;
+    one shuffle on user_id."""
+    ev = load_events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3600 * 1_000_000, 0))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(28,8)")).over(w)
+        .cast("double").alias("sum_1h"))
+
+
+#: windowed COUNT is BIGINT in both engines; the value sum goes through the
+#: dsum decimal discipline INSIDE the frame (order-free, engine-exact).
+_TRAILING_ORACLE = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+register("events_trailing_window", events_trailing_window, _TRAILING_ORACLE)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (new r5): per user, the first view, the first click
+    AT-OR-AFTER that view, and the first purchase at-or-after that click —
+    stage = how deep the user got.  Three filtered min-aggregations chained
+    by user_id equi-joins (each a broadcast/AQE-sized hash join on the
+    shrinking user set); no windows, no cartesian anything."""
+    ev = load_events(spark, sf_dir)
+
+    def first_after(etype: str, prev, prev_col: str, alias: str):
+        return (ev.where(F.col("event_type") == etype)
+                .join(prev.select("user_id", prev_col), "user_id")
+                .where(F.col("ts") >= F.col(prev_col))
+                .groupBy("user_id").agg(F.min("ts").alias(alias)))
+
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    clicks = first_after("click", views, "first_view", "first_click")
+    buys = first_after("purchase", clicks, "first_click", "first_purchase")
+    return (views.join(clicks, "user_id", "left")
+            .join(buys, "user_id", "left")
+            .select("user_id", "first_view", "first_click", "first_purchase",
+                    (F.lit(1)
+                     + F.col("first_click").isNotNull().cast("int")
+                     + F.col("first_purchase").isNotNull().cast("int"))
+                    .alias("stage")))
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, MIN(ts) AS first_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.first_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+      GROUP BY e.user_id)
+SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+       CAST(1 + CASE WHEN c.first_click IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.first_purchase IS NULL THEN 0 ELSE 1 END
+            AS INT) AS stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+register("events_funnel", events_funnel, _FUNNEL_ORACLE)
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming under the oracle gate
 # --------------------------------------------------------------------------

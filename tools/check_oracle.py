@@ -44,6 +44,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for col in s.columns:
         sv, dv = s[col], d[col]
+        # int-on-one-side / float-on-the-other is a FAILURE even when the
+        # values coerce equal: the driver's value-hash sees the dtype split
+        # (r4 events_sessionize — DuckDB windowed SUM is HUGEINT, pandas
+        # materializes float64, Spark emits int64; this checker's numeric
+        # coercion masked it and only the driver row went red).
+        if (pd.api.types.is_integer_dtype(sv)
+                != pd.api.types.is_integer_dtype(dv)) \
+                and (pd.api.types.is_numeric_dtype(sv)
+                     and pd.api.types.is_numeric_dtype(dv)):
+            problems.append(
+                f"col {col}: dtype split spark={sv.dtype} duck={dv.dtype} "
+                f"(driver hash WILL mismatch — cast the oracle, e.g. "
+                f"windowed int SUM AS BIGINT)")
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             svf = pd.to_numeric(sv, errors="coerce").astype(float)
             dvf = pd.to_numeric(dv, errors="coerce").astype(float)
