@@ -1233,7 +1233,7 @@ feats AS (
   FROM ({_QUALITY_ORACLE}) q JOIN documents d USING (doc_id)
 )
 SELECT centroid, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
        COUNT(CASE WHEN quality_score >= 0.7 THEN 1 END) AS n_good,
        MIN(quality_score) AS min_quality,
