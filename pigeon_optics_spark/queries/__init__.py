@@ -69,16 +69,18 @@ _DRIVER_PRIORITY = [
     "multimodal_mp4_meta", "text_exact_k_sample", "text_split_assign",
     "text_mix_weights", "ann_recall_eval", "text_heavy_hitters",
     "text_line_dedup", "events_trailing_window", "events_funnel",
-    # --- 6. r4-green fill (flagship / heavy / merged gates; the five
-    # relational gates dropped to make room for section 5 all carry
-    # multi-round green rows: q_top3_customers_per_nation,
-    # q_rollup_returns, q_cube_volumes, q_full_outer_join,
-    # q_scalar_functions) ---
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "events_pivot_counts", "events_retention_cohorts",
+    # --- 6. r4-green fill (flagship / heavy / merged gates; the gates
+    # dropped to make room for section 5 all carry multi-round green
+    # rows: q_top3_customers_per_nation, q_rollup_returns,
+    # q_cube_volumes, q_full_outer_join, q_scalar_functions,
+    # q_exact_quantiles, lens_count_orders_by_status,
+    # lens_object_merge_stats, q5_region_revenue,
+    # lens_invert_part_types) ---
+    "q1_pricing_summary", "q3_shipping_priority",
     "q_moving_average", "q_event_zscores",
     "q_semi_anti_joins", "q_approx_aggregates",
-    "lens_sum_qty_by_partkey", "lens_invert_part_types",
-    "lens_incremental_rebuild",
+    "lens_sum_qty_by_partkey", "lens_incremental_rebuild",
     "dedup_minhash_pairs", "dedup_minhash_components",
     "text_profile", "text_samples", "ann_topk_methods",
     "multimodal_gif_frames", "events_stream_dedup",

@@ -312,6 +312,83 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 register("events_funnel", events_funnel, _FUNNEL_ORACLE)
 
 
+def events_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface (new r5): per-user event-type counts widened to
+    columns via the DataFrame ``pivot`` operator with EXPLICIT values —
+    an explicit value list keeps the plan a single pass (no
+    distinct-values pre-query) and fixes the output schema, which is also
+    what a 100 TB pivot needs (discovered pivot values = an extra
+    corpus-wide distinct).  Oracle uses the equivalent conditional
+    aggregation."""
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy("user_id")
+            .pivot("event_type", ["view", "click", "purchase", "signup"])
+            .count().na.fill(0)
+            .select("user_id",
+                    F.col("view").alias("n_view"),
+                    F.col("click").alias("n_click"),
+                    F.col("purchase").alias("n_purchase"),
+                    F.col("signup").alias("n_signup")))
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       COALESCE(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_view,
+       COALESCE(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
+       COALESCE(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+         AS n_purchase,
+       COALESCE(COUNT(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+         AS n_signup
+FROM events GROUP BY user_id
+"""
+
+register("events_pivot_counts", events_pivot_counts, _PIVOT_ORACLE)
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (new r5): users grouped by first-seen week,
+    counted distinct per week-offset of later activity — the standard
+    product-analytics rollup.  Two aggregations (first-seen per user;
+    distinct user-week activity) joined on user_id, then one groupBy on
+    (cohort_week, offset); no windows, no self-join of raw events."""
+    ev = load_events(spark, sf_dir)
+    weeks = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("week")).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (weeks.join(first, "user_id")
+            .select("cohort_week",
+                    F.floor(
+                        (F.unix_micros("week")
+                         - F.unix_micros("cohort_week"))
+                        / (7 * 24 * 3600 * 1_000_000)).alias("week_offset"),
+                    "user_id")
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+#: date_trunc('week', ts) is ISO-Monday-start in both engines; the offset
+#: divides an exact micros difference of truncated weeks, so it is integral
+#: by construction.
+_RETENTION_ORACLE = """
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(FLOOR((epoch_us(w.week) - epoch_us(f.cohort_week))
+                  / (7 * 24 * 3600 * 1000000.0)) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT w.user_id) AS n_users
+FROM weeks w JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+register("events_retention_cohorts", events_retention_cohorts,
+         _RETENTION_ORACLE)
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming under the oracle gate
 # --------------------------------------------------------------------------
