@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "text_mix_weights", "ann_recall_eval", "text_heavy_hitters",
     "text_line_dedup", "events_trailing_window", "events_funnel",
     "events_pivot_counts", "events_retention_cohorts",
+    "store_links_extraction",
     # --- 6. r4-green fill (flagship / heavy / merged gates; the gates
     # dropped to make room for section 5 all carry multi-round green
     # rows: q_top3_customers_per_nation, q_rollup_returns,
@@ -78,7 +79,7 @@ _DRIVER_PRIORITY = [
     # lens_object_merge_stats, q5_region_revenue,
     # lens_invert_part_types) ---
     "q1_pricing_summary", "q3_shipping_priority",
-    "q_moving_average", "q_event_zscores",
+    "q_moving_average",
     "q_semi_anti_joins", "q_approx_aggregates",
     "lens_sum_qty_by_partkey", "lens_incremental_rebuild",
     "dedup_minhash_pairs", "dedup_minhash_components",

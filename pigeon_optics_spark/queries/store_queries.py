@@ -422,3 +422,58 @@ FROM ids
 """
 
 register("attachments_gc_sweep", attachments_gc_sweep, _GC_ORACLE)
+
+
+def store_links_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.2 deep-walk link extraction + cid:→hash: rewrite under the gate
+    (previously pytest-only): records import with a ``cid:main`` reference
+    resolved to its hash URL at import (values.resolve_cid_links, ref
+    record-structure.js:44-72), every third record also embeds a second
+    hash URL (with a ?type= query) nested two levels deep in an
+    array-of-objects — the store's write path deep-walks the value into
+    the ``links`` column (ref record-structure.js:9-29).  The gate explodes
+    links back out; URLs are sha256-derived from doc_id so the oracle is
+    pure SQL."""
+    import hashlib as _hl
+
+    from ..values import resolve_cid_links
+
+    key = (sf_dir, "links")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_links_"))
+        store.create("t", "docs")
+        doc_ids = [r["doc_id"] for r in
+                   load(spark, sf_dir, "documents").select("doc_id")
+                   .orderBy("doc_id").limit(60).collect()]
+        entries = []
+        for did in doc_ids:
+            main = ("hash://sha256/"
+                    + _hl.sha256(f"blob-{did}".encode()).hexdigest())
+            v = {"title": f"doc {did}", "file": "cid:main"}
+            if did % 3 == 0:
+                extra = ("hash://sha256/"
+                         + _hl.sha256(f"extra-{did}".encode()).hexdigest()
+                         + "?type=text%2Fplain")
+                v["meta"] = [{"refs": {"deep": extra}}]
+            entries.append((str(did), resolve_cid_links(v, {"main": main})))
+        store.write_entries("t", "docs", entries)
+        _STORES[key] = store
+    store = _STORES[key]
+    df = store.read_df(spark, "t", "docs")
+    return df.select(F.col("record_id").cast("long").alias("doc_id"),
+                     F.explode("links").alias("link"))
+
+
+_LINKS_ORACLE = """
+SELECT doc_id,
+       'hash://sha256/' || sha256('blob-' || CAST(doc_id AS VARCHAR)) AS link
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 60) t
+UNION ALL
+SELECT doc_id,
+       'hash://sha256/' || sha256('extra-' || CAST(doc_id AS VARCHAR))
+         || '?type=text%2Fplain' AS link
+FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 60) t
+WHERE doc_id % 3 = 0
+"""
+
+register("store_links_extraction", store_links_extraction, _LINKS_ORACLE)
