@@ -428,3 +428,51 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
     return labels.select(F.col("node").alias("id"),
                          F.col("comp").alias("component_id"))
+
+
+def semantic_dedup(emb: DataFrame, k: int = 8, threshold: float = 0.9,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic deduplication over an embedding column.
+
+    1. Assign every vector to a k-means cell (the deterministic trainless
+       quantizer shared with ``kmeans_assign``/``ivf_topk``).
+    2. Compare pairs ONLY within a cell (equi-join on the cell id — never
+       an all-pairs cartesian).
+    3. Drop a vector iff some smaller-id vector in the same cell has
+       cosine ≥ ``threshold`` (keep-the-first deterministic survivor rule;
+       the paper keeps the vector farthest from the centroid — any
+       deterministic keeper works, smallest id is cross-engine stable).
+
+    → (vec_id, centroid, is_dup).
+
+    Scale shape: cell assignment is a map-only literal-centroid pass; the
+    candidate join is an equi-join on the cell id, so the pairwise cost is
+    Σ|cell|² not N² — at 100 TB you grow k ∝ N (the paper uses k ≈ √N ·
+    const) to hold |cell| bounded, and each cell's block join stays
+    executor-local.  Cross-cell near-dups are invisible by design — the
+    documented recall trade that makes the op linear-ish.  The drop
+    decision is a left-semi join against the pair set (no row explosion).
+    """
+    from .similarity import dot_col, norm_col, kmeans_assign
+
+    cells = kmeans_assign(emb, k=k, id_col=id_col, vec_col=vec_col) \
+        .select(F.col("vec_id").alias("id"), "centroid")
+    sigs = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                       norm_col(vec_col).alias("nrm"))
+            .join(cells, "id"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dup_ids = (
+        a.join(b, (F.col("a.centroid") == F.col("b.centroid"))
+               & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", dot_col("a.v", "b.v")
+                    / (F.col("a.nrm") * F.col("b.nrm")))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (sigs.select("id", "centroid")
+            .join(dup_ids.withColumn("is_dup", F.lit(True)), "id", "left")
+            .select(F.col("id").alias("vec_id"), "centroid",
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup")))

@@ -601,3 +601,115 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("dup_3gram_frac") <= 0.18)
         & (F.col("symbol_word_ratio") <= 0.1)
         & (F.col("alpha_word_frac") >= 0.8))
+
+
+def corpus_line_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_doc_freq: int = 10) -> DataFrame:
+    """ACROSS-corpus duplicate-line removal — the cross-document half of
+    the CCNet line-dedup recipe (Wenzek et al. 2020 §3.1 dedup across
+    shards; :func:`line_dedup` is the within-doc half): a line appearing in
+    more than ``max_doc_freq`` distinct documents is boilerplate
+    (nav bars, cookie banners, license headers) and is removed from EVERY
+    document that contains it.
+
+    → (doc_id, n_lines, n_kept, clean_len, clean_hash); the md5 witnesses
+    byte-identical reassembly without shipping the cleaned text.
+
+    Scale shape: two key-bounded shuffles — (1) line-digest → distinct-doc
+    count with partial aggregation (CCNet hashes each line; we group on the
+    line itself, same cardinality); (2) per-doc reassembly groupBy.  The
+    frequency side joins back by line — AQE broadcasts it when the
+    boilerplate table is small, which at 100 TB it is relative to the
+    corpus (boilerplate is heavy-hitter by definition).  No driver
+    materialization, no all-pairs anything.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ord", "l"))
+    freq = (lines.groupBy("l")
+            .agg(F.countDistinct("doc_id").alias("line_df")))
+    tot = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    kept = (lines.join(freq, "l")
+            .where(F.col("line_df") <= max_doc_freq)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("ord"), F.col("l")))),
+                         lambda s: s["l"]),
+                     "\n").alias("clean")))
+    return (tot.join(kept, "doc_id", "left")
+            .select("doc_id", "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce(F.length("clean"), F.lit(0)).alias("clean_len"),
+                    F.md5(F.coalesce("clean", F.lit(""))).alias("clean_hash")))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k1: float = 1.5,
+              b: float = 0.75, top_k: int = 20, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag-of-terms query
+    → (doc_id, rank, score, dl, n_matched).
+
+    The idf factor is the RATIONAL Robertson form ``(N − df + 0.5) /
+    (df + 0.5)`` without the usual ``ln`` — same reasoning as
+    :func:`tfidf_top_terms`: ``ln`` is not bit-identical across math
+    libraries and the gate hashes values exactly.  (This changes absolute
+    scores and, unlike tf-idf's per-term monotone case, can reorder docs
+    versus log-BM25 when multiple query terms mix — it is a *documented
+    scoring variant*, deterministic and cross-engine exact, not a claim of
+    log-BM25 rank parity.)
+
+    Per-term scores land in FIXED per-term columns and the total is the
+    written-order sum — double addition is not associative, so a
+    ``SUM()`` over a nondeterministic row order could drift an ulp between
+    engines.  ``avgdl`` is one exact int/int division collected driver-side
+    (a bounded scalar, the same pattern as tf-idf's ``n_docs``).
+
+    Scale shape: one corpus scan → explode filtered TO THE QUERY TERMS
+    before the (doc, term) groupBy (the shuffle carries only query-term
+    postings, not the vocabulary); the per-term doc-freq table is a
+    |query|-row broadcast; ranking is TakeOrdered(top_k), never a global
+    sort.
+    """
+    from pyspark.sql import Window
+
+    terms = sorted(query_terms)
+    k1, b = float(k1), float(b)
+    words = words_col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.size(words).alias("dl"),
+                     words.alias("words"))
+    tf = (base.select("doc_id", "dl", F.explode("words").alias("term"))
+          .where(F.col("term").isin(terms))
+          .groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+    stats = df.agg(F.count("*").alias("n"),
+                   F.sum(F.size(words)).alias("total_dl")).collect()[0]
+    n_docs, avgdl = int(stats["n"]), int(stats["total_dl"]) / int(stats["n"])
+
+    idf = ((F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+           / (F.col("df").cast("double") + F.lit(0.5)))
+    denom = (F.col("tf").cast("double")
+             + F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * (F.col("dl").cast("double")
+                                          / F.lit(avgdl))))
+    score = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn("s", score)
+
+    per_doc = scored.groupBy("doc_id", "dl").agg(
+        *[F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{i}")
+          for i, t in enumerate(terms)],
+        F.count("*").alias("n_matched"))
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    ranked = (per_doc.withColumn("score", total)
+              .orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k))
+    # row_number window is bounded: input is the top_k TakeOrdered rows
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (ranked.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "rank", "score", "dl", "n_matched"))

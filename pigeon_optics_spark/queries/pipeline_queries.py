@@ -1805,3 +1805,198 @@ WHERE rn = 1
 """
 
 register("pipeline_end_to_end", pipeline_end_to_end, _E2E_ORACLE)
+
+
+def _semantic_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ∪ exact copies ∪ ×2-scaled copies — the raw synthetic
+    embeddings are near-orthogonal (max pair cosine ≈ 0.4), so like the
+    PII/line gates a deterministic fixture makes the operator falsifiable:
+    copies of vec_id < 60 at +1000 (cosine ≈ 1 to their source), ×2-scaled
+    copies of 60 ≤ vec_id < 120 at +2000 (scaling preserves cosine; ×2 is
+    exact in IEEE float so DuckDB rebuilds the identical bytes)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = (emb.where(F.col("vec_id") < 60)
+              .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+    scaled = (emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 120))
+              .select((F.col("vec_id") + 2000).alias("vec_id"),
+                      F.transform("embedding",
+                                  lambda x: (x.cast("double") * 2)
+                                  .cast("float")).alias("embedding")))
+    return emb.unionByName(copies).unionByName(scaled)
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-scoped embedding dedup (pipeline.dedup.
+    semantic_dedup) over the duplicated fixture corpus.  Cell-bounded
+    pairwise — the candidate join is an equi-join on the k-means cell, so
+    cost is Σ|cell|², never N²; at 100 TB k grows with N to hold cells
+    bounded.  Exact copies land in their source's cell and are dropped;
+    scaled copies that argmin into a DIFFERENT cell survive — the
+    documented cross-cell recall trade of the algorithm, verified
+    bit-for-bit by the oracle."""
+    from ..pipeline.dedup import semantic_dedup
+
+    return semantic_dedup(_semantic_fixture(spark, sf_dir),
+                          k=8, threshold=0.95)
+
+
+_SEMANTIC_ORACLE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000, embedding FROM embeddings WHERE vec_id < 60
+  UNION ALL
+  SELECT vec_id + 2000,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2 AS FLOAT))
+  FROM embeddings WHERE vec_id >= 60 AND vec_id < 120
+),
+cents AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cv
+  FROM corpus WHERE vec_id < 8
+),
+assign AS (
+  SELECT vec_id, centroid FROM (
+    SELECT e.vec_id, c.cid AS centroid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_D2_SQL.format(a='e.embedding', b='c.cv')} ASC,
+                      c.cid ASC) AS rn
+    FROM corpus e CROSS JOIN cents c)
+  WHERE rn = 1
+),
+sig AS (
+  SELECT a.vec_id, a.centroid, e.embedding,
+         sqrt(list_reduce(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (acc, v) -> acc + v)) AS nrm
+  FROM assign a JOIN corpus e USING (vec_id)
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM sig a JOIN sig b
+    ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+          (acc, v) -> acc + v) / (a.nrm * b.nrm) >= 0.95
+)
+SELECT s.vec_id, s.centroid,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM sig s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+register("dedup_semantic", dedup_semantic, _SEMANTIC_ORACLE)
+
+
+def text_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus line-frequency dedup (pipeline.text.corpus_line_dedup)
+    over a deterministic fixture — each doc gets one boilerplate header
+    line 'hdr<doc_id%7>' (corpus doc-freq ≈ 71, removed) plus doc_id%6+3
+    body lines 'b<(doc_id·13+31i)%1500>' (doc-freq 1-5, kept) — the raw
+    corpus has no newlines, so like the intra-doc line gate the fixture
+    makes the operator falsifiable.  No intra-doc repeats by construction
+    (31·Δi ≢ 0 mod 1500 for Δi ≤ 9), so the within-doc and across-corpus
+    halves of the CCNet recipe stay independently testable."""
+    from ..pipeline.text import corpus_line_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    lines = F.transform(
+        F.sequence(F.lit(0), (F.col("doc_id") % 6 + 3).cast("int")),
+        lambda i: F.when(
+            i == 0, F.concat(F.lit("hdr"), (F.col("doc_id") % 7).cast("string"))
+        ).otherwise(
+            F.concat(F.lit("b"),
+                     ((F.col("doc_id") * 13 + i * 31) % 1500).cast("string"))))
+    fixture = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return corpus_line_dedup(fixture, max_doc_freq=10)
+
+
+_CORPUS_LINE_ORACLE = """
+WITH ex AS (
+  SELECT doc_id, CAST(r.range AS INT) AS ord,
+         CASE WHEN r.range = 0 THEN 'hdr' || CAST(doc_id % 7 AS VARCHAR)
+              ELSE 'b' || CAST((doc_id * 13 + r.range * 31) % 1500 AS VARCHAR)
+         END AS l
+  FROM documents CROSS JOIN range(0, 10) r
+  WHERE r.range < doc_id % 6 + 4
+),
+freq AS (SELECT l, COUNT(DISTINCT doc_id) AS line_df FROM ex GROUP BY l),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM ex GROUP BY doc_id),
+kept AS (
+  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(e.l, chr(10) ORDER BY e.ord) AS clean
+  FROM ex e JOIN freq f USING (l)
+  WHERE f.line_df <= 10
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       CAST(COALESCE(LENGTH(k.clean), 0) AS INT) AS clean_len,
+       md5(COALESCE(k.clean, '')) AS clean_hash
+FROM tot t LEFT JOIN kept k USING (doc_id)
+"""
+
+register("text_corpus_line_dedup", text_corpus_line_dedup, _CORPUS_LINE_ORACLE)
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (pipeline.text.bm25_topk) for a fixed bag-of-terms
+    query over the documents corpus — top-20 with the rational-idf variant
+    (the tfidf no-ln rule) and written-order per-term summation so double
+    addition never depends on row order."""
+    from ..pipeline.text import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "window", "merge"], top_k=20)
+
+
+_BM25_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '')
+           AS words
+  FROM documents
+),
+d AS (SELECT doc_id, len(words) AS dl, words FROM w),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(len(words)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM w
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(words) AS term FROM d)
+  WHERE term IN ('merge', 'spark', 'window')
+  GROUP BY doc_id, dl, term
+),
+df_t AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.dl, tf.term,
+         (s.n - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)
+         * (CAST(tf.tf AS DOUBLE) * 2.5)
+         / (CAST(tf.tf AS DOUBLE)
+            + 1.5 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl))) AS sc
+  FROM tf JOIN df_t f USING (term) CROSS JOIN stats s
+),
+per_doc AS (
+  SELECT doc_id, dl,
+         MAX(CASE WHEN term = 'merge' THEN sc END) AS s0,
+         MAX(CASE WHEN term = 'spark' THEN sc END) AS s1,
+         MAX(CASE WHEN term = 'window' THEN sc END) AS s2,
+         COUNT(*) AS n_matched
+  FROM scored GROUP BY doc_id, dl
+),
+tot AS (
+  SELECT doc_id, dl, n_matched,
+         0.0 + COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0)
+           AS score
+  FROM per_doc
+),
+ranked AS (
+  SELECT doc_id, dl, n_matched, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM tot
+)
+SELECT doc_id, rank, score, dl, n_matched FROM ranked WHERE rank <= 20
+"""
+
+register("text_bm25_topk", text_bm25_topk, _BM25_ORACLE)

@@ -312,3 +312,15 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS po_bucket_a")
         spark.sql("DROP TABLE IF EXISTS po_bucket_b")
+
+
+def test_semantic_dedup_is_cell_equijoin_no_cartesian(spark, sf_dir):
+    """SemDeDup's pairwise stage must be an equi-join on the k-means cell
+    (cost Σ|cell|², executor-local blocks) — an all-pairs cartesian over
+    the corpus would be the N² plan the clustering exists to avoid."""
+    from pigeon_optics_spark.pipeline.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(semantic_dedup(emb, k=8, threshold=0.95))
+    assert "CartesianProduct" not in p
+    assert "centroid" in p  # the cell id is a join key, not a filter
