@@ -713,3 +713,39 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k1: float = 1.5,
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (ranked.withColumn("rank", F.row_number().over(w))
             .select("doc_id", "rank", "score", "dl", "n_matched"))
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 1) -> DataFrame:
+    """Inverted-index build — the retrieval-side artifact a corpus pipeline
+    materializes once so query-time BM25/boolean search never rescans text:
+    one row per vocabulary term with its document frequency, total term
+    frequency, posting span, and an md5 witness of the full posting list
+    ``doc:tf,doc:tf,...`` ordered by doc id (the digest proves
+    byte-identical postings without shipping them through the gate).
+
+    → (term, doc_freq, total_tf, first_doc, last_doc, postings_md5).
+
+    Scale shape: explode → (term, doc) count with map-side combine → one
+    groupBy(term) whose collect_list is bounded per term by that term's
+    document frequency — at 100 TB you shard hot terms by doc-range into
+    posting SEGMENTS (term, shard) before this agg; the per-term segment
+    list is what real indexes store anyway.  No driver materialization.
+    """
+    words = df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(words_col(text_col)).alias("term"))
+    tf = words.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (tf.groupBy("term")
+            .agg(F.count("*").alias("doc_freq"),
+                 F.sum("tf").alias("total_tf"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("doc_id", "tf"))),
+                         lambda s: F.concat(s["doc_id"].cast("string"),
+                                            F.lit(":"),
+                                            s["tf"].cast("string"))),
+                     ",")).alias("postings_md5"))
+            .where(F.col("doc_freq") >= min_df))

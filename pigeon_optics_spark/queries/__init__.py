@@ -71,22 +71,25 @@ _DRIVER_PRIORITY = [
     "text_line_dedup", "events_trailing_window", "events_funnel",
     "events_pivot_counts", "events_retention_cohorts",
     "store_links_extraction",
-    # --- 6. r4-green fill (flagship / heavy / merged gates; the gates
-    # dropped to make room for section 5 all carry multi-round green
+    # --- 6. new in the r5 continuation sessions (never driver-checked) ---
+    "dedup_semantic", "text_corpus_line_dedup", "text_bm25_topk",
+    "text_inverted_index", "events_resample_gapfill", "events_attribution",
+    # --- 7. r4-green fill (flagship / heavy / merged gates; the gates
+    # dropped to make room for sections 5-6 all carry multi-round green
     # rows: q_top3_customers_per_nation, q_rollup_returns,
     # q_cube_volumes, q_full_outer_join, q_scalar_functions,
     # q_exact_quantiles, lens_count_orders_by_status,
     # lens_object_merge_stats, q5_region_revenue,
-    # lens_invert_part_types) ---
+    # lens_invert_part_types, q_moving_average, q_semi_anti_joins,
+    # dedup_minhash_components, store_scan_documents,
+    # codec_transcode_roundtrip, pipeline_end_to_end) ---
     "q1_pricing_summary", "q3_shipping_priority",
-    "q_moving_average",
-    "q_semi_anti_joins", "q_approx_aggregates",
+    "q_approx_aggregates",
     "lens_sum_qty_by_partkey", "lens_incremental_rebuild",
-    "dedup_minhash_pairs", "dedup_minhash_components",
+    "dedup_minhash_pairs",
     "text_profile", "text_samples", "ann_topk_methods",
     "multimodal_gif_frames", "events_stream_dedup",
-    "store_scan_documents", "store_natural_order",
-    "codec_transcode_roundtrip", "pipeline_end_to_end",
+    "store_natural_order",
 ]
 
 

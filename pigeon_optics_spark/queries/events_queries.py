@@ -575,3 +575,123 @@ FROM events GROUP BY event_type
 """
 
 register("events_stream_dedup", events_stream_dedup, _STREAM_DEDUP_ORACLE)
+
+
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: per-user hourly event counts
+    zero-filled across every hour of that user's [first, last] activity
+    span — the densification step before any rolling-window model over
+    irregular event streams.
+
+    Scale shape: the grid is generated DISTRIBUTED — one row per user
+    carries its hour span, ``sequence()`` + ``explode`` expand it
+    executor-side (never a driver loop or a cross join against a global
+    calendar), and the actual counts left-join on (user, hour).  Grid size
+    is Σ per-user span — bounded here by the user_id < 40 slice, bounded
+    at 100 TB by partition-pruning the resample to the window you model.
+    """
+    ev = load_events(spark, sf_dir).where(F.col("user_id") < 40)
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", "ts").alias("hr"))
+              .agg(F.count("*").alias("n")))
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("hr_min"),
+        F.date_trunc("hour", F.max("ts")).alias("hr_max"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr(
+            "sequence(hr_min, hr_max, interval 1 hour)")).alias("hr"))
+    return (grid.join(hourly, ["user_id", "hr"], "left")
+            .select("user_id", "hr",
+                    F.coalesce("n", F.lit(0)).alias("n_events"),
+                    F.col("n").isNull().alias("is_gap")))
+
+
+_GAPFILL_ORACLE = """
+WITH ev AS (SELECT * FROM events WHERE user_id < 40),
+hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM ev GROUP BY 1, 2
+),
+span AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS hr_min,
+         date_trunc('hour', MAX(ts)) AS hr_max
+  FROM ev GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(hr_min, hr_max,
+                                         INTERVAL 1 HOUR)) AS hr
+  FROM span
+)
+SELECT g.user_id, g.hr,
+       COALESCE(h.n, 0) AS n_events,
+       h.n IS NULL AS is_gap
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr
+"""
+
+register("events_resample_gapfill", events_resample_gapfill, _GAPFILL_ORACLE)
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent PRIOR click/view, but only when that touch happened
+    within the 24-hour lookback window (older touches → unattributed,
+    NULL columns).
+
+    One pass, no self-join: ``last(..., ignorenulls)`` over the per-user
+    event sequence with a ROWS UNBOUNDED PRECEDING..1 PRECEDING frame —
+    the running "latest touch" is computed while scanning, so at 100 TB
+    this shuffles once on user_id and never materializes a purchases ×
+    touches join.  Ordering is (ts, event_id) so concurrent-timestamp
+    rows attribute deterministically on both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_touch = F.col("event_type").isin("click", "view")
+    touch_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    touch_type = F.last(F.when(is_touch, F.col("event_type")),
+                        ignorenulls=True).over(w)
+    touch_id = F.last(F.when(is_touch, F.col("event_id")),
+                      ignorenulls=True).over(w)
+    # the lookback test must read the PROJECTED t_ts column: reusing the
+    # window expression after the purchase filter would re-evaluate it over
+    # purchases only (touches filtered away → everything unattributed)
+    within = F.col("t_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOURS")
+    return (ev.select("event_id", "user_id", "ts", "event_type",
+                      touch_ts.alias("t_ts"), touch_type.alias("t_type"),
+                      touch_id.alias("t_id"))
+            .where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"), "user_id",
+                    F.col("ts").alias("purchase_ts"),
+                    F.when(within, F.col("t_type")).alias("attributed_type"),
+                    F.when(within, F.col("t_id")).alias("touch_id"),
+                    F.when(within, F.col("t_ts")).alias("touch_ts")))
+
+
+_ATTRIBUTION_ORACLE = """
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_ts,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type,
+         LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_id
+  FROM events
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE WHEN t_ts >= ts - INTERVAL 24 HOURS THEN t_type END
+         AS attributed_type,
+       CASE WHEN t_ts >= ts - INTERVAL 24 HOURS THEN t_id END AS touch_id,
+       CASE WHEN t_ts >= ts - INTERVAL 24 HOURS THEN t_ts END AS touch_ts
+FROM seq WHERE event_type = 'purchase'
+"""
+
+register("events_attribution", events_attribution, _ATTRIBUTION_ORACLE)

@@ -1811,14 +1811,16 @@ def _semantic_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus ∪ exact copies ∪ ×2-scaled copies — the raw synthetic
     embeddings are near-orthogonal (max pair cosine ≈ 0.4), so like the
     PII/line gates a deterministic fixture makes the operator falsifiable:
-    copies of vec_id < 60 at +1000 (cosine ≈ 1 to their source), ×2-scaled
-    copies of 60 ≤ vec_id < 120 at +2000 (scaling preserves cosine; ×2 is
-    exact in IEEE float so DuckDB rebuilds the identical bytes)."""
+    copies of vec_id < 60 at +10M (cosine ≈ 1 to their source), ×2-scaled
+    copies of 60 ≤ vec_id < 120 at +20M (scaling preserves cosine; ×2 is
+    exact in IEEE float so DuckDB rebuilds the identical bytes).  The
+    offsets sit far above any real vec_id at any SF — a +1000 offset
+    collided with genuine ids at sf0.1 and double-counted the sig join."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     copies = (emb.where(F.col("vec_id") < 60)
-              .select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+              .select((F.col("vec_id") + 10000000).alias("vec_id"), "embedding"))
     scaled = (emb.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 120))
-              .select((F.col("vec_id") + 2000).alias("vec_id"),
+              .select((F.col("vec_id") + 20000000).alias("vec_id"),
                       F.transform("embedding",
                                   lambda x: (x.cast("double") * 2)
                                   .cast("float")).alias("embedding")))
@@ -1844,9 +1846,9 @@ _SEMANTIC_ORACLE = f"""
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000, embedding FROM embeddings WHERE vec_id < 60
+  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 60
   UNION ALL
-  SELECT vec_id + 2000,
+  SELECT vec_id + 20000000,
          list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2 AS FLOAT))
   FROM embeddings WHERE vec_id >= 60 AND vec_id < 120
 ),
@@ -2000,3 +2002,37 @@ SELECT doc_id, rank, score, dl, n_matched FROM ranked WHERE rank <= 20
 """
 
 register("text_bm25_topk", text_bm25_topk, _BM25_ORACLE)
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (pipeline.text.inverted_index) over the
+    documents corpus: term → doc_freq / total_tf / posting span / posting
+    digest.  The md5 witnesses the exact ordered doc:tf posting list."""
+    from ..pipeline.text import inverted_index
+
+    return inverted_index(load(spark, sf_dir, "documents"))
+
+
+_INV_INDEX_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '')
+           AS words
+  FROM documents
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(words) AS term FROM w)
+  GROUP BY term, doc_id
+)
+SELECT term,
+       COUNT(*) AS doc_freq,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                      ',' ORDER BY doc_id)) AS postings_md5
+FROM tf GROUP BY term
+"""
+
+register("text_inverted_index", text_inverted_index, _INV_INDEX_ORACLE)
