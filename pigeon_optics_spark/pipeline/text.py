@@ -749,3 +749,29 @@ def inverted_index(df: DataFrame, text_col: str = "text",
                                             s["tf"].cast("string"))),
                      ",")).alias("postings_md5"))
             .where(F.col("doc_freq") >= min_df))
+
+
+def bpe_pair_counts(df: DataFrame, top_k: int = 30,
+                    text_col: str = "text") -> DataFrame:
+    """One BPE-training count step (Sennrich et al. 2016): corpus-wide
+    frequencies of ADJACENT SYMBOL PAIRS inside words — the argmax of this
+    table is the pair a byte-pair-encoding tokenizer merges next, and at
+    100 TB this count is exactly the map-reduce a distributed tokenizer
+    trainer runs per merge round.
+
+    → (pair, n) top-``top_k`` by count, ties on pair ASC.  Symbols here are
+    single characters (round 0 of BPE); later rounds re-run the same count
+    over re-segmented words, so the operator shape is the loop body.
+
+    Scale shape: per-row explode of words then in-word adjacent pairs
+    (codegen expressions), ONE groupBy(pair) with map-side combine — pair
+    cardinality is tiny (alphabet²-bounded), so the shuffle is trivially
+    small regardless of corpus size; top-k is TakeOrdered, not a sort.
+    """
+    words = df.select(F.explode(words_col(text_col)).alias("w"))
+    pairs = words.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(1))),
+        lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair"))
+    return (pairs.where(F.length("pair") == 2)
+            .groupBy("pair").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(top_k))

@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     # --- 6. new in the r5 continuation sessions (never driver-checked) ---
     "dedup_semantic", "text_corpus_line_dedup", "text_bm25_topk",
     "text_inverted_index", "events_resample_gapfill", "events_attribution",
+    "text_bpe_pair_counts", "events_transition_matrix",
     # --- 7. r4-green fill (flagship / heavy / merged gates; the gates
     # dropped to make room for sections 5-6 all carry multi-round green
     # rows: q_top3_customers_per_nation, q_rollup_returns,
@@ -82,8 +83,9 @@ _DRIVER_PRIORITY = [
     # lens_object_merge_stats, q5_region_revenue,
     # lens_invert_part_types, q_moving_average, q_semi_anti_joins,
     # dedup_minhash_components, store_scan_documents,
-    # codec_transcode_roundtrip, pipeline_end_to_end) ---
-    "q1_pricing_summary", "q3_shipping_priority",
+    # codec_transcode_roundtrip, pipeline_end_to_end, and the two
+    # four-round-green flagships q1_pricing_summary / q3_shipping_priority,
+    # which the bench exercises every round anyway) ---
     "q_approx_aggregates",
     "lens_sum_qty_by_partkey", "lens_incremental_rebuild",
     "dedup_minhash_pairs",

@@ -695,3 +695,50 @@ FROM seq WHERE event_type = 'purchase'
 """
 
 register("events_attribution", events_attribution, _ATTRIBUTION_ORACLE)
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (user-flow analysis): counts and
+    probabilities of consecutive event-type pairs within each user's
+    timeline.  The probability is one exact-int division per row
+    (n / row_total, both BIGINT → double), engine-exact.
+
+    Scale shape: ``lag`` over the per-user sequence — one shuffle on
+    user_id — then a groupBy on the 5×5 pair space with map-side combine;
+    the matrix itself is alphabet²-bounded however large the corpus.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (ev.withColumn("prev", F.lag("event_type").over(w))
+           .where(F.col("prev").isNotNull()))
+    counts = (seq.groupBy(F.col("prev").alias("from_type"),
+                          F.col("event_type").alias("to_type"))
+              .agg(F.count("*").alias("n")))
+    totals = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double")
+         / F.sum("n").over(totals).cast("double")).alias("p"))
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+counts AS (
+  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, event_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE)
+       / CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE)
+         AS p
+FROM counts
+"""
+
+register("events_transition_matrix", events_transition_matrix,
+         _TRANSITION_ORACLE)

@@ -2036,3 +2036,31 @@ FROM tf GROUP BY term
 """
 
 register("text_inverted_index", text_inverted_index, _INV_INDEX_ORACLE)
+
+
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair counting (pipeline.text.bpe_pair_counts) — the
+    distributed count step of tokenizer training, top-30 adjacent
+    character pairs across the corpus."""
+    from ..pipeline.text import bpe_pair_counts
+
+    return bpe_pair_counts(load(spark, sf_dir, "documents"), top_k=30)
+
+
+_BPE_ORACLE = r"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(TRIM(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+p AS (
+  SELECT substr(w, CAST(i.range AS INT), 2) AS pair
+  FROM w CROSS JOIN range(1, 100) i
+  WHERE i.range <= LENGTH(w) - 1
+)
+SELECT pair, COUNT(*) AS n FROM p
+WHERE LENGTH(pair) = 2
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30
+"""
+
+register("text_bpe_pair_counts", text_bpe_pair_counts, _BPE_ORACLE)
