@@ -226,6 +226,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                   df[id_col] == needed["id"], "left_semi")
           .select(F.col(id_col).alias("id"), char_shingles(text_col, n).alias("sh"))
           .persist())
+    sh.count()  # materialize: referenced on BOTH sides of the final join —
+    # an unmaterialized persist shared by two subtrees of one job recomputes
+    # (the r1 lens-reduce lesson); one tiny extra stage over survivor docs
     sha = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (

@@ -298,7 +298,8 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
 
 
 def bigram_lm_score(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    train_df: DataFrame | None = None) -> DataFrame:
     """Model-based quality scoring: an add-one-smoothed bigram LM trained on
     the corpus itself scores each document by its mean bigram probability
     P(w2|w1) = (c(w1w2)+1) / (c(w1)+V) — the cheap statistical stand-in for
@@ -317,38 +318,58 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     map-side combined), two joins keyed on words (AQE broadcasts the count
     tables when small), one per-doc aggregation.  The per-doc collect is
     bounded by document length, not corpus size.
+
+    ``train_df`` (default: ``df`` itself) is the corpus the LM counts come
+    from — pass a different one to score documents under a model of
+    ANOTHER distribution (the DSIR importance-weight building block,
+    Xie et al. 2023: weight = p_target(doc) / p_background(doc)).  Unseen
+    bigrams/left-words fall back to the add-one floor via left joins
+    (c→0), which is exactly what the smoothing is for; with
+    ``train_df is df`` every join matches and values are unchanged.
     """
     words = words_col(text_col)
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
-    bi = base.select(
-        "doc_id",
-        F.posexplode(F.when(F.size("ws") >= 2, F.transform(
-            F.sequence(F.lit(1), F.size("ws") - 1),
-            lambda i: F.struct(F.element_at("ws", i).alias("w1"),
-                               F.element_at("ws", i + 1).alias("w2")),
-        )).otherwise(F.array().cast(
-            "array<struct<w1:string,w2:string>>"))).alias("pos", "bg"),
-    ).select("doc_id", "pos", "bg.w1", "bg.w2")
-    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = base.select(F.explode("ws").alias("w")).agg(
-        F.countDistinct("w").alias("v")).collect()[0]["v"]
-    scored = (bi.join(c2, ["w1", "w2"]).join(c1, "w1")
+
+    def _bigrams(frame):
+        b = frame.select(F.col(id_col).alias("doc_id"),
+                         words_col(text_col).alias("ws"))
+        return b.select(
+            "doc_id",
+            F.posexplode(F.when(F.size("ws") >= 2, F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(F.element_at("ws", i).alias("w1"),
+                                   F.element_at("ws", i + 1).alias("w2")),
+            )).otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string>>"))).alias("pos", "bg"),
+        ).select("doc_id", "pos", "bg.w1", "bg.w2")
+
+    train = train_df if train_df is not None else df
+    tr = _bigrams(train)
+    c2 = tr.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = tr.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (train.select(F.explode(words_col(text_col)).alias("w"))
+             .agg(F.countDistinct("w").alias("v")).collect()[0]["v"])
+    bi = _bigrams(df)
+    scored = (bi.join(c2, ["w1", "w2"], "left").join(c1, "w1", "left")
               .withColumn("prob",
-                          (F.col("c2") + 1).cast("double")
-                          / (F.col("c1") + F.lit(int(vocab))).cast("double")))
+                          (F.coalesce("c2", F.lit(0)) + 1).cast("double")
+                          / (F.coalesce("c1", F.lit(0))
+                             + F.lit(int(vocab))).cast("double")))
     per_doc = (scored.groupBy("doc_id")
                .agg(F.count("*").alias("n_bigrams"),
                     F.aggregate(
                         F.transform(
-                            F.array_sort(F.collect_list(F.struct("pos", "prob"))),
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "prob"))),
                             lambda s: s.getField("prob")),
-                        F.lit(0.0), lambda acc, p: acc + p).alias("sum_prob")))
+                        F.lit(0.0), lambda acc, p: acc + p)
+                    .alias("sum_prob")))
     return (base.select("doc_id").join(per_doc, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     (F.coalesce("sum_prob", F.lit(0.0))
-                     / F.greatest("n_bigrams", F.lit(1))).alias("avg_prob")))
+                     / F.greatest("n_bigrams", F.lit(1)))
+                    .alias("avg_prob")))
 
 
 def stratified_sample(df: DataFrame, rates: dict[str, float],

@@ -742,3 +742,64 @@ FROM counts
 
 register("events_transition_matrix", events_transition_matrix,
          _TRANSITION_ORACLE)
+
+
+def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization computed by an ACTUAL
+    Structured Streaming run (readStream → session_window agg → memory
+    sink, availableNow) — the 4th real streaming gate, covering the one
+    window type (dynamic-gap sessions) the other streaming entries don't.
+
+    Complete output mode keeps every session in the sink so the result is
+    batching-independent and equals the batch lag/cumsum sessionization
+    (events_sessionize's idiom): a session's end is its last event
+    + the 30-minute gap.  The oracle reproduces exactly that from the
+    batch side — Spark's unified-model guarantee as a value-hash check.
+    """
+    import tempfile
+
+    d = _stream_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_sessions_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema).parquet(d)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"), "n_events")
+
+
+_STREAM_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessioned GROUP BY user_id, session_no
+"""
+
+register("events_stream_sessions", events_stream_sessions,
+         _STREAM_SESSIONS_ORACLE)

@@ -2064,3 +2064,116 @@ GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 30
 """
 
 register("text_bpe_pair_counts", text_bpe_pair_counts, _BPE_ORACLE)
+
+
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, data selection
+    via importance resampling): each document is weighted by the ratio of
+    its likelihood under a TARGET-distribution n-gram LM (here: the
+    English slice of the corpus) to its likelihood under the BACKGROUND LM
+    (the whole corpus), then kept with probability ∝ the weight via the
+    deterministic md5-threshold rule — the model-based cousin of the
+    heuristic quality filters.
+
+    Both likelihoods are the rational add-one bigram LM
+    (pipeline.text.bigram_lm_score with ``train_df``), so the ratio is
+    engine-exact; the keep test compares the doc's 60-bit hash bucket
+    against rate·2⁶⁰ in double (same conversion both engines).
+
+    Scale shape: two LM scorings = four count aggregations + bounded
+    scalar vocab collects; the count tables broadcast (AQE); everything
+    else is the map-only filter of deterministic_sample.
+    """
+    from ..pipeline.text import bigram_lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    pt = bigram_lm_score(docs, train_df=target).select(
+        "doc_id", F.col("avg_prob").alias("p_target"))
+    pb = bigram_lm_score(docs).select(
+        "doc_id", F.col("avg_prob").alias("p_background"))
+    j = pt.join(pb, "doc_id")
+    weight = F.when(F.col("p_background") > 0,
+                    F.col("p_target") / F.col("p_background")) \
+        .otherwise(F.lit(0.0))
+    rate = F.least(F.lit(1.0), F.lit(0.5) * F.col("weight"))
+    bucket = F.conv(F.substring(F.md5(F.concat(
+        F.lit("dsir"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+    return (j.withColumn("weight", weight)
+            .select("doc_id", "p_target", "p_background", "weight",
+                    (bucket.cast("double")
+                     < rate * F.lit(float(1 << 60))).alias("keep")))
+
+
+_DSIR_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+bi0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 2 THEN
+           list_transform(range(1, len(ws)),
+                          i -> {'pos': CAST(i - 1 AS INT),
+                                'w1': ws[CAST(i AS INT)],
+                                'w2': ws[CAST(i AS INT) + 1]})
+         ELSE [] END) AS u
+  FROM w
+),
+bi AS (SELECT doc_id, u.pos AS pos, u.w1 AS w1, u.w2 AS w2 FROM bi0),
+tbi AS (SELECT bi.* FROM bi JOIN w USING (doc_id) WHERE w.lang = 'en'),
+tc2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM tbi GROUP BY w1, w2),
+tc1 AS (SELECT w1, COUNT(*) AS c1 FROM tbi GROUP BY w1),
+tv AS (SELECT COUNT(DISTINCT wrd) AS v
+       FROM (SELECT unnest(ws) AS wrd FROM w WHERE lang = 'en')),
+bc2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+bc1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+bv AS (SELECT COUNT(DISTINCT wrd) AS v
+       FROM (SELECT unnest(ws) AS wrd FROM w)),
+tsc AS (
+  SELECT bi.doc_id, bi.pos,
+         CAST(COALESCE(tc2.c2, 0) + 1 AS DOUBLE)
+         / CAST(COALESCE(tc1.c1, 0) + (SELECT v FROM tv) AS DOUBLE) AS prob
+  FROM bi LEFT JOIN tc2 USING (w1, w2) LEFT JOIN tc1 USING (w1)
+),
+bsc AS (
+  SELECT bi.doc_id, bi.pos,
+         CAST(COALESCE(bc2.c2, 0) + 1 AS DOUBLE)
+         / CAST(COALESCE(bc1.c1, 0) + (SELECT v FROM bv) AS DOUBLE) AS prob
+  FROM bi LEFT JOIN bc2 USING (w1, w2) LEFT JOIN bc1 USING (w1)
+),
+tpd AS (
+  SELECT doc_id, COUNT(*) AS n,
+         list_reduce(list(prob ORDER BY pos), (acc, p) -> acc + p) AS s
+  FROM tsc GROUP BY doc_id
+),
+bpd AS (
+  SELECT doc_id, COUNT(*) AS n,
+         list_reduce(list(prob ORDER BY pos), (acc, p) -> acc + p) AS s
+  FROM bsc GROUP BY doc_id
+),
+probs AS (
+  SELECT w.doc_id,
+         COALESCE(tpd.s, 0.0) / GREATEST(COALESCE(tpd.n, 1), 1) AS p_target,
+         COALESCE(bpd.s, 0.0) / GREATEST(COALESCE(bpd.n, 1), 1)
+           AS p_background
+  FROM w LEFT JOIN tpd ON w.doc_id = tpd.doc_id
+         LEFT JOIN bpd ON w.doc_id = bpd.doc_id
+),
+weighted AS (
+  SELECT doc_id, p_target, p_background,
+         CASE WHEN p_background > 0 THEN p_target / p_background
+              ELSE 0.0 END AS weight
+  FROM probs
+)
+SELECT doc_id, p_target, p_background, weight,
+       CAST(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT AS DOUBLE)
+         < LEAST(1.0, 0.5 * weight)
+           * CAST(1152921504606846976 AS DOUBLE) AS keep
+FROM weighted
+"""
+
+register("text_dsir_weights", text_dsir_weights, _DSIR_ORACLE)

@@ -1,0 +1,72 @@
+"""Skew-mitigation strategies (joins.py): the rewrites must be
+result-identical to the naive plans and must actually spread the hot key
+(salt participates in the join/shuffle keys)."""
+
+from pyspark.sql import functions as F
+
+from pigeon_optics_spark.joins import (SALT_COL, salted_join,
+                                       skew_safe_count_distinct)
+from tests.test_plans import plan_of
+
+
+def _skewed(spark):
+    # 10k rows of one hot key + a tail, joined against a 5-row dim
+    left = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit(0)).otherwise(F.col("id") % 5)
+        .cast("long").alias("k"),
+        F.col("id").alias("payload"))
+    right = spark.range(5).select(F.col("id").alias("k"),
+                                  (F.col("id") * 100).alias("dim"))
+    return left, right
+
+
+def test_salted_join_matches_plain_inner(spark):
+    left, right = _skewed(spark)
+    plain = left.join(right, ["k"]).orderBy("payload").collect()
+    salted = salted_join(left, right, ["k"], salt=8) \
+        .orderBy("payload").collect()
+    assert [r.asDict() for r in salted] == [r.asDict() for r in plain]
+
+
+def test_salted_join_matches_plain_left(spark):
+    left, right = _skewed(spark)
+    right_partial = right.where(F.col("k") < 3)  # leave unmatched left rows
+    plain = left.join(right_partial, ["k"], "left") \
+        .orderBy("payload").collect()
+    salted = salted_join(left, right_partial, ["k"], "left", salt=8) \
+        .orderBy("payload").collect()
+    assert [r.asDict() for r in salted] == [r.asDict() for r in plain]
+
+
+def test_salted_join_salt_is_a_join_key(spark):
+    left, right = _skewed(spark)
+    p = plan_of(salted_join(left, right, ["k"], salt=8))
+    assert SALT_COL in p  # the salt reaches the physical join keys
+    assert "CartesianProduct" not in p
+
+
+def test_salted_join_rejects_outer(spark):
+    left, right = _skewed(spark)
+    try:
+        salted_join(left, right, ["k"], how="full")
+    except ValueError:
+        return
+    raise AssertionError("full outer must be rejected")
+
+
+def test_skew_safe_count_distinct_matches_naive(spark):
+    left, _ = _skewed(spark)
+    df = left.select("k", (F.col("payload") % 97).alias("v"))
+    naive = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+    safe = {r["k"]: r["n_distinct"] for r in
+            skew_safe_count_distinct(df, "k", "v").collect()}
+    assert safe == naive
+
+
+def test_skew_safe_count_distinct_spreads_first(spark):
+    left, _ = _skewed(spark)
+    df = left.select("k", (F.col("payload") % 97).alias("v"))
+    p = plan_of(skew_safe_count_distinct(df, "k", "v"))
+    # first exchange must hash on BOTH columns (the spread), not key alone
+    assert "hashpartitioning(k" in p and ", v" in p
