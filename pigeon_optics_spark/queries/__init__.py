@@ -76,6 +76,8 @@ _DRIVER_PRIORITY = [
     "text_inverted_index", "events_resample_gapfill", "events_attribution",
     "text_bpe_pair_counts", "events_transition_matrix",
     "text_dsir_weights", "events_stream_sessions",
+    "events_throttle_dedup", "dedup_incremental_batch",
+    "corpus_source_overlap", "events_sketch_rollup",
     # --- 7. r4-green fill (flagship / heavy / merged gates; the gates
     # dropped to make room for sections 5-6 all carry multi-round green
     # rows: q_top3_customers_per_nation, q_rollup_returns,
@@ -87,11 +89,8 @@ _DRIVER_PRIORITY = [
     # codec_transcode_roundtrip, pipeline_end_to_end, and the two
     # four-round-green flagships q1_pricing_summary / q3_shipping_priority,
     # which the bench exercises every round anyway) ---
-    "q_approx_aggregates",
-    "lens_sum_qty_by_partkey",
-    "dedup_minhash_pairs",
     "text_profile", "text_samples", "ann_topk_methods",
-    "multimodal_gif_frames", "events_stream_dedup",
+    "events_stream_dedup",
 ]
 
 

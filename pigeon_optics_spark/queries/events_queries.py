@@ -803,3 +803,90 @@ FROM sessioned GROUP BY user_id, session_no
 
 register("events_stream_sessions", events_stream_sessions,
          _STREAM_SESSIONS_ORACLE)
+
+
+def events_throttle_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry throttling / near-duplicate event suppression: an event is
+    kept only if the SAME user's previous event of the SAME type is more
+    than 5 minutes older (or absent) — the standard client-retry /
+    double-fire cleaner in front of event analytics.
+
+    One ``lag`` over the (user, type) sequence — single shuffle, no
+    self-join; at 100 TB this is the cheapest possible keyed pass.
+    Semantics note: the gap test is against the previous RAW event, so a
+    burst suppresses every follow-up within 5 minutes of its predecessor
+    (gap-based suppression).  A strict rate-limiter ("5 minutes since the
+    last KEPT event") carries state through the scan — that variant is the
+    streaming ``applyInPandasWithState`` pattern (events_stream_stateful),
+    not a window expression.  Deterministic via (ts, event_id) ordering.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return (ev.withColumn(
+        "keep",
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 300 * 1_000_000))
+        .select("event_id", "user_id", "event_type", "ts", "keep"))
+
+
+_THROTTLE_ORACLE = """
+SELECT event_id, user_id, event_type, ts,
+       prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) > 300 * 1000000 AS keep
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+"""
+
+register("events_throttle_dedup", events_throttle_dedup, _THROTTLE_ORACLE)
+
+
+def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE distributed-first distinct-counting
+    pattern: per-(type, day) HyperLogLog sketches of distinct users are
+    built once, then re-aggregated to per-type totals with
+    ``hll_union_agg`` — the union costs sketch-bytes, not data, which is
+    why a 100 TB pipeline stores daily sketches and never recounts raw
+    events for a new rollup grain.
+
+    Gate shape follows q_approx_aggregates: sketch bytes are
+    engine-specific, so the row carries the EXACT values (hash-compared)
+    plus a ``within_tol`` boolean asserting the unioned estimate landed
+    inside the envelope (lgConfigK=12 → rsd ≈ 1.6 %; 0.1 ≈ 6σ).  The
+    union path being WRONG (e.g. double-counting a day) would blow the
+    envelope and flip the boolean.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+             .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                  F.count("*").alias("n")))
+    rolled = (daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("est_users"),
+                   F.count("*").alias("n_days"),
+                   F.sum("n").alias("n_events")))
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (rolled.join(exact, "event_type")
+            .select("event_type", "n_days", "n_events", "exact_users",
+                    (F.abs(F.col("est_users").cast("double")
+                           - F.col("exact_users").cast("double"))
+                     <= F.lit(0.1) * F.col("exact_users").cast("double"))
+                    .alias("within_tol")))
+
+
+_SKETCH_ROLLUP_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+"""
+
+register("events_sketch_rollup", events_sketch_rollup,
+         _SKETCH_ROLLUP_ORACLE)

@@ -2177,3 +2177,123 @@ FROM weighted
 """
 
 register("text_dsir_weights", text_dsir_weights, _DSIR_ORACLE)
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental dedup: a NEW crawl batch (doc_id ≥ 400) is
+    checked against the content-hash index of the EXISTING corpus
+    (doc_id < 400) and against itself — the daily-snapshot pattern where
+    the historical index is a hash table you anti-join, never a corpus you
+    re-scan.
+
+    A new doc is dropped if its md5 already exists in the index
+    (cross-batch dup) or if an earlier same-batch doc has it (intra-batch
+    dup, min-id keeps).  → (doc_id, content_hash, reason) for every new
+    doc, reason ∈ {'kept', 'dup_index', 'dup_batch'} — cross-batch
+    suppression wins the label when both apply, mirroring which check a
+    real ingest runs first.
+
+    Scale shape: the index side carries ONLY (hash) — at 100 TB that is
+    the compact artifact a pipeline maintains incrementally; the check is
+    a broadcast/shuffle hash anti-join (AQE picks) plus one min-id window
+    inside the (tiny) new batch.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", F.md5("text").alias("content_hash"))
+    index = docs.where(F.col("doc_id") < 400).select("content_hash").distinct()
+    # deterministic dup fixture (the raw sf0.01 slice has no cross-window
+    # dups, which would leave the dup branches untested at the gate SF):
+    # docs 480-489 reuse the CONTENT of index docs 30-39 (→ dup_index),
+    # docs 495-499 reuse the content of batch docs 490-494 (→ dup_batch)
+    src_id = (F.when((F.col("doc_id") >= 480) & (F.col("doc_id") < 490),
+                     F.col("doc_id") - 450)
+              .when((F.col("doc_id") >= 495) & (F.col("doc_id") < 500),
+                    F.col("doc_id") - 5)
+              .otherwise(F.col("doc_id")))
+    batch = (docs.where(F.col("doc_id") >= 400)
+             .select("doc_id", src_id.alias("src_id"))
+             .join(docs.select(F.col("doc_id").alias("src_id"),
+                               "content_hash"), "src_id")
+             .select("doc_id", "content_hash"))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    flagged = (batch
+               .join(index.withColumn("_in_index", F.lit(True)),
+                     "content_hash", "left")
+               .withColumn("_rn", F.row_number().over(w)))
+    return flagged.select(
+        "doc_id", "content_hash",
+        F.when(F.col("_in_index").isNotNull(), F.lit("dup_index"))
+        .when(F.col("_rn") > 1, F.lit("dup_batch"))
+        .otherwise(F.lit("kept")).alias("reason"))
+
+
+_INCR_DEDUP_ORACLE = """
+WITH hashed AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+idx AS (SELECT DISTINCT content_hash FROM hashed WHERE doc_id < 400),
+batch AS (
+  SELECT m.doc_id, s.content_hash,
+         ROW_NUMBER() OVER (PARTITION BY s.content_hash
+                            ORDER BY m.doc_id) AS rn
+  FROM (
+    SELECT doc_id,
+           CASE WHEN doc_id >= 480 AND doc_id < 490 THEN doc_id - 450
+                WHEN doc_id >= 495 AND doc_id < 500 THEN doc_id - 5
+                ELSE doc_id END AS src_id
+    FROM hashed WHERE doc_id >= 400
+  ) m JOIN hashed s ON m.src_id = s.doc_id
+)
+SELECT b.doc_id, b.content_hash,
+       CASE WHEN i.content_hash IS NOT NULL THEN 'dup_index'
+            WHEN b.rn > 1 THEN 'dup_batch'
+            ELSE 'kept' END AS reason
+FROM batch b LEFT JOIN idx i ON b.content_hash = i.content_hash
+"""
+
+register("dedup_incremental_batch", dedup_incremental_batch,
+         _INCR_DEDUP_ORACLE)
+
+
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every ordered pair of
+    sources, how many distinct character shingles they share — the
+    redundancy report that tells a curation pipeline which source pairs
+    need cross-source dedup before mixing.
+
+    Scale shape: distinct (shingle, source) projection first (map-side
+    dedup shrinks the explode), then a self-equi-join ON THE SHINGLE whose
+    per-key blow-up is bounded by the number of sources sharing it (≤ 20
+    here, never corpus-sized), then one groupBy on the 20×20 pair space.
+    This is the same bounded-bucket-join discipline as LSH banding.
+    """
+    from ..pipeline.dedup import char_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    sh = (docs.select("source",
+                      F.explode(char_shingles("text", 8)).alias("sh"))
+          .distinct())
+    a, b = sh.alias("a"), sh.alias("b")
+    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.source") < F.col("b.source")))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.count("*").alias("shared_shingles")))
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(
+           range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
+           i -> substr(text, CAST(i AS INT), 8)))) AS sh
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_shingles
+FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+register("corpus_source_overlap", corpus_source_overlap,
+         _SOURCE_OVERLAP_ORACLE)
