@@ -796,3 +796,51 @@ def bpe_pair_counts(df: DataFrame, top_k: int = 30,
     return (pairs.where(F.length("pair") == 2)
             .groupBy("pair").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("pair")).limit(top_k))
+
+
+def dup_window_stats(df: DataFrame, window_tokens: int = 10,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplication statistics at fixed token granularity —
+    the measurable core of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    document, how many of its ``window_tokens``-token sliding windows also
+    occur verbatim in ANOTHER document.  High ``dup_frac`` docs are the
+    removal candidates of the suffix-array method; this windowed variant
+    is its distributable fixed-granularity approximation.
+
+    → (doc_id, n_windows, n_dup_windows, dup_frac).
+
+    Scale shape: windows are per-row expressions (posexplode of md5
+    digests — only 16-byte hashes leave the row, never window text); ONE
+    groupBy(hash) with map-side combine for the corpus frequency; the
+    join back is hash-keyed; the per-doc rollup is a count.  Same
+    linear-cost discipline as chunk_dedup, at stride 1 instead of
+    disjoint chunks.
+    """
+    words = words_col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    win = base.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("ws") >= window_tokens,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (window_tokens - 1)),
+                lambda i: F.md5(F.array_join(
+                    F.slice("ws", i, window_tokens), " "))))
+            .otherwise(F.array().cast("array<string>"))).alias("wh"))
+    freq = win.groupBy("wh").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = (win.join(freq, "wh")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_windows"),
+                    F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+                    .alias("n_dup_windows")))
+    return (base.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+                    F.coalesce("n_dup_windows", F.lit(0))
+                    .alias("n_dup_windows"),
+                    (F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                     / F.greatest(F.coalesce("n_windows", F.lit(0)),
+                                  F.lit(1)).cast("double"))
+                    .alias("dup_frac")))

@@ -78,19 +78,15 @@ _DRIVER_PRIORITY = [
     "text_dsir_weights", "events_stream_sessions",
     "events_throttle_dedup", "dedup_incremental_batch",
     "corpus_source_overlap", "events_sketch_rollup",
-    # --- 7. r4-green fill (flagship / heavy / merged gates; the gates
-    # dropped to make room for sections 5-6 all carry multi-round green
-    # rows: q_top3_customers_per_nation, q_rollup_returns,
-    # q_cube_volumes, q_full_outer_join, q_scalar_functions,
-    # q_exact_quantiles, lens_count_orders_by_status,
-    # lens_object_merge_stats, q5_region_revenue,
-    # lens_invert_part_types, q_moving_average, q_semi_anti_joins,
-    # dedup_minhash_components, store_scan_documents,
-    # codec_transcode_roundtrip, pipeline_end_to_end, and the two
-    # four-round-green flagships q1_pricing_summary / q3_shipping_priority,
-    # which the bench exercises every round anyway) ---
-    "text_profile", "text_samples", "ann_topk_methods",
-    "events_stream_dedup",
+    "events_stream_stream_join", "text_dup_window_stats",
+    "events_unpivot_metrics", "events_session_conversion",
+    # (no fill section this round: sections 1-6 fill the 50-row window
+    # exactly.  EVERY gate in the overflow — q1/q3/q5, the rollup/cube/
+    # setops/scalar/quantile relational gates, all lens gates, minhash
+    # pairs+components+survivor ancestors' r4 rows, store/codec/e2e, the
+    # merged text_profile/text_samples/ann_topk_methods, gif_frames,
+    # stream_dedup, q_approx — carries a green r4 driver row, re-verified
+    # by the full local gate this session; rotate them back in r6.)
 ]
 
 

@@ -890,3 +890,174 @@ FROM events GROUP BY event_type
 
 register("events_sketch_rollup", events_sketch_rollup,
          _SKETCH_ROLLUP_ORACLE)
+
+
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join as an ACTUAL Structured Streaming run — the
+    5th real streaming gate and the one marquee streaming surface the
+    others don't cover: two readStreams (views, clicks) joined on user
+    with an event-time interval condition and watermarks on BOTH sides,
+    exactly the production shape that lets the engine expire join state.
+
+    An inner stream-stream join emits each matched pair exactly once
+    whenever the micro-batching lands, so the raw pair set is
+    batching-independent and equals the batch range join — the oracle is
+    the same predicate run batch-side.
+    """
+    import tempfile
+
+    d = _stream_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_ssj_{_STREAM_SEQ[0]}"
+    views = (spark.readStream.schema(schema).parquet(d)
+             .where(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "1 hour"))
+    clicks = (spark.readStream.schema(schema).parquet(d)
+              .where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "1 hour"))
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")))
+    # stream-stream joins keep FOUR state stores per shuffle partition and
+    # each store pays a multi-second local init: 32 partitions ≈ 100 s of
+    # store loading for a 10k-row fixture.  Scope the partition count down
+    # for this run (state parallelism is a cluster-sizing knob, not a
+    # semantics one — on a real cluster you size it to executors × cores).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="po_stream_ck_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        "user_id", "view_id", "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+        .alias("delta_us"))
+
+
+_STREAM_SSJ_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS delta_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND epoch_us(c.ts) - epoch_us(v.ts) BETWEEN 0 AND 1800 * 1000000
+"""
+
+register("events_stream_stream_join", events_stream_stream_join,
+         _STREAM_SSJ_ORACLE)
+
+
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface — the inverse of events_pivot_counts: the widened
+    per-user count columns melt back to (user_id, metric, n) rows via the
+    native ``unpivot`` operator (STACK in SQL form).  Round-tripping
+    through pivot→unpivot is the schema-reshaping pair a reporting layer
+    needs; unpivot is a zero-shuffle per-row expansion.
+    """
+    ev = load_events(spark, sf_dir)
+    wide = (ev.groupBy("user_id")
+            .pivot("event_type", ["view", "click", "purchase", "signup"])
+            .count().na.fill(0))
+    return (wide.unpivot(
+        "user_id",
+        ["view", "click", "purchase", "signup"],
+        "metric", "n")
+        .where(F.col("n") > 0))
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT user_id,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, n FROM (
+  SELECT user_id, 'view' AS metric, n_view AS n FROM wide
+  UNION ALL SELECT user_id, 'click', n_click FROM wide
+  UNION ALL SELECT user_id, 'purchase', n_purchase FROM wide
+  UNION ALL SELECT user_id, 'signup', n_signup FROM wide
+) WHERE n > 0
+"""
+
+register("events_unpivot_metrics", events_unpivot_metrics, _UNPIVOT_ORACLE)
+
+
+def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized conversion rate — the composition a product-analytics
+    layer runs on top of sessionization: per user, how many 30-minute-gap
+    sessions exist and what fraction contain a purchase.  All counts are
+    exact ints; the rate is one int/int double division (engine-exact).
+    Plan: the same single user_id shuffle as events_sessionize, then two
+    count aggregations.
+    """
+    ev = load_events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (ev.withColumn("prev_ts", F.lag("ts").over(w_user))
+            .withColumn("is_new", (F.col("prev_ts").isNull()
+                                   | (F.unix_micros("ts")
+                                      - F.unix_micros("prev_ts")
+                                      > 1800 * 1_000_000)).cast("int"))
+            .withColumn("session_no", F.sum("is_new").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0))))
+    per_session = (sess.groupBy("user_id", "session_no")
+                   .agg(F.max((F.col("event_type") == "purchase").cast("int"))
+                        .alias("has_purchase")))
+    return (per_session.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("has_purchase").alias("n_converted"))
+            .select("user_id", "n_sessions", "n_converted",
+                    (F.col("n_converted").cast("double")
+                     / F.col("n_sessions").cast("double"))
+                    .alias("conversion_rate")))
+
+
+_SESSION_CONV_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_no,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS has_purchase
+  FROM sessioned GROUP BY user_id, session_no
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(has_purchase) AS BIGINT) AS n_converted,
+       CAST(CAST(SUM(has_purchase) AS BIGINT) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) AS conversion_rate
+FROM per_session GROUP BY user_id
+"""
+
+register("events_session_conversion", events_session_conversion,
+         _SESSION_CONV_ORACLE)

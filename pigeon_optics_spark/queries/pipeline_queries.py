@@ -2297,3 +2297,43 @@ GROUP BY a.source, b.source
 
 register("corpus_source_overlap", corpus_source_overlap,
          _SOURCE_OVERLAP_ORACLE)
+
+
+def text_dup_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (pipeline.text.dup_window_stats)
+    over the raw corpus — 47 of 500 sf0.01 docs naturally carry verbatim
+    10-token windows shared with other docs, so no fixture is needed."""
+    from ..pipeline.text import dup_window_stats
+
+    return dup_window_stats(load(spark, sf_dir, "documents"))
+
+
+_DUP_WINDOW_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+win AS (
+  SELECT doc_id,
+         md5(list_aggregate(ws[CAST(i.range AS INT):CAST(i.range + 9 AS INT)],
+             'string_agg', ' ')) AS wh
+  FROM w CROSS JOIN range(1, 2000) i
+  WHERE i.range <= len(ws) - 9
+),
+freq AS (SELECT wh, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY wh),
+pd AS (
+  SELECT win.doc_id, COUNT(*) AS n_windows,
+         CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM win JOIN freq f USING (wh) GROUP BY win.doc_id
+)
+SELECT w.doc_id,
+       COALESCE(pd.n_windows, 0) AS n_windows,
+       COALESCE(pd.n_dup_windows, 0) AS n_dup_windows,
+       CAST(COALESCE(pd.n_dup_windows, 0) AS DOUBLE)
+       / CAST(GREATEST(COALESCE(pd.n_windows, 0), 1) AS DOUBLE) AS dup_frac
+FROM w LEFT JOIN pd USING (doc_id)
+"""
+
+register("text_dup_window_stats", text_dup_window_stats, _DUP_WINDOW_ORACLE)
