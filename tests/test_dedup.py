@@ -110,3 +110,31 @@ def test_tfidf_top_terms_tiny(spark):
     assert top[1] == ("apple", 2, 1)
     # doc 3: date tf=1 df=1 (2.0) beats cherry 1*(4/3)
     assert top[3] == ("date", 1, 1)
+
+
+def test_semantic_dedup_small_corpus_and_exact_copy(spark):
+    """Corpus smaller than k, one exact duplicate pair: the copy (larger
+    id) drops, everything else survives; identical vectors share a cell."""
+    from pigeon_optics_spark.pipeline.dedup import semantic_dedup
+
+    rows = [(0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),   # exact copy of 0
+            (3, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, k=8, threshold=0.95).collect()}
+    assert len(out) == 4
+    assert not out[0]["is_dup"] and out[2]["is_dup"]
+    assert out[0]["centroid"] == out[2]["centroid"]
+    assert not out[1]["is_dup"] and not out[3]["is_dup"]
+
+
+def test_semantic_dedup_orthogonal_corpus_drops_nothing(spark):
+    from pigeon_optics_spark.pipeline.dedup import semantic_dedup
+
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(4)])
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, k=2, threshold=0.5).collect()
+    assert len(out) == 4 and not any(r["is_dup"] for r in out)

@@ -1,0 +1,151 @@
+"""Pure-Python recomputation checks for the round-5 continuation operators
+(same contract as test_pipeline_property.py: seeded pseudo-random corpus,
+exact equality including double paths — both sides fold sequentially)."""
+
+import hashlib
+import random
+from collections import Counter, defaultdict
+
+import pytest
+
+from pigeon_optics_spark.pipeline.text import (
+    bm25_topk,
+    bpe_pair_counts,
+    corpus_line_dedup,
+    dup_window_stats,
+    inverted_index,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa", "the", "and", "x1", "y22", "z333"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(20260814)
+    rows = []
+    for i in range(100):
+        n = rng.choice([0, 1, 5, 12, 20, 30])
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(n))))
+    # guaranteed duplicated 10-token run across two docs
+    rows.append((100, " ".join(VOCAB[:12])))
+    rows.append((101, " ".join(VOCAB[:12])))
+    return rows
+
+
+def _words(text):
+    return [w for w in text.strip().split() if w]
+
+
+def test_inverted_index_matches_python(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["term"]: r for r in inverted_index(df).collect()}
+
+    postings = defaultdict(Counter)
+    for doc_id, text in corpus:
+        for w in _words(text):
+            postings[w][doc_id] += 1
+    assert set(got) == set(postings)
+    for term, cnt in postings.items():
+        r = got[term]
+        docs = sorted(cnt)
+        assert r["doc_freq"] == len(docs)
+        assert r["total_tf"] == sum(cnt.values())
+        assert (r["first_doc"], r["last_doc"]) == (docs[0], docs[-1])
+        want = ",".join(f"{d}:{cnt[d]}" for d in docs)
+        assert r["postings_md5"] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_bpe_pair_counts_matches_python(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [(r["pair"], r["n"]) for r in
+           bpe_pair_counts(df, top_k=10).collect()]
+
+    counts = Counter()
+    for _, text in corpus:
+        for w in _words(text):
+            for i in range(len(w) - 1):
+                counts[w[i:i + 2]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
+
+
+def test_bm25_matches_python(spark, corpus):
+    terms = sorted(["alpha", "the", "z333"])
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bm25_topk(df, terms, top_k=1000).collect()}
+
+    docs = {d: _words(t) for d, t in corpus}
+    n_docs = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n_docs
+    dfreq = {t: sum(1 for ws in docs.values() if t in ws) for t in terms}
+    expected = {}
+    for d, ws in docs.items():
+        dl = len(ws)
+        total, matched = 0.0, 0
+        for t in terms:  # written order = sorted order, like the operator
+            tf = ws.count(t)
+            if not tf:
+                continue
+            matched += 1
+            idf = (float(n_docs) - float(dfreq[t]) + 0.5) / (float(dfreq[t]) + 0.5)
+            total = total + idf * (float(tf) * 2.5) / (
+                float(tf) + 1.5 * (0.25 + 0.75 * (float(dl) / avgdl)))
+        if matched:
+            expected[d] = (total, dl, matched)
+    assert set(got) == set(expected)
+    for d, (score, dl, matched) in expected.items():
+        r = got[d]
+        assert r["score"] == score  # exact: same fold order both sides
+        assert (r["dl"], r["n_matched"]) == (dl, matched)
+    # rank order: score desc, doc_id asc
+    ranked = sorted(got.values(), key=lambda r: r["rank"])
+    assert all(a["rank"] < b["rank"] for a, b in zip(ranked, ranked[1:]))
+    assert ranked == sorted(ranked, key=lambda r: (-r["score"], r["doc_id"]))
+
+
+def test_corpus_line_dedup_matches_python(spark):
+    # deterministic multi-line fixture with cross-doc collisions
+    rows = [(i, "\n".join(f"ln{(i * 3 + j * j) % 7}" for j in range(4)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           corpus_line_dedup(df, max_doc_freq=8).collect()}
+
+    docfreq = Counter()
+    for d, text in rows:
+        for ln in set(text.split("\n")):
+            docfreq[ln] += 1
+    for d, text in rows:
+        lines = text.split("\n")
+        kept = [ln for ln in lines if docfreq[ln] <= 8]
+        clean = "\n".join(kept)
+        r = got[d]
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(kept)
+        assert r["clean_len"] == len(clean)
+        assert r["clean_hash"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+def test_dup_window_stats_matches_python(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_window_stats(df).collect()}
+
+    windows = {}
+    for d, text in corpus:
+        ws = _words(text)
+        windows[d] = [" ".join(ws[i:i + 10])
+                      for i in range(len(ws) - 9)] if len(ws) >= 10 else []
+    docs_per_window = defaultdict(set)
+    for d, wlist in windows.items():
+        for w in wlist:
+            docs_per_window[w].add(d)
+    for d, wlist in windows.items():
+        n_dup = sum(1 for w in wlist if len(docs_per_window[w]) > 1)
+        r = got[d]
+        assert r["n_windows"] == len(wlist)
+        assert r["n_dup_windows"] == n_dup
+        assert r["dup_frac"] == n_dup / max(len(wlist), 1)
+    # the planted pair must register as fully duplicated
+    assert got[100]["n_dup_windows"] == got[100]["n_windows"] > 0
