@@ -324,3 +324,38 @@ def test_semantic_dedup_is_cell_equijoin_no_cartesian(spark, sf_dir):
     p = plan_of(semantic_dedup(emb, k=8, threshold=0.95))
     assert "CartesianProduct" not in p
     assert "centroid" in p  # the cell id is a join key, not a filter
+
+
+def test_corpus_line_dedup_no_cartesian(spark, sf_dir):
+    """The line-frequency join-back must stay keyed on the line — a
+    cartesian or a driver-side frequency map would break at corpus scale."""
+    from pigeon_optics_spark.pipeline.text import corpus_line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(corpus_line_dedup(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bm25_prefilters_terms_and_takeordered(spark, sf_dir):
+    """BM25's explode must be filtered to the query terms BEFORE the
+    (doc, term) aggregation (the shuffle carries query-term postings, not
+    the vocabulary) and ranking must be TakeOrdered, not a global sort."""
+    from pigeon_optics_spark.pipeline.text import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(bm25_topk(docs, ["spark", "window"], top_k=10))
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_dup_window_stats_groups_on_hash_only(spark, sf_dir):
+    """Only 16-byte window digests may cross the shuffle — the window TEXT
+    leaving the row would multiply shuffle volume by the window width."""
+    from pigeon_optics_spark.pipeline.text import dup_window_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(dup_window_stats(docs), "formatted")
+    assert "CartesianProduct" not in p
+    # the frequency aggregation's key is the md5 digest column
+    assert "hashpartitioning(wh" in plan_of(dup_window_stats(docs))

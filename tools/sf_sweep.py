@@ -32,6 +32,13 @@ SWEEP_QUERIES = [
     "q_moving_average",
     "text_bigram_lm",
     "corpus_cluster_profile",
+    # r5 continuation: BM25 (idf/tf-saturation doubles, written-order
+    # sums), DSIR (LM-ratio weights driving a threshold compare),
+    # transition matrix / session conversion (int-ratio divisions)
+    "text_bm25_topk",
+    "text_dsir_weights",
+    "events_transition_matrix",
+    "events_session_conversion",
 ]
 
 #: per-copy deterministic perturbations; k=0 is the original rows so the
