@@ -464,7 +464,11 @@ def semantic_dedup(emb: DataFrame, k: int = 8, threshold: float = 0.9,
         .select(F.col("vec_id").alias("id"), "centroid")
     sigs = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                        norm_col(vec_col).alias("nrm"))
-            .join(cells, "id"))
+            .join(cells, "id")
+            .persist())
+    sigs.count()  # materialize: three consumers in one job (both pairwise
+    # sides + the final output join) — an unmaterialized shared subtree
+    # recomputes the scan + assignment per consumer (the r1 persist lesson)
     a, b = sigs.alias("a"), sigs.alias("b")
     dup_ids = (
         a.join(b, (F.col("a.centroid") == F.col("b.centroid"))

@@ -697,7 +697,9 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k1: float = 1.5,
     """
     from pyspark.sql import Window
 
-    terms = sorted(query_terms)
+    # set(): a duplicated query term would get TWO score columns both
+    # added into the total, double-counting it relative to any BM25
+    terms = sorted(set(query_terms))
     k1, b = float(k1), float(b)
     words = words_col(text_col)
     base = df.select(F.col(id_col).alias("doc_id"),

@@ -781,7 +781,7 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SESSIONS_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS is_new
@@ -790,7 +790,7 @@ WITH flagged AS (
 ),
 sessioned AS (
   SELECT user_id, ts,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS session_no
   FROM flagged
@@ -1032,7 +1032,7 @@ def events_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_CONV_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_id, event_type, ts,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
               THEN 1 ELSE 0 END AS is_new
@@ -1041,7 +1041,7 @@ WITH flagged AS (
 ),
 sessioned AS (
   SELECT user_id, event_type,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS session_no
   FROM flagged

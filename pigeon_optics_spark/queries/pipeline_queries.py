@@ -2054,9 +2054,13 @@ WITH w AS (
   FROM documents
 ),
 p AS (
-  SELECT substr(w, CAST(i.range AS INT), 2) AS pair
-  FROM w CROSS JOIN range(1, 100) i
-  WHERE i.range <= LENGTH(w) - 1
+  -- per-word range bound (1..len-1): no fixed cap that a longer token at
+  -- a future SF could silently overflow
+  SELECT unnest(CASE WHEN LENGTH(w) >= 2 THEN
+           list_transform(range(1, LENGTH(w)),
+                          i -> substr(w, CAST(i AS INT), 2))
+         ELSE [] END) AS pair
+  FROM w
 )
 SELECT pair, COUNT(*) AS n FROM p
 WHERE LENGTH(pair) = 2
@@ -2315,11 +2319,15 @@ WITH w AS (
   FROM documents
 ),
 win AS (
+  -- per-doc range bound (1..len-9): no fixed cap that a longer doc at a
+  -- future SF could silently truncate
   SELECT doc_id,
-         md5(list_aggregate(ws[CAST(i.range AS INT):CAST(i.range + 9 AS INT)],
-             'string_agg', ' ')) AS wh
-  FROM w CROSS JOIN range(1, 2000) i
-  WHERE i.range <= len(ws) - 9
+         unnest(CASE WHEN len(ws) >= 10 THEN
+           list_transform(range(1, len(ws) - 8),
+             i -> md5(list_aggregate(ws[CAST(i AS INT):CAST(i + 9 AS INT)],
+                                     'string_agg', ' ')))
+         ELSE [] END) AS wh
+  FROM w
 ),
 freq AS (SELECT wh, COUNT(DISTINCT doc_id) AS df FROM win GROUP BY wh),
 pd AS (

@@ -70,3 +70,38 @@ def test_skew_safe_count_distinct_spreads_first(spark):
     p = plan_of(skew_safe_count_distinct(df, "k", "v"))
     # first exchange must hash on BOTH columns (the spread), not key alone
     assert "hashpartitioning(k" in p and ", v" in p
+
+
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    """Byte-identical hot-key rows must still spread over salts — a
+    content-derived salt would put them all in one bucket and recreate
+    the straggler the helper exists to remove."""
+    from pyspark.sql import functions as F2
+
+    left = spark.range(4_000).select(F2.lit(0).cast("long").alias("k"),
+                                     F2.lit("same").alias("payload"))
+    right = spark.range(1).select(F2.col("id").alias("k"),
+                                  F2.lit(1).alias("dim"))
+    salted = left.withColumn(
+        SALT_COL, F2.pmod(F2.monotonically_increasing_id(), F2.lit(8))
+        .cast("int"))
+    n_buckets = salted.select(SALT_COL).distinct().count()
+    assert n_buckets == 8
+    # and the join result is still the plain join
+    assert salted_join(left, right, ["k"], salt=8).count() == \
+        left.join(right, ["k"]).count() == 4_000
+
+
+def test_skew_safe_count_distinct_null_semantics(spark):
+    """NULL values are ignored (countDistinct semantics) and an all-NULL
+    key still appears with 0."""
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(1, None), (1, 5), (2, None), (3, 7), (3, 7)],
+        "k long, v long")
+    naive = {r["k"]: r["n"] for r in
+             df.groupBy("k").agg(F2.countDistinct("v").alias("n")).collect()}
+    safe = {r["k"]: r["n_distinct"] for r in
+            skew_safe_count_distinct(df, "k", "v").collect()}
+    assert safe == naive == {1: 1, 2: 0, 3: 1}
