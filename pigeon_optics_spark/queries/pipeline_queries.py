@@ -2266,10 +2266,15 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     need cross-source dedup before mixing.
 
     Scale shape: distinct (shingle, source) projection first (map-side
-    dedup shrinks the explode), then a self-equi-join ON THE SHINGLE whose
-    per-key blow-up is bounded by the number of sources sharing it (≤ 20
-    here, never corpus-sized), then one groupBy on the 20×20 pair space.
-    This is the same bounded-bucket-join discipline as LSH banding.
+    dedup shrinks the explode), then ONE groupBy(shingle) collecting the
+    source SET — bounded at the source-universe size (20 here), never
+    corpus-sized — and the ordered pairs expand IN-ROW from that set
+    (≤ C(20,2) per shingle) into the final 20×20 aggregation.  No
+    self-join at all: the original self-join formulation shuffled the
+    (shingle, source) projection twice and probed it against itself;
+    collect_set does the same grouping once.  At a larger source universe
+    the set stays bounded because sources are a catalog dimension, not a
+    data dimension.
     """
     from ..pipeline.dedup import char_shingles
 
@@ -2277,11 +2282,17 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (docs.select("source",
                       F.explode(char_shingles("text", 8)).alias("sh"))
           .distinct())
-    a, b = sh.alias("a"), sh.alias("b")
-    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                   & (F.col("a.source") < F.col("b.source")))
-            .groupBy(F.col("a.source").alias("source_a"),
-                     F.col("b.source").alias("source_b"))
+    per_shingle = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs"))
+    pairs = per_shingle.select(F.explode(F.flatten(F.transform(
+        F.col("srcs"),
+        lambda a, i: F.transform(
+            F.slice(F.col("srcs"), i + 2,
+                    F.greatest(F.size("srcs") - i - 1, F.lit(1))),
+            lambda b: F.struct(a.alias("source_a"), b.alias("source_b")))
+    ))).alias("p"))
+    return (pairs.groupBy(F.col("p.source_a").alias("source_a"),
+                          F.col("p.source_b").alias("source_b"))
             .agg(F.count("*").alias("shared_shingles")))
 
 

@@ -359,3 +359,15 @@ def test_dup_window_stats_groups_on_hash_only(spark, sf_dir):
     assert "CartesianProduct" not in p
     # the frequency aggregation's key is the md5 digest column
     assert "hashpartitioning(wh" in plan_of(dup_window_stats(docs))
+
+
+def test_source_overlap_has_no_join(spark, sf_dir):
+    """The overlap matrix must come from ONE grouping of the (shingle,
+    source) projection with in-row pair expansion — the self-join
+    formulation shuffled the projection twice and probed it against
+    itself."""
+    from pigeon_optics_spark.queries import all_queries
+
+    fn, _ = all_queries()["corpus_source_overlap"]
+    p = plan_of(fn(spark, sf_dir))
+    assert "Join" not in p
