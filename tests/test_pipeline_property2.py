@@ -149,3 +149,116 @@ def test_dup_window_stats_matches_python(spark, corpus):
         assert r["dup_frac"] == n_dup / max(len(wlist), 1)
     # the planted pair must register as fully duplicated
     assert got[100]["n_dup_windows"] == got[100]["n_windows"] > 0
+
+
+@pytest.fixture(scope="module")
+def event_rows():
+    import datetime
+    rng = random.Random(20260815)
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for i in range(400):
+        rows.append((
+            i,
+            base + datetime.timedelta(seconds=rng.randrange(0, 3 * 86400)),
+            rng.randrange(0, 12),
+            rng.choice(["view", "click", "purchase", "signup"]),
+        ))
+    # planted tie: two same-user same-ts events (the oracle-tiebreak class)
+    t = base + datetime.timedelta(seconds=999)
+    rows.append((400, t, 3, "view"))
+    rows.append((401, t, 3, "purchase"))
+    return rows
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+
+
+def test_attribution_matches_python(spark, event_rows):
+    import pigeon_optics_spark.queries.events_queries as EQ
+
+    df = _events_df(spark, event_rows)
+    orig = EQ.load_events
+    EQ.load_events = lambda s, d: df
+    try:
+        got = {r["purchase_id"]: r for r in
+               EQ.events_attribution(spark, "ignored").collect()}
+    finally:
+        EQ.load_events = orig
+
+    by_user = {}
+    for eid, ts, uid, et in sorted(event_rows, key=lambda r: (r[1], r[0])):
+        by_user.setdefault(uid, []).append((eid, ts, et))
+    expected = {}
+    for uid, seq in by_user.items():
+        last_touch = None
+        for eid, ts, et in seq:
+            if et == "purchase":
+                if last_touch and (ts - last_touch[1]).total_seconds() <= 86400:
+                    expected[eid] = (last_touch[2], last_touch[0], last_touch[1])
+                else:
+                    expected[eid] = (None, None, None)
+            if et in ("click", "view"):
+                last_touch = (eid, ts, et)
+    assert set(got) == set(expected)
+    for pid, (atype, tid, tts) in expected.items():
+        r = got[pid]
+        assert r["attributed_type"] == atype
+        assert r["touch_id"] == tid
+        assert (r["touch_ts"] == tts) or (tts is None and r["touch_ts"] is None)
+
+
+def test_gapfill_matches_python(spark, event_rows):
+    import pigeon_optics_spark.queries.events_queries as EQ
+    import datetime
+
+    df = _events_df(spark, event_rows)
+    orig = EQ.load_events
+    EQ.load_events = lambda s, d: df
+    try:
+        got = {(r["user_id"], r["hr"]): r for r in
+               EQ.events_resample_gapfill(spark, "ignored").collect()}
+    finally:
+        EQ.load_events = orig
+
+    def trunc(ts):
+        return ts.replace(minute=0, second=0, microsecond=0)
+
+    per_user = {}
+    for eid, ts, uid, et in event_rows:
+        if uid < 40:
+            per_user.setdefault(uid, []).append(ts)
+    expected = {}
+    for uid, tss in per_user.items():
+        h, last = trunc(min(tss)), trunc(max(tss))
+        counts = {}
+        for ts in tss:
+            counts[trunc(ts)] = counts.get(trunc(ts), 0) + 1
+        while h <= last:
+            expected[(uid, h)] = counts.get(h, 0)
+            h += datetime.timedelta(hours=1)
+    assert set(got) == set(expected)
+    for k, n in expected.items():
+        assert got[k]["n_events"] == n
+        assert got[k]["is_gap"] == (n == 0)
+    assert any(n == 0 for n in expected.values())  # gaps actually exist
+
+
+def test_throttle_planted_tie_is_deterministic(spark, event_rows):
+    """The planted same-(user, ts) pair must produce the same keep flags on
+    every run — ordering ties break on event_id."""
+    import pigeon_optics_spark.queries.events_queries as EQ
+
+    df = _events_df(spark, event_rows)
+    orig = EQ.load_events
+    EQ.load_events = lambda s, d: df
+    try:
+        a = {r["event_id"]: r["keep"] for r in
+             EQ.events_throttle_dedup(spark, "ignored").collect()}
+        b = {r["event_id"]: r["keep"] for r in
+             EQ.events_throttle_dedup(spark, "ignored").collect()}
+    finally:
+        EQ.load_events = orig
+    assert a == b and len(a) == len(event_rows)
