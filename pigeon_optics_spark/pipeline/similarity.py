@@ -430,3 +430,94 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= topk)
             .select("query_id", "rank", "neighbor_id", "adc_dist2"))
+
+
+def _mean_assign(q: DataFrame, means: list[list[float]],
+                 with_d2: bool = False) -> DataFrame:
+    """Assignment pass against literal centroid means: argmin squared-L2,
+    ties to the smaller cid.  Map-only — the centroids ride inside the plan
+    as a k·dim double literal (broadcast by construction)."""
+    cent_lit = F.array(*[
+        F.struct(F.lit(j).alias("cid"),
+                 F.array(*[F.lit(float(m)) for m in mv]).alias("mv"))
+        for j, mv in enumerate(means)
+    ])
+    best = F.array_min(F.transform(
+        cent_lit,
+        lambda c: F.struct(_d2_col(F.col("qv"), c["mv"]).alias("d2"),
+                           c["cid"].alias("cid")),
+    ))
+    cols = [F.col("vec_id"), F.col("qv"),
+            best.getField("cid").alias("centroid")]
+    if with_d2:
+        cols.append(best.getField("d2").alias("dist2"))
+    return q.select(*cols)
+
+
+def kmeans_train(emb: DataFrame, k: int = 8, iters: int = 2,
+                 quant: int = 10000, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Multi-iteration Lloyd k-means training, engine-deterministic end to
+    end — the trained sibling of ``kmeans_assign`` (which runs ONE step
+    against the trainless seed quantizer).
+
+    Floating-point k-means is not reproducible across engines: a per-dim
+    centroid mean is a float sum whose last ulp depends on accumulation
+    order (Spark partial aggs vs any other engine's ordering).  Training
+    therefore quantizes each component to an integer grid first
+    (``floor(x · quant)`` — deterministic IEEE ops), after which
+
+    - per-cell per-dim sums are exact BIGINT aggregates (order-free),
+    - each centroid mean is ``double(sum) / double(count)`` — one
+      correctly-rounded IEEE division of exactly-representable integers,
+      bit-identical in Spark, DuckDB, and Python,
+    - assignment distance is the usual sequential double fold over the
+      quantized components (same bit-stable class as ``dot_col``), ties to
+      the smaller cid.
+
+    Seeding follows the repo's smallest-k-ids convention; ``iters``
+    centroid updates run, a cell that goes empty keeps its previous
+    centroid, and the return value is the FINAL assignment
+    ``(vec_id, centroid, dist2)``.
+
+    Scale shape (the real cluster training loop): each iteration is one
+    map-only assignment pass (centroids are broadcast literals, k·dim
+    doubles) plus one ``groupBy(centroid)`` aggregation with map-side
+    combine whose result is k·(dim+1) numbers — the ONLY thing ever
+    collected to the driver.  No per-row state, no join, nothing grows
+    with corpus size; this is exactly how Lloyd iterates on a
+    1000-executor cluster (MLlib does the same collect-update loop).
+    """
+    dim = len(emb.select(vec_col).head()[0])
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(quant)))
+            .cast("long"),
+        ).alias("qv"),
+    ).persist()
+    q.count()  # materialize: consumed once per iteration + final pass
+    try:
+        seed = q.orderBy("vec_id").limit(k).collect()
+        # count=1 means: float(int) is exact, matching double(sum)/double(1)
+        means = [[float(v) for v in row["qv"]] for row in seed]
+        for _ in range(iters):
+            assigned = _mean_assign(q, means)
+            sums = (assigned.groupBy("centroid").agg(
+                *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                  for i in range(dim)],
+                F.count("*").alias("cnt"),
+            )).collect()
+            # Python int/int true division == SQL double(s)/double(cnt):
+            # both are the correctly-rounded IEEE quotient of exact inputs
+            new = {row["centroid"]: [row[f"s{i}"] / row["cnt"]
+                                     for i in range(dim)]
+                   for row in sums}
+            means = [new.get(j, means[j]) for j in range(k)]
+        return _mean_assign(q, means, with_d2=True).select(
+            "vec_id", "centroid", "dist2")
+    finally:
+        # lazily-consumed return: unpersist only marks for eviction after
+        # the final pass has been planned; blocking=False keeps it safe
+        q.unpersist(blocking=False)

@@ -2356,3 +2356,77 @@ FROM w LEFT JOIN pd USING (doc_id)
 """
 
 register("text_dup_window_stats", text_dup_window_stats, _DUP_WINDOW_ORACLE)
+
+
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration Lloyd k-means TRAINING (2 centroid updates after the
+    smallest-k-ids seeding) over integer-quantized embeddings — the trained
+    sibling of ``emb_kmeans_assign``; engine-deterministic because per-cell
+    sums are exact BIGINT aggregates and each mean is one IEEE division
+    (pipeline.similarity.kmeans_train)."""
+    from ..pipeline.similarity import kmeans_train
+
+    return kmeans_train(load(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def _kmeans_train_oracle(k: int = 8, iters: int = 2, dim: int = 64,
+                         quant: int = 10000) -> str:
+    """Generate the iteration-unrolled CTE chain mirroring kmeans_train.
+
+    The fold order matters: ``list_reduce`` starts from the first element,
+    Spark's ``aggregate`` starts from 0.0 — identical because (0.0 + v) is
+    exact (same proof as _D2_SQL)."""
+    d2 = ("list_reduce(list_transform(list_zip(q.qv, c.mv), "
+          "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])), "
+          "(acc, v) -> acc + v)")
+    sql = [f"""WITH q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) * {quant}.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS cid,
+         list_transform(qv, v -> CAST(v AS DOUBLE)) AS mv
+  FROM q WHERE vec_id < {k}
+)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql.append(f""",
+p{it} AS (
+  SELECT q.vec_id, c.cid AS centroid, q.qv, {d2} AS d2
+  FROM q CROSS JOIN {prev} c
+),
+a{it} AS (
+  SELECT vec_id, centroid, qv FROM (
+    SELECT vec_id, centroid, qv,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, centroid ASC) AS rn
+    FROM p{it}) WHERE rn = 1
+),
+s{it} AS (
+  SELECT centroid AS cid, t.i AS dim, SUM(qv[CAST(t.i AS INT)]) AS s,
+         COUNT(*) AS cnt
+  FROM a{it}, range(1, {dim + 1}) t(i) GROUP BY 1, 2
+),
+c{it} AS (
+  SELECT p.cid, COALESCE(n.mv, p.mv) AS mv
+  FROM {prev} p LEFT JOIN (
+    SELECT cid,
+           list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY dim) AS mv
+    FROM s{it} GROUP BY cid) n USING (cid)
+)""")
+        prev = f"c{it}"
+    sql.append(f""",
+pf AS (
+  SELECT q.vec_id, c.cid AS centroid, {d2} AS d2
+  FROM q CROSS JOIN {prev} c
+)
+SELECT vec_id, centroid, d2 AS dist2 FROM (
+  SELECT vec_id, centroid, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2 ASC, centroid ASC) AS rn
+  FROM pf) WHERE rn = 1""")
+    return "".join(sql)
+
+
+register("emb_kmeans_train", emb_kmeans_train, _kmeans_train_oracle())

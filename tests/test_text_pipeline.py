@@ -5,9 +5,12 @@ The oracle gate proves engine parity at corpus scale; these tests pin the
 EDGE semantics: empty/short docs, boundary-straddling packs, tie-breaks.
 """
 
+import random
+from collections import Counter, defaultdict
+
 from pyspark.sql import functions as F
 
-from pigeon_optics_spark.pipeline.similarity import kmeans_assign
+from pigeon_optics_spark.pipeline.similarity import kmeans_assign, kmeans_train
 from pigeon_optics_spark.pipeline.text import (
     chunk_dedup,
     ngram_contamination,
@@ -323,3 +326,72 @@ class TestCurationOps:
         assert (out["n_lines"], out["n_kept"]) == (7, 4)
         assert out["clean_len"] == len(clean)
         assert out["clean_hash"] == hashlib.md5(clean.encode()).hexdigest()
+
+
+class TestKmeansTrain:
+    def _py_train(self, rows, k, iters, quant=10000):
+        """Pure-Python Lloyd replica of kmeans_train's integer contract."""
+        import math
+
+        def quantize(v):
+            return [math.floor(float(x) * float(quant)) for x in v]
+
+        q = {i: quantize(v) for i, v in rows}
+        dim = len(next(iter(q.values())))
+        means = [[float(c) for c in q[i]] for i in sorted(q)[:k]]
+
+        def assign():
+            out = {}
+            for i, qv in q.items():
+                best = min(
+                    (sum((float(qv[d]) - mv[d]) ** 2 for d in range(dim)), j)
+                    for j, mv in enumerate(means))
+                out[i] = best
+            return out
+
+        for _ in range(iters):
+            a = assign()
+            sums = defaultdict(lambda: [0] * dim)
+            cnt = Counter()
+            for i, (_, j) in a.items():
+                cnt[j] += 1
+                for d in range(dim):
+                    sums[j][d] += q[i][d]
+            means = [[sums[j][d] / cnt[j] for d in range(dim)]
+                     if cnt[j] else means[j] for j in range(k)]
+        return assign()
+
+    def test_matches_python_replica_exactly(self, spark):
+        rng = random.Random(42)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: (r["dist2"], r["centroid"])
+               for r in kmeans_train(emb, k=4, iters=2).collect()}
+        # spark floats truncate to float32 on ingest — replicate that
+        import struct
+        f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+        want = self._py_train([(i, [f32(x) for x in v]) for i, v in rows],
+                              k=4, iters=2)
+        assert got == want  # EXACT double equality incl. dist2
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        # seeds 0 and 1 are identical → in iteration 1 every point ties (or
+        # loses) to cid 0, cell 1 goes EMPTY and must keep its seed centroid
+        # [0,0]; in iteration 2 the origin points then flip back to cell 1
+        # (whose retained centroid is nearer than cell 0's dragged mean)
+        rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]),
+                (2, [10.0, 10.0]), (3, [0.1, 0.0])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r["centroid"]
+               for r in kmeans_train(emb, k=2, iters=2).collect()}
+        assert out == {0: 1, 1: 1, 2: 0, 3: 1}
+        want = self._py_train(rows, k=2, iters=2)
+        assert out == {i: j for i, (_, j) in want.items()}
+
+    def test_final_pass_plan_is_map_only(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i % 5), 1.0]) for i in range(20)],
+            "vec_id long, embedding array<float>")
+        plan = (kmeans_train(emb, k=2, iters=1)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan  # assignment is a pure per-row expr
