@@ -2430,3 +2430,74 @@ SELECT vec_id, centroid, d2 AS dist2 FROM (
 
 
 register("emb_kmeans_train", emb_kmeans_train, _kmeans_train_oracle())
+
+
+def corpus_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-authority ranking: weighted PageRank over the source-overlap
+    graph (edges = shared distinct 8-char shingles between sources, both
+    directions) — the host-graph-centrality signal a curation pipeline uses
+    to weight sources before mixing (pipeline.graph.pagerank).
+
+    Integer-grid ranks make the three iterations bit-reproducible in the
+    DuckDB oracle's unrolled CTE chain; SUMs there are CAST AS BIGINT (the
+    documented DuckDB HUGEINT class)."""
+    from ..pipeline.graph import pagerank
+
+    ov = corpus_source_overlap(spark, sf_dir)
+    edges = ov.select(F.col("source_a").alias("src"),
+                      F.col("source_b").alias("dst"),
+                      F.col("shared_shingles").alias("weight")).union(
+        ov.select(F.col("source_b").alias("src"),
+                  F.col("source_a").alias("dst"),
+                  F.col("shared_shingles").alias("weight")))
+    return (pagerank(edges, iters=3)
+            .select(F.col("node").alias("source"),
+                    F.col("rank").alias("rank_int")))
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled integer-PageRank CTE chain over the symmetric overlap graph.
+
+    Every SUM is CAST AS BIGINT immediately (DuckDB SUM(BIGINT) is HUGEINT
+    — pandas float64 — which would both hash-mismatch and poison the
+    integer-division types downstream)."""
+    sql = ["""WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(
+           range(1, GREATEST(LENGTH(text) - 7, 1) + 1),
+           i -> substr(text, CAST(i AS INT), 8)))) AS sh
+  FROM documents
+),
+ov AS (
+  SELECT a.source AS src, b.source AS dst, COUNT(*) AS w
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source <> b.source
+  GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT src AS node FROM ov),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM ov GROUP BY src),
+pe AS (
+  SELECT e.src, e.dst, (e.w * CAST(1000000 AS BIGINT)) // o.tw AS p
+  FROM ov e JOIN outw o USING (src)
+),
+r0 AS (SELECT node, (1000000000 // nn.n) AS rank FROM nodes CROSS JOIN nn)"""]
+    prev = "r0"
+    for it in range(1, iters + 1):
+        sql.append(f""",
+i{it} AS (
+  SELECT nd.node,
+         ((CAST(1000000000 AS BIGINT) * 15) // (nn.n * 100))
+         + (85 * COALESCE(c.c, 0)) // 100 AS rank
+  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+    SELECT pe.dst AS node,
+           CAST(SUM((r.rank * pe.p) // 1000000) AS BIGINT) AS c
+    FROM pe JOIN {prev} r ON pe.src = r.node GROUP BY pe.dst) c
+  ON nd.node = c.node
+)""")
+        prev = f"i{it}"
+    sql.append(f"""
+SELECT node AS source, CAST(rank AS BIGINT) AS rank_int FROM {prev}""")
+    return "".join(sql)
+
+
+register("corpus_source_pagerank", corpus_source_pagerank, _pagerank_oracle())

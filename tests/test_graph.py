@@ -1,0 +1,58 @@
+"""Integer-grid PageRank (pipeline.graph): pure-Python replica + edge
+semantics.  The oracle gate proves engine parity on the corpus overlap
+graph; these tests pin the contract on adversarial little graphs."""
+
+from pigeon_optics_spark.pipeline.graph import PSCALE, SCALE, pagerank
+
+
+def _py_pagerank(edges, iters=3, damping_pct=85):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    base = (SCALE * (100 - damping_pct)) // (n * 100)
+    tw = {}
+    for s, _, w in edges:
+        tw[s] = tw.get(s, 0) + w
+    pe = [(s, d, (w * PSCALE) // tw[s]) for s, d, w in edges]
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        c = {v: 0 for v in nodes}
+        for s, d, p in pe:
+            c[d] += (r[s] * p) // PSCALE
+        r = {v: base + (damping_pct * c[v]) // 100 for v in nodes}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    return {row["node"]: row["rank"] for row in pagerank(df, **kw).collect()}
+
+
+class TestPagerank:
+    def test_matches_python_replica_exactly(self, spark):
+        # weighted digraph with a hub, a dangling node, and asymmetric edges
+        edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 5), ("c", "a", 2),
+                 ("d", "a", 7), ("b", "d", 1), ("e", "a", 1)]  # e: no inlinks
+        got = _run(spark, edges)
+        assert got == _py_pagerank(edges)
+
+    def test_hub_outranks_leaf(self, spark):
+        # everything points at 'hub'; hub points at one leaf
+        edges = [(f"v{i}", "hub", 1) for i in range(5)] + [("hub", "v0", 1)]
+        got = _run(spark, edges)
+        assert got["hub"] > max(v for k, v in got.items() if k != "hub")
+
+    def test_no_inlink_node_holds_base_rank(self, spark):
+        edges = [("a", "b", 1), ("c", "b", 1)]
+        got = _run(spark, edges)
+        n = 3
+        base = (SCALE * 15) // (n * 100)
+        assert got["a"] == base and got["c"] == base
+
+    def test_dangling_mass_leaks_total_bounded(self, spark):
+        # dangling node 'b' absorbs rank it never redistributes: total mass
+        # stays <= SCALE (never inflates) and every rank >= base
+        edges = [("a", "b", 1)]
+        got = _run(spark, edges, iters=5)
+        assert sum(got.values()) <= SCALE
+        base = (SCALE * 15) // (2 * 100)
+        assert all(v >= base for v in got.values())
