@@ -477,3 +477,69 @@ WHERE doc_id % 3 = 0
 """
 
 register("store_links_extraction", store_links_extraction, _LINKS_ORACLE)
+
+
+_STREAM_INGEST_STORES: dict[str, DatasetStore] = {}
+
+
+def store_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INGEST into the storage engine — the 6th real Structured
+    Streaming run, and the one that composes streaming with the store: a
+    ``readStream`` file source carrying every document TWICE feeds
+    ``foreachBatch``, each micro-batch upserts through the normal
+    distributed write path (``write_entries_df``), and the result is read
+    back out with ``read_df``.
+
+    The doubled source + arbitrary micro-batch slicing prove INGEST
+    IDEMPOTENCY end to end: within-batch re-deliveries collapse via
+    ``dropDuplicates(record_id)`` (copies are byte-identical, so the pick
+    is immaterial), cross-batch re-deliveries are swallowed by the store's
+    hash change-suppression — so every record must come out at version 1
+    no matter how availableNow sliced the files.  This is the streaming
+    half of the reference's HTTP ingest + change-feed loop
+    (library/models/dataset.js write path) re-expressed as
+    readStream → foreachBatch → log-structured segments.
+
+    Scale shape: each micro-batch write is the same distributed
+    hash+suppress+append job as batch ingest (no driver materialization);
+    state growth is the store itself, not executor memory."""
+    import tempfile as _tf
+
+    if sf_dir not in _STREAM_INGEST_STORES:
+        src_dir = _tf.mkdtemp(prefix="po_stream_ingest_src_")
+        docs = _docs_src(spark, sf_dir)
+        docs.write.mode("overwrite").parquet(src_dir)
+        docs.write.mode("append").parquet(src_dir)  # duplicate delivery
+        store = DatasetStore(_tf.mkdtemp(prefix="po_stream_ingest_"))
+        store.create("t", "stream")
+        schema = spark.read.parquet(src_dir).schema
+
+        def _ingest(bdf: DataFrame, batch_id: int) -> None:
+            store.write_entries_df(spark, "t", "stream",
+                                   bdf.dropDuplicates(["record_id"]))
+
+        q = (spark.readStream.schema(schema).parquet(src_dir)
+             .writeStream.foreachBatch(_ingest)
+             .option("checkpointLocation",
+                     _tf.mkdtemp(prefix="po_stream_ingest_ck_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        _STREAM_INGEST_STORES[sf_dir] = store
+    store = _STREAM_INGEST_STORES[sf_dir]
+    df = store.read_df(spark, "t", "stream")
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    return df.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        parsed.getField("lang").alias("lang"),
+        F.length(parsed.getField("text")).alias("text_len"),
+        "version",
+    )
+
+
+_STREAM_INGEST_ORACLE = """
+SELECT doc_id, lang, LENGTH(text) AS text_len, 1 AS version
+FROM documents
+"""
+
+register("store_stream_ingest", store_stream_ingest, _STREAM_INGEST_ORACLE)
