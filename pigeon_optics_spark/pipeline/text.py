@@ -846,3 +846,69 @@ def dup_window_stats(df: DataFrame, window_tokens: int = 10,
                      / F.greatest(F.coalesce("n_windows", F.lit(0)),
                                   F.lit(1)).cast("double"))
                     .alias("dup_frac")))
+
+
+def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained BPE merge list — the ENCODE half of the tokenizer
+    whose TRAIN count step is ``bpe_pair_counts`` (Sennrich et al. 2016).
+
+    True BPE is a per-word priority loop (repeatedly merge the
+    highest-ranked adjacent pair present, leftmost first, until none
+    applies).  That loop is genuinely imperative — a chained literal
+    REPLACE diverges from it on ≥3 consecutive occurrences of one pair
+    (e.g. ``aaaaaa`` with merge ``(a,a)`` is [aa,aa,aa] under BPE but
+    [aa,a,aa,a] at the REPLACE fixpoint) — so this is one of the repo's
+    few deliberate Python kernels: an Arrow-batched ``mapInPandas`` with a
+    per-batch word-level memo cache (Zipf makes the cache hit rate high;
+    the loop runs once per DISTINCT word per batch).
+
+    → (doc_id, n_tokens_bpe, tokens_md5): token count after merging, plus
+    an md5 witness of the space-joined token stream.
+
+    Scale shape: map-only (no shuffle, no state); merges ship inside the
+    closure exactly like ANN centroids/codebooks ship as literals —
+    trained offline, broadcast with the task.  Cost is linear in corpus
+    bytes; the memo cache amortizes the merge loop across repeated words.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(w: str, memo: dict) -> list[str]:
+        got = memo.get(w)
+        if got is not None:
+            return got
+        syms = list(w)
+        while len(syms) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        memo[w] = syms
+        return syms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for pdf in batches:
+            out_id, out_n, out_md5 = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks: list[str] = []
+                for w in (text or "").split():
+                    toks.extend(encode_word(w, memo))
+                out_id.append(rid)
+                out_n.append(len(toks))
+                out_md5.append(hashlib.md5(
+                    " ".join(toks).encode("utf-8")).hexdigest())
+            yield pd.DataFrame({id_col: out_id, "n_tokens_bpe": out_n,
+                                "tokens_md5": out_md5})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, n_tokens_bpe long, tokens_md5 string")

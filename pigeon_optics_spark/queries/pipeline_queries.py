@@ -2501,3 +2501,47 @@ SELECT node AS source, CAST(rank AS BIGINT) AS rank_int FROM {prev}""")
 
 
 register("corpus_source_pagerank", corpus_source_pagerank, _pagerank_oracle())
+
+
+def text_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score histogram at fixed 0.1-wide bins — the map-only
+    curation report behind threshold picking (how much corpus survives each
+    cut).  Deliberately NOT ntile/percent_rank: rank-based deciles need a
+    global-order window (the unpartitioned-window anti-pattern the plan
+    sweep rejects); fixed thresholds bin per-row and aggregate with
+    map-side combine, which is the 100 TB shape.  Token totals are integer
+    sums (engine-exact)."""
+    from ..pipeline.text import quality_score, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    feats = token_count(quality_score(docs))
+    binned = feats.select(
+        F.least(F.floor(F.col("quality_score") * 10).cast("int"),
+                F.lit(9)).alias("bin"),
+        "n_tokens", "quality_score")
+    return (binned.groupBy("bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("quality_score").alias("min_score"),
+                 F.max("quality_score").alias("max_score")))
+
+
+_QUALITY_HISTOGRAM_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE}),
+t AS (
+  SELECT q.doc_id, q.quality_score,
+         len(regexp_extract_all(d.text, '{{TOKEN_RE}}')) AS n_tokens
+  FROM q JOIN documents d USING (doc_id)
+)
+SELECT LEAST(CAST(FLOOR(quality_score * 10) AS INT), 9) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(quality_score) AS min_score,
+       MAX(quality_score) AS max_score
+FROM t GROUP BY 1
+"""
+_QUALITY_HISTOGRAM_ORACLE = _QUALITY_HISTOGRAM_ORACLE.replace(
+    "{TOKEN_RE}", TOKEN_RE)
+
+register("text_quality_histogram", text_quality_histogram,
+         _QUALITY_HISTOGRAM_ORACLE)

@@ -779,3 +779,93 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 register("q_exact_quantiles", q_exact_quantiles, _EXACT_Q_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q17-style small-quantity revenue: per-group correlated AVG threshold.
+# The classic decorrelated shape — Spark expresses the correlated scalar
+# subquery as groupBy + join (what Catalyst rewrites it to anyway), so the
+# plan is two shuffles (per-part avg, final agg), no nested-loop subquery.
+# Determinism: l_quantity is integer-valued, so the per-part mean is
+# exact-integer-sum / count — one IEEE division, identical across engines;
+# the 0.2× threshold and the comparison are then bit-stable.
+# --------------------------------------------------------------------------
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    brands = ["Brand#12", "Brand#23", "Brand#34"]
+    avg_q = li.groupBy("l_partkey").agg(
+        F.expr(davg("l_quantity", "avg_qty")).alias("avg_qty"))
+    return (li.join(part.where(F.col("p_brand").isin(brands)),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(avg_q, "l_partkey")
+            .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+            .groupBy("p_brand")
+            .agg(F.expr(dsum("l_extendedprice", "rev")).alias("rev"),
+                 F.count("*").alias("n_small"))
+            .select("p_brand",
+                    (F.col("rev") / F.lit(7.0)).alias("avg_yearly"),
+                    "n_small"))
+
+
+_Q17_ORACLE = f"""
+WITH avg_q AS (
+  SELECT l_partkey, {davg('l_quantity', 'avg_qty')}
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand, rev / 7.0 AS avg_yearly, n_small
+FROM (
+  SELECT p_brand, {dsum('l_extendedprice', 'rev')},
+         COUNT(*) AS n_small
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN avg_q a ON l.l_partkey = a.l_partkey
+  WHERE p.p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+    AND l.l_quantity < 0.2 * a.avg_qty
+  GROUP BY p_brand
+)
+"""
+
+register("q_small_quantity_revenue", q_small_quantity_revenue, _Q17_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q18-style large-volume orders: HAVING-filtered aggregate re-joined to its
+# detail tables.  The big-order set is found with ONE groupBy (integer-
+# valued doubles sum exactly → the >250 threshold cannot flip between
+# engines); orders and customer then attach via equi-joins.  Top-100 by
+# (sum_qty desc, o_orderkey) is TakeOrdered — no global sort.
+# --------------------------------------------------------------------------
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.expr(dsum("l_quantity", "sum_qty")).alias("sum_qty"))
+           .where(F.col("sum_qty") > 250))
+    return (big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "sum_qty")
+            .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+_Q18_ORACLE = f"""
+WITH big AS (
+  SELECT l_orderkey, {dsum('l_quantity', 'sum_qty')}
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+register("q_large_volume_orders", q_large_volume_orders, _Q18_ORACLE)

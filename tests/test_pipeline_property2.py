@@ -262,3 +262,57 @@ def test_throttle_planted_tie_is_deterministic(spark, event_rows):
     finally:
         EQ.load_events = orig
     assert a == b and len(a) == len(event_rows)
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply: true merge-loop semantics vs an independent replica
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(word, merges):
+    """Independent reference: repeatedly apply the HIGHEST-priority pair
+    present (leftmost occurrence), textbook Sennrich encode order."""
+    syms = list(word)
+    while True:
+        present = [(merges.index((a, b)), i)
+                   for i, (a, b) in enumerate(zip(syms, syms[1:]))
+                   if (a, b) in merges]
+        if not present:
+            return syms
+        _, i = min(present)
+        syms[i:i + 2] = [syms[i] + syms[i + 1]]
+
+
+def test_bpe_apply_matches_reference(spark):
+    from pigeon_optics_spark.pipeline.text import bpe_apply
+    import hashlib
+
+    merges = [("a", "a"), ("t", "h"), ("th", "e"), ("aa", "aa"),
+              ("k", "e"), ("ke", "y")]
+    rows = [(0, "the key aaaaaa"),       # run of 6: [aa,aa,aa] then (aa,aa)
+            (1, "aaa theth keykey"),
+            (2, ""),                      # empty doc
+            (3, "zzz unmergeable"),
+            (4, "aaaaaaa the")]           # odd-length run
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens_bpe"], r["tokens_md5"])
+           for r in bpe_apply(df, merges).collect()}
+    for doc_id, text in rows:
+        toks = []
+        for w in text.split():
+            toks.extend(_ref_bpe(w, merges))
+        md5 = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert got[doc_id] == (len(toks), md5), doc_id
+    # the exact case where a REPLACE-chain would diverge: priority order
+    # matters — (a,a) outranks (aa,aa), so aaaaaa → aa,aa,aa → aaaa, aa
+    assert _ref_bpe("aaaaaa", merges) == ["aaaa", "aa"]
+
+
+def test_bpe_apply_memo_is_batch_safe(spark):
+    # many repeated words across rows: memoized path must equal cold path
+    from pigeon_optics_spark.pipeline.text import bpe_apply
+
+    merges = [("t", "h"), ("th", "e")]
+    rows = [(i, "the " * (i % 3 + 1)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe_apply(df, merges).collect()}
+    assert out == {i: i % 3 + 1 for i in range(50)}  # 'the' → 1 token each
