@@ -483,3 +483,42 @@ def semantic_dedup(emb: DataFrame, k: int = 8, threshold: float = 0.9,
             .join(dup_ids.withColumn("is_dup", F.lit(True)), "id", "left")
             .select(F.col("id").alias("vec_id"), "centroid",
                     F.coalesce("is_dup", F.lit(False)).alias("is_dup")))
+
+
+def fuzzy_pairs(df: DataFrame, max_dist: int = 4, block_prefix: int = 16,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Edit-distance near-match pairs with prefix blocking — the
+    entity-resolution / OCR-noise dedup family (typo-level variants that
+    shingle-based MinHash treats as distinct shingles but edit distance
+    sees as ≤ k operations).
+
+    Candidates come from an EQUI-join on the first ``block_prefix``
+    characters plus a length band (a pair within ``max_dist`` edits can
+    differ by at most ``max_dist`` characters in length) — never an
+    all-pairs product.  Levenshtein runs only inside blocks; ``id_a <
+    id_b`` halves the matrix.
+
+    → (id_a, id_b, dist).
+
+    Scale shape: one shuffle on the block key; Σ|block|² bounds the
+    quadratic term, so block-key choice is the scale lever (longer prefix
+    or prefix+length composite at bigger corpora — same trade as LSH band
+    width).  The standard recall caveat applies and is inherent to
+    prefix blocking: an edit INSIDE the first ``block_prefix`` characters
+    moves the pair to different blocks (production stacks run a second
+    pass blocked on a suffix or sorted-neighborhood key to recover those).
+    """
+    probe = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.substring(text_col, 1, block_prefix).alias("blk"),
+        F.length(text_col).alias("n"),
+    )
+    a, b = probe.alias("a"), probe.alias("b")
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.id") < F.col("b.id"))
+                   & (F.abs(F.col("a.n") - F.col("b.n")) <= max_dist))
+            .withColumn("dist", F.levenshtein(F.col("a.t"), F.col("b.t")))
+            .where(F.col("dist") <= max_dist)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"), "dist"))

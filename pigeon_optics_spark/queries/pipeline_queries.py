@@ -2545,3 +2545,41 @@ _QUALITY_HISTOGRAM_ORACLE = _QUALITY_HISTOGRAM_ORACLE.replace(
 
 register("text_quality_histogram", text_quality_histogram,
          _QUALITY_HISTOGRAM_ORACLE)
+
+
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-blocked edit-distance matching (pipeline.dedup.fuzzy_pairs)
+    over a typo-variant fixture: every doc_id < 40 gains a copy at
+    +30000000 with characters 21-23 deleted — 3 edit operations, outside
+    the 16-char block prefix, so each (orig, variant) pair must surface at
+    dist 3 alongside any natural ≤4-edit pairs in the corpus.  Fixture ids
+    clear every SF's id range (the dedup_semantic lesson)."""
+    from ..pipeline.dedup import fuzzy_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = (docs.where(F.col("doc_id") < 40)
+                .select((F.col("doc_id") + 30000000).alias("doc_id"),
+                        F.expr("concat(substring(text, 1, 20), "
+                               "substring(text, 24))").alias("text")))
+    return fuzzy_pairs(docs.unionByName(variants))
+
+
+_FUZZY_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000000, concat(substr(text, 1, 20), substr(text, 24))
+  FROM documents WHERE doc_id < 40
+),
+probe AS (
+  SELECT doc_id AS id, text AS t, substr(text, 1, 16) AS blk,
+         LENGTH(text) AS n
+  FROM corpus
+)
+SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.t, b.t) AS dist
+FROM probe a JOIN probe b
+  ON a.blk = b.blk AND a.id < b.id AND ABS(a.n - b.n) <= 4
+WHERE levenshtein(a.t, b.t) <= 4
+"""
+
+register("dedup_fuzzy_pairs", dedup_fuzzy_pairs, _FUZZY_ORACLE)

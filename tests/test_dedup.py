@@ -138,3 +138,57 @@ def test_semantic_dedup_orthogonal_corpus_drops_nothing(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = semantic_dedup(df, k=2, threshold=0.5).collect()
     assert len(out) == 4 and not any(r["is_dup"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_pairs: prefix-blocked edit-distance matching
+# ---------------------------------------------------------------------------
+
+def _fuzzy_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fuzzy_pairs_finds_small_edits(spark):
+    from pigeon_optics_spark.pipeline.dedup import fuzzy_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    rows = [(0, base),
+            (1, base),                         # exact dup → dist 0
+            (2, base[:20] + base[23:]),        # 3-char deletion after prefix
+            (3, base[:20] + "XY" + base[20:]), # 2-char insertion
+            (4, "completely different text here that shares nothing")]
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in fuzzy_pairs(_fuzzy_df(spark, rows)).collect()}
+    assert out[(0, 1)] == 0
+    assert out[(0, 2)] == 3 and out[(1, 2)] == 3
+    assert out[(0, 3)] == 2
+    assert not any(4 in p for p in out)
+
+
+def test_fuzzy_pairs_documented_recall_caveat(spark):
+    # an edit INSIDE the 16-char block prefix moves the pair to different
+    # blocks — documented miss, pinned here so the contract stays honest
+    from pigeon_optics_spark.pipeline.dedup import fuzzy_pairs
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(0, base), (1, "thX" + base[3:])]
+    assert fuzzy_pairs(_fuzzy_df(spark, rows)).collect() == []
+
+
+def test_fuzzy_pairs_length_band_prunes(spark):
+    from pigeon_optics_spark.pipeline.dedup import fuzzy_pairs
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(0, base), (1, base + " plus a long extra tail of words")]
+    # same block, but length differs by > max_dist → pruned before any
+    # levenshtein evaluation
+    assert fuzzy_pairs(_fuzzy_df(spark, rows)).collect() == []
+
+
+def test_fuzzy_pairs_plan_is_equi_join(spark):
+    from pigeon_optics_spark.pipeline.dedup import fuzzy_pairs
+
+    df = _fuzzy_df(spark, [(i, f"prefix shared {i} words etc") for i in range(10)])
+    plan = (fuzzy_pairs(df)._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
