@@ -1061,3 +1061,57 @@ FROM per_session GROUP BY user_id
 
 register("events_session_conversion", events_session_conversion,
          _SESSION_CONV_ORACLE)
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median, median-absolute-
+    deviation, and the count of values beyond 3·MAD — the
+    heavy-tail-tolerant sibling of ``q_event_zscores`` (mean/std break
+    down under the very outliers being hunted).
+
+    Determinism: median interpolation is (a+b)/2 of concrete doubles —
+    bit-stable across engines (the q_exact_quantiles class); deviations
+    and the 3·MAD threshold are then pure double arithmetic.
+
+    Scale note: ``percentile`` here is the exact verification-grade form
+    (per-group sorted buffer — fine while each event_type group fits an
+    executor); the 100 TB path swaps in ``approx_percentile`` /
+    mergeable t-digests exactly as ``q_approx_aggregates`` and
+    ``events_sketch_rollup`` demonstrate for counts."""
+    ev = load_events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(med, "event_type")
+           .select("event_type", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.min("med").alias("med"))
+    return (dev.drop("med").join(mad, "event_type")
+            .groupBy("event_type", "med", "mad")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("adev") > 3 * F.col("mad"), 1)
+                       .otherwise(0)).alias("n_outliers")))
+
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT d.event_type, quantile_cont(d.adev, 0.5) AS mad, MIN(m.med) AS med
+  FROM dev d JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT d.event_type, m.med, m.mad, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY 1, 2, 3
+"""
+
+register("events_mad_outliers", events_mad_outliers, _MAD_ORACLE)

@@ -869,3 +869,53 @@ LIMIT 100
 """
 
 register("q_large_volume_orders", q_large_volume_orders, _Q18_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair mining (association-rule count step): co-occurring
+# part pairs within an order, min-support filtered, top-50.  The pairs
+# expand IN-ROW from each order's sorted distinct item set (≤ C(items,2)
+# per order — items-per-order is a data constant, so the explode is
+# bounded), then ONE groupBy(pair) with map-side combine.  This is the
+# count core of distributed FP-growth/Apriori; at 100 TB the shuffle
+# carries (pair → partial count), never baskets.
+# --------------------------------------------------------------------------
+
+
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+    pairs = baskets.select(F.explode(F.flatten(F.transform(
+        F.col("items"),
+        lambda a, i: F.transform(
+            F.slice(F.col("items"), i + 2,
+                    F.greatest(F.size("items") - i - 1, F.lit(1))),
+            lambda b: F.struct(a.alias("part_a"), b.alias("part_b")))
+    ))).alias("p"))
+    return (pairs.groupBy(F.col("p.part_a").alias("part_a"),
+                          F.col("p.part_b").alias("part_b"))
+            .agg(F.count("*").alias("n_orders"))
+            .where(F.col("n_orders") >= 3)
+            .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+            .limit(50))
+
+
+_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS items
+  FROM lineitem GROUP BY l_orderkey
+),
+pairs AS (
+  SELECT a.part_a, b.part_b
+  FROM (SELECT l_orderkey, unnest(items) AS part_a FROM baskets) a
+  JOIN (SELECT l_orderkey, unnest(items) AS part_b FROM baskets) b
+    ON a.l_orderkey = b.l_orderkey AND a.part_a < b.part_b
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 50
+"""
+
+register("q_market_basket_pairs", q_market_basket_pairs, _BASKET_ORACLE)
