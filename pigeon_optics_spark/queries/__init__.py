@@ -55,12 +55,15 @@ _DRIVER_PRIORITY = [
     # --- 1. never driver-checked (new in r4, local-only until now) ---
     "dedup_survivors", "text_gopher_quality", "ann_ivfpq_topk",
     "corpus_cluster_profile",
-    # --- 2. last driver row r2/r3 (rotated out of the r4 window) ---
-    "text_tfidf_top_terms", "dedup_exact_documents", "dedup_ngram_pairs",
-    "dedup_simhash_signatures", "dedup_embedding_pairs",
-    "multimodal_real_image_meta", "multimodal_audio_meta",
-    "text_chunk_dedup", "text_contamination", "text_pack_sequences",
-    "text_pii_scrub", "emb_kmeans_assign", "emb_pq_codes", "emb_pq_topk",
+    # --- 2. last driver row r2/r3 (rotated out of the r4 window).
+    # Wave 4 displaced 9 of the original 14 (tfidf, ngram_pairs, simhash,
+    # embedding_pairs, chunk_dedup, contamination, pack_sequences,
+    # pii_scrub, pq_codes) back to overflow: they keep their r2/r3 green
+    # rows, while NEVER-checked gates take the slots — minimizing
+    # no-driver-evidence gates is the window's objective.  r6 must rotate
+    # the displaced 9 back in. ---
+    "dedup_exact_documents", "multimodal_real_image_meta",
+    "multimodal_audio_meta", "emb_kmeans_assign", "emb_pq_topk",
     # --- 3. r4 red row, oracle typing fixed this round ---
     "events_sessionize",
     # --- 4. newly oracle-gated this round ---
@@ -80,7 +83,12 @@ _DRIVER_PRIORITY = [
     "corpus_source_overlap", "events_sketch_rollup",
     "events_stream_stream_join", "text_dup_window_stats",
     "events_unpivot_metrics", "events_session_conversion",
-    # (no fill section this round: sections 1-6 fill the 50-row window
+    # --- 7. new in the r5 wave-4 session (never driver-checked) ---
+    "emb_kmeans_train", "corpus_source_pagerank", "store_stream_ingest",
+    "text_quality_histogram", "q_small_quantity_revenue",
+    "q_large_volume_orders", "dedup_fuzzy_pairs", "events_mad_outliers",
+    "q_market_basket_pairs",
+    # (no fill section this round: sections 1-7 fill the 50-row window
     # exactly.  EVERY gate in the overflow — q1/q3/q5, the rollup/cube/
     # setops/scalar/quantile relational gates, all lens gates, minhash
     # pairs+components+survivor ancestors' r4 rows, store/codec/e2e, the
