@@ -431,3 +431,99 @@ def sample_frames(df: DataFrame, binary_col: str = "data",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def tar_member_index(data: bytes) -> list[tuple[str, int, str, int]]:
+    """Walk a (possibly ustar) tar archive's 512-byte header blocks and
+    return ``(name, size, typeflag, offset)`` per member WITHOUT reading
+    member payloads — the shard-manifest step for WebDataset-style
+    tar-sharded training corpora (members are `<sample>.<ext>` files; the
+    index is what a dataloader needs to plan reads).
+
+    Real parsing: octal size field, checksum verification (unsigned sum
+    with the checksum field as spaces), end-of-archive double zero block.
+    Malformed headers raise ValueError — a corrupt shard should fail loudly
+    in the manifest pass, not at read time.
+    """
+    out: list[tuple[str, int, str, int]] = []
+    off = 0
+    n = len(data)
+    while off + 512 <= n:
+        hdr = data[off:off + 512]
+        if hdr == b"\x00" * 512:
+            break
+        raw_size = hdr[124:136].rstrip(b"\x00 ")
+        raw_chk = hdr[148:156].rstrip(b"\x00 ")
+        try:
+            size = int(raw_size or b"0", 8)
+            chksum = int(raw_chk or b"0", 8)
+        except ValueError as e:
+            raise ValueError(f"bad tar header at offset {off}: {e}") from e
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if calc != chksum:
+            raise ValueError(f"tar checksum mismatch at offset {off}")
+        name = hdr[0:100].rstrip(b"\x00").decode("utf-8", "replace")
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        out.append((name, size, typeflag, off))
+        off += 512 + ((size + 511) // 512) * 512
+    return out
+
+
+def write_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Minimal deterministic ustar writer (regular files only): the
+    fixture-side inverse of :func:`tar_member_index`, also usable to pack
+    samples into WebDataset shards.  Zero mtime/uid/gid keeps output
+    byte-stable for content addressing."""
+    blocks: list[bytes] = []
+    for name, payload in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise ValueError(f"tar name too long: {name!r}")
+        hdr = bytearray(512)
+        hdr[0:len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"           # mode
+        hdr[108:116] = b"0000000\x00"           # uid
+        hdr[116:124] = b"0000000\x00"           # gid
+        hdr[124:136] = b"%011o\x00" % len(payload)
+        hdr[136:148] = b"00000000000\x00"       # mtime
+        hdr[148:156] = b" " * 8                 # checksum placeholder
+        hdr[156] = 0x30                          # typeflag '0' regular
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = b"%06o\x00 " % chk
+        blocks.append(bytes(hdr))
+        blocks.append(payload)
+        pad = (-len(payload)) % 512
+        if pad:
+            blocks.append(b"\x00" * pad)
+    blocks.append(b"\x00" * 1024)
+    return b"".join(blocks)
+
+
+TAR_SCHEMA = ("media_id long, member_idx int, member_name string, "
+              "member_size long, typeflag string")
+
+
+def enumerate_tar_members(df: DataFrame, binary_col: str = "data",
+                          id_col: str = "media_id") -> DataFrame:
+    """flatMap one tar-shard row → one row per member via the manifest walk
+    (Arrow-batched; payload bytes are never copied out of the buffer)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "member_idx", "member_name",
+                                    "member_size", "typeflag")}
+            for mid, data in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(data) if data is not None else b""
+                for idx, (name, size, tf, _off) in \
+                        enumerate(tar_member_index(b)):
+                    rows["media_id"].append(mid)
+                    rows["member_idx"].append(idx)
+                    rows["member_name"].append(name)
+                    rows["member_size"].append(size)
+                    rows["typeflag"].append(tf)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=TAR_SCHEMA)

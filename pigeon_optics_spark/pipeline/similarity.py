@@ -521,3 +521,114 @@ def kmeans_train(emb: DataFrame, k: int = 8, iters: int = 2,
         # lazily-consumed return: unpersist only marks for eviction after
         # the final pass has been planned; blocking=False keeps it safe
         q.unpersist(blocking=False)
+
+
+def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
+                         grid: int = 10_000) -> DataFrame:
+    """Exact corpus covariance / Gram statistics over an embedding column —
+    the building block under PCA whitening, feature-correlation audits, and
+    OOD drift monitors on training corpora.
+
+    Engine-exact by integer-grid quantization (the ``emb_kmeans_train``
+    discipline): each component maps to ``floor(x·grid)`` (BIGINT), so the
+    pairwise product sums ``s_ij``, the linear sums ``s_i``, and the count
+    are all exact integer aggregates — order-free, map-side combinable.
+    The covariance itself is then a fixed sequence of IEEE double ops on
+    those exact integers: ``(s_ij - s_i·s_j/n)/n`` — bit-identical in any
+    engine.
+
+    → rows ``(i, j, n, s_i, s_j, s_ij, cov)`` for ``0 <= i <= j < dim``.
+
+    Scale shape: ONE corpus scan; the d(d+1)/2 pair terms expand IN-ROW
+    (array transform, no join), and ``groupBy(i, j)`` partially aggregates
+    map-side, so the shuffle carries at most ``partitions × d²/2`` partial
+    sums regardless of corpus size.  Overflow headroom: unit-scale
+    components quantize to |q| ≤ grid, so a pair sum is ≤ grid²·N — at
+    grid 1e4 that holds to N ≈ 9e10 rows per (i,j) before BIGINT overflow;
+    raise/lower ``grid`` to trade precision against headroom.
+    """
+    qcol = F.transform(F.col(vec_col),
+                       lambda x: F.floor(x.cast("double") * grid)
+                       .cast("long"))
+    d = F.size(qcol)
+    # pair terms j >= i, plus one (i, -1, q_i) marker row per component
+    # carrying the linear sum through the SAME single aggregation
+    pair_structs = F.flatten(F.transform(qcol, lambda x, i: F.concat(
+        F.array(F.struct(i.cast("int").alias("i"),
+                         F.lit(-1).cast("int").alias("j"),
+                         x.alias("p"))),
+        F.transform(F.slice(qcol, i + 1, d - i),
+                    lambda y, k: F.struct(i.cast("int").alias("i"),
+                                          (i + k).cast("int").alias("j"),
+                                          (x * y).alias("p"))))))
+    ex = emb.select(F.explode(pair_structs).alias("s")) \
+        .select("s.i", "s.j", "s.p")
+    agg = ex.groupBy("i", "j").agg(F.sum("p").alias("sv"),
+                                   F.count("*").alias("n"))
+    linear = agg.where(F.col("j") == -1) \
+        .select(F.col("i").alias("li"), F.col("sv").alias("ls"),
+                F.col("n").alias("ln"))
+    pairs = agg.where(F.col("j") >= 0)
+    out = (pairs
+           .join(F.broadcast(linear.select(F.col("li"), F.col("ls").alias("s_i"),
+                                           F.col("ln").alias("n_rows"))),
+                 F.col("i") == F.col("li")).drop("li")
+           .join(F.broadcast(linear.select(F.col("li"), F.col("ls").alias("s_j"))),
+                 F.col("j") == F.col("li")).drop("li"))
+    cov = ((F.col("sv").cast("double")
+            - F.col("s_i").cast("double") * F.col("s_j").cast("double")
+            / F.col("n_rows").cast("double"))
+           / F.col("n_rows").cast("double"))
+    return out.select("i", "j", F.col("n_rows").alias("n"),
+                      "s_i", "s_j", F.col("sv").alias("s_ij"),
+                      cov.alias("cov"))
+
+
+def pca_project(emb: DataFrame, n_components: int = 8,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                grid: int = 10_000) -> DataFrame:
+    """PCA projection of the embedding corpus: covariance via
+    :func:`embedding_covariance` (one distributed scan, exact integer
+    aggregates), eigendecomposition DRIVER-SIDE on the d×d matrix (d² is
+    a few thousand numbers — never corpus-sized), then a map-only
+    projection with the top-``n_components`` eigenvectors riding the plan
+    as literals (the ANN-codebook pattern).
+
+    → (vec_id, components ARRAY<DOUBLE>) in eigenvalue-descending order.
+
+    Eigenvector sign is normalized (largest-|coord| positive) so output is
+    deterministic up to numpy's eigh; this is the one operator family whose
+    kernel (symmetric eigensolve) is legitimately driver-side — the
+    distributed parts are the covariance pass and the projection map.
+    Verified against numpy in pytest rather than oracle-gated: DuckDB has
+    no eigensolver to mirror.
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(emb, vec_col, grid=grid).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(cov)       # ascending eigenvalues
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    # mean (in grid units → original units) for centering
+    lin = {r["i"]: (r["s_i"], r["n"]) for r in cov_rows if r["i"] == r["j"]}
+    mean = [lin[i][0] / lin[i][1] / grid for i in range(d)]
+    mean_lit = F.array(*[F.lit(m) for m in mean])
+    centered = F.zip_with(F.col(vec_col).cast("array<double>"), mean_lit,
+                          lambda x, m: x - m)
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(centered, F.array(*[F.lit(c) for c in comp]),
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for comp in comps]
+    return emb.select(id_col, F.array(*proj_cols).alias("components"))

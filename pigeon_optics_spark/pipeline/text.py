@@ -912,3 +912,42 @@ def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
 
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} long, n_tokens_bpe long, tokens_md5 string")
+
+
+def context_chunks(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", window: int = 64,
+                   stride: int = 48) -> DataFrame:
+    """Split each document's token stream into overlapping context windows
+    (size ``window``, step ``stride`` — the BERT/embedding-model chunking
+    recipe; the complement of ``pack_sequences``, which packs SHORT docs up,
+    while this cuts LONG docs down).  Chunk count is
+    ``1 + ceil((n - window)/stride)`` for ``n > window`` else 1, so every
+    token is covered and consecutive chunks overlap by ``window - stride``.
+
+    → (doc_id, chunk_idx, start_tok, n_tok, chunk_hash); the md5 witnesses
+    the exact token slice without shipping chunk text.
+
+    Scale shape: pure in-row array expressions (tokenize once, slice per
+    chunk) + one explode — no shuffle at all; whole-stage codegen end to
+    end.  Chunks-per-doc is bounded by doc length, the explode is linear in
+    corpus token count.
+    """
+    if stride <= 0 or window <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+    words = words_col(text_col)
+    n = F.size(words)
+    # ceil((n-window)/stride) via integer arithmetic; 0 when n <= window
+    extra = F.when(
+        n <= window, F.lit(0)
+    ).otherwise(((n - window + (stride - 1)) / stride).cast("int"))
+    chunks = F.sequence(F.lit(0), extra)  # ascending: 0..n_chunks-1
+    ex = df.select(id_col, words.alias("w"),
+                   F.explode(chunks).alias("chunk_idx"))
+    start = F.col("chunk_idx") * stride
+    piece = F.slice(F.col("w"), start + 1, window)
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        F.size(piece).alias("n_tok"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"))

@@ -55,15 +55,14 @@ _DRIVER_PRIORITY = [
     # --- 1. never driver-checked (new in r4, local-only until now) ---
     "dedup_survivors", "text_gopher_quality", "ann_ivfpq_topk",
     "corpus_cluster_profile",
-    # --- 2. last driver row r2/r3 (rotated out of the r4 window).
-    # Wave 4 displaced 9 of the original 14 (tfidf, ngram_pairs, simhash,
-    # embedding_pairs, chunk_dedup, contamination, pack_sequences,
-    # pii_scrub, pq_codes) back to overflow: they keep their r2/r3 green
-    # rows, while NEVER-checked gates take the slots — minimizing
-    # no-driver-evidence gates is the window's objective.  r6 must rotate
-    # the displaced 9 back in. ---
-    "dedup_exact_documents", "multimodal_real_image_meta",
-    "multimodal_audio_meta", "emb_kmeans_assign", "emb_pq_topk",
+    # --- 2. (emptied in wave 5) Waves 4+5 displaced all 14 r2/r3-history
+    # gates (tfidf, ngram_pairs, simhash, embedding_pairs, chunk_dedup,
+    # contamination, pack_sequences, pii_scrub, pq_codes, exact_documents,
+    # real_image_meta, audio_meta, kmeans_assign, pq_topk) back to
+    # overflow: they keep their r2/r3 green rows, while NEVER-checked
+    # gates take the slots — minimizing no-driver-evidence gates is the
+    # window's objective.  r6 must rotate the displaced 14 back in FIRST
+    # (their rows are the oldest in the registry). ---
     # --- 3. r4 red row, oracle typing fixed this round ---
     "events_sessionize",
     # --- 4. newly oracle-gated this round ---
@@ -88,7 +87,10 @@ _DRIVER_PRIORITY = [
     "text_quality_histogram", "q_small_quantity_revenue",
     "q_large_volume_orders", "dedup_fuzzy_pairs", "events_mad_outliers",
     "q_market_basket_pairs",
-    # (no fill section this round: sections 1-7 fill the 50-row window
+    # --- 8. new in the r5 wave-5 session (never driver-checked) ---
+    "events_seasonal_baseline", "q_order_count_distribution",
+    "emb_covariance", "multimodal_tar_shards", "text_context_chunks",
+    # (no fill section this round: sections 1-8 fill the 50-row window
     # exactly.  EVERY gate in the overflow — q1/q3/q5, the rollup/cube/
     # setops/scalar/quantile relational gates, all lens gates, minhash
     # pairs+components+survivor ancestors' r4 rows, store/codec/e2e, the

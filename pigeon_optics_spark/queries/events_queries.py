@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import dsum, load_events
+from ._util import davg, dsum, load_events
 
 
 def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1115,3 +1115,52 @@ GROUP BY 1, 2, 3
 """
 
 register("events_mad_outliers", events_mad_outliers, _MAD_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Seasonal (hour-of-day) baseline + deviation profile — the "is this hour
+# unusually hot?" primitive behind dashboard anomaly bands.  Two passes:
+# (1) one groupBy builds the tiny (type × 24h) baseline table with an
+# exact-decimal mean (order-free), (2) the baseline broadcasts back onto
+# the raw stream and a second map-side-combined agg counts exceedances.
+# At 100 TB the baseline stays O(types·24) — the broadcast join never
+# shuffles the event table a second time.
+# --------------------------------------------------------------------------
+
+
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_events(spark, sf_dir)
+          .select("event_type", F.hour("ts").cast("int").alias("hour_of_day"),
+                  "value"))
+    base = (ev.groupBy("event_type", "hour_of_day")
+            .agg(F.count("*").alias("n_events"),
+                 F.expr(davg("value", "mean_value", 8)).alias("mean_value")))
+    return (ev.join(F.broadcast(base), ["event_type", "hour_of_day"])
+            .groupBy("event_type", "hour_of_day", "n_events", "mean_value")
+            .agg(F.sum(F.when(F.col("value") > 1.5 * F.col("mean_value"), 1)
+                       .otherwise(0)).alias("n_above")))
+
+
+#: mean_value = one double division of an exact decimal sum by an exact
+#: count (bit-identical cross-engine); 1.5*mean and the > compare are then
+#: single IEEE ops on identical doubles.  SUM(CASE..1..0) is HUGEINT in
+#: DuckDB -> CAST AS BIGINT (the events_sessionize class).
+_SEASONAL_ORACLE = f"""
+WITH base AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+         COUNT(*) AS n_events,
+         {davg('value', 'mean_value', 8)}
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_type, e.hour_of_day, b.n_events, b.mean_value,
+       CAST(SUM(CASE WHEN e.value > 1.5 * b.mean_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above
+FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, value
+      FROM events) e
+JOIN base b
+  ON e.event_type = b.event_type AND e.hour_of_day = b.hour_of_day
+GROUP BY 1, 2, 3, 4
+"""
+
+register("events_seasonal_baseline", events_seasonal_baseline,
+         _SEASONAL_ORACLE)

@@ -2583,3 +2583,159 @@ WHERE levenshtein(a.t, b.t) <= 4
 """
 
 register("dedup_fuzzy_pairs", dedup_fuzzy_pairs, _FUZZY_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Exact integer-grid covariance over the embedding corpus — the PCA /
+# whitening / drift-audit building block (see
+# pipeline.similarity.embedding_covariance for the scale argument: in-row
+# pair expansion, one scan, map-side-combined (i,j) partials).  The oracle
+# mirrors the quantization and the EXACT double-op sequence; all sums are
+# integer-exact so the only floats are the final fixed-order covariance
+# arithmetic.
+# --------------------------------------------------------------------------
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import embedding_covariance
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", grid=10_000)
+
+
+#: DuckDB list_transform lambda indexes are 1-BASED (Spark's are 0-based);
+#: qv[i:] slices from 1-based position i, so the inner element k (1-based)
+#: is 0-based component i+k-2.  SUM(BIGINT) is HUGEINT -> CAST AS BIGINT.
+_EMB_COV_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ex AS (
+  SELECT unnest(flatten(list_transform(qv, (x, i) -> list_concat(
+           [{'i': i - 1, 'j': -1, 'p': x}],
+           list_transform(qv[i:],
+             (y, k) -> {'i': i - 1, 'j': i + k - 2, 'p': x * y}))))) AS s
+  FROM q
+),
+agg AS (
+  SELECT s.i AS i, s.j AS j, CAST(SUM(s.p) AS BIGINT) AS sv,
+         COUNT(*) AS n
+  FROM ex GROUP BY 1, 2
+),
+linear AS (
+  SELECT i AS li, sv AS ls, n AS ln FROM agg WHERE j = -1
+)
+SELECT p.i, p.j, a.ln AS n, a.ls AS s_i, b.ls AS s_j, p.sv AS s_ij,
+       (CAST(p.sv AS DOUBLE)
+        - CAST(a.ls AS DOUBLE) * CAST(b.ls AS DOUBLE)
+          / CAST(a.ln AS DOUBLE))
+       / CAST(a.ln AS DOUBLE) AS cov
+FROM agg p
+JOIN linear a ON p.i = a.li
+JOIN linear b ON p.j = b.li
+WHERE p.j >= 0
+"""
+
+register("emb_covariance", emb_covariance, _EMB_COV_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# WebDataset-style tar shard manifest — REAL tar parsing (octal sizes,
+# checksum verify, 512-byte block walk; pipeline.multimodal.tar_member_index)
+# over shards synthesized with the library's own ustar writer.  Member
+# names/sizes derive from doc_id arithmetically so the oracle is pure SQL.
+# Scale shape: mapInPandas flatMap, one row per member, no payload copy —
+# manifesting a 100 TB shard corpus is embarrassingly parallel.
+# --------------------------------------------------------------------------
+
+
+def multimodal_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.multimodal import enumerate_tar_members, write_tar
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def make_shard(d: int) -> bytes:
+        members = []
+        for s in range(d % 3 + 1):
+            stem = f"{d:08d}.{s:02d}"
+            members.append((f"{stem}.txt", b"t" * ((d * 7 + s * 13) % 900 + 1)))
+            members.append((f"{stem}.jpg", b"j" * ((d * 31 + s * 5) % 2048 + 1)))
+        return write_tar(members)
+
+    def run(batches):
+        for pdf in batches:
+            ids = [int(m) for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": ids,
+                                "data": [make_shard(d) for d in ids]})
+
+    media = docs.mapInPandas(run, schema="media_id long, data binary")
+    return enumerate_tar_members(media)
+
+
+_TAR_ORACLE = """
+WITH samples AS (
+  SELECT doc_id, CAST(s.s AS INT) AS s
+  FROM documents, UNNEST(range(0, doc_id % 3 + 1)) AS s(s)
+  WHERE doc_id <= 300
+),
+members AS (
+  SELECT doc_id, s, 0 AS ext_i, 'txt' AS ext,
+         (doc_id * 7 + s * 13) % 900 + 1 AS msize
+  FROM samples
+  UNION ALL
+  SELECT doc_id, s, 1, 'jpg', (doc_id * 31 + s * 5) % 2048 + 1
+  FROM samples
+)
+SELECT doc_id AS media_id, CAST(s * 2 + ext_i AS INT) AS member_idx,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.'
+         || lpad(CAST(s AS VARCHAR), 2, '0') || '.' || ext AS member_name,
+       CAST(msize AS BIGINT) AS member_size,
+       '0' AS typeflag
+FROM members
+"""
+
+register("multimodal_tar_shards", multimodal_tar_shards, _TAR_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Overlapping context-window chunking (pipeline.text.context_chunks):
+# window 64 / stride 48 over whitespace tokens; md5 witnesses each exact
+# token slice.  Zero-shuffle in-row op — the oracle mirrors the ceil
+# arithmetic and 1-based slice bounds.
+# --------------------------------------------------------------------------
+
+
+def text_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import context_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return context_chunks(docs, "text", "doc_id", window=64, stride=48)
+
+
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')
+           AS w
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 64 THEN 0
+              ELSE CAST((len(w) - 64 + 47) // 48 AS INT) END AS extra
+  FROM toks
+)
+SELECT doc_id, CAST(c.c AS INT) AS chunk_idx,
+       CAST(c.c * 48 AS INT) AS start_tok,
+       CAST(len(w[c.c * 48 + 1 : c.c * 48 + 64]) AS INT) AS n_tok,
+       md5(array_to_string(w[c.c * 48 + 1 : c.c * 48 + 64], ' '))
+         AS chunk_hash
+FROM counted, UNNEST(range(0, extra + 1)) AS c(c)
+"""
+
+register("text_context_chunks", text_context_chunks, _CHUNK_ORACLE)

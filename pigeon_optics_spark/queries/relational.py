@@ -919,3 +919,43 @@ LIMIT 50
 """
 
 register("q_market_basket_pairs", q_market_basket_pairs, _BASKET_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Customer order-count distribution (the TPC-H Q13 shape): LEFT OUTER join
+# so zero-order customers land in the c_count=0 bucket, then a
+# group-on-a-group histogram.  Scale shape: one custkey-hash shuffle for
+# the outer join + first agg (AQE handles customer-key skew), then the
+# second agg runs over at most |distinct order counts| rows — effectively
+# free.  The priority filter stands in for Q13's comment NOT LIKE.
+# --------------------------------------------------------------------------
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = (load(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") != "1-URGENT"))
+    per_cust = (cust.join(orders,
+                          cust["c_custkey"] == orders["o_custkey"], "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+_Q13_ORACLE = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY 1
+ORDER BY custdist DESC, c_count DESC
+"""
+
+register("q_order_count_distribution", q_order_count_distribution,
+         _Q13_ORACLE)

@@ -242,3 +242,89 @@ def test_decode_mp4_meta_distributed(spark):
     assert got[1] == (1000, 5000.0, 1, 320, 240, "mp4")
     assert got[2] == (None, None, None, None, None, "unknown")
     assert got[3] == (None, None, None, None, None, "unknown")
+
+
+# ---------------------------------------------------------------------------
+# tar shard manifest kernel
+# ---------------------------------------------------------------------------
+
+
+def test_tar_roundtrip_with_stdlib():
+    """Our writer parses with the stdlib and the stdlib's output parses
+    with our walker — both directions, padding and end-block included."""
+    import io
+    import tarfile
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        tar_member_index,
+        write_tar,
+    )
+
+    t = write_tar([("a.txt", b"x" * 123), ("dir/b.jpg", b"y" * 512),
+                   ("empty.bin", b"")])
+    got = [(n, s, tf) for n, s, tf, _ in tar_member_index(t)]
+    assert got == [("a.txt", 123, "0"), ("dir/b.jpg", 512, "0"),
+                   ("empty.bin", 0, "0")]
+    with tarfile.open(fileobj=io.BytesIO(t)) as tf:
+        assert [(m.name, m.size) for m in tf.getmembers()] == \
+            [("a.txt", 123), ("dir/b.jpg", 512), ("empty.bin", 0)]
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as w:
+        data = b"z" * 700
+        info = tarfile.TarInfo("sample.00.txt")
+        info.size = len(data)
+        w.addfile(info, io.BytesIO(data))
+    idx = tar_member_index(buf.getvalue())
+    assert [(n, s) for n, s, _, _ in idx] == [("sample.00.txt", 700)]
+    # offsets advance by 512-padded payloads
+    assert idx[0][3] == 0
+
+
+def test_tar_rejects_corrupt_checksum_and_bad_octal():
+    from pigeon_optics_spark.pipeline.multimodal import (
+        tar_member_index,
+        write_tar,
+    )
+
+    t = bytearray(write_tar([("a.txt", b"x" * 10)]))
+    t[0] ^= 0xFF  # name byte flip breaks the checksum
+    with pytest.raises(ValueError, match="checksum"):
+        tar_member_index(bytes(t))
+
+    t2 = bytearray(write_tar([("a.txt", b"x" * 10)]))
+    t2[124:136] = b"notanoctal!\x00"
+    with pytest.raises(ValueError, match="bad tar header"):
+        tar_member_index(bytes(t2))
+
+
+def test_tar_truncated_archive_stops_cleanly():
+    from pigeon_optics_spark.pipeline.multimodal import (
+        tar_member_index,
+        write_tar,
+    )
+
+    t = write_tar([("a.txt", b"x" * 100), ("b.txt", b"y" * 100)])
+    # cut inside the second member's header: walk yields only the first
+    cut = t[: 1024 + 100]
+    assert [n for n, *_ in tar_member_index(cut)] == ["a.txt"]
+
+
+def test_enumerate_tar_members_distributed(spark):
+    import pandas as pd
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        enumerate_tar_members,
+        write_tar,
+    )
+
+    rows = [(i, write_tar([(f"{i}.txt", b"a" * (i + 1)),
+                           (f"{i}.jpg", b"b" * (2 * i + 1))]))
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = enumerate_tar_members(df).toPandas() \
+        .sort_values(["media_id", "member_idx"]).reset_index(drop=True)
+    assert len(out) == 10
+    assert list(out[out.media_id == 3].member_name) == ["3.txt", "3.jpg"]
+    assert list(out[out.media_id == 3].member_size) == [4, 7]

@@ -316,3 +316,141 @@ def test_bpe_apply_memo_is_batch_safe(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["n_tokens_bpe"] for r in bpe_apply(df, merges).collect()}
     assert out == {i: i % 3 + 1 for i in range(50)}  # 'the' → 1 token each
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking: pure-Python replica + boundary cases
+# ---------------------------------------------------------------------------
+
+
+def test_context_chunks_matches_python_replica(spark):
+    import hashlib
+
+    from pigeon_optics_spark.pipeline.text import context_chunks
+
+    W, S = 5, 3
+    rows = [
+        (0, ""),                                  # empty → one empty chunk
+        (1, "a b c"),                             # n < W
+        (2, "a b c d e"),                         # n == W exactly
+        (3, "a b c d e f"),                       # n == W+1 → 2 chunks
+        (4, " ".join(f"t{i}" for i in range(11))),  # (n-W) % S == 0
+        (5, " ".join(f"u{i}" for i in range(12))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_idx"]):
+           (r["start_tok"], r["n_tok"], r["chunk_hash"])
+           for r in context_chunks(df, window=W, stride=S).collect()}
+
+    expect = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        n = len(toks)
+        n_chunks = 1 if n <= W else 1 + -(-(n - W) // S)
+        for c in range(n_chunks):
+            piece = toks[c * S: c * S + W]
+            expect[(doc_id, c)] = (
+                c * S, len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest())
+    assert got == expect
+    # coverage invariant: every token index falls inside >= 1 chunk
+    for doc_id, text in rows:
+        n = len(text.split())
+        covered = set()
+        for (d, c), (start, ln, _) in expect.items():
+            if d == doc_id:
+                covered.update(range(start, start + ln))
+        assert covered == set(range(n))
+
+
+def test_context_chunks_rejects_bad_stride(spark):
+    import pytest as _pytest
+
+    from pigeon_optics_spark.pipeline.text import context_chunks
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        context_chunks(df, stride=0)
+    with _pytest.raises(ValueError):
+        context_chunks(df, window=4, stride=5)
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance: exact recompute in numpy-free Python
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_covariance_matches_python_replica(spark):
+    from pigeon_optics_spark.pipeline.similarity import embedding_covariance
+
+    vecs = [
+        [0.5, -0.25, 0.125],
+        [1.0, 0.0, -1.0],
+        [0.333, 0.667, 0.999],
+        [-0.5, -0.5, 0.5],
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                               "vec_id long, embedding array<double>")
+    out = {(r["i"], r["j"]): r for r in
+           embedding_covariance(df, grid=10_000).collect()}
+
+    import math
+    q = [[math.floor(x * 10_000) for x in v] for v in vecs]
+    n = len(q)
+    d = 3
+    assert set(out) == {(i, j) for i in range(d) for j in range(i, d)}
+    for i in range(d):
+        for j in range(i, d):
+            s_i = sum(row[i] for row in q)
+            s_j = sum(row[j] for row in q)
+            s_ij = sum(row[i] * row[j] for row in q)
+            r = out[(i, j)]
+            assert (r["n"], r["s_i"], r["s_j"], r["s_ij"]) == \
+                (n, s_i, s_j, s_ij)
+            # same fixed op order as the engine expression
+            expect_cov = (float(s_ij) - float(s_i) * float(s_j)
+                          / float(n)) / float(n)
+            assert r["cov"] == expect_cov  # exact: same IEEE sequence
+
+
+def test_pca_project_matches_numpy(spark):
+    """pca_project's distributed pieces (covariance pass + map-only
+    projection) must reproduce a straight numpy PCA on the quantized grid."""
+    import numpy as np
+
+    from pigeon_optics_spark.pipeline.similarity import pca_project
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: one dominant direction
+    base = rng.randn(40, 1) @ np.array([[3.0, 1.0, 0.2, 0.0]]) \
+        + 0.05 * rng.randn(40, 4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: list(r["components"])
+           for r in pca_project(df, n_components=2).collect()}
+
+    grid = 10_000
+    q = np.floor(base * grid)
+    n = q.shape[0]
+    s = q.sum(axis=0)
+    cov = np.zeros((4, 4))
+    for i in range(4):
+        for j in range(i, 4):
+            s_ij = float((q[:, i] * q[:, j]).sum())
+            cov[i, j] = cov[j, i] = (s_ij - s[i] * s[j] / n) / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    mean = s / n / grid
+    for k, idx in enumerate(order):
+        v = evecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        expect = (base - mean) @ v
+        got = np.array([out[i][k] for i in range(n)])
+        assert np.allclose(got, expect, atol=1e-9)
+    # dominant direction recovered
+    v0 = evecs[:, order[0]]
+    true_dir = np.array([3.0, 1.0, 0.2, 0.0])
+    cos = abs(v0 @ true_dir) / np.linalg.norm(v0) / np.linalg.norm(true_dir)
+    assert cos > 0.999

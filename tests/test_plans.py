@@ -371,3 +371,35 @@ def test_source_overlap_has_no_join(spark, sf_dir):
     fn, _ = all_queries()["corpus_source_overlap"]
     p = plan_of(fn(spark, sf_dir))
     assert "Join" not in p
+
+
+def test_covariance_single_scan_no_corpus_join(spark, sf_dir):
+    """embedding_covariance must expand pairs IN-ROW: exactly one
+    embeddings FileScan, no join of corpus against corpus (the two joins
+    in the plan are the tiny broadcast of per-dim linear sums)."""
+    from pigeon_optics_spark.pipeline.similarity import embedding_covariance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(embedding_covariance(emb))
+    assert p.count("embeddings.parquet") <= 3  # agg reused; never 1 scan/pair
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # linear-sum joins must broadcast
+
+
+def test_context_chunks_zero_shuffle(spark, sf_dir):
+    from pigeon_optics_spark.pipeline.text import context_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(context_chunks(docs))
+    assert "Exchange" not in p
+    assert "Generate" in p  # the explode — in-row flatMap, not a join
+
+
+def test_seasonal_baseline_broadcasts(spark, sf_dir):
+    from pigeon_optics_spark.queries.events_queries import (
+        events_seasonal_baseline,
+    )
+
+    p = plan_of(events_seasonal_baseline(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # (type × 24h) baseline side
+    assert "CartesianProduct" not in p
