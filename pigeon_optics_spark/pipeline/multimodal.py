@@ -444,6 +444,11 @@ def tar_member_index(data: bytes) -> list[tuple[str, int, str, int]]:
     with the checksum field as spaces), end-of-archive double zero block.
     Malformed headers raise ValueError — a corrupt shard should fail loudly
     in the manifest pass, not at read time.
+
+    GNU longname ('L') / PAX ('x'/'g') special members are listed verbatim
+    with their typeflag (their payloads are skipped correctly via the size
+    field, so the walk stays aligned); callers that need extended names
+    must post-process.  WebDataset shards are plain ustar in practice.
     """
     out: list[tuple[str, int, str, int]] = []
     off = 0

@@ -328,3 +328,33 @@ def test_enumerate_tar_members_distributed(spark):
     assert len(out) == 10
     assert list(out[out.media_id == 3].member_name) == ["3.txt", "3.jpg"]
     assert list(out[out.media_id == 3].member_size) == [4, 7]
+
+
+def test_tar_roundtrip_hypothesis():
+    """Property fuzz: any member list round-trips through write_tar →
+    tar_member_index with names, sizes, and offsets intact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        tar_member_index,
+        write_tar,
+    )
+
+    name_st = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1, max_size=40)
+    member_st = st.tuples(name_st, st.binary(min_size=0, max_size=1500))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(member_st, min_size=0, max_size=6))
+    def check(members):
+        t = write_tar(members)
+        idx = tar_member_index(t)
+        assert [(n, len(p)) for n, p in members] == \
+            [(n, s) for n, s, _tf, _o in idx]
+        # payload offsets point at the actual bytes
+        for (name, payload), (_n, size, _tf, off) in zip(members, idx):
+            assert t[off + 512: off + 512 + size] == payload
+
+    check()

@@ -403,3 +403,17 @@ def test_seasonal_baseline_broadcasts(spark, sf_dir):
     p = plan_of(events_seasonal_baseline(spark, sf_dir))
     assert "BroadcastHashJoin" in p  # (type × 24h) baseline side
     assert "CartesianProduct" not in p
+
+
+def test_order_count_distribution_plan(spark, sf_dir):
+    """Q13 shape: the customer-orders outer join must be a real hash join
+    (no cartesian / nested-loop) and the histogram agg must partial-
+    aggregate before its tiny shuffle."""
+    from pigeon_optics_spark.queries.relational import (
+        q_order_count_distribution,
+    )
+
+    p = plan_of(q_order_count_distribution(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p  # map-side combine on both agg levels

@@ -39,6 +39,11 @@ SWEEP_QUERIES = [
     "text_dsir_weights",
     "events_transition_matrix",
     "events_session_conversion",
+    # r5 wave 5: seasonal mean (decimal-sum / count division feeding a
+    # 1.5x threshold compare), covariance (fixed-order IEEE sequence over
+    # exact integer sums — larger N moves the magnitudes)
+    "events_seasonal_baseline",
+    "emb_covariance",
 ]
 
 #: per-copy deterministic perturbations; k=0 is the original rows so the
