@@ -469,8 +469,22 @@ def tar_member_index(data: bytes) -> list[tuple[str, int, str, int]]:
             raise ValueError(f"tar checksum mismatch at offset {off}")
         name = hdr[0:100].rstrip(b"\x00").decode("utf-8", "replace")
         typeflag = chr(hdr[156]) if hdr[156] else "0"
+        if off + 512 + size > n:
+            # header promises payload bytes the buffer doesn't have — a
+            # manifest pointing past the shard is worse than an error
+            raise ValueError(
+                f"truncated tar: member {name!r} at offset {off} declares "
+                f"{size} payload bytes but only {n - off - 512} remain")
         out.append((name, size, typeflag, off))
         off += 512 + ((size + 511) // 512) * 512
+    else:
+        # loop exhausted without seeing the zero terminator: any nonzero
+        # trailing fragment is a member header cut mid-block
+        rem = data[off:]
+        if rem.strip(b"\x00"):
+            raise ValueError(
+                f"truncated tar: {len(rem)} trailing bytes at offset {off} "
+                "are not a complete header block")
     return out
 
 

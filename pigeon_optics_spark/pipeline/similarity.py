@@ -551,36 +551,29 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
                        lambda x: F.floor(x.cast("double") * grid)
                        .cast("long"))
     d = F.size(qcol)
-    # pair terms j >= i, plus one (i, -1, q_i) marker row per component
-    # carrying the linear sum through the SAME single aggregation
-    pair_structs = F.flatten(F.transform(qcol, lambda x, i: F.concat(
-        F.array(F.struct(i.cast("int").alias("i"),
-                         F.lit(-1).cast("int").alias("j"),
-                         x.alias("p"))),
-        F.transform(F.slice(qcol, i + 1, d - i),
-                    lambda y, k: F.struct(i.cast("int").alias("i"),
-                                          (i + k).cast("int").alias("j"),
-                                          (x * y).alias("p"))))))
+    # each pair struct carries the product AND both operands, so ONE
+    # aggregation yields s_ij, s_i, s_j, n per (i, j) group — no marker
+    # rows, no second branch over the corpus, no join (a branched version
+    # planned THREE corpus scans: Spark does not dedupe a shared agg
+    # subtree referenced under different filters)
+    pair_structs = F.flatten(F.transform(qcol, lambda x, i: F.transform(
+        F.slice(qcol, i + 1, d - i),
+        lambda y, k: F.struct(i.cast("int").alias("i"),
+                              (i + k).cast("int").alias("j"),
+                              (x * y).alias("p"),
+                              x.alias("a"),
+                              y.alias("b")))))
     ex = emb.select(F.explode(pair_structs).alias("s")) \
-        .select("s.i", "s.j", "s.p")
-    agg = ex.groupBy("i", "j").agg(F.sum("p").alias("sv"),
+        .select("s.i", "s.j", "s.p", "s.a", "s.b")
+    agg = ex.groupBy("i", "j").agg(F.sum("p").alias("s_ij"),
+                                   F.sum("a").alias("s_i"),
+                                   F.sum("b").alias("s_j"),
                                    F.count("*").alias("n"))
-    linear = agg.where(F.col("j") == -1) \
-        .select(F.col("i").alias("li"), F.col("sv").alias("ls"),
-                F.col("n").alias("ln"))
-    pairs = agg.where(F.col("j") >= 0)
-    out = (pairs
-           .join(F.broadcast(linear.select(F.col("li"), F.col("ls").alias("s_i"),
-                                           F.col("ln").alias("n_rows"))),
-                 F.col("i") == F.col("li")).drop("li")
-           .join(F.broadcast(linear.select(F.col("li"), F.col("ls").alias("s_j"))),
-                 F.col("j") == F.col("li")).drop("li"))
-    cov = ((F.col("sv").cast("double")
+    cov = ((F.col("s_ij").cast("double")
             - F.col("s_i").cast("double") * F.col("s_j").cast("double")
-            / F.col("n_rows").cast("double"))
-           / F.col("n_rows").cast("double"))
-    return out.select("i", "j", F.col("n_rows").alias("n"),
-                      "s_i", "s_j", F.col("sv").alias("s_ij"),
+            / F.col("n").cast("double"))
+           / F.col("n").cast("double"))
+    return agg.select("i", "j", "n", "s_i", "s_j", "s_ij",
                       cov.alias("cov"))
 
 
@@ -606,6 +599,9 @@ def pca_project(emb: DataFrame, n_components: int = 8,
     import numpy as np
 
     cov_rows = embedding_covariance(emb, vec_col, grid=grid).collect()
+    if not cov_rows:
+        raise ValueError(
+            "pca_project: empty embedding corpus (no covariance rows)")
     d = max(r["j"] for r in cov_rows) + 1
     cov = np.zeros((d, d))
     for r in cov_rows:

@@ -934,7 +934,10 @@ def context_chunks(df: DataFrame, text_col: str = "text",
     """
     if stride <= 0 or window <= 0 or stride > window:
         raise ValueError("need 0 < stride <= window")
-    words = words_col(text_col)
+    # NULL text normalizes to the empty document (one empty chunk) — the
+    # same row-preserving contract as the other text operators; without
+    # the coalesce a NULL doc would silently vanish from the output
+    words = words_col(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(words)
     # ceil((n-window)/stride) via integer arithmetic; 0 when n <= window
     extra = F.when(

@@ -2605,7 +2605,9 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: DuckDB list_transform lambda indexes are 1-BASED (Spark's are 0-based);
 #: qv[i:] slices from 1-based position i, so the inner element k (1-based)
-#: is 0-based component i+k-2.  SUM(BIGINT) is HUGEINT -> CAST AS BIGINT.
+#: is 0-based component i+k-2.  SUM(BIGINT) is HUGEINT -> CAST AS BIGINT,
+#: and i/j must cast to INT to match the Spark side's int32 (the driver
+#: value-hash is dtype-sensitive, not just value-sensitive).
 _EMB_COV_ORACLE = """
 WITH q AS (
   SELECT list_transform(embedding,
@@ -2613,29 +2615,25 @@ WITH q AS (
   FROM embeddings
 ),
 ex AS (
-  SELECT unnest(flatten(list_transform(qv, (x, i) -> list_concat(
-           [{'i': i - 1, 'j': -1, 'p': x}],
+  SELECT unnest(flatten(list_transform(qv, (x, i) ->
            list_transform(qv[i:],
-             (y, k) -> {'i': i - 1, 'j': i + k - 2, 'p': x * y}))))) AS s
+             (y, k) -> {'i': i - 1, 'j': i + k - 2, 'p': x * y,
+                        'a': x, 'b': y})))) AS s
   FROM q
 ),
 agg AS (
-  SELECT s.i AS i, s.j AS j, CAST(SUM(s.p) AS BIGINT) AS sv,
+  SELECT CAST(s.i AS INT) AS i, CAST(s.j AS INT) AS j,
+         CAST(SUM(s.p) AS BIGINT) AS s_ij,
+         CAST(SUM(s.a) AS BIGINT) AS s_i,
+         CAST(SUM(s.b) AS BIGINT) AS s_j,
          COUNT(*) AS n
   FROM ex GROUP BY 1, 2
-),
-linear AS (
-  SELECT i AS li, sv AS ls, n AS ln FROM agg WHERE j = -1
 )
-SELECT p.i, p.j, a.ln AS n, a.ls AS s_i, b.ls AS s_j, p.sv AS s_ij,
-       (CAST(p.sv AS DOUBLE)
-        - CAST(a.ls AS DOUBLE) * CAST(b.ls AS DOUBLE)
-          / CAST(a.ln AS DOUBLE))
-       / CAST(a.ln AS DOUBLE) AS cov
-FROM agg p
-JOIN linear a ON p.i = a.li
-JOIN linear b ON p.j = b.li
-WHERE p.j >= 0
+SELECT i, j, n, s_i, s_j, s_ij,
+       (CAST(s_ij AS DOUBLE)
+        - CAST(s_i AS DOUBLE) * CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE))
+       / CAST(n AS DOUBLE) AS cov
+FROM agg
 """
 
 register("emb_covariance", emb_covariance, _EMB_COV_ORACLE)
@@ -2720,8 +2718,8 @@ def text_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_ORACLE = """
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')
-           AS w
+         list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\\s+'),
+                     x -> x <> '') AS w
   FROM documents
 ),
 counted AS (
@@ -2733,8 +2731,8 @@ counted AS (
 SELECT doc_id, CAST(c.c AS INT) AS chunk_idx,
        CAST(c.c * 48 AS INT) AS start_tok,
        CAST(len(w[c.c * 48 + 1 : c.c * 48 + 64]) AS INT) AS n_tok,
-       md5(array_to_string(w[c.c * 48 + 1 : c.c * 48 + 64], ' '))
-         AS chunk_hash
+       md5(COALESCE(array_to_string(w[c.c * 48 + 1 : c.c * 48 + 64], ' '),
+                    '')) AS chunk_hash
 FROM counted, UNNEST(range(0, extra + 1)) AS c(c)
 """
 

@@ -299,16 +299,22 @@ def test_tar_rejects_corrupt_checksum_and_bad_octal():
         tar_member_index(bytes(t2))
 
 
-def test_tar_truncated_archive_stops_cleanly():
+def test_tar_truncation_fails_loudly():
     from pigeon_optics_spark.pipeline.multimodal import (
         tar_member_index,
         write_tar,
     )
 
     t = write_tar([("a.txt", b"x" * 100), ("b.txt", b"y" * 100)])
-    # cut inside the second member's header: walk yields only the first
-    cut = t[: 1024 + 100]
-    assert [n for n, *_ in tar_member_index(cut)] == ["a.txt"]
+    # cut inside the second member's HEADER: trailing nonzero fragment
+    with pytest.raises(ValueError, match="trailing bytes"):
+        tar_member_index(t[: 1024 + 100])
+    # cut inside the FIRST member's payload: declared size exceeds buffer
+    with pytest.raises(ValueError, match="declares"):
+        tar_member_index(t[: 512 + 50])
+    # cut exactly at a member boundary (no terminator): tolerated — some
+    # writers omit the end blocks; nothing in the manifest is a lie
+    assert [n for n, *_ in tar_member_index(t[:1024])] == ["a.txt"]
 
 
 def test_enumerate_tar_members_distributed(spark):

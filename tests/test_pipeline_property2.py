@@ -454,3 +454,18 @@ def test_pca_project_matches_numpy(spark):
     true_dir = np.array([3.0, 1.0, 0.2, 0.0])
     cos = abs(v0 @ true_dir) / np.linalg.norm(v0) / np.linalg.norm(true_dir)
     assert cos > 0.999
+
+
+def test_context_chunks_null_text_is_empty_doc(spark):
+    from pigeon_optics_spark.pipeline.text import context_chunks
+
+    df = spark.createDataFrame([(1, None), (2, "   "), (3, "a b")],
+                               "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_idx"]): (r["n_tok"], r["chunk_hash"])
+           for r in context_chunks(df, window=4, stride=3).collect()}
+    import hashlib
+    empty = hashlib.md5(b"").hexdigest()
+    assert out[(1, 0)] == (0, empty)   # NULL → one empty chunk, not dropped
+    assert out[(2, 0)] == (0, empty)   # whitespace-only likewise
+    assert out[(3, 0)][0] == 2
+    assert len(out) == 3

@@ -374,16 +374,17 @@ def test_source_overlap_has_no_join(spark, sf_dir):
 
 
 def test_covariance_single_scan_no_corpus_join(spark, sf_dir):
-    """embedding_covariance must expand pairs IN-ROW: exactly one
-    embeddings FileScan, no join of corpus against corpus (the two joins
-    in the plan are the tiny broadcast of per-dim linear sums)."""
+    """embedding_covariance must expand pairs IN-ROW and aggregate
+    everything (s_ij, s_i, s_j, n) in ONE pass: exactly one embeddings
+    FileScan, no join anywhere (an earlier branched formulation planned
+    THREE corpus scans — Spark does not dedupe a shared agg subtree
+    referenced under different filters)."""
     from pigeon_optics_spark.pipeline.similarity import embedding_covariance
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     p = plan_of(embedding_covariance(emb))
-    assert p.count("embeddings.parquet") <= 3  # agg reused; never 1 scan/pair
-    assert "CartesianProduct" not in p
-    assert "SortMergeJoin" not in p  # linear-sum joins must broadcast
+    assert p.count("embeddings.parquet") == 1
+    assert "Join" not in p
 
 
 def test_context_chunks_zero_shuffle(spark, sf_dir):
