@@ -541,7 +541,9 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming dedup; the watermark-bounded variant
     (``dropDuplicatesWithinWatermark``) trades state for a lateness bound
     but its emissions depend on batch slicing, so the exact form is the
-    gate-able one."""
+    gate-able one — the production variant runs for real (with observed
+    state eviction) in
+    ``tests/test_streaming_events.py::test_watermarked_stream_dedup_bounds_state``."""
     import tempfile
 
     if sf_dir not in _STREAM_DUP_SRC:

@@ -102,3 +102,58 @@ def test_apply_in_pandas_with_state(spark, events_dir, tmp_path):
     # (memory sink keeps all) — compare against the final running totals,
     # which for a single input batch equals the batch aggregate
     assert got == want
+
+
+def test_watermarked_stream_dedup_bounds_state(spark, events_dir, tmp_path):
+    """The PRODUCTION variant of streaming exact dedup
+    (``events_stream_dedup``'s docstring names the trade):
+    ``dropDuplicatesWithinWatermark`` keeps keyed state only for the
+    lateness bound instead of forever.  With duplicates arriving inside
+    the watermark (byte-identical double-feed), the sink must still reduce
+    to exactly the original corpus; the state-bound claim is checked via
+    the query's stateOperators progress metrics — rows must be EVICTED
+    (droppedByWatermark/removed > 0 or final state < total keys) rather
+    than accumulating one entry per key forever."""
+    import shutil as _shutil
+
+    dup_dir = str(tmp_path / "dup_in")
+    ev = spark.read.parquet(events_dir)
+    ev.write.parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)  # duplicate copy
+
+    schema = spark.read.parquet(dup_dir).schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (spark.readStream.schema(schema).parquet(dup_dir)
+                  .withWatermark("ts", "10 minutes")
+                  .dropDuplicatesWithinWatermark(["event_id"]))
+        q = (stream.writeStream.format("memory")
+             .queryName("wm_dedup_sink")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        progresses = [p for p in q.recentProgress if p is not None]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        _shutil.rmtree(dup_dir, ignore_errors=True)
+
+    got = (spark.table("wm_dedup_sink")
+           .groupBy("event_type").agg(F.count("*").alias("n")))
+    want = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    assert {(r["event_type"], r["n"]) for r in got.collect()} == \
+        {(r["event_type"], r["n"]) for r in want.collect()}
+
+    # state boundedness: total keys = |events|; the watermark must have
+    # evicted state rather than retaining every key
+    n_events = ev.count()
+    state_rows = 0
+    evicted = 0
+    for p in progresses:
+        for op in p.get("stateOperators", []):
+            state_rows = max(state_rows, op.get("numRowsTotal", 0))
+            evicted += op.get("numRowsRemoved", 0)
+    assert evicted > 0 or state_rows < n_events, \
+        f"no state eviction observed (state={state_rows}, n={n_events})"
