@@ -522,3 +522,53 @@ def fuzzy_pairs(df: DataFrame, max_dist: int = 4, block_prefix: int = 16,
             .where(F.col("dist") <= max_dist)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"), "dist"))
+
+
+def strict_rate_limit(df: DataFrame, gap_us: int = 300_000_000,
+                      keys: tuple = ("user_id", "event_type"),
+                      ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """STRICT per-key rate limiting: an event is kept iff it is at least
+    ``gap_us`` after the last KEPT event of its key — the stateful cousin
+    of the gap-based throttle (`events_throttle_dedup`): a burst of events
+    each 1 s apart keeps one event per ``gap_us`` window, where the
+    gap-based rule would suppress the whole tail.
+
+    The keep decision is inherently sequential (depends on the previous
+    DECISION, not the previous row), so no window expression computes it;
+    each key group runs a sorted fold inside ``applyInPandas``.
+
+    → input rows + ``keep`` boolean.
+
+    Scale shape: one shuffle on the key (same as any groupBy); per-group
+    work is a linear scan.  Hot keys are real but bounded by what one
+    key's event history can be; the streaming form with the same
+    semantics and bounded state is ``applyInPandasWithState``
+    (tests/test_streaming_events.py shows the pattern live).
+    """
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # NB: StructType.add MUTATES self, and df.schema is the DataFrame's
+    # cached schema object in Spark 4 — df.schema.add(...) silently grows
+    # the input DataFrame's own column list.  Build a fresh StructType.
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("keep", BooleanType())])
+    key_cols = list(keys)
+
+    def limit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        ts_us = (pdf[ts_col].astype("int64")
+                 if str(pdf[ts_col].dtype).startswith("int")
+                 else pdf[ts_col].values.astype("datetime64[us]").astype("int64"))
+        keep = []
+        last_kept = None
+        for t in ts_us:
+            ok = last_kept is None or t - last_kept >= gap_us
+            if ok:
+                last_kept = t
+            keep.append(ok)
+        pdf = pdf.copy()
+        pdf["keep"] = keep
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(limit, schema=out_schema)

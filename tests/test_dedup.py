@@ -192,3 +192,45 @@ def test_fuzzy_pairs_plan_is_equi_join(spark):
     plan = (fuzzy_pairs(df)._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_strict_rate_limit_vs_python_replica(spark):
+    """Strict (last-KEPT) semantics differ from gap-based lag: a burst at
+    1-minute spacing keeps one event per 5-minute window, not just the
+    first.  Verified against a sequential Python replica."""
+    import datetime as dt
+
+    from pigeon_optics_spark.pipeline.dedup import strict_rate_limit
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: burst every 60s for 20 minutes -> keeps minutes 0,5,10,15,20
+    for m in range(21):
+        rows.append((eid, 1, "view", base + dt.timedelta(minutes=m))); eid += 1
+    # user 2: exactly-at-gap boundary events (>= keeps)
+    for m in (0, 5, 10):
+        rows.append((eid, 2, "view", base + dt.timedelta(minutes=m))); eid += 1
+    # same user, different type: independent state
+    rows.append((eid, 1, "click", base)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = {r["event_id"]: r["keep"]
+           for r in strict_rate_limit(df, gap_us=300_000_000).collect()}
+
+    # python replica
+    from collections import defaultdict
+    last = {}
+    expect = {}
+    for eid_, uid, et, ts in sorted(rows, key=lambda r: (r[3], r[0])):
+        k = (uid, et)
+        t = ts.timestamp() * 1e6
+        ok = k not in last or t - last[k] >= 300e6
+        if ok:
+            last[k] = t
+        expect[eid_] = ok
+    assert got == expect
+    # strict vs gap-based: burst keeps 5 events (0,5,10,15,20 min), the
+    # gap rule would keep only minute 0
+    kept_u1 = [e for e, k in got.items() if k and e <= 20]
+    assert len(kept_u1) == 5
