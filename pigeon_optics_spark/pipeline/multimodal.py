@@ -546,3 +546,58 @@ def enumerate_tar_members(df: DataFrame, binary_col: str = "data",
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=TAR_SCHEMA)
+
+
+def pack_webdataset_shards(df: DataFrame, content_cols: dict[str, str],
+                           id_col: str = "doc_id",
+                           n_shards: int = 16) -> DataFrame:
+    """Distributed WebDataset EXPORT: pack sample rows into tar shards —
+    the write half of the shard story (:func:`enumerate_tar_members` is
+    the read half).  ``content_cols`` maps extension → column (e.g.
+    ``{"txt": "text", "jpg": "image_bytes"}``); each sample contributes
+    one ``<id>.<ext>`` member per mapping, string columns UTF-8 encoded,
+    binary passed through, NULLs skipped.
+
+    → (shard_id, n_samples, n_members, shard BINARY), one row per
+    non-empty shard.
+
+    Scale shape: samples hash-assign to ``n_shards`` shards
+    (deterministic in ``id_col``), ONE shuffle groups each shard's
+    samples, and the tar bytes build executor-side in ``applyInPandas``
+    — the driver never sees a shard.  Size shards via ``n_shards``
+    (~corpus/n_shards samples each); members within a shard are
+    id-ordered so output is byte-stable.
+    """
+    import pandas as pd
+
+    cols = [id_col] + sorted(set(content_cols.values()))
+    exts = sorted(content_cols)
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        members: list[tuple[str, bytes]] = []
+        for i in range(len(pdf)):
+            rid = pdf[id_col].iloc[i]
+            for ext in exts:
+                v = pdf[content_cols[ext]].iloc[i]
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                payload = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                members.append((f"{rid}.{ext}", payload))
+        return pd.DataFrame({
+            "shard_id": [int(pdf["_shard"].iloc[0])],
+            "n_samples": [len(pdf)],
+            "n_members": [len(members)],
+            "shard": [write_tar(members)],
+        })
+
+    from pyspark.sql import functions as F  # module top has no F import
+
+    with_shard = df.select(*cols).withColumn(
+        "_shard",
+        (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10).cast("long") % F.lit(max(1, n_shards)))
+        .cast("long"))
+    return (with_shard.groupBy("_shard")
+            .applyInPandas(build, schema="shard_id long, n_samples long, "
+                                         "n_members long, shard binary"))

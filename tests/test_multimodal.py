@@ -364,3 +364,50 @@ def test_tar_roundtrip_hypothesis():
             assert t[off + 512: off + 512 + size] == payload
 
     check()
+
+
+def test_pack_webdataset_shards_roundtrip(spark):
+    """Write half meets read half: shards built distributed must parse
+    back (our walker AND stdlib) to exactly the input samples."""
+    import io
+    import tarfile
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        pack_webdataset_shards,
+        tar_member_index,
+    )
+
+    rows = [(i, f"text {i}", bytes([i % 256]) * (i + 1)) for i in range(37)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, img binary")
+    shards = pack_webdataset_shards(
+        df, {"txt": "text", "jpg": "img"}, n_shards=4).collect()
+
+    assert 1 <= len(shards) <= 4
+    assert sum(r["n_samples"] for r in shards) == 37
+    assert sum(r["n_members"] for r in shards) == 74
+
+    seen = {}
+    for r in shards:
+        blob = bytes(r["shard"])
+        idx = tar_member_index(blob)
+        assert len(idx) == r["n_members"]
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            for m in tf.getmembers():
+                seen[m.name] = tf.extractfile(m).read()
+    for i, text, img in rows:
+        assert seen[f"{i}.txt"] == text.encode()
+        assert seen[f"{i}.jpg"] == img
+
+
+def test_pack_webdataset_shards_skips_nulls(spark):
+    from pigeon_optics_spark.pipeline.multimodal import (
+        pack_webdataset_shards,
+        tar_member_index,
+    )
+
+    df = spark.createDataFrame([(1, "a", None), (2, None, b"x")],
+                               "doc_id long, text string, img binary")
+    shards = pack_webdataset_shards(
+        df, {"txt": "text", "jpg": "img"}, n_shards=1).collect()
+    names = [n for n, *_ in tar_member_index(bytes(shards[0]["shard"]))]
+    assert sorted(names) == ["1.txt", "2.jpg"]
