@@ -153,3 +153,35 @@ def iterate_path(store: DatasetStore, path: str, *,
         if dp.record_id is not None and rec["id"] != dp.record_id:
             continue
         yield rec
+
+
+def register_sql_views(spark, store, *, replace: bool = True) -> list[str]:
+    """Expose every collection as a SQL temp view named
+    ``{source}_{author}_{name}`` (sanitized to identifier characters), so
+    the full ``spark.sql`` surface — joins, windows, CTEs — works over
+    store data exactly like over any table (the capability class the
+    reference lacks entirely; its only query language is path scans +
+    lenses, SURVEY §2).
+
+    Returns the view names registered.  Each view is a SNAPSHOT of the
+    collection as of registration: :meth:`DatasetStore.read_df` resolves
+    the segment list eagerly, so later writes (new segments) are not
+    visible until :func:`register_sql_views` runs again — the same
+    read-your-registration semantics as a catalog refresh, and the safer
+    default for repeatable analytics.
+    """
+    import re as _re
+
+    names: list[str] = []
+    for source in ("datasets", "lenses"):
+        for author in store.list_authors(source=source):
+            for name in store.list_names(author, source=source):
+                view = _re.sub(r"[^A-Za-z0-9_]", "_",
+                               f"{source}_{author}_{name}")
+                df = store.read_df(spark, author, name, source=source)
+                if replace:
+                    df.createOrReplaceTempView(view)
+                else:
+                    df.createTempView(view)
+                names.append(view)
+    return names

@@ -146,3 +146,41 @@ def test_read_path_df_union_and_selector(spark, store):
     assert len(one) == 1 and one[0].record_id == "r1"
     meta = read_path_df(spark, store, "/meta/system:system/records/stats").collect()
     assert len(meta) == 1 and meta[0].source == "meta"
+
+
+def test_register_sql_views_full_sql_surface(spark, tmp_path):
+    """Store collections become ordinary SQL tables: a join between a
+    dataset view and a lens-shaped second dataset through spark.sql."""
+    from pigeon_optics_spark.store import DatasetStore
+    from pigeon_optics_spark.vfs import register_sql_views
+
+    store = DatasetStore(str(tmp_path / "sqlviews"))
+    store.create("alice", "people")
+    store.write_entries("alice", "people",
+                        [(f"p{i}", {"age": 20 + i}) for i in range(5)])
+    store.create("alice", "pets")
+    store.write_entries("alice", "pets",
+                        [(f"x{i}", {"owner": f"p{i % 2}"}) for i in range(4)])
+
+    views = register_sql_views(spark, store)
+    assert "datasets_alice_people" in views
+    assert "datasets_alice_pets" in views
+
+    out = spark.sql("""
+        SELECT p.record_id, COUNT(*) AS n_pets
+        FROM datasets_alice_people p
+        JOIN datasets_alice_pets q
+          ON get_json_object(q.value, '$.owner') = p.record_id
+        GROUP BY p.record_id
+        ORDER BY p.record_id
+    """).collect()
+    assert [(r["record_id"], r["n_pets"]) for r in out] == \
+        [("p0", 2), ("p1", 2)]
+
+    # snapshot semantics: a later write is NOT visible until re-register
+    store.write_entries("alice", "pets", [("x9", {"owner": "p0"})])
+    n = spark.sql("SELECT COUNT(*) AS n FROM datasets_alice_pets").collect()
+    assert n[0]["n"] == 4
+    register_sql_views(spark, store)
+    n = spark.sql("SELECT COUNT(*) AS n FROM datasets_alice_pets").collect()
+    assert n[0]["n"] == 5
