@@ -556,10 +556,17 @@ def strict_rate_limit(df: DataFrame, gap_us: int = 300_000_000,
     key_cols = list(keys)
 
     def limit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
         pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
-        ts_us = (pdf[ts_col].astype("int64")
-                 if str(pdf[ts_col].dtype).startswith("int")
-                 else pdf[ts_col].values.astype("datetime64[us]").astype("int64"))
+        # timestamp columns ONLY: a permissive dtype sniff here would
+        # silently mis-scale float epoch-seconds (60 s gaps read as 60 µs
+        # and everything after the first event gets suppressed)
+        if not np.issubdtype(pdf[ts_col].dtype, np.datetime64):
+            raise TypeError(
+                f"strict_rate_limit: {ts_col!r} must be a timestamp "
+                f"column, got dtype {pdf[ts_col].dtype}")
+        ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
         keep = []
         last_kept = None
         for t in ts_us:

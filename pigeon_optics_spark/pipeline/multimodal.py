@@ -570,16 +570,21 @@ def pack_webdataset_shards(df: DataFrame, content_cols: dict[str, str],
     """
     import pandas as pd
 
+    from . import hash_bucket
+
     cols = [id_col] + sorted(set(content_cols.values()))
     exts = sorted(content_cols)
 
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col, kind="mergesort")
+        # columnar extraction once; per-cell .iloc in the S*E loop is the
+        # slowest pandas access pattern and dominates shard build time
+        ids = pdf[id_col].tolist()
+        col_vals = {ext: pdf[content_cols[ext]].tolist() for ext in exts}
         members: list[tuple[str, bytes]] = []
-        for i in range(len(pdf)):
-            rid = pdf[id_col].iloc[i]
+        for i, rid in enumerate(ids):
             for ext in exts:
-                v = pdf[content_cols[ext]].iloc[i]
+                v = col_vals[ext][i]
                 if v is None or (isinstance(v, float) and pd.isna(v)):
                     continue
                 payload = v.encode("utf-8") if isinstance(v, str) else bytes(v)
@@ -593,11 +598,13 @@ def pack_webdataset_shards(df: DataFrame, content_cols: dict[str, str],
 
     from pyspark.sql import functions as F  # module top has no F import
 
-    with_shard = df.select(*cols).withColumn(
-        "_shard",
-        (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                16, 10).cast("long") % F.lit(max(1, n_shards)))
-        .cast("long"))
+    # NULL-id samples have no stable member name (and a NULL hash bucket
+    # would crash the build task with an opaque int(NaN)): drop them
+    with_shard = df.select(*cols).where(F.col(id_col).isNotNull()) \
+        .withColumn(
+            "_shard",
+            (hash_bucket(F.col(id_col)) % F.lit(max(1, n_shards)))
+            .cast("long"))
     return (with_shard.groupBy("_shard")
             .applyInPandas(build, schema="shard_id long, n_samples long, "
                                          "n_members long, shard binary"))

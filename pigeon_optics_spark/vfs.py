@@ -166,22 +166,36 @@ def register_sql_views(spark, store, *, replace: bool = True) -> list[str]:
     Returns the view names registered.  Each view is a SNAPSHOT of the
     collection as of registration: :meth:`DatasetStore.read_df` resolves
     the segment list eagerly, so later writes (new segments) are not
-    visible until :func:`register_sql_views` runs again — the same
-    read-your-registration semantics as a catalog refresh, and the safer
-    default for repeatable analytics.
+    visible until :func:`register_sql_views` runs again.  Compaction or
+    collection deletion REMOVES segment files, so stale views then fail
+    at query time (FileNotFound) rather than serving the old snapshot —
+    re-register after any compact/delete.
+
+    Distinct collections whose sanitized names collide ('my-set' vs
+    'my_set', or author/name splits like a_b/c vs a/b_c) ALL get a
+    6-hex-digit suffix of their raw path hash — deterministic regardless
+    of iteration order, and never a silent wrong-table binding.
     """
+    import hashlib as _hashlib
     import re as _re
 
+    triples = [(source, author, name)
+               for source in ("datasets", "lenses")
+               for author in store.list_authors(source=source)
+               for name in store.list_names(author, source=source)]
+    base = {t: _re.sub(r"[^A-Za-z0-9_]", "_", "_".join(t)) for t in triples}
+    counts: dict[str, int] = {}
+    for v in base.values():
+        counts[v] = counts.get(v, 0) + 1
     names: list[str] = []
-    for source in ("datasets", "lenses"):
-        for author in store.list_authors(source=source):
-            for name in store.list_names(author, source=source):
-                view = _re.sub(r"[^A-Za-z0-9_]", "_",
-                               f"{source}_{author}_{name}")
-                df = store.read_df(spark, author, name, source=source)
-                if replace:
-                    df.createOrReplaceTempView(view)
-                else:
-                    df.createTempView(view)
-                names.append(view)
+    for t, view in base.items():
+        if counts[view] > 1:
+            raw = "/".join(t)
+            view = f"{view}_{_hashlib.md5(raw.encode()).hexdigest()[:6]}"
+        df = store.read_df(spark, t[1], t[2], source=t[0])
+        if replace:
+            df.createOrReplaceTempView(view)
+        else:
+            df.createTempView(view)
+        names.append(view)
     return names

@@ -234,3 +234,15 @@ def test_strict_rate_limit_vs_python_replica(spark):
     # gap rule would keep only minute 0
     kept_u1 = [e for e, k in got.items() if k and e <= 20]
     assert len(kept_u1) == 5
+
+
+def test_strict_rate_limit_rejects_non_timestamp(spark):
+    import pytest as _pytest
+
+    from pigeon_optics_spark.pipeline.dedup import strict_rate_limit
+
+    df = spark.createDataFrame(
+        [(1, 1, "v", 100.5)],
+        "event_id long, user_id long, event_type string, ts double")
+    with _pytest.raises(Exception, match="timestamp"):
+        strict_rate_limit(df).collect()

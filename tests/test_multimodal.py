@@ -411,3 +411,17 @@ def test_pack_webdataset_shards_skips_nulls(spark):
         df, {"txt": "text", "jpg": "img"}, n_shards=1).collect()
     names = [n for n, *_ in tar_member_index(bytes(shards[0]["shard"]))]
     assert sorted(names) == ["1.txt", "2.jpg"]
+
+
+def test_pack_webdataset_shards_drops_null_ids(spark):
+    from pigeon_optics_spark.pipeline.multimodal import (
+        pack_webdataset_shards,
+        tar_member_index,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (None, "ghost"), (2, "b")],
+                               "doc_id long, text string")
+    shards = pack_webdataset_shards(df, {"txt": "text"}, n_shards=1).collect()
+    names = [n for n, *_ in tar_member_index(bytes(shards[0]["shard"]))]
+    assert sorted(names) == ["1.txt", "2.txt"]
+    assert shards[0]["n_samples"] == 2

@@ -184,3 +184,23 @@ def test_register_sql_views_full_sql_surface(spark, tmp_path):
     register_sql_views(spark, store)
     n = spark.sql("SELECT COUNT(*) AS n FROM datasets_alice_pets").collect()
     assert n[0]["n"] == 5
+
+
+def test_register_sql_views_collision_disambiguates(spark, tmp_path):
+    from pigeon_optics_spark.store import DatasetStore
+    from pigeon_optics_spark.vfs import register_sql_views
+
+    store = DatasetStore(str(tmp_path / "collide"))
+    store.create("bob", "my-set")
+    store.write_entries("bob", "my-set", [("a", 1)])
+    store.create("bob", "my_set")
+    store.write_entries("bob", "my_set", [("b", 2), ("c", 3)])
+
+    views = register_sql_views(spark, store)
+    # both collide on 'datasets_bob_my_set' -> both get hash suffixes
+    assert len(views) == 2 and len(set(views)) == 2
+    assert all(v.startswith("datasets_bob_my_set_") for v in views)
+    counts = sorted(
+        spark.sql(f"SELECT COUNT(*) AS n FROM {v}").collect()[0]["n"]
+        for v in views)
+    assert counts == [1, 2]  # each view bound to its OWN collection
