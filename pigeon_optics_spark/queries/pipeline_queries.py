@@ -2200,7 +2200,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the index side carries ONLY (hash) — at 100 TB that is
     the compact artifact a pipeline maintains incrementally; the check is
     a broadcast/shuffle hash anti-join (AQE picks) plus one min-id window
-    inside the (tiny) new batch.
+    inside the (tiny) new batch.  When the index outgrows broadcast,
+    Spark's runtime bloom-filter join reduction (enabled by default)
+    injects a bloom over the index onto the probe side so the new batch
+    prunes BEFORE the shuffle — the mechanism is pinned live by
+    ``tests/test_plans.py::test_runtime_bloom_filter_fires_on_shuffle_joins``.
     """
     from pyspark.sql import Window
 

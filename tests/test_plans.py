@@ -418,3 +418,42 @@ def test_order_count_distribution_plan(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p  # map-side combine on both agg levels
+
+
+def test_runtime_bloom_filter_fires_on_shuffle_joins(spark, sf_dir):
+    """The incremental-dedup scale path: when the hash-index join is too
+    big to broadcast (the 100 TB regime), Spark must inject a runtime
+    bloom filter on the probe side (bloom_filter_agg + BloomFilterMight-
+    Contain) so the historical index prunes the new snapshot BEFORE the
+    shuffle.  Locally every such join broadcasts, so this test forces the
+    shuffle shape and pins that the mechanism engages — the conf default
+    (spark.sql.optimizer.runtime.bloomFilter.enabled=true) is what the
+    dedup_incremental_batch docstring leans on."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        small = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                 .where(F.col("o_totalprice") > 400000)
+                 .select("o_orderkey"))
+        j = big.join(small, big["l_orderkey"] == small["o_orderkey"])
+        p = plan_of(j)
+        assert "bloom_filter_agg" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
