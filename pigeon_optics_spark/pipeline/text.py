@@ -954,3 +954,50 @@ def context_chunks(df: DataFrame, text_col: str = "text",
         start.cast("int").alias("start_tok"),
         F.size(piece).alias("n_tok"),
         F.md5(F.array_join(piece, " ")).alias("chunk_hash"))
+
+
+def normalize_url(url) -> "Column":
+    """Canonicalize a URL column for web-corpus dedup (the C4/RefinedWeb
+    recipe): URLs that differ only in scheme case, host case, default
+    port, fragment, tracking parameters, trailing slash, or query-param
+    order are the SAME page and must dedup together.
+
+    Steps (pure ``pyspark.sql.functions`` — codegen'd, no UDF):
+      1. strip the fragment (#...)
+      2. lowercase scheme + host (path stays case-sensitive)
+      3. drop default ports (:80 for http, :443 for https)
+      4. drop tracking params (utm_*, fbclid, gclid, ref, mc_cid, mc_eid)
+      5. sort surviving query params (order never distinguishes pages)
+      6. drop a trailing slash on non-root paths and an empty '?'
+
+    Returns a string Column; compose with ``F.md5`` for the dedup key.
+    """
+    from pyspark.sql import functions as F
+
+    c = url if not isinstance(url, str) else F.col(url)
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    # scheme://host[:port] lowercased; rest untouched
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    host = F.when((scheme == "http") & hostport.rlike(":80$"),
+                  F.regexp_replace(hostport, r":80$", "")) \
+        .when((scheme == "https") & hostport.rlike(":443$"),
+              F.regexp_replace(hostport, r":443$", "")) \
+        .otherwise(hostport)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    TRACKING = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref|mc_cid|mc_eid)="
+    params = F.filter(
+        F.when(query == "", F.array().cast("array<string>"))
+        .otherwise(F.split(query, "&")),
+        lambda p: (p != "") & ~p.rlike(TRACKING))
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    # trailing slash off non-root paths
+    norm_path = F.when(path.rlike("^/.+/$"),
+                       F.regexp_replace(path, "/$", "")).otherwise(path)
+    base = F.concat(scheme, F.lit("://"), host, norm_path)
+    return F.when(c.isNull(), F.lit(None).cast("string")) \
+        .when(scheme == "", c) \
+        .otherwise(F.when(sorted_q == "", base)
+                   .otherwise(F.concat(base, F.lit("?"), sorted_q)))

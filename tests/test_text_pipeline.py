@@ -395,3 +395,46 @@ class TestKmeansTrain:
         plan = (kmeans_train(emb, k=2, iters=1)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan  # assignment is a pure per-row expr
+
+
+class TestNormalizeUrl:
+    def test_canonicalization_cases(self, spark):
+        from pigeon_optics_spark.pipeline.text import normalize_url
+
+        cases = [
+            # (input, expected)
+            ("HTTP://Example.COM:80/Path/?b=2&a=1#frag",
+             "http://example.com/Path?a=1&b=2"),
+            ("https://example.com:443/x/", "https://example.com/x"),
+            ("https://example.com/", "https://example.com/"),  # root slash kept
+            ("https://example.com/a?utm_source=tw&utm_campaign=x&id=7",
+             "https://example.com/a?id=7"),
+            ("https://example.com/a?fbclid=abc&gclid=def",
+             "https://example.com/a"),
+            ("https://example.com/a?z=1&y=2&z=0",
+             "https://example.com/a?y=2&z=0&z=1"),
+            ("https://example.com:8443/a", "https://example.com:8443/a"),
+            ("http://example.com:8080/a", "http://example.com:8080/a"),
+            ("ftp://Host/A", "ftp://host/A"),       # path case preserved
+            ("not a url", "not a url"),             # schemeless passthrough
+            (None, None),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+        got = {r["i"]: r["norm"]
+               for r in df.select("i", normalize_url("url").alias("norm"))
+               .collect()}
+        for i, (inp, want) in enumerate(cases):
+            assert got[i] == want, f"{inp!r}: {got[i]!r} != {want!r}"
+
+    def test_dedup_key_collapses_equivalent_urls(self, spark):
+        from pigeon_optics_spark.pipeline.text import normalize_url
+        from pyspark.sql import functions as F
+
+        urls = ["http://A.com/p?x=1&utm_source=s#top",
+                "HTTP://a.com:80/p/?x=1",
+                "http://a.com/p?utm_campaign=c&x=1"]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        n = df.select(F.md5(normalize_url("url")).alias("k")) \
+            .distinct().count()
+        assert n == 1
