@@ -848,6 +848,101 @@ def dup_window_stats(df: DataFrame, window_tokens: int = 10,
                     .alias("dup_frac")))
 
 
+def span_dedup_removal(df: DataFrame, window_tokens: int = 10,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring duplicate REMOVAL at fixed token granularity — the
+    removal half of the Lee et al. 2022 suffix-array method whose measuring
+    half is :func:`dup_window_stats`.  Every ``window_tokens``-token sliding
+    window that occurs verbatim in MORE THAN ONE document is kept only in
+    its canonical owner (the min ``doc_id`` containing it); every other
+    document drops the token positions that window covers.  The canonical
+    owner keeps its text untouched, so exactly one copy of each duplicated
+    span survives corpus-wide and the decision is deterministic (no
+    tie-break ambiguity, re-runs identical).
+
+    → (doc_id, n_tokens, n_removed, kept_hash) for EVERY input document
+    (NULL text = empty doc, zero windows); the md5 witnesses the exact
+    post-removal token stream without shipping cleaned text.
+
+    Scale shape: windows are per-row expressions (only 16-byte hashes and
+    int offsets leave the row); ONE groupBy(hash) with map-side combine
+    computes corpus frequency + canonical owner together; the join back is
+    hash-keyed; removed-start lists aggregate per doc (bounded by doc
+    length); the final mask is a per-row array expression over a
+    materialized covered-position column (computed ONCE per row — inlining
+    it in the filter lambda would re-evaluate the flatten per token, the
+    documented no-CSE hazard of nested higher-order functions).  Nothing is
+    all-pairs; cost is linear in corpus token count like chunk_dedup.
+    """
+    words = words_col(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    win = (base.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("ws") >= window_tokens,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (window_tokens - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("s"),
+                    F.md5(F.array_join(F.slice("ws", i, window_tokens),
+                                       " ")).alias("wh"))))
+            .otherwise(F.array().cast("array<struct<s:int,wh:string>>")))
+        .alias("u"))
+        .select("doc_id", F.col("u.s").alias("s"), F.col("u.wh").alias("wh")))
+    freq = win.groupBy("wh").agg(
+        F.countDistinct("doc_id").alias("ndocs"),
+        F.min("doc_id").alias("keeper"))
+    rem = (win.join(freq, "wh")
+           .where((F.col("ndocs") > 1) & (F.col("doc_id") != F.col("keeper")))
+           .groupBy("doc_id")
+           .agg(F.array_sort(F.collect_set("s")).alias("rs")))
+    rs = F.coalesce(F.col("rs"), F.array().cast("array<int>"))
+    cov = F.array_distinct(F.flatten(F.transform(
+        rs, lambda s: F.sequence(s, s + (window_tokens - 1)))))
+    masked = (base.join(rem, "doc_id", "left")
+              .select("doc_id", "ws", cov.alias("cov")))
+    kept = F.filter("ws", lambda x, i: ~F.array_contains("cov", i + 1))
+    return masked.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("kept_hash"))
+
+
+def global_shuffle(df: DataFrame, shards: int = 8, salt: str = "shuf",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus-wide training-order shuffle + sharding: every
+    record gets a pseudo-random but fully reproducible (shard, pos)
+    address derived only from (salt, key) — the "shuffle the corpus before
+    training" step, stable across re-runs, repartitions, and engine
+    versions (md5, not partition-dependent ``rand``).  Changing the salt
+    is a fresh epoch-independent reshuffle.
+
+    → input columns + (shard, pos); ``pos`` is the record's 1-based
+    position within its shard when shard contents are read in key order.
+
+    Scale shape: the shard id and sort key are map-side expressions; the
+    only shuffle is the per-shard ``row_number`` window, which partitions
+    by shard — NEVER a global window.  At 100 TB, ``shards`` is chosen
+    ∝ corpus size (e.g. one shard per target output file), keeping every
+    window partition bounded; writers then ``repartition(shard)`` +
+    ``sortWithinPartitions(pos)`` for sequential training reads.
+    """
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    k = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    shard = (F.conv(F.substring(k, 1, 8), 16, 10).cast("long")
+             % shards).cast("int")
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("_shuffle_key"), F.col(key_col)))
+    return (df.withColumn("_shuffle_key", k)
+            .withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("_shuffle_key"))
+
+
 def bpe_apply(df: DataFrame, merges: list[tuple[str, str]],
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Apply a trained BPE merge list — the ENCODE half of the tokenizer

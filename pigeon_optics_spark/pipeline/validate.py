@@ -1,0 +1,111 @@
+"""Data-quality validation operators (Deequ-style constraint suites,
+privacy audits) — the pre-training gatekeeping a 100 TB ingest needs
+before anything downstream trusts the data.
+
+Design: every metric is an exact integer aggregate (counts of violating
+rows), so reports value-hash bit-identically against a SQL oracle; all
+row-level checks for one table share a SINGLE aggregation pass (one scan
+regardless of how many constraints are registered — the Deequ batching
+insight), and the cross-table checks (uniqueness, referential) are each
+one additional shuffle-light pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+REPORT_COLS = ("check_name", "violations", "n_rows", "passed")
+
+
+def check_constraints(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Row-level constraint report: for each named boolean predicate, count
+    the rows where it is NOT satisfied (NULL predicate = violation — a
+    range check over a NULL value is not evidence of validity).
+
+    → (check_name, violations, n_rows, passed), one row per check.
+
+    Scale shape: ALL checks compile into ONE aggregation over ONE scan
+    (each check is a conditional SUM in the same agg); the long-format
+    report explodes the single 1-row aggregate, so report size is
+    O(checks), never O(rows).
+    """
+    if not checks:
+        raise ValueError("no constraints given")
+    aggs = [F.count("*").alias("_n_rows")]
+    for name, pred in checks.items():
+        aggs.append(F.sum(F.when(pred, 0).otherwise(1))
+                    .cast("long").alias(name))
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(name).alias("check_name"),
+                 F.coalesce(F.col(name), F.lit(0)).alias("violations"))
+        for name in checks])
+    return (row.select(F.col("_n_rows").cast("long").alias("n_rows"),
+                       F.explode(pairs).alias("p"))
+            .select(F.col("p.check_name").alias("check_name"),
+                    F.col("p.violations").alias("violations"),
+                    "n_rows",
+                    (F.col("p.violations") == 0).alias("passed")))
+
+
+def uniqueness_check(df: DataFrame, cols: list[str],
+                     name: str | None = None) -> DataFrame:
+    """Key-uniqueness report row: violations = excess rows beyond one per
+    distinct key (0 iff ``cols`` is a unique key).
+
+    Scale shape: COUNT vs COUNT(DISTINCT struct) in one aggregation —
+    Spark plans the distinct as a partial-aggregated expand, no
+    driver-side work.
+    """
+    cname = name or ("unique_" + "_".join(cols))
+    key = F.struct(*[F.col(c) for c in cols])
+    row = df.agg(F.count("*").cast("long").alias("n_rows"),
+                 F.count_distinct(key).cast("long").alias("nd"))
+    return row.select(
+        F.lit(cname).alias("check_name"),
+        (F.col("n_rows") - F.col("nd")).alias("violations"),
+        "n_rows",
+        (F.col("n_rows") == F.col("nd")).alias("passed"))
+
+
+def referential_check(child: DataFrame, parent: DataFrame,
+                      child_key: str, parent_key: str,
+                      name: str | None = None) -> DataFrame:
+    """Referential-integrity report row: violations = child rows whose key
+    has no parent (orphans).  NULL child keys are orphans (they reference
+    nothing).
+
+    Scale shape: LEFT join on the key (AQE picks broadcast vs shuffle by
+    parent size) then one aggregation; distinct parent keys first so a
+    fan-out parent can never duplicate child rows into the count.
+    """
+    cname = name or f"ref_{child_key}_in_{parent_key}"
+    pk = parent.select(F.col(parent_key).alias("_pk")).distinct()
+    j = child.select(F.col(child_key).alias("_ck")).join(
+        pk, F.col("_ck") == F.col("_pk"), "left")
+    row = j.agg(F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                .cast("long").alias("violations"))
+    return row.select(F.lit(cname).alias("check_name"), "violations",
+                      "n_rows", (F.col("violations") == 0).alias("passed"))
+
+
+def kanonymity_audit(df: DataFrame, qi_cols: list[str],
+                     k: int) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: every QI
+    combination's group size, flagged ``anonymous`` when at least ``k``
+    records share it.  Rows in non-anonymous groups are the re-identifiable
+    ones a release would have to suppress or generalize (Sweeney 2002).
+
+    → (qi columns..., group_size, anonymous).
+
+    Scale shape: one groupBy over the QI tuple with map-side combine;
+    output is O(distinct QI combinations), not O(rows).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (df.groupBy(*qi_cols)
+            .agg(F.count("*").cast("long").alias("group_size"))
+            .select(*qi_cols, "group_size",
+                    (F.col("group_size") >= k).alias("anonymous")))

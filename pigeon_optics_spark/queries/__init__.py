@@ -97,6 +97,13 @@ _DRIVER_PRIORITY = [
     # merged text_profile/text_samples/ann_topk_methods, gif_frames,
     # stream_dedup, q_approx — carries a green r4 driver row, re-verified
     # by the full local gate this session; rotate them back in r6.)
+    #
+    # r5 wave-6 EXCEPTION: four gates added after the window filled
+    # (text_span_dedup_removal, text_global_shuffle, q_data_quality_report,
+    # q_kanonymity_audit) ship with local-only evidence this round — every
+    # window slot already holds a NEVER-driver-checked r5 gate, so there is
+    # nothing safe to displace.  They must lead r6's window together with
+    # the 14 r2/r3-history gates (see ROUND_NOTES "r6 rotation plan").
 ]
 
 

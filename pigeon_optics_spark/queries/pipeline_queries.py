@@ -2741,3 +2741,100 @@ FROM counted, UNNEST(range(0, extra + 1)) AS c(c)
 """
 
 register("text_context_chunks", text_context_chunks, _CHUNK_ORACLE)
+
+# --------------------------------------------------------------------------
+# Exact-substring duplicate REMOVAL (pipeline.text.span_dedup_removal):
+# the removal half of the Lee et al. 2022 family whose measuring half is
+# text_dup_window_stats — cross-doc 10-token windows survive only in their
+# canonical (min doc_id) owner; everyone else masks the covered positions.
+# The md5 witnesses the exact post-removal token stream.
+# --------------------------------------------------------------------------
+
+
+def text_span_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """47 of 500 sf0.01 docs naturally carry cross-doc verbatim windows, so
+    the removal branch is exercised with no fixture; every doc emits a row
+    (left join back), removed-or-not."""
+    from ..pipeline.text import span_dedup_removal
+
+    return span_dedup_removal(load(spark, sf_dir, "documents"))
+
+
+_SPAN_REMOVAL_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+win0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 10 THEN
+           list_transform(range(1, len(ws) - 8),
+             i -> struct_pack(s := CAST(i AS INT),
+                              wh := md5(list_aggregate(
+                                ws[CAST(i AS INT):CAST(i + 9 AS INT)],
+                                'string_agg', ' '))))
+         ELSE [] END) AS u
+  FROM w
+),
+win AS (SELECT doc_id, u.s AS s, u.wh AS wh FROM win0),
+freq AS (
+  SELECT wh, COUNT(DISTINCT doc_id) AS ndocs, MIN(doc_id) AS keeper
+  FROM win GROUP BY wh
+),
+rem AS (
+  SELECT win.doc_id, list_sort(list_distinct(list(win.s))) AS rs
+  FROM win JOIN freq USING (wh)
+  WHERE freq.ndocs > 1 AND win.doc_id <> freq.keeper
+  GROUP BY win.doc_id
+),
+fin AS (
+  SELECT w.doc_id, w.ws,
+         flatten(list_transform(COALESCE(rem.rs, []),
+                                s -> range(CAST(s AS BIGINT),
+                                           CAST(s + 10 AS BIGINT)))) AS cov
+  FROM w LEFT JOIN rem USING (doc_id)
+),
+masked AS (
+  SELECT doc_id, ws,
+         list_filter(ws, (x, i) -> NOT list_contains(cov, i)) AS kept
+  FROM fin
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+       md5(COALESCE(list_aggregate(kept, 'string_agg', ' '), '')) AS kept_hash
+FROM masked
+"""
+
+register("text_span_dedup_removal", text_span_dedup_removal,
+         _SPAN_REMOVAL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle (pipeline.text.global_shuffle): reproducible
+# (shard, pos) training-order addresses from salted md5 — per-shard
+# row_number windows, never a global window.
+# --------------------------------------------------------------------------
+
+
+def text_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import global_shuffle
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle(docs, shards=8, salt="r5shuf")
+
+
+_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       CAST(b % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY b % 8 ORDER BY k, doc_id)
+            AS BIGINT) AS pos
+FROM (SELECT doc_id, md5('r5shuf:' || CAST(doc_id AS VARCHAR)) AS k,
+             ('0x' || substr(md5('r5shuf:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS b
+      FROM documents) t
+"""
+
+register("text_global_shuffle", text_global_shuffle, _SHUFFLE_ORACLE)

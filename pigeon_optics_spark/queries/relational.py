@@ -959,3 +959,122 @@ ORDER BY custdist DESC, c_count DESC
 
 register("q_order_count_distribution", q_order_count_distribution,
          _Q13_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint report (pipeline.validate): the Deequ-style
+# pre-training gatekeeper — row-level range/domain/order checks batched
+# into ONE aggregation over ONE lineitem scan, plus a uniqueness pass and
+# a referential (orphan) pass.  Two checks are deliberately-failing
+# profiling expectations so both report branches (passed true AND false,
+# violations zero AND nonzero) are value-hashed.  All metrics are exact
+# integer counts — no float arithmetic anywhere.
+# --------------------------------------------------------------------------
+
+
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.validate import (check_constraints, referential_check,
+                                     uniqueness_check)
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    row_level = check_constraints(li, {
+        "qty_in_1_50": F.col("l_quantity").between(1.0, 50.0),
+        "discount_in_0_10pct": F.col("l_discount").between(0.0, 0.10),
+        "tax_in_0_8pct": F.col("l_tax").between(0.0, 0.08),
+        "price_positive": F.col("l_extendedprice") > 0.0,
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        # deliberately-failing profiling expectations (exercise the
+        # violations>0 / passed=false branch):
+        "expect_qty_le_30": F.col("l_quantity") <= 30.0,
+        "expect_no_discount": F.col("l_discount") == 0.0,
+    })
+    uniq_pk = uniqueness_check(li, ["l_orderkey", "l_linenumber"])
+    uniq_fail = uniqueness_check(li, ["l_orderkey"])  # NOT unique: fails
+    refs = referential_check(li, orders, "l_orderkey", "o_orderkey")
+    return row_level.unionByName(uniq_pk).unionByName(uniq_fail) \
+                    .unionByName(refs)
+
+
+_DQ_ORACLE = """
+WITH rl AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 0 ELSE 1 END) AS qty_in_1_50,
+    SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.10 THEN 0 ELSE 1 END) AS discount_in_0_10pct,
+    SUM(CASE WHEN l_tax BETWEEN 0.0 AND 0.08 THEN 0 ELSE 1 END) AS tax_in_0_8pct,
+    SUM(CASE WHEN l_extendedprice > 0.0 THEN 0 ELSE 1 END) AS price_positive,
+    SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS shipdate_not_null,
+    SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS returnflag_domain,
+    SUM(CASE WHEN l_quantity <= 30.0 THEN 0 ELSE 1 END) AS expect_qty_le_30,
+    SUM(CASE WHEN l_discount = 0.0 THEN 0 ELSE 1 END) AS expect_no_discount
+  FROM lineitem
+),
+long_rl AS (
+  SELECT u.check_name,
+         CAST(u.violations AS BIGINT) AS violations,
+         CAST(n_rows AS BIGINT) AS n_rows
+  FROM rl, UNNEST([
+    struct_pack(check_name := 'qty_in_1_50', violations := qty_in_1_50),
+    struct_pack(check_name := 'discount_in_0_10pct', violations := discount_in_0_10pct),
+    struct_pack(check_name := 'tax_in_0_8pct', violations := tax_in_0_8pct),
+    struct_pack(check_name := 'price_positive', violations := price_positive),
+    struct_pack(check_name := 'shipdate_not_null', violations := shipdate_not_null),
+    struct_pack(check_name := 'returnflag_domain', violations := returnflag_domain),
+    struct_pack(check_name := 'expect_qty_le_30', violations := expect_qty_le_30),
+    struct_pack(check_name := 'expect_no_discount', violations := expect_no_discount)
+  ]) AS t(u)
+),
+uq AS (
+  SELECT 'unique_l_orderkey_l_linenumber' AS check_name,
+         CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+           AS violations,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique_l_orderkey',
+         CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem
+),
+rf AS (
+  SELECT 'ref_l_orderkey_in_o_orderkey' AS check_name,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+)
+SELECT check_name, violations, n_rows, violations = 0 AS passed FROM long_rl
+UNION ALL SELECT check_name, violations, n_rows, violations = 0 FROM uq
+UNION ALL SELECT check_name, violations, n_rows, violations = 0 FROM rf
+"""
+
+register("q_data_quality_report", q_data_quality_report, _DQ_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (pipeline.validate.kanonymity_audit): group sizes over
+# the (c_nationkey, c_mktsegment) quasi-identifier pair, k=10 — at the
+# gate SF both branches occur (90 anonymous / 35 small groups at sf0.01).
+# One groupBy with map-side combine; output is O(QI combinations).
+# --------------------------------------------------------------------------
+
+
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.validate import kanonymity_audit
+
+    cust = load(spark, sf_dir, "customer")
+    return kanonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+_KANON_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       COUNT(*) >= 10 AS anonymous
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+register("q_kanonymity_audit", q_kanonymity_audit, _KANON_ORACLE)

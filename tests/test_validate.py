@@ -1,0 +1,187 @@
+"""pipeline.validate — constraint suites, k-anonymity; and the wave-6
+text ops (span_dedup_removal, global_shuffle) against pure-Python
+recomputation.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pigeon_optics_spark.pipeline.text import global_shuffle, span_dedup_removal
+from pigeon_optics_spark.pipeline.validate import (check_constraints,
+                                                   kanonymity_audit,
+                                                   referential_check,
+                                                   uniqueness_check)
+
+
+# ---------------------------------------------------------------- validate
+
+def test_check_constraints_null_is_violation(spark):
+    df = spark.createDataFrame(
+        [(1,), (60,), (None,)], "qty int")
+    rep = check_constraints(df, {
+        "qty_in_1_50": F.col("qty").between(1, 50),
+    }).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    # 60 out of range AND the NULL both count as violations
+    assert r.violations == 2 and r.n_rows == 3 and r.passed is False
+
+
+def test_check_constraints_single_scan_plan(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
+    rep = check_constraints(df, {
+        "a_nonneg": F.col("a") >= 0,
+        "b_even": F.col("b") % 2 == 0,
+        "a_small": F.col("a") < 10,
+    })
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # every row-level check folds into ONE aggregation over ONE scan
+    assert plan.count("Range (") == 1
+
+
+def test_check_constraints_empty_df(spark):
+    df = spark.createDataFrame([], "x int")
+    r = check_constraints(df, {"x_pos": F.col("x") > 0}).collect()[0]
+    assert r.violations == 0 and r.n_rows == 0 and r.passed is True
+
+
+def test_check_constraints_rejects_empty_checks(spark):
+    with pytest.raises(ValueError):
+        check_constraints(spark.range(1), {})
+
+
+def test_uniqueness_check(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "a"), (2, "a")], "k int, v string")
+    ok = uniqueness_check(df, ["k", "v"]).collect()[0]
+    assert ok.violations == 1 and ok.passed is False  # (1,'a') twice
+    bad = uniqueness_check(df, ["k"]).collect()[0]
+    assert bad.violations == 2 and bad.n_rows == 4 and bad.passed is False
+    good = uniqueness_check(df.select("k").distinct(), ["k"]).collect()[0]
+    assert good.violations == 0 and good.passed is True
+
+
+def test_referential_check_orphans_and_null_keys(spark):
+    child = spark.createDataFrame([(1,), (2,), (99,), (None,)], "fk int")
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "pk int")
+    r = referential_check(child, parent, "fk", "pk").collect()[0]
+    # 99 is an orphan; NULL references nothing; duplicate parent key must
+    # NOT fan out child rows (n_rows stays 4)
+    assert r.violations == 2 and r.n_rows == 4 and r.passed is False
+
+
+def test_kanonymity_audit_boundary(spark):
+    rows = [("US", "A")] * 3 + [("US", "B")] * 2 + [("DE", "A")]
+    df = spark.createDataFrame(rows, "nat string, seg string")
+    out = {(r.nat, r.seg): (r.group_size, r.anonymous)
+           for r in kanonymity_audit(df, ["nat", "seg"], k=3).collect()}
+    assert out[("US", "A")] == (3, True)   # == k passes
+    assert out[("US", "B")] == (2, False)
+    assert out[("DE", "A")] == (1, False)
+    with pytest.raises(ValueError):
+        kanonymity_audit(df, ["nat"], k=0)
+
+
+# ------------------------------------------------- span_dedup_removal
+
+def _py_span_removal(docs, w=3):
+    """Pure-Python recomputation: windows of w tokens, cross-doc dup spans
+    survive only in min-doc_id owner."""
+    toks = {d: (t or "").split() for d, t in docs}
+    toks = {d: [x for x in v if x] for d, v in toks.items()}
+    owner: dict[str, int] = {}
+    holders: dict[str, set] = {}
+    for d, ws in toks.items():
+        for i in range(len(ws) - w + 1):
+            key = " ".join(ws[i:i + w])
+            holders.setdefault(key, set()).add(d)
+            owner[key] = min(owner.get(key, d), d)
+    out = {}
+    for d, ws in toks.items():
+        cov = set()
+        for i in range(len(ws) - w + 1):
+            key = " ".join(ws[i:i + w])
+            if len(holders[key]) > 1 and owner[key] != d:
+                cov.update(range(i, i + w))
+        kept = [x for j, x in enumerate(ws) if j not in cov]
+        out[d] = (len(ws), len(ws) - len(kept),
+                  hashlib.md5(" ".join(kept).encode()).hexdigest())
+    return out
+
+
+def test_span_dedup_removal_matches_python(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "x y alpha beta gamma delta q r"),        # shares a 4-gram run
+        (3, "alpha beta gamma delta epsilon zeta"),   # full dup of 1
+        (4, "unique words only here nothing shared"),
+        (5, "ab"),                                    # shorter than window
+        (6, None),                                    # NULL text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.kept_hash)
+           for r in span_dedup_removal(df, window_tokens=3).collect()}
+    want = _py_span_removal(docs, w=3)
+    assert got == want
+    # the canonical owner (doc 1) keeps everything; the full dup (doc 3)
+    # loses everything; the partial overlap (doc 2) loses only the span
+    assert got[1][1] == 0
+    assert got[3][1] == got[3][0]
+    assert 0 < got[2][1] < got[2][0]
+    # short and NULL docs emit rows untouched
+    assert got[5] == (1, 0, hashlib.md5(b"ab").hexdigest())
+    assert got[6][0] == 0 and got[6][1] == 0
+
+
+def test_span_dedup_removal_no_cross_doc_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string")
+    out = span_dedup_removal(df, window_tokens=3).collect()
+    assert all(r.n_removed == 0 for r in out)
+
+
+# ------------------------------------------------------ global_shuffle
+
+def test_global_shuffle_deterministic_and_exhaustive(spark):
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = global_shuffle(df, shards=4, salt="s1")
+    b = global_shuffle(df.repartition(7), shards=4, salt="s1")
+    ra = {r.doc_id: (r.shard, r.pos) for r in a.collect()}
+    rb = {r.doc_id: (r.shard, r.pos) for r in b.collect()}
+    # partition-layout independent, fully deterministic
+    assert ra == rb
+    # positions within each shard are exactly 1..n (dense, no gaps/dups)
+    by_shard: dict[int, list] = {}
+    for shard, pos in ra.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for v in by_shard.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
+
+
+def test_global_shuffle_salt_reshuffles(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: (r.shard, r.pos)
+         for r in global_shuffle(df, shards=4, salt="s1").collect()}
+    b = {r.doc_id: (r.shard, r.pos)
+         for r in global_shuffle(df, shards=4, salt="s2").collect()}
+    assert a != b  # a different salt is a fresh permutation
+    with pytest.raises(ValueError):
+        global_shuffle(df, shards=0)
+
+
+def test_global_shuffle_window_is_partitioned(spark):
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    plan = (global_shuffle(df, shards=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the row_number window must partition by shard — never a global window
+    # (same bracket-count idiom as test_plans._unpartitioned_window_lines:
+    # a partitioned window prints three bracket groups, a global one two)
+    assert any("Window [" in ln for ln in plan.splitlines())
+    global_windows = [ln for ln in plan.splitlines()
+                      if "Window [" in ln and " WindowGroupLimit" not in ln
+                      and ln.count("], [") == 1]
+    assert not global_windows, plan
