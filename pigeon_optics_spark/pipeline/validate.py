@@ -109,3 +109,35 @@ def kanonymity_audit(df: DataFrame, qi_cols: list[str],
             .agg(F.count("*").cast("long").alias("group_size"))
             .select(*qi_cols, "group_size",
                     (F.col("group_size") >= k).alias("anonymous")))
+
+
+def tukey_winsorize(df: DataFrame, col: str) -> DataFrame:
+    """Tukey-fence winsorization of a numeric column: values outside
+    [q25 - 1.5*IQR, q75 + 1.5*IQR] clamp to the fence, with below/above
+    flags — the standard robust-outlier clamp a feature pipeline applies
+    before scaling.
+
+    → original columns + (clamped DOUBLE, below BOOL, above BOOL).
+
+    Determinism: exact percentiles at quarter probabilities over an
+    INTEGER column make every interpolated quantile, the IQR, and the
+    1.5x fences exactly representable doubles (the q_exact_quantiles
+    class), so the clamp is bit-stable across engines.
+
+    Scale shape: ONE percentile aggregation (Spark's percentile is a
+    partial-aggregable sketchless exact impl) broadcast back via a 1-row
+    cross join — no global sort, no window.  At 100 TB swap
+    percentile -> approx_percentile and the plan is unchanged.
+    """
+    q = df.agg(F.expr(f"percentile({col}, 0.25)").alias("_q25"),
+               F.expr(f"percentile({col}, 0.75)").alias("_q75"))
+    iqr = F.col("_q75") - F.col("_q25")
+    fences = q.select((F.col("_q25") - 1.5 * iqr).alias("_lo"),
+                      (F.col("_q75") + 1.5 * iqr).alias("_hi"))
+    c = F.col(col).cast("double")
+    return (df.crossJoin(F.broadcast(fences))
+            .select(*df.columns,
+                    F.greatest(F.least(c, F.col("_hi")),
+                               F.col("_lo")).alias("clamped"),
+                    (c < F.col("_lo")).alias("below"),
+                    (c > F.col("_hi")).alias("above")))

@@ -2838,3 +2838,89 @@ FROM (SELECT doc_id, md5('r5shuf:' || CAST(doc_id AS VARCHAR)) AS k,
 """
 
 register("text_global_shuffle", text_global_shuffle, _SHUFFLE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Domain-blocklist filtering (pipeline.text.normalize_url composed into a
+# filter decision): the C4/RefinedWeb "kill bad domains before anything
+# else" step.  Each doc synthesizes a deterministically-messy URL (scheme
+# case, default port, trailing slash, fragment, tracking params, unsorted
+# query — all keyed off doc_id so every normalization branch is exercised
+# at every SF), canonicalizes it, extracts the host, and anti-checks a
+# broadcast blocklist.  The oracle does NOT mirror the normalizer's
+# regexes — it constructs the EXPECTED canonical form directly from
+# (source, doc_id), so the gate is an independent end-to-end proof of the
+# canonicalization contract.  Scale shape: pure column expressions + a
+# 3-row broadcast join; one scan, no shuffle.
+# --------------------------------------------------------------------------
+
+
+def text_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import normalize_url
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https"))
+        .otherwise(F.lit("HTTPS")),
+        F.lit("://WWW."), F.upper("source"), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b=2&a=1#frag"))
+    blocklist = spark.createDataFrame(
+        [("www.src1.example.com",), ("www.src7.example.com",),
+         ("www.src13.example.com",)], "b_host string")
+    return (docs.select("doc_id", normalize_url(messy).alias("canon_url"))
+            .withColumn("host",
+                        F.regexp_extract("canon_url", r"^https://([^/?#]*)", 1))
+            .join(F.broadcast(blocklist), F.col("host") == F.col("b_host"),
+                  "left")
+            .select("doc_id", "canon_url", "host",
+                    F.col("b_host").isNotNull().alias("blocked")))
+
+
+_BLOCKLIST_ORACLE = """
+SELECT doc_id,
+       'https://www.' || source || '.example.com/p/'
+         || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS canon_url,
+       'www.' || source || '.example.com' AS host,
+       source IN ('src1', 'src7', 'src13') AS blocked
+FROM documents
+"""
+
+register("text_domain_blocklist", text_domain_blocklist, _BLOCKLIST_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Tukey-fence winsorization (pipeline.validate.tukey_winsorize) over the
+# documents length column — robust feature clamping before scaling.
+# Quarter-probability exact percentiles over an integer column keep every
+# fence exactly representable (the q_exact_quantiles determinism class).
+# --------------------------------------------------------------------------
+
+
+def text_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.validate import tukey_winsorize
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return tukey_winsorize(docs, "n_chars")
+
+
+_WINSORIZE_ORACLE = """
+WITH q AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q25,
+         quantile_cont(n_chars, 0.75) AS q75
+  FROM documents
+), f AS (
+  SELECT q25 - 1.5 * (q75 - q25) AS lo,
+         q75 + 1.5 * (q75 - q25) AS hi
+  FROM q
+)
+SELECT doc_id, n_chars,
+       GREATEST(LEAST(CAST(n_chars AS DOUBLE), hi), lo) AS clamped,
+       CAST(n_chars AS DOUBLE) < lo AS below,
+       CAST(n_chars AS DOUBLE) > hi AS above
+FROM documents, f
+"""
+
+register("text_winsorize", text_winsorize, _WINSORIZE_ORACLE)

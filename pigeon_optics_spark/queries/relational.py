@@ -1078,3 +1078,365 @@ GROUP BY c_nationkey, c_mktsegment
 """
 
 register("q_kanonymity_audit", q_kanonymity_audit, _KANON_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q7-style two-nation volume shipping: 5-way join where BOTH endpoints of a
+# flow are dimension-filtered (supplier nation x customer nation), grouped
+# by flow direction and ship year.  Catalyst pushes the nation-name IN
+# filters into the two broadcast nation copies, so the fact-side join fans
+# out only matching rows.  YEAR() is cast INT on both engines (DuckDB
+# EXTRACT returns BIGINT).  Reference has no joins at all (SURVEY §2.3
+# ABSENT rows); this is new-surface evidence.
+# --------------------------------------------------------------------------
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
+                       F.col("n_name").alias("cust_nation"))
+    pair_ok = (
+        ((F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11"))
+        | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20"))
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("date")))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair_ok)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.expr(dsum_exact(DISC_PRICE, "revenue")).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       {dsum_exact(DISC_PRICE, 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+GROUP BY 1, 2, 3
+"""
+
+register("q7_nation_volume", q7_nation_volume, _Q7_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q8-style market share: per-year conditional share of one supplier nation
+# inside a region's PROMO-part order volume.  The share is emitted as
+# (nation_volume, total_volume) — two exact decimal sums — NOT as their
+# ratio: decimal/decimal division scale rules differ between engines
+# (documented in _util), while the numerator/denominator pair is bit-exact
+# and lets the caller divide at presentation time.  A year with no
+# nation rows keeps 0.0 via COALESCE (SUM over empty CASE is NULL).
+# --------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    # customer-side nations restricted to one region
+    cdims = (nation.join(F.broadcast(region),
+                         F.col("n_regionkey") == F.col("r_regionkey"))
+             .where(F.col("r_name") == "EUROPE")
+             .select(F.col("n_nationkey").alias("c_nkey")))
+    sdim = nation.select(F.col("n_nationkey").alias("s_nkey"),
+                         F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(part.where(F.col("p_type") == "PROMO"),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("date"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cdims), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sdim), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.expr(DISC_PRICE))).cast("double"),
+                F.lit(0.0)).alias("nation_volume"),
+            F.expr(dsum_exact(DISC_PRICE, "total_volume"))
+            .alias("total_volume"),
+            F.count("*").alias("n_items"))
+    )
+
+
+_Q8_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       COALESCE(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                              THEN {DISC_PRICE} END) AS DOUBLE),
+                0.0) AS nation_volume,
+       {dsum_exact(DISC_PRICE, 'total_volume')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO'
+  AND r_name = 'EUROPE'
+  AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+GROUP BY 1
+"""
+
+register("q8_market_share", q8_market_share, _Q8_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q10-style returned-item revenue ranking: which customers returned the
+# most value in a quarter.  Top-20 is ordered on the EXACT DECIMAL revenue
+# (cast to double only in the final projection) with c_custkey tiebreak,
+# so the limit boundary cannot flip on a float ulp.  TakeOrdered — no
+# global sort.
+# --------------------------------------------------------------------------
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.expr(DISC_PRICE)).alias("rev_dec"),
+             F.count("*").alias("n_returned"))
+        .orderBy(F.desc("rev_dec"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name",
+                F.col("rev_dec").cast("double").alias("revenue"),
+                "n_returned")
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(rev_dec AS DOUBLE) AS revenue, n_returned
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         SUM({DISC_PRICE}) AS rev_dec,
+         COUNT(*) AS n_returned
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= DATE '1995-10-01'
+    AND o_orderdate <  DATE '1996-01-01'
+  GROUP BY 1, 2, 3, 4
+  ORDER BY rev_dec DESC, c_custkey ASC
+  LIMIT 20
+) t
+"""
+
+register("q10_returned_revenue", q10_returned_revenue, _Q10_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q14-style promo revenue: conditional-sum numerator/denominator per ship
+# year (emitted as the exact pair, never the ratio — same determinism
+# stance as q8).  One join + one agg; the p_type predicate cannot be
+# pushed (it feeds the CASE, not a filter).
+# --------------------------------------------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("p_type") == "PROMO",
+                             F.expr(DISC_PRICE))).cast("double"),
+                F.lit(0.0)).alias("promo_revenue"),
+            F.expr(dsum_exact(DISC_PRICE, "total_revenue"))
+            .alias("total_revenue"),
+            F.count("*").alias("n_items"))
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN {DISC_PRICE} END) AS DOUBLE),
+                0.0) AS promo_revenue,
+       {dsum_exact(DISC_PRICE, 'total_revenue')},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+register("q14_promo_revenue", q14_promo_revenue, _Q14_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q15-style top supplier: suppliers whose quarterly revenue equals the
+# global max.  The max comparison stays in EXACT DECIMAL (the double cast
+# happens only in the final projection), so "equals the max" is engine-
+# stable even under revenue ties.  Plan: one agg + 1-row broadcast max +
+# supplier equi-join — no window, no global sort.
+# --------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    rev = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.expr(DISC_PRICE)).alias("rev_dec")))
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    return (rev.join(F.broadcast(mx), F.col("rev_dec") == F.col("mx"))
+            .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("rev_dec").cast("double").alias("total_rev")))
+
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({DISC_PRICE}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+"""
+
+register("q15_top_supplier", q15_top_supplier, _Q15_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q19-style disjunctive predicate revenue: OR-of-ANDs across both join
+# sides.  Catalyst extracts the common conjuncts it can push (p_brand IN
+# (...) to the part scan, l_quantity range union to the lineitem scan) and
+# evaluates the residual OR post-join — the predicate-decomposition
+# showcase.  Single-row result (revenue, n_matched).
+# --------------------------------------------------------------------------
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (joined.where(cond)
+            .agg(F.expr(dsum_exact(DISC_PRICE, "revenue")).alias("revenue"),
+                 F.count("*").alias("n_matched")))
+
+
+_Q19_ORACLE = f"""
+SELECT {dsum_exact(DISC_PRICE, 'revenue')}, COUNT(*) AS n_matched
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+register("q19_disjunctive_revenue", q19_disjunctive_revenue, _Q19_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q22-style idle high-balance customers: above-average balance AND no
+# orders in the most recent data year (2001) — the churn-risk audit shape
+# (every customer has SOME order at gate SFs, so lifetime NOT EXISTS would
+# be vacuously empty; the year-scoped variant keeps both branches
+# populated).  The "above average" threshold is decided WITHOUT division:
+# x > avg  <=>  x * n > sum, with both sides in exact decimal/integer
+# arithmetic (decimal division scale rules diverge between engines;
+# multiplication doesn't).  Anti join supplies NOT EXISTS.  Plan: 1-row
+# positive-balance aggregate broadcast, anti join on o_custkey, final
+# groupBy.
+# --------------------------------------------------------------------------
+
+
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(8,2)")
+    pos = (cust.where(F.col("c_acctbal") > 0)
+           .agg(F.sum(bal).alias("tot_pos"),
+                F.count("*").alias("n_pos")))
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .where(bal * F.col("n_pos") > F.col("tot_pos"))
+        .join(orders.where(F.year("o_orderdate") == 2001)
+              .select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             F.expr(dsum("c_acctbal", "totacctbal")).alias("totacctbal"))
+    )
+
+
+_Q22_ORACLE = f"""
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(8,2))) AS tot_pos,
+         COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       {dsum('c_acctbal', 'totacctbal')}
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(8,2)) * n_pos > tot_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND EXTRACT(year FROM o_orderdate) = 2001)
+GROUP BY c_nationkey
+"""
+
+register("q22_idle_balance", q22_idle_balance, _Q22_ORACLE)

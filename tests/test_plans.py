@@ -457,3 +457,40 @@ def test_runtime_bloom_filter_fires_on_shuffle_joins(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q19_disjunction_pushes_brand_filter(spark, sf_dir):
+    """OR-of-ANDs: Catalyst must extract the common p_brand IN (...)
+    conjunct and push it into the part scan (predicate decomposition),
+    and the join must stay a hash join."""
+    from pigeon_optics_spark.queries.relational import q19_disjunctive_revenue
+
+    p = plan_of(q19_disjunctive_revenue(spark, sf_dir), "formatted")
+    pushed = [ln for ln in p.splitlines()
+              if "PushedFilters" in ln and "p_brand" in ln]
+    assert pushed, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_domain_blocklist_single_scan_broadcast(spark, sf_dir):
+    """URL canonicalization + blocklist check must stay one documents scan
+    with a broadcast join — no shuffle of the corpus."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        text_domain_blocklist,
+    )
+
+    p = plan_of(text_domain_blocklist(spark, sf_dir))
+    assert p.count("FileScan parquet") == 1, p
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_winsorize_is_one_agg_plus_broadcast(spark, sf_dir):
+    """Tukey fences: one percentile aggregation broadcast back onto the
+    scan — no window, no per-row shuffle of the corpus."""
+    from pigeon_optics_spark.queries.pipeline_queries import text_winsorize
+
+    p = plan_of(text_winsorize(spark, sf_dir))
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p

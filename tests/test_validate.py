@@ -185,3 +185,46 @@ def test_global_shuffle_window_is_partitioned(spark):
                       if "Window [" in ln and " WindowGroupLimit" not in ln
                       and ln.count("], [") == 1]
     assert not global_windows, plan
+
+
+def test_tukey_winsorize_matches_python(spark):
+    """Pure-Python recomputation: fences from numpy-free exact quartiles
+    (linear interpolation at (n-1)*p), clamp + flags per row."""
+    import random
+
+    from pigeon_optics_spark.pipeline.validate import tukey_winsorize
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 1000) for _ in range(257)] + [10_000, -5_000]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, x long")
+    got = {r["id"]: r for r in tukey_winsorize(df, "x").collect()}
+
+    s = sorted(vals)
+    n = len(s)
+
+    def q(p):
+        pos = (n - 1) * p
+        lo, frac = int(pos), pos - int(pos)
+        return s[lo] + (s[min(lo + 1, n - 1)] - s[lo]) * frac
+
+    q25, q75 = q(0.25), q(0.75)
+    lo_f, hi_f = q25 - 1.5 * (q75 - q25), q75 + 1.5 * (q75 - q25)
+    for i, v in enumerate(vals):
+        r = got[i]
+        assert r["clamped"] == max(min(float(v), hi_f), lo_f)
+        assert r["below"] == (v < lo_f)
+        assert r["above"] == (v > hi_f)
+    assert any(r["below"] for r in got.values())
+    assert any(r["above"] for r in got.values())
+
+
+def test_tukey_winsorize_constant_column(spark):
+    """Zero IQR: fences collapse to the constant; nothing flags."""
+    from pigeon_optics_spark.pipeline.validate import tukey_winsorize
+
+    df = spark.createDataFrame([(i, 42) for i in range(10)],
+                               "id long, x long")
+    rows = tukey_winsorize(df, "x").collect()
+    assert all(r["clamped"] == 42.0 and not r["below"] and not r["above"]
+               for r in rows)
