@@ -1166,3 +1166,48 @@ GROUP BY 1, 2, 3, 4
 
 register("events_seasonal_baseline", events_seasonal_baseline,
          _SEASONAL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Per-user EWMA smoothing — the sequential-fold determinism class
+# (lens_object_merge_stats / text_bigram_lm precedent): each user's value
+# sequence folds IN ORDER (ts, event_id tiebreak) through
+# s_i = 0.25*x_i + 0.75*s_{i-1}, so both engines execute the IDENTICAL
+# IEEE op sequence and the result is bit-exact — dyadic alpha (1/4) makes
+# the coefficients themselves exact.  This is the streaming-telemetry
+# smoothing primitive (anomaly bands, load trending).
+#
+# Scale shape: one groupBy(user_id) + in-row array fold — the per-user
+# sequence is session-sized (bounded by a user's activity), never
+# corpus-sized; no window function, no global sort.  At 100 TB the same
+# fold runs incrementally via applyInPandasWithState (state = last EWMA).
+# --------------------------------------------------------------------------
+
+
+def events_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("ts", "event_id", "value")))
+               .alias("s")))
+    vals = F.col("s").getField("value")
+    tail = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        tail, F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc)
+    return seq.select("user_id",
+                      F.size("s").cast("long").alias("n_events"),
+                      ewma.alias("ewma"))
+
+
+_EWMA_ORACLE = """
+WITH seq AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+       list_reduce(vals, (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma
+FROM seq
+"""
+
+register("events_ewma_users", events_ewma_users, _EWMA_ORACLE)

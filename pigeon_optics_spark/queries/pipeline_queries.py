@@ -2924,3 +2924,67 @@ FROM documents, f
 """
 
 register("text_winsorize", text_winsorize, _WINSORIZE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Literal-weight linear quality classifier (fasttext-style keep/drop
+# filtering, the inference step of a trained quality model): integer
+# features (word/stopword/long-word counts, floor-scaled chars) dotted
+# with integer-grid weights — the logit is EXACT BIGINT arithmetic, so
+# the keep decision is engine-stable with no sigmoid/float anywhere
+# (the monotone sigmoid never changes the argmax/threshold decision).
+#
+# Scale shape: pure column expressions over one scan — the same map-only
+# plan as text_profile; weights live in the plan as literals (the
+# centroid/codebook pattern), so model updates are a re-plan, not a join.
+# --------------------------------------------------------------------------
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import words_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text",
+                                                   "n_chars")
+    words = words_col(F.coalesce(F.col("text"), F.lit("")))
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(
+        words, lambda w: F.lower(w).isin(STOPWORDS)))
+    n_long = F.size(F.filter(words, lambda w: F.length(w) > 6))
+    logit = (F.lit(-60) + 2 * n_words + 7 * n_stop - 3 * n_long
+             + F.expr("n_chars div 100"))
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_stop.cast("long").alias("n_stop"),
+        n_long.cast("long").alias("n_long"),
+        logit.cast("long").alias("logit"),
+        (logit >= 0).alias("keep"))
+
+
+_CLASSIFIER_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_chars,
+         len(ws) AS n_words,
+         len(list_filter(ws, x -> list_contains({_STOPLIST_SQL}, lower(x))))
+           AS n_stop,
+         len(list_filter(ws, x -> length(x) > 6)) AS n_long
+  FROM w
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       CAST(n_long AS BIGINT) AS n_long,
+       CAST(-60 + 2 * n_words + 7 * n_stop - 3 * n_long + n_chars // 100
+            AS BIGINT) AS logit,
+       (-60 + 2 * n_words + 7 * n_stop - 3 * n_long + n_chars // 100) >= 0
+         AS keep
+FROM feat
+"""
+
+register("text_quality_classifier", text_quality_classifier,
+         _CLASSIFIER_ORACLE)

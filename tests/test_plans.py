@@ -494,3 +494,26 @@ def test_winsorize_is_one_agg_plus_broadcast(spark, sf_dir):
     p = plan_of(text_winsorize(spark, sf_dir))
     assert "Window" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_quality_classifier_one_scan_no_shuffle(spark, sf_dir):
+    """Literal-weight inference must stay map-only: one scan, no Exchange,
+    no Join (weights are plan literals, not a joined table)."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        text_quality_classifier,
+    )
+
+    p = plan_of(text_quality_classifier(spark, sf_dir))
+    assert p.count("FileScan parquet") == 1, p
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_ewma_no_window_one_shuffle(spark, sf_dir):
+    """The EWMA fold is an in-row array aggregate after ONE groupBy
+    shuffle — no window function, no sort of the whole corpus."""
+    from pigeon_optics_spark.queries.events_queries import events_ewma_users
+
+    p = plan_of(events_ewma_users(spark, sf_dir))
+    assert "Window" not in p
+    assert p.count("Exchange hashpartitioning") <= 1, p
