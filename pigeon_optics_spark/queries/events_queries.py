@@ -1211,3 +1211,104 @@ FROM seq
 """
 
 register("events_ewma_users", events_ewma_users, _EWMA_ORACLE)
+
+
+_STREAM_EWMA_SRC: dict[str, str] = {}
+
+
+def events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA with state CONTINUATION across micro-batches — the
+    incremental form of ``events_ewma_users``, run as a REAL Structured
+    Streaming query.  The source directory is written as four
+    time-quartile files (each user's events in batch i all precede their
+    events in batch i+1) and streamed with ``maxFilesPerTrigger=1``, so
+    availableNow is FORCED through four ordered micro-batches: the
+    per-user (n, ewma) state genuinely carries the fold across batch
+    boundaries instead of collapsing into one batch.
+
+    Within a batch the key's rows sort by (ts, event_id) before folding —
+    the same total order as the batch gate — so Python, Spark, and DuckDB
+    execute the identical IEEE sequence and the final state is BIT-EXACT
+    equal to the batch ``list_reduce`` oracle.  Update-mode emissions are
+    reduced batching-independently via struct-max on the strictly
+    increasing n (the events_stream_stateful pattern).
+
+    At 100 TB this is the production smoothing shape: keyed state is one
+    (long, double) per user, and file-source ordering generalizes to
+    Kafka per-partition order (keyed by user so a user's events stay in
+    one ordered partition).
+    """
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if sf_dir not in _STREAM_EWMA_SRC:
+        d = tempfile.mkdtemp(prefix="po_stream_ewma_")
+        ev = load_events(spark, sf_dir).select(
+            "ts", "event_id", "user_id", "value")
+        qs = ev.agg(F.expr(
+            "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")).first()[0]
+        lo = F.unix_micros(F.col("ts"))
+        slices = [lo <= F.lit(int(qs[0])),
+                  (lo > F.lit(int(qs[0]))) & (lo <= F.lit(int(qs[1]))),
+                  (lo > F.lit(int(qs[1]))) & (lo <= F.lit(int(qs[2]))),
+                  lo > F.lit(int(qs[2]))]
+        # sequential single-file appends => strictly increasing mtimes =>
+        # the file source (oldest-first) replays them in time order
+        for cond in slices:
+            ev.where(cond).coalesce(1).write.mode("append").parquet(d)
+        _STREAM_EWMA_SRC[sf_dir] = d
+    d = _STREAM_EWMA_SRC[sf_dir]
+    schema = spark.read.parquet(d).schema
+
+    def fold(key, pdfs, state: GroupState):
+        n, ewma = state.get if state.exists else (0, None)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["ts", "event_id"]))
+            for v in rows["value"]:
+                v = float(v)
+                ewma = v if ewma is None else 0.25 * v + 0.75 * ewma
+                n += 1
+        state.update((n, ewma))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "ewma": [ewma]})
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_ewma_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="user_id long, n_events long, ewma double",
+            stateStructType="n_events long, ewma double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # the point of this gate is CROSS-BATCH state continuation: if the
+    # source ever collapses into a single micro-batch (maxFilesPerTrigger
+    # ignored / files coalesced), fail loudly instead of green-lighting a
+    # degenerate run
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; "
+            "expected 4 (one per time-quartile file)")
+    last = F.max(F.struct("n_events", "ewma")).alias("s")
+    return (spark.table(name).groupBy("user_id").agg(last)
+            .select("user_id", F.col("s.n_events").alias("n_events"),
+                    F.col("s.ewma").alias("ewma")))
+
+
+register("events_stream_ewma", events_stream_ewma, _EWMA_ORACLE)

@@ -157,3 +157,23 @@ def test_watermarked_stream_dedup_bounds_state(spark, events_dir, tmp_path):
             evicted += op.get("numRowsRemoved", 0)
     assert evicted > 0 or state_rows < n_events, \
         f"no state eviction observed (state={state_rows}, n={n_events})"
+
+
+def test_stream_ewma_multi_batch_matches_batch_fold(spark):
+    """The streaming EWMA gate must (a) run >= 4 data micro-batches (its
+    own internal assertion — a collapsed single-batch run raises), and
+    (b) bit-exactly reproduce the batch ordered fold."""
+    from pigeon_optics_spark.queries.events_queries import (
+        events_ewma_users,
+        events_stream_ewma,
+    )
+
+    got = {r["user_id"]: r for r in
+           events_stream_ewma(spark, SF_DIR).collect()}
+    want = {r["user_id"]: r for r in
+            events_ewma_users(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["n_events"] == w["n_events"]
+        assert g["ewma"] == w["ewma"], uid  # bit-exact, no tolerance
