@@ -44,6 +44,11 @@ SWEEP_QUERIES = [
     # exact integer sums — larger N moves the magnitudes)
     "events_seasonal_baseline",
     "emb_covariance",
+    # r5 wave 7: EWMA (sequential double fold — longer per-user chains at
+    # scale exercise accumulated rounding), winsorize (interpolated
+    # percentile fences at a different n)
+    "events_ewma_users",
+    "text_winsorize",
 ]
 
 #: per-copy deterministic perturbations; k=0 is the original rows so the
