@@ -105,11 +105,10 @@ _DRIVER_PRIORITY = [
     # q15_top_supplier, q19_disjunctive_revenue, q22_idle_balance,
     # text_domain_blocklist, text_winsorize, text_quality_classifier,
     # events_ewma_users, events_stream_ewma, dedup_prefix_jaccard) ship
-    # with local-only evidence
-    # this round — every
-    # window slot already holds a NEVER-driver-checked r5 gate, so there is
-    # nothing safe to displace.  They must lead r6's window together with
-    # the 14 r2/r3-history gates (see ROUND_NOTES "r6 rotation plan").
+    # with local-only evidence this round — every window slot already
+    # holds a NEVER-driver-checked r5 gate, so there is nothing safe to
+    # displace.  They must lead r6's window together with the 14
+    # r2/r3-history gates (see ROUND_NOTES "r6 rotation plan").
 ]
 
 
