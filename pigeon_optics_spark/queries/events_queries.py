@@ -1312,3 +1312,47 @@ def events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_stream_ewma", events_stream_ewma, _EWMA_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Semi-structured JSON column analytics — schema-on-read over the events
+# ``props`` JSON string: from_json projects the typed field INSIDE the
+# scan pipeline (no UDF, codegen'd Jackson parse), then an ordinary
+# grouped profile over the derived field.  This is the dynamic-document
+# surface of the reference's schema-less records (SURVEY §1.2) expressed
+# the Spark way: store dynamic JSON, project typed views on demand.
+#
+# Scale shape: parse + bucket are map-side expressions; one groupBy with
+# map-side combine; output is O(event_types x buckets).
+# --------------------------------------------------------------------------
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    k = F.from_json("props", "k long").getField("k")
+    return (ev.select("event_type", k.alias("k"), "value")
+            .groupBy("event_type", F.expr("k div 10").alias("k_bucket"))
+            .agg(F.count("*").alias("n_events"),
+                 F.expr(dsum("value", "total_value", 8))
+                 .alias("total_value"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max"),
+                 F.sum("k").cast("long").alias("k_sum")))
+
+
+#: DuckDB SUM(BIGINT) is HUGEINT -> CAST AS BIGINT (the sessionize class);
+#: MIN/MAX keep their input type and are safe.
+_JSON_EXTRACT_ORACLE = f"""
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       {dsum('value', 'total_value', 8)},
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+register("events_json_extract", events_json_extract, _JSON_EXTRACT_ORACLE)
