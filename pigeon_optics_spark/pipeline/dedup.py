@@ -582,20 +582,26 @@ def strict_rate_limit(df: DataFrame, gap_us: int = 300_000_000,
 
 
 def word_trigram_set(text: str | Column) -> Column:
-    """Distinct word-3-gram shingles of lowercased whitespace tokens;
-    docs with < 3 tokens contribute their whole (space-joined) token run
-    as one shingle so no document vanishes from set-similarity ops."""
+    """Distinct word-3-gram shingles of lowercased whitespace tokens
+    (tokenization shared with the text pipeline via ``words_col`` so the
+    two definitions cannot drift); docs with 1-2 tokens contribute their
+    whole (space-joined) token run as one shingle; empty/NULL docs yield
+    an EMPTY array (no shingles → excluded from set-similarity ops; the
+    DuckDB oracles mirror this — a '' shingle on one side and NULL on the
+    other would silently diverge)."""
+    from .text import words_col
+
     c = F.col(text) if isinstance(text, str) else text
-    toks = F.transform(
-        F.filter(F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"),
-                 lambda w: w != F.lit("")),
-        lambda w: F.lower(w))
+    toks = F.transform(words_col(F.coalesce(c, F.lit(""))),
+                       lambda w: F.lower(w))
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - 2),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
     return F.array_distinct(
-        F.when(n >= 3, grams).otherwise(F.array(F.concat_ws(" ", toks))))
+        F.when(n >= 3, grams)
+        .when(n >= 1, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>")))
 
 
 def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -632,8 +638,14 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     w = df.select(F.col(id_col).alias("id"),
                   word_trigram_set(text_col).alias("ws"))
+    # persist + materialize: w feeds the token pass AND both verify joins
+    # (the r1 unmaterialized-persist lesson).  Deliberately NOT unpersisted:
+    # the returned plan reads the cache lazily — evicting before the caller
+    # materializes would recompute the shingle scan three times (same
+    # stance as minhash_lsh_pairs' signature cache; harnesses clear cache
+    # between queries).
     w = w.persist()
-    w.count()  # materialize: w feeds the token pass AND both verify joins
+    w.count()
     tok = w.select("id", F.explode("ws").alias("t"))
     freq = tok.groupBy("t").agg(F.count("*").alias("freq"))
     ordered = (tok.join(freq, "t")

@@ -111,18 +111,22 @@ def kanonymity_audit(df: DataFrame, qi_cols: list[str],
                     (F.col("group_size") >= k).alias("anonymous")))
 
 
-def tukey_winsorize(df: DataFrame, col: str) -> DataFrame:
+def tukey_winsorize(df: DataFrame, col: str,
+                    k_iqr: float = 1.5) -> DataFrame:
     """Tukey-fence winsorization of a numeric column: values outside
-    [q25 - 1.5*IQR, q75 + 1.5*IQR] clamp to the fence, with below/above
+    [q25 - k*IQR, q75 + k*IQR] clamp to the fence, with below/above
     flags — the standard robust-outlier clamp a feature pipeline applies
-    before scaling.
+    before scaling (k = 1.5 is Tukey's classic fence; smaller k clamps
+    more aggressively).
 
     → original columns + (clamped DOUBLE, below BOOL, above BOOL).
+    NULL inputs stay NULL (LEAST/GREATEST skip NULLs in both engines, so
+    a naive clamp would fabricate the upper fence for missing data).
 
     Determinism: exact percentiles at quarter probabilities over an
     INTEGER column make every interpolated quantile, the IQR, and the
-    1.5x fences exactly representable doubles (the q_exact_quantiles
-    class), so the clamp is bit-stable across engines.
+    k*IQR fences exactly representable doubles when k is dyadic (the
+    q_exact_quantiles class), so the clamp is bit-stable across engines.
 
     Scale shape: ONE percentile aggregation (Spark's percentile is a
     partial-aggregable sketchless exact impl) broadcast back via a 1-row
@@ -132,12 +136,13 @@ def tukey_winsorize(df: DataFrame, col: str) -> DataFrame:
     q = df.agg(F.expr(f"percentile({col}, 0.25)").alias("_q25"),
                F.expr(f"percentile({col}, 0.75)").alias("_q75"))
     iqr = F.col("_q75") - F.col("_q25")
-    fences = q.select((F.col("_q25") - 1.5 * iqr).alias("_lo"),
-                      (F.col("_q75") + 1.5 * iqr).alias("_hi"))
+    fences = q.select((F.col("_q25") - k_iqr * iqr).alias("_lo"),
+                      (F.col("_q75") + k_iqr * iqr).alias("_hi"))
     c = F.col(col).cast("double")
     return (df.crossJoin(F.broadcast(fences))
             .select(*df.columns,
-                    F.greatest(F.least(c, F.col("_hi")),
-                               F.col("_lo")).alias("clamped"),
+                    F.when(c.isNull(), F.lit(None).cast("double"))
+                    .otherwise(F.greatest(F.least(c, F.col("_hi")),
+                                          F.col("_lo"))).alias("clamped"),
                     (c < F.col("_lo")).alias("below"),
                     (c > F.col("_hi")).alias("above")))

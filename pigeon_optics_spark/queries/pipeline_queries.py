@@ -2896,6 +2896,11 @@ register("text_domain_blocklist", text_domain_blocklist, _BLOCKLIST_ORACLE)
 # documents length column — robust feature clamping before scaling.
 # Quarter-probability exact percentiles over an integer column keep every
 # fence exactly representable (the q_exact_quantiles determinism class).
+# The gate clamps at k=0.25 (dyadic, still exact): Tukey's classic 1.5
+# leaves ZERO rows outside the fences on this corpus at every SF — a
+# trivially-green gate that never cross-checks the clamp — while 0.25
+# clamps ~10-25% on each side at every SF (53/53 at sf0.01), so the
+# fence arithmetic and both flag branches are genuinely value-hashed.
 # --------------------------------------------------------------------------
 
 
@@ -2903,7 +2908,7 @@ def text_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.validate import tukey_winsorize
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return tukey_winsorize(docs, "n_chars")
+    return tukey_winsorize(docs, "n_chars", k_iqr=0.25)
 
 
 _WINSORIZE_ORACLE = """
@@ -2912,8 +2917,8 @@ WITH q AS (
          quantile_cont(n_chars, 0.75) AS q75
   FROM documents
 ), f AS (
-  SELECT q25 - 1.5 * (q75 - q25) AS lo,
-         q75 + 1.5 * (q75 - q25) AS hi
+  SELECT q25 - 0.25 * (q75 - q25) AS lo,
+         q75 + 0.25 * (q75 - q25) AS hi
   FROM q
 )
 SELECT doc_id, n_chars,
@@ -3022,7 +3027,9 @@ w AS (
            list_transform(range(1, len(toks) - 1),
              i -> list_aggregate(toks[CAST(i AS INT):CAST(i + 2 AS INT)],
                                  'string_agg', ' '))
-         ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS ws
+         WHEN len(toks) >= 1 THEN
+           [list_aggregate(toks, 'string_agg', ' ')]
+         ELSE [] END) AS ws
   FROM wd
 ),
 tok AS (SELECT doc_id, unnest(ws) AS t FROM w),

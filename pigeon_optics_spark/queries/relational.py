@@ -1086,8 +1086,11 @@ register("q_kanonymity_audit", q_kanonymity_audit, _KANON_ORACLE)
 # by flow direction and ship year.  Catalyst pushes the nation-name IN
 # filters into the two broadcast nation copies, so the fact-side join fans
 # out only matching rows.  YEAR() is cast INT on both engines (DuckDB
-# EXTRACT returns BIGINT).  Reference has no joins at all (SURVEY §2.3
-# ABSENT rows); this is new-surface evidence.
+# EXTRACT returns BIGINT).  The NATION_13/NATION_19 pair carries flow in
+# BOTH directions at every SF including sf0.001 (18/10 rows), so the
+# direction disjunction is genuinely exercised at the smoke tier.
+# Reference has no joins at all (SURVEY §2.3 ABSENT rows); this is
+# new-surface evidence.
 # --------------------------------------------------------------------------
 
 
@@ -1102,8 +1105,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("c_nkey"),
                        F.col("n_name").alias("cust_nation"))
     pair_ok = (
-        ((F.col("supp_nation") == "NATION_20") & (F.col("cust_nation") == "NATION_11"))
-        | ((F.col("supp_nation") == "NATION_11") & (F.col("cust_nation") == "NATION_20"))
+        ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_19"))
+        | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_13"))
     )
     return (
         li.where(
@@ -1133,8 +1136,8 @@ JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
-    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
   AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
 GROUP BY 1, 2, 3
 """
@@ -1355,7 +1358,9 @@ register("q15_top_supplier", q15_top_supplier, _Q15_ORACLE)
 # sides.  Catalyst extracts the common conjuncts it can push (p_brand IN
 # (...) to the part scan, l_quantity range union to the lineitem scan) and
 # evaluates the residual OR post-join — the predicate-decomposition
-# showcase.  Single-row result (revenue, n_matched).
+# showcase.  Single-row result (revenue, n_matched).  Ranges are sized so
+# the smoke SF matches too (33 rows at sf0.001; the original TPC-H bands
+# match nothing there, making the gate vacuous at that tier).
 # --------------------------------------------------------------------------
 
 
@@ -1364,12 +1369,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
     joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
-        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
-         & F.col("l_quantity").between(1, 11))
-        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
-           & F.col("l_quantity").between(10, 20))
-        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
-           & F.col("l_quantity").between(20, 30))
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 20)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 35))
     )
     return (joined.where(cond)
             .agg(F.expr(dsum_exact(DISC_PRICE, "revenue")).alias("revenue"),
@@ -1379,12 +1384,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q19_ORACLE = f"""
 SELECT {dsum_exact(DISC_PRICE, 'revenue')}, COUNT(*) AS n_matched
 FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-       AND l_quantity BETWEEN 1 AND 11)
-   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-       AND l_quantity BETWEEN 10 AND 20)
-   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-       AND l_quantity BETWEEN 20 AND 30)
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)
 """
 
 register("q19_disjunctive_revenue", q19_disjunctive_revenue, _Q19_ORACLE)

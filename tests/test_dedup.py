@@ -268,7 +268,8 @@ def test_prefix_jaccard_complete_vs_bruteforce(spark):
         docs.append((i, " ".join(toks)))
     docs.append((24, "tiny doc"))          # < 3 tokens branch
     docs.append((25, "tiny doc"))          # its exact duplicate
-    df = spark.createDataFrame(docs, "doc_id long, text string")
+    all_docs = docs + [(26, ""), (27, "   "), (28, None)]  # shingle-less
+    df = spark.createDataFrame(all_docs, "doc_id long, text string")
 
     def trigrams(text):
         toks = [w.lower() for w in text.split()]
@@ -287,6 +288,10 @@ def test_prefix_jaccard_complete_vs_bruteforce(spark):
            for r in prefix_jaccard_pairs(df).collect()}
     assert got == want
     assert (24, 25, 1, 1) in got  # the short-doc duplicate pair surfaced
+    # empty/whitespace/NULL docs have NO shingles: never pair, not even
+    # with each other (oracle-parity: a '' shingle would pair them in
+    # Spark while DuckDB's NULL aggregate silently dropped them)
+    assert not any(a >= 26 or b >= 26 for a, b, _, _ in got)
 
 
 def test_prefix_jaccard_bucket_cap_bounds_join(spark):

@@ -228,3 +228,27 @@ def test_tukey_winsorize_constant_column(spark):
     rows = tukey_winsorize(df, "x").collect()
     assert all(r["clamped"] == 42.0 and not r["below"] and not r["above"]
                for r in rows)
+
+
+def test_tukey_winsorize_null_stays_null(spark):
+    """A NULL input must stay NULL — LEAST/GREATEST skip NULLs, so the
+    naive clamp would fabricate the UPPER FENCE for missing data."""
+    from pigeon_optics_spark.pipeline.validate import tukey_winsorize
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 100), (4, None)], "id long, x long")
+    rows = {r["id"]: r for r in tukey_winsorize(df, "x").collect()}
+    assert rows[4]["clamped"] is None
+    assert rows[4]["below"] is None and rows[4]["above"] is None
+    assert rows[3]["above"] and rows[3]["clamped"] < 100.0
+
+
+def test_tukey_winsorize_k_iqr_tightens(spark):
+    """Smaller k_iqr must clamp strictly more rows (the gate runs 0.25)."""
+    from pigeon_optics_spark.pipeline.validate import tukey_winsorize
+
+    df = spark.createDataFrame([(i, i * i) for i in range(30)],
+                               "id long, x long")
+    wide = tukey_winsorize(df, "x", k_iqr=1.5).where("below OR above").count()
+    tight = tukey_winsorize(df, "x", k_iqr=0.25).where("below OR above").count()
+    assert tight > wide
