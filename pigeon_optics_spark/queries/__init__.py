@@ -98,14 +98,14 @@ _DRIVER_PRIORITY = [
     # stream_dedup, q_approx — carries a green r4 driver row, re-verified
     # by the full local gate this session; rotate them back in r6.)
     #
-    # r5 wave-6/7 EXCEPTION: eighteen gates added after the window filled
+    # r5 wave-6/7 EXCEPTION: nineteen gates added after the window filled
     # (wave 6: text_span_dedup_removal, text_global_shuffle,
     # q_data_quality_report, q_kanonymity_audit; wave 7: q7_nation_volume,
     # q8_market_share, q10_returned_revenue, q14_promo_revenue,
     # q15_top_supplier, q19_disjunctive_revenue, q22_idle_balance,
     # text_domain_blocklist, text_winsorize, text_quality_classifier,
     # events_ewma_users, events_stream_ewma, dedup_prefix_jaccard,
-    # events_json_extract) ship
+    # events_json_extract, q_grouping_sets) ship
     # with local-only evidence this round — every window slot already
     # holds a NEVER-driver-checked r5 gate, so there is nothing safe to
     # displace.  They must lead r6's window together with the 14

@@ -1445,3 +1445,41 @@ GROUP BY c_nationkey
 """
 
 register("q22_idle_balance", q22_idle_balance, _Q22_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping_id — the general form rollup/cube
+# specialize (SURVEY §2.4 ABSENT-in-reference family): three hand-picked
+# grouping sets that neither ROLLUP nor CUBE generates ((flag, status),
+# (flag), (status)) — no grand total.  grouping_id disambiguates a real
+# NULL key from a superaggregate NULL (sentinel-free, unlike the rollup
+# gate); emitted as INT on both engines.  One Expand + one aggregation —
+# the expansion is map-side, the shuffle carries (keys, gid) partials.
+# --------------------------------------------------------------------------
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("po_gs_lineitem")
+    return li.sparkSession.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               {dsum('l_quantity', 'sum_qty')},
+               COUNT(*) AS n_rows
+        FROM po_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+    """)
+
+
+_GROUPING_SETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+       {dsum('l_quantity', 'sum_qty')},
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus))
+"""
+
+register("q_grouping_sets", q_grouping_sets, _GROUPING_SETS_ORACLE)
