@@ -1483,3 +1483,170 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
 """
 
 register("q_grouping_sets", q_grouping_sets, _GROUPING_SETS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q6-style forecast revenue: the pure scan-predicate-aggregate shape — no
+# join, no group key, one global sum.  The whole value of this gate is the
+# PLAN: all three predicates (date range, discount band, quantity cap) must
+# reach the parquet scan as PushedFilters and the aggregate is a map-side
+# partial + 1-row final (pinned by tests/test_plans.py).  Revenue
+# l_extendedprice*l_discount stays in exact decimal operand arithmetic
+# (DISC family); COUNT keeps the row non-degenerate for the hash compare.
+# The discount band compares the stored doubles against the same double
+# literals in both engines (0.05/0.07 are exact parquet values, no decimal
+# re-rounding on the predicate path).  113 rows qualify at sf0.001 —
+# non-empty at every SF.
+# --------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rev = ("CAST(l_extendedprice AS DECIMAL(8,2))"
+           " * CAST(l_discount AS DECIMAL(3,2))")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.expr(dsum_exact(rev, "revenue")).alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))
+               * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+register("q6_forecast_revenue", q6_forecast_revenue, _Q6_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q9-style product-type profit: profit per (supplier nation, order year) for
+# parts whose name matches a substring — the classic "profit by nation and
+# year" multi-join shape.  ADAPTED to this testdata: there is no partsupp
+# table (no ps_supplycost), so profit is the discounted price rather than
+# price minus supply cost — the JOIN TOPOLOGY (lineitem→part LIKE filter →
+# supplier → nation + orders for the year axis) and the decimal-exact
+# grouped sum are what the gate pins.  The p_name LIKE '%widget%' filter
+# prunes part before the join (plan: pushed StringContains); nation is a
+# bounded broadcast dim.
+# --------------------------------------------------------------------------
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(part.where(F.col("p_name").contains("widget"))
+                .select("p_partkey"),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.expr(dsum_exact(DISC_PRICE, "sum_profit")).alias("sum_profit"),
+             F.count("*").alias("n_items"))
+    )
+
+
+_Q9_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {dsum_exact(DISC_PRICE, 'sum_profit')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+register("q9_product_type_profit", q9_product_type_profit, _Q9_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q11-style important parts: parts whose revenue exceeds TWICE the average
+# per-part revenue — the "group aggregate vs global scalar threshold"
+# shape (TPC-H Q11's fraction-of-total HAVING).  ADAPTED: no partsupp in
+# this testdata, so "value" is lineitem revenue per part instead of
+# supplycost*availqty.  Scale-free threshold: Q11 hardwires fraction =
+# 0.0001/SF because a fixed fraction empties (or floods) as the part count
+# scales; comparing against 1.2x the MEAN part value is the same audit with
+# no SF knob (2x clamps to ZERO rows on this near-uniform corpus — the
+# trivially-green class; 1.2x keeps 38/200 at sf0.001, 3339/20000 at
+# sf0.1).  Division-free exactness (the q22 discipline): value >
+# 1.2*total/n  <=>  value * n * 5 > total * 6 — and both products run
+# on the BIGINT value grid (scale-4 decimals are integral at x10^4), never
+# in decimal multiplication, because decimal x integer widening differs
+# between engines near the precision-38 cap (Spark rounds, DuckDB widens).
+# Grid headroom: total ~6e12 units x 2e4 parts x 5 ~ 6e17 < 2^63 at sf0.1.
+# Plan: per-part decimal agg persisted+materialized (a shared agg subtree
+# is otherwise recomputed per consumer — the emb_covariance lesson), 1-row
+# global aggregate over it broadcast back.  Both branches populated at
+# every SF (~1/3 of parts qualify at sf0.001).
+# --------------------------------------------------------------------------
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.expr(DISC_PRICE)).alias("part_value_dec"),
+             F.count("*").alias("n_items"))
+        .withColumn("part_grid",
+                    (F.col("part_value_dec") * 10000).cast("bigint"))
+    )
+    # materialized persist: totals AND the filter below both consume the
+    # per-part aggregate; without .count() the one-shuffle agg runs twice
+    per_part = per_part.persist()
+    per_part.count()
+    totals = per_part.agg(
+        F.sum("part_grid").alias("total_grid"),
+        F.count("*").alias("n_parts"))
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .where(F.col("part_grid") * F.col("n_parts") * 5
+               > F.col("total_grid") * 6)
+        .select(F.col("l_partkey"),
+                F.col("part_value_dec").cast("double").alias("part_value"),
+                "n_items")
+    )
+
+
+_Q11_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM({DISC_PRICE}) AS part_value_dec,
+         COUNT(*) AS n_items
+  FROM lineitem GROUP BY l_partkey
+),
+grid AS (
+  SELECT l_partkey, part_value_dec, n_items,
+         CAST(part_value_dec * 10000 AS BIGINT) AS part_grid
+  FROM per_part
+),
+tot AS (
+  SELECT CAST(SUM(part_grid) AS BIGINT) AS total_grid, COUNT(*) AS n_parts
+  FROM grid
+)
+SELECT l_partkey, CAST(part_value_dec AS DOUBLE) AS part_value, n_items
+FROM grid, tot
+WHERE part_grid * n_parts * 5 > total_grid * 6
+"""
+
+register("q11_important_parts", q11_important_parts, _Q11_ORACLE)

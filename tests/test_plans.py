@@ -517,3 +517,34 @@ def test_ewma_no_window_one_shuffle(spark, sf_dir):
     p = plan_of(events_ewma_users(spark, sf_dir))
     assert "Window" not in p
     assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """q6 is the pure predicate-pushdown shape: all three filters
+    (shipdate range, discount band, quantity cap) must reach the parquet
+    scan as PushedFilters, and the plan is scan → partial agg → 1-row
+    final — no join, no window."""
+    from pigeon_optics_spark.queries.relational import q6_forecast_revenue
+
+    p = plan_of(q6_forecast_revenue(spark, sf_dir), "formatted")
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed, p
+    line = pushed[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, (col, line)
+    assert "Join" not in p
+    assert "Window" not in p
+
+
+def test_q9_name_filter_prunes_part_before_join(spark, sf_dir):
+    """q9's p_name LIKE filter must be pushed into the part scan
+    (StringContains) so the join fans out only matching parts, and no
+    join degrades to a nested loop."""
+    from pigeon_optics_spark.queries.relational import q9_product_type_profit
+
+    p = plan_of(q9_product_type_profit(spark, sf_dir), "formatted")
+    pushed = [ln for ln in p.splitlines()
+              if "PushedFilters" in ln and "p_name" in ln]
+    assert pushed, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
