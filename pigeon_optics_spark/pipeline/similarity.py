@@ -290,6 +290,42 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16,
     return emb.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
 
 
+def pq_reconstruction_error(emb: DataFrame, m: int = 8, k: int = 16,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Per-vector PQ reconstruction error — the index-quality eval that
+    decides m/k sizing before an ANN index is built at corpus scale.
+
+    ``err2 = Σ_s min_j d2(subvec_s, codeword[s][j])`` — exactly the
+    squared L2 between the vector and its PQ reconstruction, because each
+    subspace independently picks its nearest codeword.  → all input
+    columns + ``err2 DOUBLE``.
+
+    Scale shape: codebook is a literal (the pq_encode pattern), so this is
+    one map-only corpus pass — no shuffle, no join.  Determinism: the
+    subspace fold runs in ascending ``s`` order and each inner min is over
+    doubles (order-free), so ``err2`` is bit-identical across engines.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    dim_sub = dim // m
+    cb = _pq_codebook(emb, m, k, dim_sub, id_col, vec_col)
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
+        for s in range(m)
+    ])
+    err = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.array_min(F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: _d2_col(
+                F.slice(F.col(vec_col), s * dim_sub + 1, dim_sub),
+                F.element_at(F.element_at(cb_lit, s + 1), j + 1)),
+        )),
+    )
+    return emb.select("*", err.alias("err2"))
+
+
 def _pq_codes_col(cb_lit: Column, vec_col: str, m: int, k: int,
                   dim_sub: int) -> Column:
     """argmin-codeword codes expression (shared by pq_encode / ivfpq_topk —

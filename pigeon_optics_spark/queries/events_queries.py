@@ -1356,3 +1356,83 @@ GROUP BY 1, 2
 """
 
 register("events_json_extract", events_json_extract, _JSON_EXTRACT_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Interval concurrency via sweep-line: each event opens a deterministic
+# interval (duration 60 + event_id % 240 seconds) and the query answers
+# "how many intervals are active at once?" per hour — the room-occupancy /
+# connection-count shape, an interval-algebra operator none of the window
+# gates cover (overlap counting needs +1/-1 boundary events + a prefix
+# sum, not a frame).
+#
+# Scale shape: the prefix sum is SHARDED, never a global window (the
+# text_pack_sequences discipline).  Boundaries carry their hour as shard
+# key; the cumulative sum runs per hour (local window over an
+# hour-partitioned shuffle), and cross-hour carry-over is reconstructed by
+# a second, BOUNDED window over the per-hour net sums (720 rows for this
+# corpus's 30 days — O(hours), not O(events); the sweep test's
+# HashAggregate marker applies).  offset(h) + local_cumsum ==
+# global_cumsum because boundary order (t_us, delta, event_id) sorts hours
+# monotonically.  Ties are deterministic: an interval ending exactly when
+# another starts closes first (delta -1 < +1), and event_id breaks exact
+# (t, delta) ties.
+#
+# The oracle states the SPEC instead of mirroring the shards: one global
+# cumulative sum (fine at oracle scale) — equality with the sharded plan
+# is the content of the gate.  Windowed SUM(int) is HUGEINT in DuckDB →
+# CAST BIGINT (the sessionize class).
+# --------------------------------------------------------------------------
+
+
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts")
+         + (F.lit(60) + F.col("event_id") % 240) * 1_000_000)
+        .alias("end_us"),
+        "event_id")
+    starts = base.select(F.col("start_us").alias("t_us"),
+                         F.lit(1).alias("delta"), "event_id")
+    ends = base.select(F.col("end_us").alias("t_us"),
+                       F.lit(-1).alias("delta"), "event_id")
+    b = starts.unionByName(ends).withColumn(
+        "hour", F.date_trunc("hour", F.timestamp_micros(F.col("t_us"))))
+    w_local = (Window.partitionBy("hour")
+               .orderBy("t_us", "delta", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = b.withColumn("local_cum", F.sum("delta").over(w_local))
+    per_hour = c.groupBy("hour").agg(
+        F.max("local_cum").alias("max_local"),
+        F.sum("delta").alias("net"),
+        F.count(F.when(F.col("delta") == 1, True)).alias("n_starts"))
+    # bounded: one row per hour — the offset window input is O(hours)
+    w_off = (Window.orderBy("hour")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    return per_hour.select(
+        "hour",
+        (F.coalesce(F.sum("net").over(w_off), F.lit(0))
+         + F.col("max_local")).alias("max_concurrency"),
+        "n_starts")
+
+
+_CONCURRENCY_ORACLE = """
+WITH b AS (
+  SELECT epoch_us(ts) AS t_us, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + (60 + event_id % 240) * 1000000, -1, event_id
+  FROM events
+),
+c AS (
+  SELECT date_trunc('hour', make_timestamp(t_us)) AS hour, delta,
+         CAST(SUM(delta) OVER (ORDER BY t_us, delta, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM b
+)
+SELECT hour, MAX(conc) AS max_concurrency,
+       COUNT(CASE WHEN delta = 1 THEN 1 END) AS n_starts
+FROM c GROUP BY hour
+"""
+
+register("events_concurrency", events_concurrency, _CONCURRENCY_ORACLE)

@@ -27,6 +27,7 @@ from ..pipeline.text import (
     lang_id,
     quality_score,
     token_count,
+    words_col,
 )
 from . import register
 from ._util import load
@@ -3068,3 +3069,138 @@ SELECT doc_a, doc_b, inter, uni FROM ver WHERE 5 * inter >= 3 * uni
 
 register("dedup_prefix_jaccard", dedup_prefix_jaccard,
          _PREFIX_JACCARD_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# PQ reconstruction-error profile: the quantization-quality eval run before
+# committing to an (m, k) PQ configuration — per-label count, grid-exact
+# error mass, and min/max per-vector error.  Complements ann_recall_eval
+# (which scores retrieval); this scores the CODES themselves.
+#
+# Determinism: per-vector err2 is a fixed-order subspace fold of order-free
+# double mins (bit-identical cross-engine); the cross-vector SUM runs on
+# the BIGINT grid (floor(err2 * 1e4)) because summing computed doubles is
+# accumulation-order-dependent — the established integer-grid discipline.
+# MIN/MAX of doubles are order stats, safe.  Scale shape: literal codebook,
+# one map-only corpus pass, one small groupBy.
+# --------------------------------------------------------------------------
+
+
+def emb_pq_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import pq_reconstruction_error
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = pq_reconstruction_error(emb, m=8, k=16)
+    return d.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.floor(F.col("err2") * 10000).cast("bigint"))
+        .alias("err_grid_sum"),
+        F.min("err2").alias("min_err2"),
+        F.max("err2").alias("max_err2"))
+
+
+_PQ_RECON_ORACLE = f"""
+WITH {_PQ_CTES},
+md AS (
+  SELECT vec_id, s, MIN(d) AS dmin FROM enc0 GROUP BY vec_id, s
+),
+errs AS (
+  SELECT vec_id,
+         list_reduce(list(dmin ORDER BY s), (a, x) -> a + x) AS err2
+  FROM md GROUP BY vec_id
+)
+SELECT e.label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(FLOOR(errs.err2 * 10000) AS BIGINT)) AS BIGINT)
+         AS err_grid_sum,
+       MIN(errs.err2) AS min_err2,
+       MAX(errs.err2) AS max_err2
+FROM errs JOIN embeddings e USING (vec_id)
+GROUP BY e.label
+"""
+
+register("emb_pq_recon_error", emb_pq_recon_error, _PQ_RECON_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Corpus n-gram diversity (distinct-n): per (source, n) the total and
+# distinct n-gram counts for n = 1..3 — the repetitiveness/diversity
+# profile used to compare corpus slices (distinct-1/2/3 in the text-gen
+# literature; Gopher's dup-fraction is the per-DOC relative, this is the
+# cross-doc absolute).  Emitted as exact BIGINT count pairs, never the
+# ratio (the q8 num/den discipline).
+#
+# Scale shape: ONE corpus scan builds all three gram families in-row
+# (concat of per-n transform arrays), one explode, one two-level agg
+# (partial counts map-side; COUNT DISTINCT plans as a two-phase
+# aggregate keyed on the gram — no driver-side set).  Empty/NULL text
+# COALESCEs to '' → zero grams on BOTH sides (the context-chunks
+# empty-doc lesson).
+# --------------------------------------------------------------------------
+
+
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    lw = F.transform(
+        words_col(F.coalesce(F.col("text"), F.lit(""))),
+        lambda w: F.lower(w))
+
+    def grams(n: int):
+        if n == 1:
+            return lw
+        return F.when(
+            F.size(lw) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(lw) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(lw, i + off) for off in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tag(n: int):
+        # NB: a two-arg lambda would receive transform's ELEMENT INDEX as
+        # its second argument — capture n via closure, not a default arg
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    pairs = F.concat(*[F.transform(grams(n), tag(n)) for n in (1, 2, 3)])
+    ex = (docs.select("source", F.explode(pairs).alias("p"))
+          .select("source", F.col("p.n").alias("n"),
+                  F.col("p.gram").alias("gram")))
+    return ex.groupBy("source", "n").agg(
+        F.count("*").alias("total_ngrams"),
+        F.countDistinct("gram").alias("distinct_ngrams"))
+
+
+_NGRAM_DIVERSITY_ORACLE = r"""
+WITH w AS (
+  SELECT source,
+         list_transform(
+           list_filter(string_split_regex(TRIM(COALESCE(text, '')), '\s+'),
+                       x -> x <> ''),
+           x -> lower(x)) AS lw
+  FROM documents
+),
+g AS (
+  SELECT source, lw,
+         CASE WHEN len(lw) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(lw)),
+                                  i -> lw[CAST(i AS INT)] || ' '
+                                       || lw[CAST(i + 1 AS INT)]) END AS g2,
+         CASE WHEN len(lw) < 3 THEN []::VARCHAR[]
+              ELSE list_transform(range(1, len(lw) - 1),
+                                  i -> lw[CAST(i AS INT)] || ' '
+                                       || lw[CAST(i + 1 AS INT)] || ' '
+                                       || lw[CAST(i + 2 AS INT)]) END AS g3
+  FROM w
+),
+ex AS (
+  SELECT source, 1 AS n, unnest(lw) AS gram FROM g
+  UNION ALL SELECT source, 2 AS n, unnest(g2) AS gram FROM g
+  UNION ALL SELECT source, 3 AS n, unnest(g3) AS gram FROM g
+)
+SELECT source, n, COUNT(*) AS total_ngrams,
+       COUNT(DISTINCT gram) AS distinct_ngrams
+FROM ex GROUP BY 1, 2
+"""
+
+register("text_ngram_diversity", text_ngram_diversity,
+         _NGRAM_DIVERSITY_ORACLE)

@@ -469,3 +469,35 @@ def test_context_chunks_null_text_is_empty_doc(spark):
     assert out[(2, 0)] == (0, empty)   # whitespace-only likewise
     assert out[(3, 0)][0] == 2
     assert len(out) == 3
+
+
+def test_pq_recon_error_consistent_with_codes(spark):
+    """Invariant tying the two PQ surfaces together: err2 must equal the
+    squared L2 distance to the reconstruction implied by pq_encode's OWN
+    codes (independent subspace argmins ⇒ the chosen codeword is the
+    nearest one, so the two formulations coincide)."""
+    import numpy as np
+
+    from pigeon_optics_spark.pipeline.similarity import (
+        _pq_codebook,
+        pq_encode,
+        pq_reconstruction_error,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m, k = 8, 16
+    dim = len(emb.select("embedding").first()[0])
+    dim_sub = dim // m
+    errs = {r["vec_id"]: r["err2"]
+            for r in pq_reconstruction_error(emb, m=m, k=k).collect()}
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, m=m, k=k).collect()}
+    cb = _pq_codebook(emb, m, k, dim_sub, "vec_id", "embedding")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    assert errs and set(errs) == set(codes)
+    for vid, v in vecs.items():
+        recon = np.concatenate([
+            np.asarray(cb[s][codes[vid][s]], dtype=np.float64)
+            for s in range(m)])
+        expect = float(((v - recon) ** 2).sum())
+        assert abs(errs[vid] - expect) <= 1e-9 * max(1.0, expect), vid

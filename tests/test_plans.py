@@ -548,3 +548,28 @@ def test_q9_name_filter_prunes_part_before_join(spark, sf_dir):
     assert pushed, p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pq_recon_error_map_only(spark, sf_dir):
+    """PQ reconstruction error: literal codebook → ONE corpus scan, no
+    join; the only shuffle is the final per-label aggregate."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        emb_pq_recon_error,
+    )
+
+    p = plan_of(emb_pq_recon_error(spark, sf_dir))
+    assert p.count("FileScan parquet") == 1, p
+    assert "Join" not in p
+
+
+def test_ngram_diversity_one_scan_no_join(spark, sf_dir):
+    """distinct-n profile: all three gram families are built in-row from
+    ONE documents scan — no join, no window, no per-n rescans."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        text_ngram_diversity,
+    )
+
+    p = plan_of(text_ngram_diversity(spark, sf_dir))
+    assert p.count("FileScan parquet") == 1, p
+    assert "Join" not in p
+    assert "Window" not in p
