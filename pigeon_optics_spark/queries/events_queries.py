@@ -1436,3 +1436,86 @@ FROM c GROUP BY hour
 """
 
 register("events_concurrency", events_concurrency, _CONCURRENCY_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Interval MERGE (episodes): per user, overlapping/touching deterministic
+# intervals coalesce into maximal episodes — the other half of interval
+# algebra next to events_concurrency (that one counts overlap, this one
+# dissolves it).  Classic running-max sweep: an interval opens a new
+# episode iff its start exceeds the max end of everything before it; the
+# cumulative flag sum numbers episodes.  Both windows are PARTITIONED BY
+# user (scales with the user count; no global sort), and the second
+# grouping collapses episodes before the per-user profile — the output is
+# O(users).
+#
+# Oracle: same running-max/cumsum spec; windowed + plain SUM(int/BIGINT)
+# are HUGEINT in DuckDB → CAST BIGINT (the sessionize class).
+# --------------------------------------------------------------------------
+
+
+def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    base = ev.select(
+        "user_id", "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts")
+         + (F.lit(60) + F.col("event_id") % 240) * 1_000_000)
+        .alias("e_us"))
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = (F.max("e_us")
+                    .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    flagged = base.withColumn(
+        "is_new",
+        F.when(prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1)
+        .otherwise(0))
+    epi = flagged.withColumn(
+        "episode",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    per_epi = epi.groupBy("user_id", "episode").agg(
+        F.min("s_us").alias("ep_start"),
+        F.max("e_us").alias("ep_end"),
+        F.count("*").alias("n_events"))
+    return per_epi.groupBy("user_id").agg(
+        F.count("*").alias("n_episodes"),
+        F.sum(F.col("ep_end") - F.col("ep_start")).alias("busy_us"),
+        F.max("n_events").alias("max_episode_events"),
+        F.max(F.col("ep_end") - F.col("ep_start")).alias("longest_us"))
+
+
+_INTERVAL_MERGE_ORACLE = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + (60 + event_id % 240) * 1000000 AS e_us
+  FROM events
+),
+f AS (
+  SELECT user_id, event_id, s_us, e_us,
+         CASE WHEN MAX(e_us) OVER pw IS NULL OR s_us > MAX(e_us) OVER pw
+              THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW pw AS (PARTITION BY user_id ORDER BY s_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+e AS (
+  SELECT user_id, s_us, e_us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY s_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS episode
+  FROM f
+),
+pe AS (
+  SELECT user_id, episode, MIN(s_us) AS ep_start, MAX(e_us) AS ep_end,
+         COUNT(*) AS n_events
+  FROM e GROUP BY user_id, episode
+)
+SELECT user_id, COUNT(*) AS n_episodes,
+       CAST(SUM(ep_end - ep_start) AS BIGINT) AS busy_us,
+       MAX(n_events) AS max_episode_events,
+       MAX(ep_end - ep_start) AS longest_us
+FROM pe GROUP BY user_id
+"""
+
+register("events_interval_merge", events_interval_merge,
+         _INTERVAL_MERGE_ORACLE)

@@ -3204,3 +3204,63 @@ FROM ex GROUP BY 1, 2
 
 register("text_ngram_diversity", text_ngram_diversity,
          _NGRAM_DIVERSITY_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Near-dup-aware SPLIT LEAKAGE audit — the composition a training pipeline
+# must run before trusting an eval split: hash-stable train/val/test
+# assignment (text_split_assign) x near-dup clusters (minhash connected
+# components).  A cluster whose members straddle splits leaks train data
+# into eval; this emits the per-cluster membership/split profile with the
+# leaky flag.  The gate runs a 50/25/25 split (not the production 90/5/5)
+# so BOTH leaky branches are populated even at sf0.001's 21 clusters —
+# a 90/5/5 split leaks nowhere at the smoke tier (trivially-green rule);
+# split_assign's fractions are a parameter either way.  Per-doc split
+# membership is a pure hash function (map-only)
+# and the cluster frame holds only docs with >=1 near-dup (<< corpus), so
+# the join is broadcast-sized at any SF; nothing is all-pairs beyond the
+# banded minhash path itself.
+#
+# Oracle: the components recursive-CTE stack extended with the split CASE
+# (the dedup_survivors splice pattern).
+# --------------------------------------------------------------------------
+
+
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import connected_components
+    from ..pipeline.text import split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    comp = (connected_components(minhash_lsh_pairs(docs))
+            .select(F.col("id").alias("doc_id"), "component_id"))
+    splits = (split_assign(docs, val_frac=0.25, test_frac=0.25)
+              .select("doc_id", "split"))
+    return (comp.join(splits, "doc_id")
+            .groupBy("component_id")
+            .agg(F.count("*").alias("n_members"),
+                 F.countDistinct("split").alias("n_splits"),
+                 F.min("split").alias("first_split"))
+            .withColumn("leaky", F.col("n_splits") > 1))
+
+
+_SPLIT_LEAKAGE_ORACLE = _COMPONENTS_ORACLE.replace(
+    "SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node",
+    f""",
+comp AS (SELECT node AS doc_id, MIN(r) AS component_id
+         FROM reach GROUP BY node),
+sp AS (SELECT doc_id,
+              CASE WHEN b < {int(0.50 * (1 << 60))} THEN 'train'
+                   WHEN b < {int(0.75 * (1 << 60))} THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+                    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT AS b
+             FROM documents) t)
+SELECT c.component_id, COUNT(*) AS n_members,
+       COUNT(DISTINCT s.split) AS n_splits,
+       MIN(s.split) AS first_split,
+       COUNT(DISTINCT s.split) > 1 AS leaky
+FROM comp c JOIN sp s USING (doc_id)
+GROUP BY c.component_id""")
+
+register("dedup_split_leakage", dedup_split_leakage, _SPLIT_LEAKAGE_ORACLE)

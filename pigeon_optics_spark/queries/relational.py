@@ -1650,3 +1650,59 @@ WHERE part_grid * n_parts * 5 > total_grid * 6
 """
 
 register("q11_important_parts", q11_important_parts, _Q11_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands by VALUE CHANGE (SCD-style episode build): consecutive
+# same-status runs of each customer's order history become islands with
+# (status, start, end, n_orders) — the temporal-dimension build shape.
+# Distinct from events_sessionize (time-GAP islands) and
+# events_interval_merge (overlap dissolution): here the island boundary is
+# a change in an attribute, the lag/cumsum idiom every SCD2 pipeline uses.
+# Windows are customer-partitioned (scale with keys, no global sort); ties
+# on o_orderdate are broken by o_orderkey.  The island number is a
+# windowed SUM(int) → CAST BIGINT in the oracle (HUGEINT class).
+# --------------------------------------------------------------------------
+
+
+def q_status_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderstatus").over(w)
+    df = orders.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("o_orderstatus")), 1)
+        .otherwise(0))
+    df = df.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (df.groupBy("o_custkey", "island")
+            .agg(F.min("o_orderstatus").alias("status"),
+                 F.min("o_orderdate").alias("start_date"),
+                 F.max("o_orderdate").alias("end_date"),
+                 F.count("*").alias("n_orders")))
+
+
+_STATUS_ISLANDS_ORACLE = """
+WITH x AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+         CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                   OR LAG(o_orderstatus) OVER w <> o_orderstatus
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+y AS (
+  SELECT o_custkey, o_orderdate, o_orderstatus,
+         CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM x
+)
+SELECT o_custkey, island, MIN(o_orderstatus) AS status,
+       MIN(o_orderdate) AS start_date, MAX(o_orderdate) AS end_date,
+       COUNT(*) AS n_orders
+FROM y GROUP BY o_custkey, island
+"""
+
+register("q_status_islands", q_status_islands, _STATUS_ISLANDS_ORACLE)
