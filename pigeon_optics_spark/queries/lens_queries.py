@@ -188,3 +188,61 @@ FROM orders GROUP BY o_orderstatus
 """
 
 register("lens_object_merge_stats", lens_object_merge_stats, _OBJ_MERGE_ORACLE)
+
+
+ERRLOG_CODE = """\
+did = int(data['doc_id'])
+if did % 7 == 0:
+    raise ValueError('bad doc ' + str(did))
+if did % 5 == 0:
+    log('seen', did)
+output(str(did), 1)
+"""
+
+
+def lens_error_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-input log/error capture through the REAL lens build (SURVEY
+    §2.5, ref javascript-lens-worker.js:67-95 capture + lens.js:87-92
+    browsable logs): a lens that raises for doc_id % 7 == 0 and logs for
+    doc_id % 5 == 0 is built over documents, then the compute cache's
+    captured (logs, errors) rows are surfaced via ``lens_logs``.  The
+    oracle reconstructs every captured field — message text, error TYPE,
+    and the user-code LINE NUMBER (the raise sits on line 3 of the lens
+    source) — from pure doc_id arithmetic, so capture semantics (raise
+    preempts the log on line 4; multiples of 35 produce the error only)
+    get driver-side evidence instead of pytest-only coverage."""
+    src = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.to_json(F.struct("doc_id")).alias("value"))
+    store = _ensure(spark, sf_dir, "docs-err", "err-capture", ERRLOG_CODE, src)
+    from ..lens import lens_logs
+
+    lg = lens_logs(spark, store, "tpch", "err-capture")
+    # try_element_at: plain element_at throws under ANSI on empty arrays
+    first_err = F.try_element_at("errors", F.lit(1))
+    return lg.select(
+        "input_path",
+        F.size("logs").alias("n_logs"),
+        F.try_element_at("logs", F.lit(1)).alias("first_log"),
+        F.size("errors").alias("n_errors"),
+        first_err.getField("type").alias("err_type"),
+        first_err.getField("message").alias("err_message"),
+        first_err.getField("line").alias("err_line"))
+
+
+_ERRLOG_ORACLE = """
+SELECT '/datasets/tpch:docs-err/records/' || CAST(doc_id AS VARCHAR)
+         AS input_path,
+       CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0 THEN 1 ELSE 0 END
+         AS n_logs,
+       CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 = 0
+            THEN 'seen ' || CAST(doc_id AS VARCHAR) END AS first_log,
+       CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS n_errors,
+       CASE WHEN doc_id % 7 = 0 THEN 'ValueError' END AS err_type,
+       CASE WHEN doc_id % 7 = 0
+            THEN 'bad doc ' || CAST(doc_id AS VARCHAR) END AS err_message,
+       CASE WHEN doc_id % 7 = 0 THEN 3 END AS err_line
+FROM documents
+"""
+
+register("lens_error_capture", lens_error_capture, _ERRLOG_ORACLE)

@@ -1706,3 +1706,108 @@ FROM y GROUP BY o_custkey, island
 """
 
 register("q_status_islands", q_status_islands, _STATUS_ISLANDS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Bitwise-aggregate year bitmaps: per (nation, segment), which order years
+# each customer covers, rolled up two levels — customer OR-mask of
+# single-year bits, then group OR (any customer active) / AND (years EVERY
+# customer covers) / bit_count popcounts.  The bitmap-index idiom
+# (presence sets as machine words) exercises BIT_OR / BIT_AND / BIT_COUNT,
+# an aggregate family no other gate touches; bitwise ops are exact
+# integers, order-free, engine-identical.  Two-level hash agg, bounded
+# output (nation x segment).  Years span 1995-2001 → 7 low bits.
+# Branch audit: mask values vary at every SF; the AND-collapse regimes
+# both occur at sf0.01 (the driver tier: 49 groups share a common year,
+# 76 collapse to 0) — at sf0.001 groups are small enough that none
+# collapses, at sf0.1 large enough that all do (checked, not assumed).
+# --------------------------------------------------------------------------
+
+
+def q_year_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per_cust = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_nationkey", "c_mktsegment",
+                F.expr("shiftleft(1, CAST(year(o_orderdate) - 1995 AS INT))")
+                .alias("ybit"))
+        .groupBy("c_custkey", "c_nationkey", "c_mktsegment")
+        .agg(F.bit_or("ybit").alias("ymask"))
+    )
+    return (per_cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.bit_or("ymask").alias("any_years_mask"),
+                 F.bit_and("ymask").alias("all_years_mask"),
+                 F.sum(F.bit_count("ymask")).cast("long")
+                 .alias("coverage_sum")))
+
+
+#: DuckDB SUM(int) is HUGEINT → CAST BIGINT; bit_or/bit_and keep the input
+#: width (INT both engines — the driver compares integer values across
+#: widths).
+_YEAR_BITMAP_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         bit_or(1 << CAST(EXTRACT(year FROM o_orderdate) - 1995 AS INT))
+           AS ymask
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_customers,
+       bit_or(ymask) AS any_years_mask,
+       bit_and(ymask) AS all_years_mask,
+       CAST(SUM(bit_count(ymask)) AS BIGINT) AS coverage_sum
+FROM per_cust GROUP BY 1, 2
+"""
+
+register("q_year_bitmap", q_year_bitmap, _YEAR_BITMAP_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report: each customer's revenue next to their NATION's total —
+# the share-of-group windowed-aggregate shape (no ORDER BY, whole-partition
+# frame).  Numerator and denominator are emitted as exact-decimal-derived
+# doubles, never divided (the q8 discipline).  The window partitions by
+# nation over the per-customer AGGREGATE (O(customers) rows), so the big
+# lineitem relation is reduced before any window sees it.  Magnitudes stay
+# ~1e7 at sf0.1 — far below the ~1e12 threshold where DuckDB's scale-4
+# decimal→double FLOAT cast class bites (see _util notes).
+# --------------------------------------------------------------------------
+
+
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per_cust = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.expr(DISC_PRICE)).alias("rev_dec"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    return per_cust.select(
+        "c_nationkey", "c_custkey",
+        F.col("rev_dec").cast("double").alias("cust_revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("nation_revenue"))
+
+
+_RATIO_ORACLE = f"""
+WITH per_cust AS (
+  SELECT c_nationkey, c_custkey, SUM({DISC_PRICE}) AS rev_dec
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_custkey,
+       CAST(rev_dec AS DOUBLE) AS cust_revenue,
+       CAST(SUM(rev_dec) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+         AS nation_revenue
+FROM per_cust
+"""
+
+register("q_ratio_to_report", q_ratio_to_report, _RATIO_ORACLE)
