@@ -1811,3 +1811,248 @@ FROM per_cust
 """
 
 register("q_ratio_to_report", q_ratio_to_report, _RATIO_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q12-style priority line counts: lineitem->orders join + CASE-conditional
+# counts per group — TPC-H Q12's two-flag pivot, ADAPTED to this testdata
+# (no l_shipmode / l_receiptdate columns, so the group key is l_linestatus
+# and the date band is the ship year; the shape under test — join then
+# conditional SUM pivot on the joined dimension's attribute — is Q12's).
+# Branch audit: both priority branches populated in both groups at every
+# SF (sf0.001: F 173/293, O 181/282).  Plain SUM(CASE..1..0) is HUGEINT
+# in DuckDB -> CAST BIGINT (the sessionize class); Spark side uses
+# count-if-shaped sums of int, emitted as LONG.
+# Scale shape: orders projected to (key, priority) before the join — at
+# 100 TB the join carries two thin columns, and the aggregate is a
+# 2-group map-side partial.  Date filter pushed to the lineitem scan.
+# --------------------------------------------------------------------------
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+register("q12_priority_lines", q12_priority_lines, _Q12_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q16-style supplier counts: distinct suppliers able to provide each
+# (p_brand, size band), EXCLUDING a blocklisted supplier set — TPC-H Q16's
+# NOT IN + COUNT(DISTINCT) shape.  ADAPTED: no partsupp table, so the
+# part<->supplier bridge is observed lineitem pairs; the blocklist is
+# suppliers whose name ends in '3' (Supplier#...NNN3 — deterministic 10%
+# at every SF: 1/10/100 suppliers excluded).
+# Spark expresses NOT IN as a left_anti join (null-safe here: s_suppkey is
+# never NULL) feeding a distinct-pair projection, then a two-level agg —
+# the decorrelated plan Catalyst would pick for the subquery form.
+# Scale shape: the blocklist is a tiny broadcast anti side; the
+# distinct-pair dedup is the only corpus shuffle; COUNT(DISTINCT) over the
+# deduped pairs plans as a two-phase hash agg keyed on the pair (no
+# driver-side set).
+# --------------------------------------------------------------------------
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    blocked = sup.where(F.col("s_name").endswith("3")).select("s_suppkey")
+    size_band = F.floor((F.col("p_size") - 1) / 10).cast("int").alias("size_band")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(blocked),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part.select("p_partkey", "p_brand", "p_size"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", size_band)
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
+             F.countDistinct("l_partkey").alias("part_cnt"))
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand,
+       CAST(FLOOR((p_size - 1) / 10) AS INT) AS size_band,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+       COUNT(DISTINCT l_partkey) AS part_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3')
+GROUP BY 1, 2
+"""
+
+register("q16_supplier_counts", q16_supplier_counts, _Q16_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q21-style sole-late supplier: suppliers who were the ONLY late supplier
+# on a multi-supplier order — TPC-H Q21's EXISTS / NOT-EXISTS double
+# correlated-subquery shape, expressed the way Catalyst would decorrelate
+# it: ONE grouped pass over the joined fact computes per-order
+# (distinct suppliers, distinct late suppliers), and the qualifying rows
+# are recovered by an equi-join back on the order key.  ADAPTED: no
+# l_receiptdate/l_commitdate, so "late" is l_shipdate > o_orderdate + 730
+# days (the synthetic ship dates are uncorrelated with order dates, so the
+# band is well-populated — branch audit sf0.001: 283 sole-late orders,
+# 423 multi-late, 641 none-late; all three regimes at every SF).
+# No LIMIT: the full (s_name, numwait) result is emitted so ties cannot
+# make the hash order-dependent.
+# Scale shape: one wide-fact shuffle for the per-order agg (map-side
+# partial), one thin re-join keyed on l_orderkey, supplier dim joined
+# AFTER the per-supplier reduction (O(suppliers) rows).  Plain SUM/COUNT
+# of ints -> HUGEINT in DuckDB: CAST BIGINT.
+# --------------------------------------------------------------------------
+
+
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    sup = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 730)
+    joined = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("is_late"))
+    )
+    per_order = (
+        joined.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+             F.countDistinct(F.when(F.col("is_late"),
+                                    F.col("l_suppkey"))).alias("n_late"),
+             F.max(F.when(F.col("is_late"),
+                          F.col("l_suppkey"))).alias("late_supp"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(sup.select("s_suppkey", "s_name"),
+              F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+_Q21_ORACLE = """
+WITH joined AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 730 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+  FROM joined GROUP BY 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+"""
+
+register("q21_sole_late_supplier", q21_sole_late_supplier, _Q21_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: the classic customer-analytics cube — per customer
+# Recency (days from last order to the corpus max date), Frequency (order
+# count), Monetary (exact-decimal total spend), each scored 0-2 on FIXED
+# thresholds (never ntile — a global-order window is the documented
+# anti-pattern, and fixed cutoffs are what a production scorecard pins),
+# then the 27-cell segment census with exact per-cell aggregates.
+# The corpus max date is an aggregate SCALAR joined in (crossJoin of a
+# 1-row frame — broadcast by construction), not a driver round-trip.
+# Thresholds (30/180 days, 5/15 orders, 50k/200k spend) keep every score
+# dimension multi-valued at every SF (branch-audited).
+# Monetary sums stay in decimal (o_totalprice is the 2-decimal money
+# class); per-cell spend re-aggregates the decimal then casts once.
+# Scale shape: one orders scan -> per-customer agg (map-side partial,
+# O(customers) out) -> 27-cell final agg; no window anywhere.
+# --------------------------------------------------------------------------
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("corpus_max"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"),
+             F.count("*").alias("frequency"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .alias("monetary_dec"))
+        .crossJoin(F.broadcast(maxd))
+        .withColumn("recency_days",
+                    F.datediff("corpus_max", "last_order").cast("int"))
+    )
+    r_score = (F.when(F.col("recency_days") <= 30, 2)
+               .when(F.col("recency_days") <= 180, 1).otherwise(0))
+    f_score = (F.when(F.col("frequency") >= 15, 2)
+               .when(F.col("frequency") >= 5, 1).otherwise(0))
+    m_score = (F.when(F.col("monetary_dec") >= 200000, 2)
+               .when(F.col("monetary_dec") >= 50000, 1).otherwise(0))
+    return (
+        per_cust.select(r_score.alias("r_score"), f_score.alias("f_score"),
+                        m_score.alias("m_score"), "monetary_dec")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum("monetary_dec").cast("double").alias("segment_spend"))
+    )
+
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT CASE WHEN DATE_DIFF('day', last_order,
+                             (SELECT MAX(o_orderdate) FROM orders)) <= 30
+              THEN 2
+              WHEN DATE_DIFF('day', last_order,
+                             (SELECT MAX(o_orderdate) FROM orders)) <= 180
+              THEN 1 ELSE 0 END AS r_score,
+         CASE WHEN frequency >= 15 THEN 2
+              WHEN frequency >= 5 THEN 1 ELSE 0 END AS f_score,
+         CASE WHEN monetary_dec >= 200000 THEN 2
+              WHEN monetary_dec >= 50000 THEN 1 ELSE 0 END AS m_score,
+         monetary_dec
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       -- VARCHAR bounce: per-cell spend reaches ~1e10 at sf0.1, inside the
+       -- DuckDB decimal->double FLOAT-cast drift band (_util q_cube note)
+       CAST(CAST(SUM(monetary_dec) AS VARCHAR) AS DOUBLE) AS segment_spend
+FROM scored GROUP BY 1, 2, 3
+"""
+
+register("q_rfm_segments", q_rfm_segments, _RFM_ORACLE)
