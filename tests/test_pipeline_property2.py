@@ -501,3 +501,55 @@ def test_pq_recon_error_consistent_with_codes(spark):
             for s in range(m)])
         expect = float(((v - recon) ** 2).sum())
         assert abs(errs[vid] - expect) <= 1e-9 * max(1.0, expect), vid
+
+
+class TestTriangleEnumerate:
+    """Degree-oriented triangle enumeration vs brute-force on adversarial
+    graphs: a hub star (no triangles), overlapping cliques, and a seeded
+    random graph — the exactly-once identity is what orientation must
+    preserve."""
+
+    def _spark_triangles(self, spark, edges):
+        from pigeon_optics_spark.pipeline.graph import triangle_enumerate
+
+        df = spark.createDataFrame(
+            [(int(u), int(v)) for u, v in edges], "u long, v long")
+        return sorted(tuple(r) for r in triangle_enumerate(df).collect())
+
+    def _brute(self, edges):
+        es = {tuple(sorted(e)) for e in edges}
+        nodes = sorted({n for e in es for n in e})
+        out = []
+        for i, a in enumerate(nodes):
+            for b in nodes[i + 1:]:
+                if (a, b) not in es:
+                    continue
+                for c in nodes[nodes.index(b) + 1:]:
+                    if (a, c) in es and (b, c) in es:
+                        out.append((a, b, c))
+        return sorted(out)
+
+    def test_star_has_no_triangles(self, spark):
+        edges = [(0, i) for i in range(1, 30)]  # hub with degree 29
+        assert self._spark_triangles(spark, edges) == []
+
+    def test_overlapping_cliques(self, spark):
+        k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        k4b = [(a, b) for a in range(3, 7) for b in range(a + 1, 7)]
+        edges = sorted(set(k5a) | set(k4b))
+        got = self._spark_triangles(spark, edges)
+        assert got == self._brute(edges)
+        # K5 contributes C(5,3)=10, K4 contributes C(4,3)=4, and no mixed
+        # triangle exists beyond those already counted (0-2 touch only 3,4)
+        assert len(got) == 14
+
+    def test_random_graph_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(20260814)
+        nodes = list(range(40))
+        edges = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                        for _ in range(200)})
+        got = self._spark_triangles(spark, edges)
+        assert got == self._brute(edges)
+        assert got, "fixture must actually contain triangles"

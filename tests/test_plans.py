@@ -573,3 +573,44 @@ def test_ngram_diversity_one_scan_no_join(spark, sf_dir):
     assert p.count("FileScan parquet") == 1, p
     assert "Join" not in p
     assert "Window" not in p
+
+
+def test_triangle_census_no_cartesian(spark, sf_dir):
+    """Degree-oriented triangle enumeration: every join is an equi-join
+    (wedge join on the shared source, closing-edge join on (b, c)) — a
+    CartesianProduct or broadcast nested loop here would be quadratic in
+    the edge count at scale."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        graph_triangle_count,
+    )
+
+    p = plan_of(graph_triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rfm_no_window_two_level_agg(spark, sf_dir):
+    """RFM census: per-customer agg then cell agg — no window function
+    anywhere (fixed thresholds, not ntile), and the corpus-max scalar is
+    a broadcast join, not a driver round-trip."""
+    from pigeon_optics_spark.queries.relational import q_rfm_segments
+
+    p = plan_of(q_rfm_segments(spark, sf_dir))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q6_style_pushdown_q12_thin_join(spark, sf_dir):
+    """Q12 shape: the ship-year band must reach the lineitem scan as
+    PushedFilters, and the orders side carries only the two join/pivot
+    columns (ReadSchema pruned)."""
+    from pigeon_optics_spark.queries.relational import q12_priority_lines
+
+    p = plan_of(q12_priority_lines(spark, sf_dir), "formatted")
+    pushed = [ln for ln in p.splitlines()
+              if "PushedFilters" in ln and "l_shipdate" in ln]
+    assert pushed, p
+    orders_schema = [ln for ln in p.splitlines()
+                     if "ReadSchema" in ln and "o_orderpriority" in ln]
+    assert orders_schema and all("o_totalprice" not in ln
+                                 for ln in orders_schema), p
