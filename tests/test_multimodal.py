@@ -425,3 +425,61 @@ def test_pack_webdataset_shards_drops_null_ids(spark):
     names = [n for n, *_ in tar_member_index(bytes(shards[0]["shard"]))]
     assert sorted(names) == ["1.txt", "2.txt"]
     assert shards[0]["n_samples"] == 2
+
+
+# ---------------------------------------------------------------------------
+# SRT timed-text parser
+# ---------------------------------------------------------------------------
+
+
+def test_srt_basic_and_position_metadata():
+    from pigeon_optics_spark.pipeline.multimodal import parse_srt_cues
+
+    srt = ("1\n00:00:01,000 --> 00:00:03,500\nHello world\nsecond line\n"
+           "\n2\n00:00:04,000 --> 00:00:06,000 X1:100 X2:200\nNext cue\n")
+    assert parse_srt_cues(srt) == [
+        (1, 1000, 3500, 2, len("Hello world") + len("second line")),
+        (2, 4000, 6000, 1, len("Next cue")),
+    ]
+
+
+def test_srt_bom_crlf_dot_millis_no_trailing_newline():
+    from pigeon_optics_spark.pipeline.multimodal import parse_srt_cues
+
+    srt = ("﻿1\r\n00:00:00,100 --> 00:00:00,900\r\nA\r\n\r\n"
+           "garbage block without timing\r\n\r\n"
+           "3\r\n00:01:00.000 --> 00:01:02.250\r\nBB\r\nCCC")
+    # malformed middle block skipped; '.' millisecond separator accepted
+    assert parse_srt_cues(srt) == [(1, 100, 900, 1, 1),
+                                   (3, 60000, 62250, 2, 5)]
+
+
+def test_srt_missing_index_uses_running_position():
+    from pigeon_optics_spark.pipeline.multimodal import parse_srt_cues
+
+    srt = ("00:00:01,000 --> 00:00:02,000\nxy\n\n"
+           "00:00:03,000 --> 00:00:04,000\nz\n")
+    assert [c[0] for c in parse_srt_cues(srt)] == [1, 2]
+
+
+def test_srt_empty_and_hour_rollover():
+    from pigeon_optics_spark.pipeline.multimodal import parse_srt_cues
+
+    assert parse_srt_cues("") == []
+    assert parse_srt_cues("junk with no cues at all") == []
+    cues = parse_srt_cues("1\n01:02:03,004 --> 01:02:05,006\nx\n")
+    assert cues == [(1, 3723004, 3725006, 1, 1)]
+
+
+def test_srt_distributed_cue_table(spark):
+    import pandas as pd  # noqa: F401
+    from pigeon_optics_spark.pipeline.multimodal import parse_srt_cues_df
+
+    df = spark.createDataFrame(
+        [(1, "1\n00:00:01,000 --> 00:00:02,000\nhello\n"),
+         (2, None),
+         (3, "not a subtitle file")],
+        "media_id long, srt string")
+    rows = sorted(parse_srt_cues_df(df).collect())
+    assert len(rows) == 1
+    assert tuple(rows[0]) == (1, 1, 1000, 2000, 1, 5)

@@ -614,3 +614,16 @@ def test_q6_style_pushdown_q12_thin_join(spark, sf_dir):
                      if "ReadSchema" in ln and "o_orderpriority" in ln]
     assert orders_schema and all("o_totalprice" not in ln
                                  for ln in orders_schema), p
+
+
+def test_srt_cue_extraction_map_only(spark, sf_dir):
+    """SRT cue extraction: synth + parse are chained mapInPandas over ONE
+    documents scan — no shuffle, no join; the text column never moves."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        multimodal_srt_cues,
+    )
+
+    p = plan_of(multimodal_srt_cues(spark, sf_dir))
+    assert p.count("FileScan parquet") == 1, p
+    assert "Exchange" not in p, p
+    assert "Join" not in p
