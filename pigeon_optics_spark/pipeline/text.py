@@ -1096,3 +1096,28 @@ def normalize_url(url) -> "Column":
         .when(scheme == "", c) \
         .otherwise(F.when(sorted_q == "", base)
                    .otherwise(F.concat(base, F.lit("?"), sorted_q)))
+
+
+# Unicode text normalization (web-corpus cleanup).  Three JVM-side regex
+# passes — no Python in the hot path (the UDF-is-the-slow-path rule; a
+# 100 TB cleanup wants whole-stage codegen, and regexp_replace is).
+_CTRL_ZW_CLASS = ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+                  "\\u200b-\\u200d\\ufeff]")
+_USPACE_CLASS = "[\\u00a0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000]"
+
+
+def clean_text_col(col: "Column | str") -> Column:
+    """Normalized text: control + zero-width characters removed, unicode
+    space variants mapped to ASCII space, whitespace runs collapsed,
+    ends trimmed.  NULL propagates (no data fabrication for missing
+    text — the tukey_winsorize lesson).
+
+    Order matters: zero-width removal BEFORE collapsing (a ZWSP between
+    two spaces must not split the run), unicode-space mapping before the
+    collapse so mixed runs fold to one ASCII space.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _CTRL_ZW_CLASS, "")
+    c = F.regexp_replace(c, _USPACE_CLASS, " ")
+    c = F.regexp_replace(c, "[ \\t\\r\\n]+", " ")
+    return F.trim(c)

@@ -3408,3 +3408,76 @@ FROM cues
 """
 
 register("multimodal_srt_cues", multimodal_srt_cues, _SRT_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization cleanup: the web-corpus scrub every ingest runs —
+# control / zero-width chars stripped, NBSP-family spaces ASCII-fied,
+# whitespace runs collapsed, ends trimmed (pipeline.text.clean_text_col —
+# three JVM regex passes, zero Python, whole-stage codegen).
+#
+# The gate DIRTIES the corpus deterministically (every single space
+# becomes a doc_id-keyed junk separator — NBSP / CRLF run / zero-width
+# sandwich / space+tab run — plus control-char prefix/suffix by residue)
+# then cleans it, and the oracle verifies END-TO-END by constructing the
+# EXPECTED clean form directly from the ORIGINAL text (whitespace-collapse
+# in SQL), never mirroring the dirt or the cleaner's regexes — the
+# text_domain_blocklist independent-construction pattern: if either the
+# dirt injection or any of the three cleanup passes is wrong, the md5
+# witness diverges.  n_spaces pins the injection-site count.
+# Scale shape: one scan, map-only, no shuffle (plan-tested).
+# --------------------------------------------------------------------------
+
+
+def text_normalize_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import clean_text_col
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    junk = (F.when(F.col("doc_id") % 4 == 0, F.lit("\u00a0"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(" \r\n "))
+            .when(F.col("doc_id") % 4 == 2, F.lit("\u200b \u200b"))
+            .otherwise(F.lit("  \t ")))
+    messy = F.replace(t, F.lit(" "), junk)
+    messy = (F.when(F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit("\u0001\u0002"), messy))
+             .when(F.col("doc_id") % 5 == 1,
+                   F.concat(messy, F.lit("\u0007")))
+             .otherwise(messy))
+    cleaned = clean_text_col(messy)
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(cleaned, "UTF-8")).alias("clean_md5"),
+        F.length(cleaned).alias("clean_len"),
+        (F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))))
+        .alias("n_spaces"))
+
+
+#: The oracle's expected-clean also strips the ctrl/zero-width/unicode-space
+#: classes from the ORIGINAL text (RE2 \x{...} spellings of the Spark
+#: classes).  Today's corpus contains none (the collapse alone matched when
+#: this gate landed), but testdata is driver-owned and CHANGES — without
+#: the defensive strip, pre-dirtied source text would break the invariant
+#: clean(dirty(t)) == expected(t) through no fault of the engine.  The
+#: INJECTED dirt remains independently verified: the oracle never sees it.
+_NORMALIZE_ORACLE = r"""
+WITH prepped AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(COALESCE(text, ''),
+             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}-\x{200d}\x{feff}]',
+             '', 'g'),
+             '[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]',
+             ' ', 'g') AS t0,
+         COALESCE(text, '') AS t_raw
+  FROM documents
+)
+SELECT doc_id,
+       md5(trim(regexp_replace(t0, '[ \t\r\n]+', ' ', 'g')))
+         AS clean_md5,
+       length(trim(regexp_replace(t0, '[ \t\r\n]+', ' ', 'g')))
+         AS clean_len,
+       length(t_raw) - length(replace(t_raw, ' ', '')) AS n_spaces
+FROM prepped
+"""
+
+register("text_normalize_clean", text_normalize_clean, _NORMALIZE_ORACLE)

@@ -627,3 +627,17 @@ def test_srt_cue_extraction_map_only(spark, sf_dir):
     assert p.count("FileScan parquet") == 1, p
     assert "Exchange" not in p, p
     assert "Join" not in p
+
+
+def test_normalize_clean_jvm_only_no_shuffle(spark, sf_dir):
+    """Unicode cleanup: three JVM regexp passes over ONE scan — no
+    Exchange, no Python evaluation (the UDF-is-the-slow-path rule holds
+    in the plan, not just the docstring)."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        text_normalize_clean,
+    )
+
+    p = plan_of(text_normalize_clean(spark, sf_dir))
+    assert p.count("FileScan parquet") == 1, p
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p, p

@@ -438,3 +438,74 @@ class TestNormalizeUrl:
         n = df.select(F.md5(normalize_url("url")).alias("k")) \
             .distinct().count()
         assert n == 1
+
+
+class TestCleanTextCol:
+    ADVERSARIAL = [
+        "plain single spaced",
+        "double  spaces\tand\ttabs",
+        "crlf\r\nline\nbreaks",
+        "nbsp here and em-space",
+        "zero​width‍joined﻿",
+        "ctrl\x01chars\x07embedded\x7f",
+        " leading and trailing  ",
+        "mixed ​  \t run collapse",
+        "",
+        "   ",
+        "　ideographic　space　",
+    ]
+
+    @staticmethod
+    def _reference(s: str) -> str:
+        import re as _re
+
+        s = _re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+                    "​-‍﻿]", "", s)
+        s = _re.sub("[   -   　]", " ", s)
+        s = _re.sub("[ \t\r\n]+", " ", s)
+        return s.strip()
+
+    def test_matches_python_reference(self, spark):
+        from pigeon_optics_spark.pipeline.text import clean_text_col
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.ADVERSARIAL)],
+            "id long, text string")
+        got = {r["id"]: r["c"]
+               for r in df.select(
+                   "id", clean_text_col("text").alias("c")).collect()}
+        for i, s in enumerate(self.ADVERSARIAL):
+            assert got[i] == self._reference(s), (i, s)
+
+    def test_null_propagates(self, spark):
+        from pigeon_optics_spark.pipeline.text import clean_text_col
+
+        df = spark.createDataFrame([(1, None)], "id long, text string")
+        assert df.select(clean_text_col("text").alias("c")
+                         ).collect()[0]["c"] is None
+
+    def test_oracle_prep_parity_duckdb(self, spark):
+        """The gate oracle's defensive strip (RE2 spellings) must agree
+        with clean_text_col on PRE-dirtied source text — the class that
+        only bites when a future testdata round ships such characters."""
+        import duckdb
+
+        from pigeon_optics_spark.pipeline.text import clean_text_col
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.ADVERSARIAL)],
+            "id long, text string")
+        spark_clean = {r["id"]: r["c"]
+                       for r in df.select(
+                           "id",
+                           clean_text_col("text").alias("c")).collect()}
+        con = duckdb.connect()
+        expr = (r"trim(regexp_replace(regexp_replace(regexp_replace(s, "
+                r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}-\x{200d}"
+                r"\x{feff}]', '', 'g'), "
+                r"'[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}"
+                r"\x{3000}]', ' ', 'g'), '[ \t\r\n]+', ' ', 'g'))")
+        for i, s in enumerate(self.ADVERSARIAL):
+            duck = con.execute(f"SELECT {expr} FROM (SELECT ? AS s)",
+                               [s]).fetchone()[0]
+            assert duck == spark_clean[i], (i, s, duck, spark_clean[i])
