@@ -98,18 +98,27 @@ _DRIVER_PRIORITY = [
     # stream_dedup, q_approx — carries a green r4 driver row, re-verified
     # by the full local gate this session; rotate them back in r6.)
     #
-    # r5 wave-6/7 EXCEPTION: nineteen gates added after the window filled
-    # (wave 6: text_span_dedup_removal, text_global_shuffle,
-    # q_data_quality_report, q_kanonymity_audit; wave 7: q7_nation_volume,
-    # q8_market_share, q10_returned_revenue, q14_promo_revenue,
-    # q15_top_supplier, q19_disjunctive_revenue, q22_idle_balance,
-    # text_domain_blocklist, text_winsorize, text_quality_classifier,
-    # events_ewma_users, events_stream_ewma, dedup_prefix_jaccard,
-    # events_json_extract, q_grouping_sets) ship
+    # r5 wave-6+ EXCEPTION: every gate added after the window filled ships
     # with local-only evidence this round — every window slot already
     # holds a NEVER-driver-checked r5 gate, so there is nothing safe to
-    # displace.  They must lead r6's window together with the 14
-    # r2/r3-history gates (see ROUND_NOTES "r6 rotation plan").
+    # displace.  The full list (must lead r6's window together with the
+    # 14 r2/r3-history gates — see ROUND_NOTES "r6 rotation plan"):
+    # wave 6: text_span_dedup_removal, text_global_shuffle,
+    #   q_data_quality_report, q_kanonymity_audit;
+    # wave 7: q7_nation_volume, q8_market_share, q10_returned_revenue,
+    #   q14_promo_revenue, q15_top_supplier, q19_disjunctive_revenue,
+    #   q22_idle_balance, text_domain_blocklist, text_winsorize,
+    #   text_quality_classifier, events_ewma_users, events_stream_ewma,
+    #   dedup_prefix_jaccard, events_json_extract, q_grouping_sets;
+    # wave 8: q6_forecast_revenue, q9_product_type_profit,
+    #   q11_important_parts, events_concurrency, emb_pq_recon_error,
+    #   text_ngram_diversity;
+    # wave 9: events_interval_merge, q_status_islands, dedup_split_leakage,
+    #   lens_error_capture, q_year_bitmap, q_ratio_to_report;
+    # wave 10: q12_priority_lines, q16_supplier_counts,
+    #   q21_sole_late_supplier, q_rfm_segments, graph_triangle_count,
+    #   multimodal_srt_cues, text_normalize_clean (+ any later wave-10
+    #   additions — see ROUND_NOTES wave-10 entry).
 ]
 
 

@@ -116,3 +116,14 @@ def davg(expr: str, alias: str, scale: int = 4) -> str:
         f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
         f" / COUNT(*) AS DOUBLE) AS {alias}"
     )
+
+# NOTE (r5 wave 10, events_cusum_alarms): DuckDB 1.0.0 `list_reduce` with a
+# STRUCT accumulator mis-lanes struct FIELDS across the rows of a vector
+# batch — one field can come back carrying another ROW's value (observed:
+# final `s` right for every user, `n` permuted between users; 68/150 rows
+# wrong at sf0.01, correct when the same rows run solo).  Data/batch-
+# composition-dependent, so a passing spot check proves nothing.  Any
+# oracle needing a multi-value sequential fold must use a LIST-typed
+# accumulator ([a, b] DOUBLE[...]) — 0 mismatches across all SFs — or a
+# recursive CTE.  Scalar (single-double) list_reduce folds (EWMA, bigram
+# LM) are unaffected.

@@ -1519,3 +1519,92 @@ FROM pe GROUP BY user_id
 
 register("events_interval_merge", events_interval_merge,
          _INTERVAL_MERGE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point alarms: per user, the one-sided cumulative-sum
+# control chart — S_i = max(0, S_{i-1} + (x_i - k)), alarm + reset when
+# S_i crosses h — the classic sequential drift detector (data-quality
+# monitoring over an ingest stream; EWMA smooths, CUSUM *decides*).
+# k = 55.25 slack / h = 250.5 threshold keep BOTH branches populated at
+# every SF (alarm users / zero-alarm users: 9/6 at sf0.001, 96/54 at
+# sf0.01, 1037/463 at sf0.1 — measured).
+#
+# Determinism: the fold is the events_ewma_users sequential-IEEE class —
+# an ordered in-row array fold over (ts, event_id)-sorted values; every
+# operand is explicitly DOUBLE (DuckDB infers bare numeric literals as
+# DECIMAL inside lambdas — the CAST keeps both engines in IEEE the whole
+# way).  max() and + on doubles are order-fixed by the fold, so Spark ≡
+# DuckDB ≡ the pytest Python replica bit-for-bit.
+#
+# ORACLE HAZARD (new cross-engine class, found building this gate):
+# DuckDB 1.0.0's list_reduce with a STRUCT accumulator mis-lanes struct
+# FIELDS across rows in a vector batch — on this very corpus the final
+# `s` field was right for every user while `n` came back permuted
+# between users (68/150 rows wrong at sf0.01; correct when the same rows
+# run solo, correct on random fixtures — strictly batch-composition-
+# dependent).  A LIST-typed accumulator ([s, n] DOUBLE[2]) does not
+# trigger the defect: 0/1665 mismatches vs the Python replica across all
+# three SFs.  The oracle therefore folds with a list accumulator; the
+# Spark side keeps the natural struct (Spark's aggregate() is exact).
+#
+# Scale shape: one groupBy shuffle to assemble per-user sequences (state
+# is O(events-per-user) in-row, not a window over the stream), then
+# map-only folds.  The streaming twin would be applyInPandasWithState
+# carrying (S, n) — the events_stream_ewma pattern.
+# --------------------------------------------------------------------------
+
+
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("ts", "event_id", "value")))
+               .alias("s")))
+    vals = F.col("s").getField("value")
+    k, h = F.lit(55.25), F.lit(250.5)
+    init = F.struct(F.lit(0.0).alias("s"),
+                    F.lit(0).alias("n"))
+    step = lambda acc, x: F.when(  # noqa: E731
+        F.greatest(F.lit(0.0), acc.getField("s") + (x - k)) > h,
+        F.struct(F.lit(0.0).alias("s"),
+                 (acc.getField("n") + 1).alias("n"))
+    ).otherwise(
+        F.struct(F.greatest(F.lit(0.0),
+                            acc.getField("s") + (x - k)).alias("s"),
+                 acc.getField("n").alias("n")))
+    st = F.aggregate(vals, init, step)
+    return seq.select(
+        "user_id",
+        F.size("s").cast("long").alias("n_events"),
+        st.getField("n").cast("long").alias("n_alarms"),
+        st.getField("s").alias("final_s"))
+
+
+_CUSUM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+folded AS (
+  -- LIST accumulator [s, n], NOT a struct: DuckDB 1.0.0 list_reduce
+  -- mis-lanes struct fields across batch rows (see gate comment)
+  SELECT user_id, len(vals) AS n_events, list_reduce(
+    list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+      list_transform(vals, x -> [x, CAST(0 AS DOUBLE)])),
+    (acc, e) -> CASE
+      WHEN greatest(CAST(0 AS DOUBLE),
+                    acc[1] + (e[1] - CAST(55.25 AS DOUBLE)))
+           > CAST(250.5 AS DOUBLE)
+      THEN [CAST(0 AS DOUBLE), acc[2] + 1]
+      ELSE [greatest(CAST(0 AS DOUBLE),
+                     acc[1] + (e[1] - CAST(55.25 AS DOUBLE))),
+            acc[2]] END) AS st
+  FROM seq
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(st[2] AS BIGINT) AS n_alarms, st[1] AS final_s
+FROM folded
+"""
+
+register("events_cusum_alarms", events_cusum_alarms, _CUSUM_ORACLE)

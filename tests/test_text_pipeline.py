@@ -509,3 +509,55 @@ class TestCleanTextCol:
             duck = con.execute(f"SELECT {expr} FROM (SELECT ? AS s)",
                                [s]).fetchone()[0]
             assert duck == spark_clean[i], (i, s, duck, spark_clean[i])
+
+
+def test_cusum_fold_matches_python_replica(spark):
+    """CUSUM control-chart fold: Spark's aggregate() must execute the
+    exact IEEE sequence of the Python reference — alarms, resets, and
+    the final statistic bit-for-bit (the EWMA sequential-fold class,
+    extended to a struct accumulator with a branch)."""
+    import random
+
+    from pigeon_optics_spark.queries.events_queries import (
+        events_cusum_alarms,  # noqa: F401 — fold shape lives in the gate
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260814)
+    rows = []
+    for u in range(25):
+        for i in range(rng.randint(1, 80)):
+            rows.append((u, i, round(rng.uniform(0, 300), 2)))
+    df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+    seq = (df.groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(F.struct("seq", "value")))
+                .alias("s")))
+    vals = F.col("s").getField("value")
+    k, h = F.lit(55.25), F.lit(250.5)
+    init = F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("n"))
+    step = lambda acc, x: F.when(  # noqa: E731
+        F.greatest(F.lit(0.0), acc.getField("s") + (x - k)) > h,
+        F.struct(F.lit(0.0).alias("s"), (acc.getField("n") + 1).alias("n"))
+    ).otherwise(
+        F.struct(F.greatest(F.lit(0.0),
+                            acc.getField("s") + (x - k)).alias("s"),
+                 acc.getField("n").alias("n")))
+    st = F.aggregate(vals, init, step)
+    got = {r["user_id"]: (r["fs"], r["na"])
+           for r in seq.select("user_id",
+                               st.getField("s").alias("fs"),
+                               st.getField("n").alias("na")).collect()}
+    import collections
+
+    series = collections.defaultdict(list)
+    for u, i, v in sorted(rows):
+        series[u].append(v)
+    for u, vs in series.items():
+        s, n = 0.0, 0
+        for x in vs:
+            t = max(0.0, s + (x - 55.25))
+            if t > 250.5:
+                s, n = 0.0, n + 1
+            else:
+                s = t
+        assert got[u] == (s, n), u
