@@ -2056,3 +2056,80 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 register("q_rfm_segments", q_rfm_segments, _RFM_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# q2-style best-value supplier: for every ECONOMY part, the supplier
+# offering the minimum observed unit price — TPC-H Q2's correlated-MIN
+# subquery shape, decorrelated the way Catalyst rewrites it: per-key MIN
+# aggregate, equi-join back on (key, value-equality), deterministic
+# tie-break (min suppkey among exact-min offers).  ADAPTED: no partsupp,
+# so the offer book is observed lineitem unit prices.
+# Determinism: unit price = l_extendedprice / l_quantity is ONE IEEE
+# division of identical doubles on both engines (no accumulation), MIN is
+# an order stat, and the join-back compares doubles both sides computed
+# identically — the q_small_quantity_revenue class.
+# Scale shape: two shuffles (pair agg keyed (part, supp); per-part min),
+# thin join back, supplier/nation dims joined AFTER the per-part
+# reduction (O(parts) rows); nation broadcast (bounded dim).
+# --------------------------------------------------------------------------
+
+
+def q2_best_value_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    unit = (
+        li.join(part.where(F.col("p_type") == "ECONOMY")
+                .select("p_partkey"),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("u"))
+    )
+    best = unit.groupBy(F.col("l_partkey").alias("bk")) \
+        .agg(F.min("u").alias("min_u"))
+    winner = (
+        unit.join(best, (F.col("l_partkey") == F.col("bk"))
+                  & (F.col("u") == F.col("min_u")))
+        .groupBy("l_partkey", "min_u")
+        .agg(F.min("l_suppkey").alias("win_suppkey"))
+    )
+    return (
+        winner.join(sup, F.col("win_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                "s_name", "s_acctbal",
+                F.col("n_name").alias("nation"),
+                F.col("min_u").alias("best_unit_price"))
+    )
+
+
+_Q2_ORACLE = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS u
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY'
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT l_partkey, MIN(u) AS min_u FROM unit GROUP BY 1
+),
+winner AS (
+  SELECT u.l_partkey, b.min_u, MIN(u.l_suppkey) AS win_suppkey
+  FROM unit u JOIN best b
+    ON u.l_partkey = b.l_partkey AND u.u = b.min_u
+  GROUP BY 1, 2
+)
+SELECT w.l_partkey AS p_partkey, s_name, s_acctbal,
+       n_name AS nation, w.min_u AS best_unit_price
+FROM winner w
+JOIN supplier ON win_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+"""
+
+register("q2_best_value_supplier", q2_best_value_supplier, _Q2_ORACLE)
