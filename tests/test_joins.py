@@ -105,3 +105,68 @@ def test_skew_safe_count_distinct_null_semantics(spark):
     safe = {r["k"]: r["n_distinct"] for r in
             skew_safe_count_distinct(df, "k", "v").collect()}
     assert safe == naive == {1: 1, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (pipeline.layout)
+# ---------------------------------------------------------------------------
+
+
+def _py_morton(vals, bits):
+    z = 0
+    n = len(vals)
+    for i in range(bits):
+        for d, v in enumerate(vals):
+            z |= (((v & ((1 << bits) - 1)) >> i) & 1) << (i * n + d)
+    return z
+
+
+def test_morton_key_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.pipeline.layout import morton_key
+
+    rows = [(x, y) for x in (0, 1, 5, 63, 64, 1023) for y in
+            (0, 2, 7, 63, 512, 1023)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", morton_key(["x", "y"], bits=10)
+                    .alias("z")).collect()
+    for r in got:
+        assert r["z"] == _py_morton([r["x"], r["y"]], 10), (r["x"], r["y"])
+
+
+def test_morton_three_dims_and_masking(spark):
+    from pigeon_optics_spark.pipeline.layout import morton_key
+
+    # values wider than `bits` must be masked, not alias into high lanes
+    df = spark.createDataFrame([(1 + (1 << 40), 2, 3)],
+                               "a long, b long, c long")
+    z = df.select(morton_key(["a", "b", "c"], bits=4).alias("z")) \
+        .collect()[0]["z"]
+    assert z == _py_morton([1, 2, 3], 4)
+
+
+def test_zorder_repartition_disjoint_curve_segments(spark):
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.pipeline.layout import (
+        morton_key, zorder_repartition,
+    )
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 61).alias("x"), (F.col("id") % 53).alias("y"))
+    laid = zorder_repartition(df, ["x", "y"], bits=6, num_partitions=8)
+    # recompute the key after layout; partitions must hold disjoint,
+    # contiguous z ranges (the property parquet min/max pruning needs)
+    spans = (laid.withColumn("z", morton_key(["x", "y"], bits=6))
+             .withColumn("pid", F.spark_partition_id())
+             .groupBy("pid").agg(F.min("z").alias("lo"),
+                                 F.max("z").alias("hi"),
+                                 F.count("*").alias("n"))
+             .orderBy("lo").collect())
+    assert sum(r["n"] for r in spans) == 4096
+    assert len(spans) > 1
+    for a, b in zip(spans, spans[1:]):
+        assert a["hi"] <= b["lo"], spans
+    # schema untouched
+    assert laid.columns == ["x", "y"]
