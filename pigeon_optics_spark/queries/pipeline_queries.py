@@ -3523,3 +3523,52 @@ GROUP BY 1, 2, 3
 """
 
 register("q_zorder_curve", q_zorder_curve, _ZORDER_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Readability counts (Flesch-family inputs): per doc the exact integer
+# triple the readability formulas consume — word count, sentence count
+# (terminator runs [.!?]+, floored at 1 for terminator-less text), and a
+# syllable proxy (vowel-group runs per word, the standard heuristic).
+# The gate emits the COUNTS, not the Flesch score: the score is two
+# divisions of these integers (engine-trivial for a consumer), while
+# emitting computed doubles would buy nothing but drift surface — the
+# q8 numerator/denominator discipline.
+# All three counts are regexp_count-style JVM expressions over ONE scan
+# (zero shuffle); empty/NULL text COALESCEs to zero-word, zero-syllable,
+# one-sentence rows on BOTH sides (the context-chunks empty-doc lesson).
+# --------------------------------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_words = F.size(F.filter(F.split(t, "\\s+"),
+                              lambda w: w != F.lit("")))
+    n_sentences = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(t, "[.!?]+"),
+                        lambda s: F.trim(s) != F.lit(""))))
+    # vowel-group count: splitting on runs yields (runs + 1) pieces
+    n_syllables = F.size(F.split(t, "[aeiouyAEIOUY]+")) - 1
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllable_groups"))
+
+
+_READABILITY_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                            w -> w <> '')) AS BIGINT) AS n_words,
+       CAST(greatest(1, len(list_filter(
+            string_split_regex(COALESCE(text, ''), '[.!?]+'),
+            s -> trim(s) <> ''))) AS BIGINT) AS n_sentences,
+       CAST(len(string_split_regex(COALESCE(text, ''),
+                                   '[aeiouyAEIOUY]+')) - 1 AS BIGINT)
+         AS n_syllable_groups
+FROM documents
+"""
+
+register("text_readability", text_readability, _READABILITY_ORACLE)
