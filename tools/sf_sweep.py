@@ -49,6 +49,11 @@ SWEEP_QUERIES = [
     # percentile fences at a different n)
     "events_ewma_users",
     "text_winsorize",
+    # r5 wave 10: CUSUM (sequential struct fold with a branch — alarm
+    # counts are sensitive to any single-ulp drift in the running sum,
+    # and longer chains at 5x compound it; also exercises the DuckDB
+    # list-accumulator oracle form at scale)
+    "events_cusum_alarms",
 ]
 
 #: per-copy deterministic perturbations; k=0 is the original rows so the
