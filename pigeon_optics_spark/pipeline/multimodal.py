@@ -640,7 +640,10 @@ def parse_srt_cues(text: str) -> list[tuple[int, int, int, int, int]]:
     if text.startswith("﻿"):
         text = text[1:]
     cues: list[tuple[int, int, int, int, int]] = []
-    blocks = re.split(r"(?:\r\n|\n){2,}", text.strip("\r\n \t"))
+    # block separator: one or more blank-ISH lines (whitespace-only lines
+    # count — real subtitle files ship "\n \n" separators)
+    blocks = re.split(r"(?:\r\n|\n)(?:[ \t]*(?:\r\n|\n))+",
+                      text.strip("\r\n \t"))
     pos = 0
     for block in blocks:
         lines = [ln.rstrip("\r") for ln in block.split("\n")]

@@ -483,3 +483,14 @@ def test_srt_distributed_cue_table(spark):
     rows = sorted(parse_srt_cues_df(df).collect())
     assert len(rows) == 1
     assert tuple(rows[0]) == (1, 1, 1000, 2000, 1, 5)
+
+
+def test_srt_whitespace_only_separator_lines():
+    from pigeon_optics_spark.pipeline.multimodal import parse_srt_cues
+
+    srt = ("1\n00:00:01,000 --> 00:00:02,000\na\n \n"
+           "2\n00:00:03,000 --> 00:00:04,000\nbb\n\t\n \n"
+           "3\n00:00:05,000 --> 00:00:06,000\nccc\n")
+    assert parse_srt_cues(srt) == [(1, 1000, 2000, 1, 1),
+                                   (2, 3000, 4000, 1, 2),
+                                   (3, 5000, 6000, 1, 3)]
