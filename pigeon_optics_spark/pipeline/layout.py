@@ -32,6 +32,14 @@ def morton_key(cols: list[Column | str], bits: int = 10) -> Column:
     inside whole-stage codegen.
     """
     n = len(cols)
+    if not cols:
+        raise ValueError("morton_key needs at least one column")
+    if bits * n > 63:
+        # JVM shiftleft masks the shift amount mod 64: lanes >= 64 would
+        # silently alias back onto low bits and collide distinct inputs
+        raise ValueError(
+            f"bits*len(cols) = {bits * n} exceeds 63: the interleaved key "
+            "must fit a signed 64-bit long")
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     cs = [c.cast("long").bitwiseAND(F.lit((1 << bits) - 1)) for c in cs]
     z = F.lit(0).cast("long")

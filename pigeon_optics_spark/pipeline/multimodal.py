@@ -674,7 +674,9 @@ def parse_srt_cues_df(df: DataFrame, text_col: str = "srt",
 
     Arrow-batched ``mapInPandas`` (the parser is inherently imperative
     string work); the output is a thin integer table, so downstream
-    aggregation stays JVM-side.
+    aggregation stays JVM-side.  Rows with a NULL id are dropped (no
+    stable identity to key cues on — the pack_webdataset_shards stance);
+    NULL text parses as zero cues.
     """
     schema = (f"{id_col} long, cue_index int, start_ms long, end_ms long, "
               "n_lines int, n_chars long")
@@ -686,6 +688,8 @@ def parse_srt_cues_df(df: DataFrame, text_col: str = "srt",
             out = {k: [] for k in (id_col, "cue_index", "start_ms",
                                    "end_ms", "n_lines", "n_chars")}
             for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                if pd.isna(mid):
+                    continue
                 for (ci, st, en, nl, nc) in parse_srt_cues(txt or ""):
                     out[id_col].append(int(mid))
                     out["cue_index"].append(ci)

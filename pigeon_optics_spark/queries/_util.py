@@ -127,3 +127,31 @@ def davg(expr: str, alias: str, scale: int = 4) -> str:
 # accumulator ([a, b] DOUBLE[...]) — 0 mismatches across all SFs — or a
 # recursive CTE.  Scalar (single-double) list_reduce folds (EWMA, bigram
 # LM) are unaffected.
+
+
+def ordered_pairs_col(items, a_name: str, b_name: str):
+    """In-row expansion of a SORTED array into its ordered pairs
+    (items[i], items[j]) for i < j — the shared basket/overlap/edge
+    idiom (one shuffle-free explode instead of a self-join).
+
+    ``items`` is a Column of sorted arrays; returns an ARRAY of structs
+    (a_name, b_name) ready for ``F.explode``.  The slice guard keeps the
+    inner transform in-bounds on 1-element arrays (Spark ``sequence``/
+    ``slice`` with a non-positive length is an error, not empty).
+    """
+    from pyspark.sql import functions as F
+
+    return F.flatten(F.transform(
+        items,
+        lambda a, i: F.transform(
+            F.slice(items, i + 2, F.greatest(F.size(items) - i - 1,
+                                             F.lit(1))),
+            lambda b: F.struct(a.alias(a_name), b.alias(b_name)))))
+
+# NOTE (r5 wave 10 review, text_readability): Java regex \s matches
+# vertical tab \x0B; RE2 (DuckDB) \s does not.  Dormant while the corpus
+# has no VT chars, but any oracle pairing Spark split/regexp with DuckDB
+# string_split_regex should spell the class explicitly
+# ('[ \t\n\x0B\f\r]+') instead of \s.  Pre-wave-10 gates keep their
+# driver-row-pinned \s forms (hash_bucket precedent); new gates use the
+# explicit class.

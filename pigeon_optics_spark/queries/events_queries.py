@@ -1555,25 +1555,34 @@ register("events_interval_merge", events_interval_merge,
 # --------------------------------------------------------------------------
 
 
+def cusum_state_col(vals, k: float = 55.25, h: float = 250.5):
+    """Folded CUSUM state over an ordered array of doubles: a struct
+    column (s = final statistic, n = alarm count) — S_i = max(0,
+    S_{i-1} + (x_i - k)), alarm + reset when S_i > h.  Exposed
+    module-level so the pytest replica exercises THIS expression, not a
+    copy of it."""
+    kl, hl = F.lit(float(k)), F.lit(float(h))
+    init = F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("n"))
+
+    def step(acc, x):
+        nxt = F.greatest(F.lit(0.0), acc.getField("s") + (x - kl))
+        return F.when(
+            nxt > hl,
+            F.struct(F.lit(0.0).alias("s"),
+                     (acc.getField("n") + 1).alias("n"))
+        ).otherwise(
+            F.struct(nxt.alias("s"), acc.getField("n").alias("n")))
+
+    return F.aggregate(vals, init, step)
+
+
 def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     seq = (ev.groupBy("user_id")
            .agg(F.array_sort(
                F.collect_list(F.struct("ts", "event_id", "value")))
                .alias("s")))
-    vals = F.col("s").getField("value")
-    k, h = F.lit(55.25), F.lit(250.5)
-    init = F.struct(F.lit(0.0).alias("s"),
-                    F.lit(0).alias("n"))
-    step = lambda acc, x: F.when(  # noqa: E731
-        F.greatest(F.lit(0.0), acc.getField("s") + (x - k)) > h,
-        F.struct(F.lit(0.0).alias("s"),
-                 (acc.getField("n") + 1).alias("n"))
-    ).otherwise(
-        F.struct(F.greatest(F.lit(0.0),
-                            acc.getField("s") + (x - k)).alias("s"),
-                 acc.getField("n").alias("n")))
-    st = F.aggregate(vals, init, step)
+    st = cusum_state_col(F.col("s").getField("value"))
     return seq.select(
         "user_id",
         F.size("s").cast("long").alias("n_events"),

@@ -30,7 +30,7 @@ from ..pipeline.text import (
     words_col,
 )
 from . import register
-from ._util import load
+from ._util import load, ordered_pairs_col
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
@@ -2289,13 +2289,9 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
           .distinct())
     per_shingle = sh.groupBy("sh").agg(
         F.array_sort(F.collect_set("source")).alias("srcs"))
-    pairs = per_shingle.select(F.explode(F.flatten(F.transform(
-        F.col("srcs"),
-        lambda a, i: F.transform(
-            F.slice(F.col("srcs"), i + 2,
-                    F.greatest(F.size("srcs") - i - 1, F.lit(1))),
-            lambda b: F.struct(a.alias("source_a"), b.alias("source_b")))
-    ))).alias("p"))
+    pairs = per_shingle.select(F.explode(
+        ordered_pairs_col(F.col("srcs"), "source_a", "source_b"))
+        .alias("p"))
     return (pairs.groupBy(F.col("p.source_a").alias("source_a"),
                           F.col("p.source_b").alias("source_b"))
             .agg(F.count("*").alias("shared_shingles")))
@@ -3296,13 +3292,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     baskets = (li.groupBy("l_orderkey")
                .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
-    pairs = baskets.select(F.explode(F.flatten(F.transform(
-        F.col("items"),
-        lambda a, i: F.transform(
-            F.slice(F.col("items"), i + 2,
-                    F.greatest(F.size("items") - i - 1, F.lit(1))),
-            lambda b: F.struct(a.alias("u"), b.alias("v")))
-    ))).alias("p"))
+    pairs = baskets.select(F.explode(
+        ordered_pairs_col(F.col("items"), "u", "v")).alias("p"))
     edges = (pairs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
              .agg(F.count("*").alias("sup"))
              .where(F.col("sup") >= 2)
@@ -3543,7 +3534,10 @@ register("q_zorder_curve", q_zorder_curve, _ZORDER_ORACLE)
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     t = F.coalesce(F.col("text"), F.lit(""))
-    n_words = F.size(F.filter(F.split(t, "\\s+"),
+    # explicit whitespace class, NOT \s: Java \s matches vertical tab
+    # \x0B, RE2 (DuckDB) \s does not — dormant on today's VT-free
+    # corpus, but testdata changes (the normalize-oracle lesson)
+    n_words = F.size(F.filter(F.split(t, "[ \\t\\n\\x0B\\f\\r]+"),
                               lambda w: w != F.lit("")))
     n_sentences = F.greatest(
         F.lit(1),
@@ -3560,7 +3554,8 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _READABILITY_ORACLE = """
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+       CAST(len(list_filter(string_split_regex(COALESCE(text, ''),
+                            '[ \\t\\n\\x0B\\f\\r]+'),
                             w -> w <> '')) AS BIGINT) AS n_words,
        CAST(greatest(1, len(list_filter(
             string_split_regex(COALESCE(text, ''), '[.!?]+'),

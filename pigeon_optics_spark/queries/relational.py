@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import CHARGE, DISC_PRICE, dsum_exact, davg, dsum, load, load_events
+from ._util import (CHARGE, DISC_PRICE, dsum_exact, davg, dsum, load,
+                    load_events, ordered_pairs_col)
 
 # --------------------------------------------------------------------------
 # q1_pricing_summary — TPC-H Q1 shape: scan + filter + 2-key hash agg.
@@ -886,13 +887,8 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     baskets = (li.groupBy("l_orderkey")
                .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
-    pairs = baskets.select(F.explode(F.flatten(F.transform(
-        F.col("items"),
-        lambda a, i: F.transform(
-            F.slice(F.col("items"), i + 2,
-                    F.greatest(F.size("items") - i - 1, F.lit(1))),
-            lambda b: F.struct(a.alias("part_a"), b.alias("part_b")))
-    ))).alias("p"))
+    pairs = baskets.select(F.explode(
+        ordered_pairs_col(F.col("items"), "part_a", "part_b")).alias("p"))
     return (pairs.groupBy(F.col("p.part_a").alias("part_a"),
                           F.col("p.part_b").alias("part_b"))
             .agg(F.count("*").alias("n_orders"))

@@ -170,3 +170,14 @@ def test_zorder_repartition_disjoint_curve_segments(spark):
         assert a["hi"] <= b["lo"], spans
     # schema untouched
     assert laid.columns == ["x", "y"]
+
+
+def test_morton_key_rejects_overflowing_lanes(spark):
+    import pytest as _pytest
+
+    from pigeon_optics_spark.pipeline.layout import morton_key
+
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        morton_key(["a"] * 7, bits=10)
+    with _pytest.raises(ValueError, match="at least one"):
+        morton_key([], bits=4)

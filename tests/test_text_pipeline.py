@@ -518,9 +518,7 @@ def test_cusum_fold_matches_python_replica(spark):
     extended to a struct accumulator with a branch)."""
     import random
 
-    from pigeon_optics_spark.queries.events_queries import (
-        events_cusum_alarms,  # noqa: F401 — fold shape lives in the gate
-    )
+    from pigeon_optics_spark.queries.events_queries import cusum_state_col
     from pyspark.sql import functions as F
 
     rng = random.Random(20260814)
@@ -532,17 +530,7 @@ def test_cusum_fold_matches_python_replica(spark):
     seq = (df.groupBy("user_id")
            .agg(F.array_sort(F.collect_list(F.struct("seq", "value")))
                 .alias("s")))
-    vals = F.col("s").getField("value")
-    k, h = F.lit(55.25), F.lit(250.5)
-    init = F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("n"))
-    step = lambda acc, x: F.when(  # noqa: E731
-        F.greatest(F.lit(0.0), acc.getField("s") + (x - k)) > h,
-        F.struct(F.lit(0.0).alias("s"), (acc.getField("n") + 1).alias("n"))
-    ).otherwise(
-        F.struct(F.greatest(F.lit(0.0),
-                            acc.getField("s") + (x - k)).alias("s"),
-                 acc.getField("n").alias("n")))
-    st = F.aggregate(vals, init, step)
+    st = cusum_state_col(F.col("s").getField("value"))
     got = {r["user_id"]: (r["fs"], r["na"])
            for r in seq.select("user_id",
                                st.getField("s").alias("fs"),
