@@ -1617,3 +1617,71 @@ FROM folded
 """
 
 register("events_cusum_alarms", events_cusum_alarms, _CUSUM_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Conversion-window funnel: events_funnel with the industry semantics a
+# marketing/product pipeline actually ships — each stage must land INSIDE
+# an attribution window (click within 48 h of the first view, purchase
+# within 96 h of that click), so late conversions fall out of the funnel
+# instead of counting forever.  Windows of (48 h, 96 h) keep every stage
+# AND every drop-off branch populated at all three SFs (15/8/7 at
+# sf0.001, 150/96/79, 1500/864/723 — measured).  All comparisons are
+# exact integer epoch arithmetic (timestamp + literal interval); stage
+# attribution is deterministic (MIN is an order stat).
+# Scale shape: identical to events_funnel — three filtered
+# min-aggregations chained by user_id equi-joins on a SHRINKING user
+# set; no windows, no self-join over raw events.
+# --------------------------------------------------------------------------
+
+
+def events_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+
+    def first_within(etype: str, prev, prev_col: str, hours: int,
+                     alias: str):
+        return (ev.where(F.col("event_type") == etype)
+                .join(prev.select("user_id", prev_col), "user_id")
+                .where((F.col("ts") >= F.col(prev_col))
+                       & (F.col("ts") <= F.col(prev_col)
+                          + F.expr(f"INTERVAL {hours} HOURS")))
+                .groupBy("user_id").agg(F.min("ts").alias(alias)))
+
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("first_view")))
+    clicks = first_within("click", views, "first_view", 48, "first_click")
+    buys = first_within("purchase", clicks, "first_click", 96,
+                        "first_purchase")
+    return (views.join(clicks, "user_id", "left")
+            .join(buys, "user_id", "left")
+            .select("user_id", "first_view", "first_click",
+                    "first_purchase",
+                    (F.lit(1)
+                     + F.col("first_click").isNotNull().cast("int")
+                     + F.col("first_purchase").isNotNull().cast("int"))
+                    .alias("stage")))
+
+
+_WFUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, MIN(ts) AS first_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS first_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.first_view
+        AND e.ts <= v.first_view + INTERVAL 48 HOUR
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+        AND e.ts <= c.first_click + INTERVAL 96 HOUR
+      GROUP BY e.user_id)
+SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+       CAST(1 + CASE WHEN c.first_click IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.first_purchase IS NULL THEN 0 ELSE 1 END
+            AS INT) AS stage
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+register("events_windowed_funnel", events_windowed_funnel, _WFUNNEL_ORACLE)

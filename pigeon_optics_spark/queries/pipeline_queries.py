@@ -3567,3 +3567,87 @@ FROM documents
 """
 
 register("text_readability", text_readability, _READABILITY_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# ColBERT-style MaxSim late-interaction scoring: documents are BAGS of
+# token vectors (8 per doc, carved from the embeddings table: doc =
+# vec_id div 8; the trailing partial doc is kept — max over fewer tokens
+# is well-defined on both sides); the query is doc 0's token bag; score =
+# sum over query tokens of the max dot product against any doc token —
+# the late-interaction retrieval family (multi-vector, not single-vector
+# ANN), a different operator class from every cosine/PQ/LSH gate.
+#
+# Determinism: each dot is the sequential zip_with fold (dot_col — the
+# proven cross-engine class; DuckDB's init-less list_reduce starts at
+# element 1 but 0.0 + x is IEEE-exact), MAX is an order stat, and the
+# 8 per-query maxes are summed in FIXED WRITTEN ORDER (the bm25
+# discipline), never by an order-free SUM over doubles.
+#
+# Scale shape: the query bag is 8 broadcast rows (late interaction keeps
+# the query side bounded by construction); ONE corpus-token scan, the
+# 8x fan-out happens in the join not a rescan, then a two-level agg
+# (per-(doc, q) max with map-side combine, per-doc pivot row).  The
+# brute-force half of a ColBERT stack; candidate pruning would come from
+# the existing LSH/IVF gates feeding this as a re-scorer.
+# --------------------------------------------------------------------------
+
+
+def emb_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import dot_col
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < 8)
+         .select((F.col("vec_id") % 8).alias("q_idx"),
+                 F.col("embedding").alias("qv")))
+    tok = (emb.where(F.col("vec_id") >= 8)
+           .select(F.expr("CAST(vec_id DIV 8 AS BIGINT)").alias("doc_id"),
+                   "embedding"))
+    per_q = (tok.crossJoin(F.broadcast(q))
+             .select("doc_id", "q_idx",
+                     dot_col("qv", "embedding").alias("d"))
+             .groupBy("doc_id", "q_idx")
+             .agg(F.max("d").alias("m")))
+    ms = [F.max(F.when(F.col("q_idx") == i, F.col("m"))).alias(f"m{i}")
+          for i in range(8)]
+    pivoted = per_q.groupBy("doc_id").agg(*ms, F.count("*").alias("nq"))
+    score = F.col("m0")
+    for i in range(1, 8):
+        score = score + F.col(f"m{i}")
+    return pivoted.select("doc_id", score.alias("maxsim"),
+                          F.col("nq").cast("long").alias("n_query_tokens"))
+
+
+_MAXSIM_ORACLE = """
+WITH q AS (
+  SELECT vec_id % 8 AS q_idx, embedding AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+tok AS (
+  SELECT vec_id // 8 AS doc_id, embedding
+  FROM embeddings WHERE vec_id >= 8
+),
+per_q AS (
+  SELECT doc_id, q_idx,
+         MAX(list_reduce(list_transform(list_zip(qv, embedding),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+             (acc, v) -> acc + v)) AS m
+  FROM tok CROSS JOIN q
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       -- left-associative + chain == Spark's written-order accumulation
+       MAX(CASE WHEN q_idx = 0 THEN m END)
+         + MAX(CASE WHEN q_idx = 1 THEN m END)
+         + MAX(CASE WHEN q_idx = 2 THEN m END)
+         + MAX(CASE WHEN q_idx = 3 THEN m END)
+         + MAX(CASE WHEN q_idx = 4 THEN m END)
+         + MAX(CASE WHEN q_idx = 5 THEN m END)
+         + MAX(CASE WHEN q_idx = 6 THEN m END)
+         + MAX(CASE WHEN q_idx = 7 THEN m END) AS maxsim,
+       CAST(COUNT(*) AS BIGINT) AS n_query_tokens
+FROM per_q
+GROUP BY doc_id
+"""
+
+register("emb_maxsim_colbert", emb_maxsim_colbert, _MAXSIM_ORACLE)
