@@ -3651,3 +3651,131 @@ GROUP BY doc_id
 """
 
 register("emb_maxsim_colbert", emb_maxsim_colbert, _MAXSIM_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment dedup (quote / subset detection): pairs where one
+# doc's trigram set is >= 80% contained in the other — the DIRECTIONAL
+# complement of resemblance Jaccard (a 10x-longer doc quoting a short one
+# has low Jaccard but near-total containment of the short side; Broder's
+# original resemblance-vs-containment split).  Candidates come from
+# shared RARE shingles (corpus frequency 2..64 — the minhash bucket-cap
+# stance), verified by exact intersection against the FULL sets (the
+# prefix_jaccard verify pattern); decisions are division-free integer
+# cross-multiplication (5*inter >= 4*|side|).
+#
+# Fixture: docs 0-19 get a planted TRUNCATED COPY (first half of the
+# token stream, id +40M — clear of every SF's id range) so one-way-only
+# containment is GUARANTEED populated at every SF; natural near-dups
+# supply the symmetric both-ways rows; sub-threshold candidates populate
+# the excluded branch (measured 12k/11.5k/1.1M candidates vs 28/25/256
+# contained at the three SFs, before the fixture).
+# Scale shape: one corpus scan for shingles (persist+materialize — the
+# r1 lesson), bucketed candidate equi-join (never all-pairs), thin
+# verify joins on doc ids.  Emits (pair, inter, sizes, both flags) —
+# exact integers only.
+# --------------------------------------------------------------------------
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import word_trigram_set
+    from ..pipeline.text import words_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = words_col(F.coalesce(F.col("text"), F.lit("")))
+    half = (docs.where(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 40_000_000).alias("doc_id"),
+                    F.array_join(
+                        F.slice(toks, 1,
+                                F.greatest(F.floor(F.size(toks) / 2)
+                                           .cast("int"),
+                                           F.lit(1))), " ").alias("text")))
+    corpus = docs.unionByName(half)
+    w = corpus.select("doc_id", word_trigram_set("text").alias("ws"))
+    w = w.persist()
+    w.count()  # materialize: feeds the explode AND both verify joins
+    ex = w.select("doc_id", F.explode("ws").alias("sh"))
+    bucket = (ex.groupBy("sh").agg(F.count("*").alias("n"))
+              .where((F.col("n") >= 2) & (F.col("n") <= 64))
+              .select("sh"))
+    cand = (ex.join(bucket, "sh")
+            .alias("a")
+            .join(ex.join(bucket, "sh").alias("b"),
+                  (F.col("a.sh") == F.col("b.sh"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wsa"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wsb"))
+    ver = (cand.join(wa, "doc_a").join(wb, "doc_b")
+           .select("doc_a", "doc_b",
+                   F.size(F.array_intersect("wsa", "wsb")).cast("long")
+                   .alias("inter"),
+                   F.size("wsa").cast("long").alias("sz_a"),
+                   F.size("wsb").cast("long").alias("sz_b")))
+    a_in_b = (5 * F.col("inter") >= 4 * F.col("sz_a"))
+    b_in_a = (5 * F.col("inter") >= 4 * F.col("sz_b"))
+    return (ver.where(a_in_b | b_in_a)
+            .select("doc_a", "doc_b", "inter", "sz_a", "sz_b",
+                    a_in_b.alias("a_in_b"), b_in_a.alias("b_in_a")))
+
+
+_CONTAINMENT_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id,
+         array_to_string(
+           tl[1:greatest(CAST(len(tl) // 2 AS INT), 1)], ' ') AS text
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(TRIM(COALESCE(text, '')),
+                                          '\s+'), x -> x <> '') AS tl
+    FROM documents WHERE doc_id < 20)
+),
+wd AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(TRIM(text), '\s+'),
+                       x -> x <> ''),
+           x -> lower(x)) AS toks
+  FROM base
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+             i -> list_aggregate(toks[CAST(i AS INT):CAST(i + 2 AS INT)],
+                                 'string_agg', ' '))
+         WHEN len(toks) >= 1 THEN
+           [list_aggregate(toks, 'string_agg', ' ')]
+         ELSE [] END) AS ws
+  FROM wd
+),
+ex AS (SELECT doc_id, unnest(ws) AS sh FROM w),
+bucket AS (SELECT sh FROM ex GROUP BY sh
+           HAVING COUNT(*) BETWEEN 2 AND 64),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT * FROM ex WHERE sh IN (SELECT sh FROM bucket)) a
+  JOIN (SELECT * FROM ex WHERE sh IN (SELECT sh FROM bucket)) b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(wa.ws, wb.ws)) AS BIGINT) AS inter,
+         CAST(len(wa.ws) AS BIGINT) AS sz_a,
+         CAST(len(wb.ws) AS BIGINT) AS sz_b
+  FROM cand
+  JOIN w wa ON doc_a = wa.doc_id
+  JOIN w wb ON doc_b = wb.doc_id
+)
+SELECT doc_a, doc_b, inter, sz_a, sz_b,
+       5 * inter >= 4 * sz_a AS a_in_b,
+       5 * inter >= 4 * sz_b AS b_in_a
+FROM ver
+WHERE 5 * inter >= 4 * sz_a OR 5 * inter >= 4 * sz_b
+"""
+
+register("dedup_containment", dedup_containment, _CONTAINMENT_ORACLE)
