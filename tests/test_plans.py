@@ -641,3 +641,29 @@ def test_normalize_clean_jvm_only_no_shuffle(spark, sf_dir):
     assert p.count("FileScan parquet") == 1, p
     assert "Exchange" not in p
     assert "Python" not in p and "ArrowEval" not in p, p
+
+
+def test_maxsim_broadcast_query_single_corpus_scan(spark, sf_dir):
+    """MaxSim late interaction: the 8-row query bag must broadcast (the
+    8x fan-out is a join, not a rescan) and the corpus token table is
+    scanned once per side of the plan — never per query token."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        emb_maxsim_colbert,
+    )
+
+    p = plan_of(emb_maxsim_colbert(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert p.count("FileScan parquet") <= 2, p
+    assert "CartesianProduct" not in p
+
+
+def test_containment_bucketed_never_all_pairs(spark, sf_dir):
+    """Containment join: candidates come from the capped shingle-bucket
+    equi-join; nothing may degrade to a cartesian pair expansion."""
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        dedup_containment,
+    )
+
+    p = plan_of(dedup_containment(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
