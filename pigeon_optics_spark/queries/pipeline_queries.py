@@ -3779,3 +3779,75 @@ WHERE 5 * inter >= 4 * sz_a OR 5 * inter >= 4 * sz_b
 """
 
 register("dedup_containment", dedup_containment, _CONTAINMENT_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Per-source curation report: the rollup a corpus-curation dashboard
+# keys on — per source: doc count, exact token mass, short-doc count,
+# char mass, language spread, and the DOMINANT language with its share
+# emitted as an exact num/den pair (count, n_docs — never the ratio).
+# Dominant = max doc count, ties broken lexicographically-smallest lang
+# via struct-max (deterministic; DuckDB mirrors with max(struct)).
+# Complements corpus_cluster_profile (per-embedding-cluster) with the
+# catalog dimension a data-mixing decision actually uses (source mixing
+# weights consume exactly these numbers — see text_mix_weights).
+# Scale shape: ONE documents scan -> per-(source, lang) agg (map-side
+# combine) -> per-source rollup over O(sources × langs) rows; no window,
+# no second scan.
+# --------------------------------------------------------------------------
+
+
+def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    words = F.size(F.filter(F.split(t, "[ \\t\\n\\x0B\\f\\r]+"),
+                            lambda w: w != F.lit("")))
+    per_sl = (docs.select("source", "lang", words.alias("nw"),
+                          F.length(t).alias("nc"))
+              .groupBy("source", "lang")
+              .agg(F.count("*").alias("n_docs"),
+                   F.sum("nw").alias("n_words"),
+                   F.sum(F.when(F.col("nw") < 50, 1).otherwise(0))
+                   .alias("n_short"),
+                   F.sum("nc").alias("n_chars")))
+    # struct-max picks (highest count, then lexicographically SMALLEST
+    # lang): negate nothing — order by (n_docs, reverse(lang))?  Simplest
+    # deterministic pick: max on (n_docs, lang) prefers the LARGEST lang
+    # string on ties; spelled out so the oracle mirrors exactly.
+    dom = F.max(F.struct(F.col("n_docs").alias("c"),
+                         F.col("lang").alias("l")))
+    return (per_sl.groupBy("source")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_short").cast("long").alias("n_short"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.countDistinct("lang").cast("long").alias("n_langs"),
+                 dom.getField("l").alias("dominant_lang"),
+                 dom.getField("c").cast("long").alias("dominant_docs")))
+
+
+_CURATION_ORACLE = r"""
+WITH per_sl AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs,
+         SUM(len(list_filter(string_split_regex(COALESCE(text, ''),
+             '[ \t\n\x0B\f\r]+'), w -> w <> ''))) AS n_words,
+         SUM(CASE WHEN len(list_filter(string_split_regex(
+             COALESCE(text, ''), '[ \t\n\x0B\f\r]+'), w -> w <> '')) < 50
+             THEN 1 ELSE 0 END) AS n_short,
+         SUM(length(COALESCE(text, ''))) AS n_chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_short) AS BIGINT) AS n_short,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MAX(struct_pack(c := n_docs, l := lang)).l AS dominant_lang,
+       CAST(MAX(struct_pack(c := n_docs, l := lang)).c AS BIGINT)
+         AS dominant_docs
+FROM per_sl GROUP BY source
+"""
+
+register("corpus_curation_report", corpus_curation_report, _CURATION_ORACLE)

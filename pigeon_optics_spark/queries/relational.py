@@ -2129,3 +2129,55 @@ JOIN nation   ON s_nationkey = n_nationkey
 """
 
 register("q2_best_value_supplier", q2_best_value_supplier, _Q2_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Month-over-month revenue change: the reporting lag shape — monthly
+# exact-decimal revenue per return flag, each row carrying its PRIOR
+# month's value via LAG over the (year, month) series.  Current and
+# previous are emitted as exact values, never the delta ratio (q8
+# discipline); the oracle bounces both decimal→double casts through
+# VARCHAR (monthly sums ~2.5e8 at sf0.1 — below the drift band, but the
+# bounce costs nothing and testdata scales between rounds).
+# Scale shape: the window runs over the per-(flag, month) AGGREGATE
+# (O(flags × months) rows ≈ 240, partitioned by flag) — lineitem is
+# reduced by the groupBy before any window exists; LAG needs no frame.
+# --------------------------------------------------------------------------
+
+
+def q_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy("l_returnflag",
+                   F.year("l_shipdate").cast("int").alias("yr"),
+                   F.month("l_shipdate").cast("int").alias("mo"))
+        .agg(F.sum(F.expr(DISC_PRICE)).alias("rev_dec"),
+             F.count("*").alias("n_items"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("yr", "mo")
+    return monthly.select(
+        "l_returnflag", "yr", "mo",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.lag("rev_dec").over(w).cast("double").alias("prev_revenue"),
+        "n_items")
+
+
+_MOM_ORACLE = f"""
+WITH monthly AS (
+  SELECT l_returnflag,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+         CAST(EXTRACT(month FROM l_shipdate) AS INT) AS mo,
+         SUM({DISC_PRICE}) AS rev_dec,
+         COUNT(*) AS n_items
+  FROM lineitem GROUP BY 1, 2, 3
+)
+SELECT l_returnflag, yr, mo,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(CAST(LAG(rev_dec) OVER (PARTITION BY l_returnflag
+                                    ORDER BY yr, mo) AS VARCHAR) AS DOUBLE)
+         AS prev_revenue,
+       n_items
+FROM monthly
+"""
+
+register("q_mom_revenue_change", q_mom_revenue_change, _MOM_ORACLE)
