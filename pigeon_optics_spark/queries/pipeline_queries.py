@@ -3786,8 +3786,9 @@ register("dedup_containment", dedup_containment, _CONTAINMENT_ORACLE)
 # keys on — per source: doc count, exact token mass, short-doc count,
 # char mass, language spread, and the DOMINANT language with its share
 # emitted as an exact num/den pair (count, n_docs — never the ratio).
-# Dominant = max doc count, ties broken lexicographically-smallest lang
-# via struct-max (deterministic; DuckDB mirrors with max(struct)).
+# Dominant = max doc count, ties broken toward the lexicographically
+# LARGEST lang (struct-max semantics, deterministic; DuckDB mirrors with
+# max(struct_pack)).
 # Complements corpus_cluster_profile (per-embedding-cluster) with the
 # catalog dimension a data-mixing decision actually uses (source mixing
 # weights consume exactly these numbers — see text_mix_weights).
@@ -3810,10 +3811,8 @@ def corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum(F.when(F.col("nw") < 50, 1).otherwise(0))
                    .alias("n_short"),
                    F.sum("nc").alias("n_chars")))
-    # struct-max picks (highest count, then lexicographically SMALLEST
-    # lang): negate nothing — order by (n_docs, reverse(lang))?  Simplest
-    # deterministic pick: max on (n_docs, lang) prefers the LARGEST lang
-    # string on ties; spelled out so the oracle mirrors exactly.
+    # max on (n_docs, lang) prefers the LARGEST lang string on count
+    # ties — deterministic either way; spelled out so the oracle mirrors
     dom = F.max(F.struct(F.col("n_docs").alias("c"),
                          F.col("lang").alias("l")))
     return (per_sl.groupBy("source")
