@@ -181,3 +181,48 @@ def test_morton_key_rejects_overflowing_lanes(spark):
         morton_key(["a"] * 7, bits=10)
     with _pytest.raises(ValueError, match="at least one"):
         morton_key([], bits=4)
+
+
+def test_zorder_layout_beats_single_column_sort_for_box_pruning(spark, tmp_path):
+    """The reason Z-order exists: for a 2-D box predicate, file-level
+    min/max stats prune MORE files under Z-layout than under a
+    single-column sort (which scrambles the second dimension).  This is
+    the parquet row-group/file skipping mechanism measured end-to-end on
+    real written files."""
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.pipeline.layout import zorder_repartition
+
+    n, parts = 1 << 14, 16
+    df = spark.range(0, n).select(
+        (F.col("id") % 127).alias("x"),
+        ((F.col("id") * 37) % 127).alias("y"))
+
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_repartition(df, ["x", "y"], bits=7,
+                       num_partitions=parts).write.parquet(zdir)
+    (df.repartitionByRange(parts, "x").sortWithinPartitions("x")
+     .write.parquet(sdir))
+
+    def files_overlapping_box(path, x0, x1, y0, y1):
+        stats = (spark.read.parquet(path)
+                 .groupBy(F.input_file_name().alias("f"))
+                 .agg(F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+                      F.min("y").alias("ylo"), F.max("y").alias("yhi"))
+                 .collect())
+        total = len(stats)
+        hit = sum(1 for r in stats
+                  if r["xhi"] >= x0 and r["xlo"] <= x1
+                  and r["yhi"] >= y0 and r["ylo"] <= y1)
+        return hit, total
+
+    # the adversarial predicate for a single-column layout: unbounded in
+    # the sort column, narrow in the OTHER one.  x-sort files each span
+    # (nearly) all y, so min/max stats prune ~nothing; under Z-order the
+    # key's high bits alternate dimensions, so a narrow y band maps to a
+    # few curve segments and most files are skipped outright.
+    zhit, ztot = files_overlapping_box(zdir, 0, 126, 10, 20)
+    shit, stot = files_overlapping_box(sdir, 0, 126, 10, 20)
+    assert ztot >= parts and stot >= parts
+    assert shit >= stot - 1, (shit, stot)      # x-sort: ~no pruning
+    assert zhit * 2 <= shit, (zhit, ztot, shit, stot)  # z: >=2x fewer
