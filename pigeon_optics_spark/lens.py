@@ -47,8 +47,8 @@ names, but CPython introspection (``().__class__.__base__.__subclasses__()``
 etc.) can reach host objects, so **lens code must come from trusted
 authors** — the sandbox here is an accident guard (keeps honest code
 deterministic and IO-free), not a security boundary.  What IS enforced:
-the per-record timeout is preemptive — a ``SIGALRM``-based interrupt fires
-mid-``exec`` (ref worker timeout, javascript-lens-worker.js:116,132-135), so
+the per-record timeout is preemptive — a ``SIGVTALRM`` (CPU-time) interrupt
+fires mid-``exec`` (ref worker timeout, javascript-lens-worker.js:116,132-135), so
 an accidental ``while True`` yields a TimeoutError record instead of hanging
 the executor.  (A lens that catches ``BaseException`` in a tight loop can
 still defeat it — trusted-author territory again.)
@@ -141,7 +141,7 @@ class LensHarness:
         self._alarm_active = False
 
     def _can_alarm(self) -> bool:
-        # SIGALRM only delivers to the main thread — PySpark workers run
+        # SIGVTALRM only delivers to the main thread — PySpark workers run
         # tasks there, so this covers the distributed map phase; elsewhere
         # (exotic threaded embedding) we fall back to the post-hoc check.
         import signal
@@ -152,7 +152,7 @@ class LensHarness:
                 and threading.current_thread() is threading.main_thread())
 
     def alarm_scope(self):
-        """Context manager installing the SIGALRM handler ONCE for a run of
+        """Context manager installing the SIGVTALRM handler ONCE for a run of
         many records (handler (re)installation costs ~6µs/record — measured —
         so per-partition installation matters at millions of records).
         ``run`` then only arms/disarms the interval timer per record."""
@@ -168,22 +168,30 @@ class LensHarness:
             def _on_alarm(signum, frame):
                 raise _LensTimeout()
 
-            prev_handler = signal.signal(signal.SIGALRM, _on_alarm)
+            prev_handler = signal.signal(signal.SIGVTALRM, _on_alarm)
             self._alarm_active = True
             try:
                 yield
             finally:
                 self._alarm_active = False
-                signal.setitimer(signal.ITIMER_REAL, 0)
-                signal.signal(signal.SIGALRM, prev_handler)
+                signal.setitimer(signal.ITIMER_VIRTUAL, 0)
+                signal.signal(signal.SIGVTALRM, prev_handler)
 
         return _scope()
 
     def run(self, path: PathInfo, data: Any):
         """→ (outputs [(emit_idx, out_id, value)], logs [str], errors [dict])"""
         # Preemptive timeout (ref javascript-lens-worker.js:116,132-135):
-        # SIGALRM interrupts the running bytecode, so an accidental infinite
-        # loop becomes a TimeoutError record instead of a hung executor.
+        # SIGVTALRM interrupts the running bytecode, so an accidental
+        # infinite loop becomes a TimeoutError record instead of a hung
+        # executor.  The budget is CPU time (ITIMER_VIRTUAL + thread_time
+        # below), not wall clock: the reference runs one lens per worker
+        # process where wall == execution time, but a Spark executor is
+        # multi-tenant — under host load a wall-clock envelope killed
+        # records whose code ran well inside the budget (observed: a 3x
+        # oversubscribed box flaked exactly one lens record in an sf0.1
+        # sweep; the sandbox has no blocking builtins, so every genuine
+        # runaway BURNS CPU and still trips the virtual timer).
         # Direct callers get a handler installed around this single record;
         # batch callers (map_records) hold alarm_scope open across the
         # partition and only pay the timer syscalls here.
@@ -221,12 +229,13 @@ class LensHarness:
         import signal
 
         use_alarm = self._alarm_active
-        t0 = time.perf_counter()
+        t0 = time.thread_time()  # CPU, not wall — see the budget note above
         timed_out = False
         try:  # outer guard: a pending alarm can deliver during cleanup
             try:
                 if use_alarm:
-                    signal.setitimer(signal.ITIMER_REAL, self.timeout_ms / 1000.0)
+                    signal.setitimer(signal.ITIMER_VIRTUAL,
+                                     self.timeout_ms / 1000.0)
                 exec(self._compiled, env)  # noqa: S102 — sandboxed lens execution
             except _LensTimeout:
                 timed_out = True
@@ -237,10 +246,10 @@ class LensHarness:
                 errors.append({"type": type(e).__name__, "message": str(e), "line": line})
             finally:
                 if use_alarm:
-                    signal.setitimer(signal.ITIMER_REAL, 0)
+                    signal.setitimer(signal.ITIMER_VIRTUAL, 0)
         except _LensTimeout:
             timed_out = True
-        elapsed_ms = (time.perf_counter() - t0) * 1000
+        elapsed_ms = (time.thread_time() - t0) * 1000
         if timed_out or (self.timeout_ms is not None and elapsed_ms > self.timeout_ms):
             # discard partial emissions: how far a lens got before the alarm
             # is machine-speed-dependent — a timed-out record deterministically

@@ -3850,3 +3850,127 @@ FROM per_sl GROUP BY source
 """
 
 register("corpus_curation_report", corpus_curation_report, _CURATION_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# LSH recall eval: the dedup analogue of ann_recall_eval — the EXACT
+# char-5-shingle Jaccard >= 0.5 pair set (the shared-shingle join of
+# dedup_ngram_pairs; same shingle domain as MinHash, so truth and probe
+# are commensurable) annotated with whether the production MinHash-LSH
+# pipeline (64-sig, 8x4 banding, bucket cap, signature prefilter)
+# surfaced the pair.  LSH output verifies exact Jaccard last, so its
+# pairs are a SUBSET of truth: in_lsh = false rows are genuine banding /
+# prefilter / bucket-cap misses — exactly what an eval harness must
+# surface before anyone trusts the S-curve parameters.  The miss branch
+# is populated at every SF (measured at commit time), so the flag is
+# falsifiable.  Scale shape: both sides are the existing gates' plans;
+# the annotation join is on (id_a, id_b) pair keys — O(pairs), tiny.
+# --------------------------------------------------------------------------
+
+
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted borderline pairs: prefix truncations at 52-63% of docs 0-7
+    # (ids +50M) sit at char-shingle Jaccard ~0.52-0.63 — the S-curve's
+    # probabilistic band (P(candidate) ~0.5) and the 32/64 signature
+    # prefilter's knife edge — so the miss branch is populated BY
+    # CONSTRUCTION at every SF (the corpus's natural near-dups are all
+    # high-J and hit 100%; without the fixture the flag is unfalsifiable)
+    trunc = (docs.where(F.col("doc_id") < 8)
+             .select((F.col("doc_id") + 50_000_000).alias("doc_id"),
+                     F.expr("substr(text, 1, "
+                            "CAST(length(text) * (52 + (doc_id * 3) % 12) "
+                            "DIV 100 AS INT))").alias("text")))
+    base = docs.unionByName(trunc)
+    truth = (ngram_jaccard_pairs(base, threshold=0.5)
+             .select("id_a", "id_b", "jaccard"))
+    lsh = (minhash_lsh_pairs(base)
+           .select("id_a", "id_b", F.lit(True).alias("hit")))
+    return (truth.join(lsh, ["id_a", "id_b"], "left")
+            .select("id_a", "id_b", "jaccard",
+                    F.coalesce(F.col("hit"), F.lit(False)).alias("in_lsh")))
+
+
+_LSH_RECALL_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 50000000 AS doc_id,
+         substr(text, 1,
+                CAST(length(text) * (52 + (doc_id * 3) % 12) // 100 AS INT))
+           AS text
+  FROM documents WHERE doc_id < 8
+),
+sh AS (
+  SELECT doc_id AS id, text,
+         list_distinct(list_transform(range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+                                      i -> substr(text, CAST(i AS INT), 5))) AS shingles
+  FROM base
+),
+ab AS (
+  SELECT id, shingles,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS ha,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 17, 14))::BIGINT) AS hb
+  FROM sh
+),
+sig AS (
+  SELECT id, shingles,
+         list_transform(range(0, 64),
+           i -> list_min(list_transform(range(1, len(ha) + 1),
+             j -> (ha[CAST(j AS INT)] + i * hb[CAST(j AS INT)]) % 2305843009213693951))) AS sig
+  FROM ab
+),
+banded_raw AS (
+  SELECT id, CAST(b AS INT) AS band_id,
+         md5(array_to_string(list_transform(sig[CAST(b AS INT)*4+1 : CAST(b AS INT)*4+4],
+                                            x -> CAST(x AS VARCHAR)), '|')) AS band_hash
+  FROM sig, (SELECT unnest(range(0, 8)) AS b)
+),
+-- bucket cap (mirrors max_bucket_size=64): degenerate band buckets are
+-- dropped before the candidate join
+small_buckets AS (
+  SELECT band_id, band_hash FROM banded_raw
+  GROUP BY band_id, band_hash HAVING COUNT(*) <= 64
+),
+banded AS (
+  SELECT banded_raw.* FROM banded_raw
+  JOIN small_buckets USING (band_id, band_hash)
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.id < b.id
+),
+survivors AS (
+  SELECT id_a, id_b
+  FROM cands
+  JOIN sig ga ON ga.id = id_a
+  JOIN sig gb ON gb.id = id_b
+  WHERE len(list_filter(range(1, 65),
+            j -> ga.sig[CAST(j AS INT)] = gb.sig[CAST(j AS INT)])) >= 32
+),
+ex AS (SELECT id, unnest(shingles) AS sh2 FROM sh),
+sizes AS (SELECT id, len(shingles) AS n_shingles FROM sh),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.sh2 = b.sh2 AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+truth AS (
+  SELECT id_a, id_b,
+         CAST(n_common AS DOUBLE)
+           / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_common AS DOUBLE)
+        / (sa.n_shingles + sb.n_shingles - n_common) >= 0.5
+)
+SELECT t.id_a, t.id_b, t.jaccard,
+       (s.id_a IS NOT NULL) AS in_lsh
+FROM truth t
+LEFT JOIN survivors s ON t.id_a = s.id_a AND t.id_b = s.id_b
+"""
+
+register("dedup_lsh_recall_eval", dedup_lsh_recall_eval,
+         _LSH_RECALL_ORACLE)

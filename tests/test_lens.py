@@ -503,3 +503,33 @@ def test_cache_value_is_canonical():
                        ensure_ascii=False)
     assert plain == canonical_json(d)
     assert hashlib.sha256(plain.encode("utf-8")).hexdigest() == object_hash(d)
+
+
+class TestTimeoutIsCpuBudget:
+    """The 50 ms envelope is CPU time, not wall clock: a record descheduled
+    by host load must NOT be killed (the sf0.1-sweep-under-load flake);
+    a genuinely spinning record must still die."""
+
+    def test_wall_clock_stall_does_not_time_out(self, monkeypatch):
+        import time as _time
+
+        from pigeon_optics_spark.lens import LensHarness, PathInfo
+
+        real_pc = _time.perf_counter
+        # simulate a 10 s scheduler stall: wall clock leaps, CPU doesn't
+        monkeypatch.setattr(_time, "perf_counter", lambda: real_pc() + 10.0)
+        h = LensHarness("output('k', 1)", timeout_ms=50.0)
+        outputs, logs, errors = h.run(
+            PathInfo("/datasets/t:d/records/r", "datasets", "t", "d",
+                     "r"), {"x": 1})
+        assert outputs and not errors
+
+    def test_cpu_burn_still_times_out(self):
+        from pigeon_optics_spark.lens import LensHarness, PathInfo
+
+        h = LensHarness("while True: pass", timeout_ms=50.0)
+        outputs, logs, errors = h.run(
+            PathInfo("/datasets/t:d/records/r", "datasets", "t", "d",
+                     "r"), {"x": 1})
+        assert not outputs
+        assert errors and errors[0]["type"] == "TimeoutError"
