@@ -277,15 +277,7 @@ def pq_encode(emb: DataFrame, m: int = 8, k: int = 16,
     squared-L2 folds are sequential doubles (engine-portable, same class
     as ``dot_col``).
     """
-    dim = len(emb.select(vec_col).first()[0])
-    dim_sub = dim // m
-    cb = _pq_codebook(emb, m, k, dim_sub, id_col, vec_col)
-    # the transform lambda's subspace index is a Column, so the codebook is
-    # shipped as one nested literal and indexed with element_at
-    cb_lit = F.array(*[
-        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
-        for s in range(m)
-    ])
+    dim_sub, cb_lit = _pq_cb_lit(emb, m, k, id_col, vec_col)
     codes = _pq_codes_col(cb_lit, vec_col, m, k, dim_sub)
     return emb.select(F.col(id_col).alias("vec_id"), codes.alias("codes"))
 
@@ -306,13 +298,7 @@ def pq_reconstruction_error(emb: DataFrame, m: int = 8, k: int = 16,
     subspace fold runs in ascending ``s`` order and each inner min is over
     doubles (order-free), so ``err2`` is bit-identical across engines.
     """
-    dim = len(emb.select(vec_col).first()[0])
-    dim_sub = dim // m
-    cb = _pq_codebook(emb, m, k, dim_sub, id_col, vec_col)
-    cb_lit = F.array(*[
-        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
-        for s in range(m)
-    ])
+    dim_sub, cb_lit = _pq_cb_lit(emb, m, k, id_col, vec_col)
     err = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -324,6 +310,22 @@ def pq_reconstruction_error(emb: DataFrame, m: int = 8, k: int = 16,
         )),
     )
     return emb.select("*", err.alias("err2"))
+
+
+def _pq_cb_lit(emb, m: int, k: int, id_col: str, vec_col: str):
+    """Shared PQ setup: probe the dimension, train the codebook, and build
+    the nested codebook LITERAL (the transform lambdas' subspace index is
+    a Column, so the codebook ships inside the plan and is indexed with
+    element_at).  One definition for all four PQ call sites — dim % m
+    truncation behavior changes HERE or nowhere.  → (dim_sub, cb_lit)."""
+    dim = len(emb.select(vec_col).first()[0])
+    dim_sub = dim // m
+    cb = _pq_codebook(emb, m, k, dim_sub, id_col, vec_col)
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
+        for s in range(m)
+    ])
+    return dim_sub, cb_lit
 
 
 def _pq_codes_col(cb_lit: Column, vec_col: str, m: int, k: int,
@@ -359,13 +361,7 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, m: int = 8, k: int = 16,
     here vs 256), queries broadcast, one corpus scan; composes with IVF
     cells for the scan-pruning tier.
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    dim_sub = dim // m
-    cb = _pq_codebook(corpus, m, k, dim_sub, id_col, vec_col)
-    cb_lit = F.array(*[
-        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
-        for s in range(m)
-    ])
+    dim_sub, cb_lit = _pq_cb_lit(corpus, m, k, id_col, vec_col)
     coded = pq_encode(corpus, m, k, id_col, vec_col)
     decoded = coded.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -427,13 +423,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
             ),
         )
 
-    dim = len(corpus.select(vec_col).first()[0])
-    dim_sub = dim // m
-    cb = _pq_codebook(corpus, m, k, dim_sub, id_col, vec_col)
-    cb_lit = F.array(*[
-        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
-        for s in range(m)
-    ])
+    dim_sub, cb_lit = _pq_cb_lit(corpus, m, k, id_col, vec_col)
     # ONE map-only corpus pass computes the cell AND the PQ codes (the two
     # quantizers are independent literals — composing them must not add a
     # self-join/shuffle)

@@ -1410,10 +1410,16 @@ def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded: one row per hour — the offset window input is O(hours)
     w_off = (Window.orderBy("hour")
              .rowsBetween(Window.unboundedPreceding, -1))
+    # true in-hour peak = max(carry, carry + best local prefix): an hour
+    # whose only boundaries are ENDS still ran at the carried-in level
+    # from the hour start (review find: offset + max_local alone
+    # understated exactly those hours; the oracle shared the defect —
+    # the shared-spec class a differential gate cannot catch)
     return per_hour.select(
         "hour",
         (F.coalesce(F.sum("net").over(w_off), F.lit(0))
-         + F.col("max_local")).alias("max_concurrency"),
+         + F.greatest(F.col("max_local"), F.lit(0)))
+        .alias("max_concurrency"),
         "n_starts")
 
 
@@ -1430,7 +1436,12 @@ c AS (
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
   FROM b
 )
-SELECT hour, MAX(conc) AS max_concurrency,
+-- GREATEST over post- AND pre-boundary levels: the level BEFORE the
+-- hour's first boundary is the carried-in concurrency, which IS the
+-- hour's peak when every in-hour boundary is an end
+SELECT hour,
+       CAST(GREATEST(MAX(conc), MAX(conc - delta)) AS BIGINT)
+         AS max_concurrency,
        COUNT(CASE WHEN delta = 1 THEN 1 END) AS n_starts
 FROM c GROUP BY hour
 """

@@ -1577,7 +1577,7 @@ register("q9_product_type_profit", q9_product_type_profit, _Q9_ORACLE)
 
 
 # --------------------------------------------------------------------------
-# q11-style important parts: parts whose revenue exceeds TWICE the average
+# q11-style important parts: parts whose revenue exceeds 1.2x the average
 # per-part revenue — the "group aggregate vs global scalar threshold"
 # shape (TPC-H Q11's fraction-of-total HAVING).  ADAPTED: no partsupp in
 # this testdata, so "value" is lineitem revenue per part instead of
@@ -1609,6 +1609,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("part_value_dec") * 10000).cast("bigint"))
     )
     # materialized persist: totals AND the filter below both consume the
+    # subtree.  Deliberately NOT unpersisted (the returned plan reads it
+    # lazily — the prefix_jaccard/minhash stance); one cached per-part
+    # aggregate per process is the accepted cost.
     # per-part aggregate; without .count() the one-shuffle agg runs twice
     per_part = per_part.persist()
     per_part.count()

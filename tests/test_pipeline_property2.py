@@ -471,7 +471,7 @@ def test_context_chunks_null_text_is_empty_doc(spark):
     assert len(out) == 3
 
 
-def test_pq_recon_error_consistent_with_codes(spark):
+def test_pq_recon_error_consistent_with_codes(spark, sf_dir):
     """Invariant tying the two PQ surfaces together: err2 must equal the
     squared L2 distance to the reconstruction implied by pq_encode's OWN
     codes (independent subspace argmins ⇒ the chosen codeword is the
@@ -484,7 +484,7 @@ def test_pq_recon_error_consistent_with_codes(spark):
         pq_reconstruction_error,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     m, k = 8, 16
     dim = len(emb.select("embedding").first()[0])
     dim_sub = dim // m
