@@ -1216,6 +1216,30 @@ register("events_ewma_users", events_ewma_users, _EWMA_ORACLE)
 _STREAM_EWMA_SRC: dict[str, str] = {}
 
 
+def _ensure_quartile_src(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the four time-quartile parquet files the
+    streaming state gates replay as FORCED ordered micro-batches
+    (sequential single-file appends => strictly increasing mtimes => the
+    file source replays oldest-first)."""
+    import tempfile
+
+    if sf_dir not in _STREAM_EWMA_SRC:
+        d = tempfile.mkdtemp(prefix="po_stream_ewma_")
+        ev = load_events(spark, sf_dir).select(
+            "ts", "event_id", "user_id", "value")
+        qs = ev.agg(F.expr(
+            "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")).first()[0]
+        lo = F.unix_micros(F.col("ts"))
+        slices = [lo <= F.lit(int(qs[0])),
+                  (lo > F.lit(int(qs[0]))) & (lo <= F.lit(int(qs[1]))),
+                  (lo > F.lit(int(qs[1]))) & (lo <= F.lit(int(qs[2]))),
+                  lo > F.lit(int(qs[2]))]
+        for cond in slices:
+            ev.where(cond).coalesce(1).write.mode("append").parquet(d)
+        _STREAM_EWMA_SRC[sf_dir] = d
+    return _STREAM_EWMA_SRC[sf_dir]
+
+
 def events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EWMA with state CONTINUATION across micro-batches — the
     incremental form of ``events_ewma_users``, run as a REAL Structured
@@ -1243,23 +1267,7 @@ def events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    if sf_dir not in _STREAM_EWMA_SRC:
-        d = tempfile.mkdtemp(prefix="po_stream_ewma_")
-        ev = load_events(spark, sf_dir).select(
-            "ts", "event_id", "user_id", "value")
-        qs = ev.agg(F.expr(
-            "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")).first()[0]
-        lo = F.unix_micros(F.col("ts"))
-        slices = [lo <= F.lit(int(qs[0])),
-                  (lo > F.lit(int(qs[0]))) & (lo <= F.lit(int(qs[1]))),
-                  (lo > F.lit(int(qs[1]))) & (lo <= F.lit(int(qs[2]))),
-                  lo > F.lit(int(qs[2]))]
-        # sequential single-file appends => strictly increasing mtimes =>
-        # the file source (oldest-first) replays them in time order
-        for cond in slices:
-            ev.where(cond).coalesce(1).write.mode("append").parquet(d)
-        _STREAM_EWMA_SRC[sf_dir] = d
-    d = _STREAM_EWMA_SRC[sf_dir]
+    d = _ensure_quartile_src(spark, sf_dir)
     schema = spark.read.parquet(d).schema
 
     def fold(key, pdfs, state: GroupState):
@@ -1696,3 +1704,82 @@ LEFT JOIN p ON v.user_id = p.user_id
 """
 
 register("events_windowed_funnel", events_windowed_funnel, _WFUNNEL_ORACLE)
+
+
+def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM — the 8th real Structured Streaming run and the
+    incremental twin of ``events_cusum_alarms``: per-user (n, S, alarms)
+    state carried across four FORCED micro-batches (the
+    events_stream_ewma time-quartile source + maxFilesPerTrigger=1
+    recipe, and the same collapse guard — a degenerate single-batch run
+    raises instead of silently greening).
+
+    Within a batch the key's rows sort by (ts, event_id); the fold is the
+    same IEEE sequence as the batch gate's ``cusum_state_col`` and the
+    Python replica, so the final state is BIT-EXACT equal to the batch
+    oracle.  Update-mode emissions reduce batching-independently via
+    struct-max on the strictly increasing n_events.
+
+    At 100 TB this is the production drift-monitor shape: keyed state is
+    (long, double, long) per user; Kafka per-partition order (user-keyed)
+    supplies the within-key ordering the quartile files model here.
+    """
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _ensure_quartile_src(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    def fold(key, pdfs, state: GroupState):
+        n, s, alarms = state.get if state.exists else (0, 0.0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["ts", "event_id"]))
+            for v in rows["value"]:
+                t = max(0.0, s + (float(v) - 55.25))
+                if t > 250.5:
+                    s, alarms = 0.0, alarms + 1
+                else:
+                    s = t
+                n += 1
+        state.update((n, s, alarms))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "final_s": [s], "n_alarms": [alarms]})
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_cusum_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=("user_id long, n_events long, "
+                              "final_s double, n_alarms long"),
+            stateStructType="n_events long, final_s double, n_alarms long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; "
+            "expected 4 (one per time-quartile file)")
+    last = F.max(F.struct("n_events", "final_s", "n_alarms")).alias("s")
+    return (spark.table(name).groupBy("user_id").agg(last)
+            .select("user_id", F.col("s.n_events").alias("n_events"),
+                    F.col("s.n_alarms").alias("n_alarms"),
+                    F.col("s.final_s").alias("final_s")))
+
+
+register("events_stream_cusum", events_stream_cusum, _CUSUM_ORACLE)
