@@ -1783,3 +1783,54 @@ def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_stream_cusum", events_stream_cusum, _CUSUM_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Cumulative growth curve (r5 wave 11): daily active users + new users +
+# running cumulative distinct users — the "total users over time" dashboard
+# primitive.  Running COUNT(DISTINCT) is the textbook hard case (naive
+# formulations re-scan the prefix per day); the scalable identity is
+# first-touch decomposition: cum_distinct(day) = SUM of first-seen counts
+# over days <= day.  Two bounded aggregations (user-day distinct, first day
+# per user) and ONE unpartitioned cumulative window over the O(days)
+# aggregate — never over raw events (sweep-tested: HashAggregate upstream).
+# Days with activity but no first-timers keep new_users = 0 via the left
+# join; day gaps (no events at all) are absent rows by definition.
+# Windowed SUM CAST AS BIGINT both sides (DuckDB HUGEINT class).
+# --------------------------------------------------------------------------
+
+
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    dau = days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    first = days.groupBy("user_id").agg(F.min("day").alias("day"))
+    new = first.groupBy("day").agg(F.count("*").alias("new_users"))
+    base = (dau.join(new, "day", "left")
+            .select("day", "dau",
+                    F.coalesce("new_users", F.lit(0)).alias("new_users")))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return base.select(
+        "day", "dau", "new_users",
+        F.sum("new_users").over(w).alias("cum_users"))
+
+
+_CUM_USERS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM days GROUP BY day),
+firsts AS (SELECT user_id, MIN(day) AS day FROM days GROUP BY user_id),
+news AS (SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day)
+SELECT d.day, d.dau,
+       COALESCE(n.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+            ORDER BY d.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM dau d LEFT JOIN news n USING (day)
+"""
+
+register("events_cumulative_users", events_cumulative_users,
+         _CUM_USERS_ORACLE)
