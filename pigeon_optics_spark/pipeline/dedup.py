@@ -677,3 +677,73 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     inter.cast("long").alias("inter"),
                     uni.cast("long").alias("uni"))
             .where(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni")))
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (r5 wave 11): the probabilistic membership pre-filter that
+# fronts exact dedup at ingest — build a bit array over yesterday's corpus,
+# probe today's batch, and only maybe-seen records pay the exact
+# hash-index join.  No false negatives (a genuinely-new record never pays
+# the join); false positives cost one redundant exact check.
+#
+# Representation: k=2 md5-derived positions per key in an m-bit space,
+# packed 32 bits per BIGINT word via bit_or aggregation — a DataFrame of
+# (word_idx, mask) rows, O(m/32) rows total.  m is sized from the seen-set
+# count (m = bits_per_key * n), the standard practice: a fixed m cannot
+# serve both a 10^3- and a 10^8-key corpus.  At 100 TB the filter stays
+# tiny relative to data (4 bits/key = 50 GB of words for 10^11 keys —
+# partitioned, or per-shard filters unioned by bit_or since the encoding
+# is mergeable); probes broadcast-join the words table.
+# 32-bit words (not 64): DuckDB raises on 1::BIGINT << 63, so the shared
+# oracle grammar caps shifts at 31 — same packing density per row either
+# way once masks sit in BIGINTs.
+# --------------------------------------------------------------------------
+
+
+def _bloom_pos(key: Column, salt: str, m_bits: int) -> Column:
+    """Position of ``key`` under hash ``salt`` in [0, m_bits) — 15 md5 hex
+    chars (2^60, LONG-safe) mod m, reproducible in the DuckDB oracle."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 15), 16, 10)
+        .cast("long") % m_bits)
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int,
+                salts: tuple[str, ...] = ("b1", "b2")) -> DataFrame:
+    """Aggregate a key DataFrame into Bloom filter words → (w, mask)."""
+    pos = [_bloom_pos(F.col(key_col), s, m_bits) for s in salts]
+    return (keys.select(F.explode(F.array(*pos)).alias("p"))
+            .select(F.expr("p div 32").alias("w"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT),"
+                           " CAST(p % 32 AS INT))").alias("bit"))
+            .groupBy("w").agg(F.expr("bit_or(bit)").alias("mask")))
+
+
+def bloom_probe(df: DataFrame, key_col: str, words: DataFrame, m_bits: int,
+                salts: tuple[str, ...] = ("b1", "b2"),
+                out_col: str = "maybe_seen") -> DataFrame:
+    """Append ``out_col``: True iff every salt position's bit is set.
+
+    The words table broadcasts (it is m/32 rows — always small relative to
+    the probe side); each salt contributes one broadcast left join plus a
+    mask test, and an absent word row means the bit is unset (coalesce 0).
+    """
+    out = df
+    tests = []
+    for i, s in enumerate(salts):
+        p = _bloom_pos(F.col(key_col), s, m_bits)
+        w = words.select(F.col("w").alias(f"_bw{i}"),
+                         F.col("mask").alias(f"_bm{i}"))
+        out = (out.withColumn(f"_bp{i}", p)
+               .join(F.broadcast(w),
+                     F.expr(f"_bp{i} div 32") == F.col(f"_bw{i}"), "left"))
+        tests.append(
+            F.coalesce(F.col(f"_bm{i}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                       f" CAST(_bp{i} % 32 AS INT))")) != 0)
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    drop = [c for i in range(len(salts))
+            for c in (f"_bp{i}", f"_bw{i}", f"_bm{i}")]
+    return out.withColumn(out_col, cond).drop(*drop)

@@ -3974,3 +3974,82 @@ LEFT JOIN survivors s ON t.id_a = s.id_a AND t.id_b = s.id_b
 
 register("dedup_lsh_recall_eval", dedup_lsh_recall_eval,
          _LSH_RECALL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership (r5 wave 11): the ingest-time bloom-join — build
+# a filter over the even-doc_id half of the corpus ("yesterday"), probe
+# EVERY doc ("today's batch"), label each probe with the filter's verdict
+# AND the exact truth so the result exhibits the structure's contract:
+# truly_seen=true => maybe_seen=true (no false negatives, ever) while
+# maybe & !truly rows are the documented false positives.  Membership is
+# by CONTENT (md5(text) key), so an odd doc duplicating an even doc's
+# text is a TRUE positive — the dedup semantics, not an id lookup.
+# m = 4 bits/key with k=2 → fill ≈ 0.39, FP ≈ 15% — deliberately dense so
+# the false-positive branch is populated at every SF (measured
+# FP/TN/FN: sf0.001 47/203/0, sf0.01 34/216/0, sf0.1 408/2088/0 over
+# 500/500/5000 probes; at sf0.1 four odd docs duplicate even text, so
+# truly_seen = 2504 > n_even — the content-membership branch is live
+# too).  Production sizing would use ~10 bits/key for ~1% FP.
+# Plan: one tiny shuffle builds the words (O(n) rows), the probe side is
+# scan + 3 broadcast joins (2 word lookups + exact-truth marker) — no
+# shuffle of the probe corpus at all.
+# --------------------------------------------------------------------------
+
+
+def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import bloom_build, bloom_probe
+
+    docs = load(spark, sf_dir, "documents")
+    seen = (docs.where(F.col("doc_id") % 2 == 0)
+            .select(F.md5("text").alias("key")).distinct())
+    # one scalar collect: the filter is sized to its corpus (a fixed m
+    # cannot serve 10^3 and 10^8 keys alike) — the kmeans-collect class
+    n = seen.count()
+    m_bits = 4 * n
+    words = bloom_build(seen, "key", m_bits)
+    probe = docs.select("doc_id", F.md5("text").alias("key"))
+    probed = bloom_probe(probe, "key", words, m_bits)
+    marker = seen.withColumn("_hit", F.lit(True))
+    return (probed.join(F.broadcast(marker), "key", "left")
+            .select("doc_id",
+                    F.coalesce("_hit", F.lit(False)).alias("truly_seen"),
+                    "maybe_seen"))
+
+
+_BLOOM_ORACLE = """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 2 = 0
+),
+params AS (SELECT 4 * COUNT(*) AS m FROM seen),
+bits AS (
+  SELECT ('0x' || substr(md5('b1' || key), 1, 15))::BIGINT
+           % (SELECT m FROM params) AS p FROM seen
+  UNION ALL
+  SELECT ('0x' || substr(md5('b2' || key), 1, 15))::BIGINT
+           % (SELECT m FROM params) AS p FROM seen
+),
+words AS (
+  SELECT p // 32 AS w,
+         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+  FROM bits GROUP BY 1
+),
+probe AS (
+  SELECT doc_id, md5(text) AS key,
+         ('0x' || substr(md5('b1' || md5(text)), 1, 15))::BIGINT
+           % (SELECT m FROM params) AS p1,
+         ('0x' || substr(md5('b2' || md5(text)), 1, 15))::BIGINT
+           % (SELECT m FROM params) AS p2
+  FROM documents
+)
+SELECT p.doc_id,
+       EXISTS (SELECT 1 FROM seen s WHERE s.key = p.key) AS truly_seen,
+       ((COALESCE(w1.mask, 0) & (1::BIGINT << CAST(p.p1 % 32 AS INT))) != 0
+        AND (COALESCE(w2.mask, 0)
+             & (1::BIGINT << CAST(p.p2 % 32 AS INT))) != 0) AS maybe_seen
+FROM probe p
+LEFT JOIN words w1 ON w1.w = p.p1 // 32
+LEFT JOIN words w2 ON w2.w = p.p2 // 32
+"""
+
+register("dedup_bloom_membership", dedup_bloom_membership, _BLOOM_ORACLE)

@@ -319,3 +319,38 @@ def test_prefix_jaccard_no_cartesian(spark):
     p = plan_of(prefix_jaccard_pairs(df))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_no_false_negatives_and_fp_labeled(spark):
+    """The Bloom contract: every inserted key probes maybe=True (no false
+    negatives, structurally guaranteed — bit_or only ever sets bits); a
+    disjoint probe set at dense sizing shows SOME false positives but
+    never all-positive (the filter carries signal)."""
+    from pigeon_optics_spark.pipeline.dedup import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(200)], "key string")
+    strangers = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(200)], "key string")
+    m_bits = 4 * 200
+    words = bloom_build(members, "key", m_bits)
+    got = bloom_probe(members, "key", words, m_bits).collect()
+    assert all(r["maybe_seen"] for r in got)  # no false negatives
+    sgot = [r["maybe_seen"] for r in bloom_probe(
+        strangers, "key", words, m_bits).collect()]
+    assert any(sgot) and not all(sgot)  # FPs exist at 4 bits/key; TNs too
+
+
+def test_bloom_probe_broadcasts_words(spark):
+    """Probe plan: word lookups are broadcast joins (the filter is always
+    small relative to the probe corpus) — no shuffle of the probe side,
+    no cartesian."""
+    from pigeon_optics_spark.pipeline.dedup import bloom_build, bloom_probe
+    from tests.test_plans import plan_of
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    words = bloom_build(df, "key", 256)
+    p = plan_of(bloom_probe(df, "key", words, 256))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
