@@ -1121,3 +1121,42 @@ def clean_text_col(col: "Column | str") -> Column:
     c = F.regexp_replace(c, _USPACE_CLASS, " ")
     c = F.regexp_replace(c, "[ \\t\\r\\n]+", " ")
     return F.trim(c)
+
+
+def pps_systematic_sample(df: DataFrame, step: int,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          shard_size: int = 1000) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay documents
+    end-to-end on a token axis (id order) and take one sample at every
+    ``step``-th token — a doc is selected with probability exactly
+    proportional to its length, long docs can be drawn multiple times
+    (``n_hits``), and the whole draw is deterministic with NO random
+    state.  The classic survey-sampling PPS design, used in training-data
+    mixes to sample text mass rather than document count.
+
+    → (doc_id, shard, n_tokens, n_hits, selected): a doc spanning tokens
+    (cum - n, cum] within its shard is hit once per multiple of ``step``
+    in that interval: n_hits = cum div step - (cum - n) div step.
+
+    Scale shape: the token axis is SHARDED by id range (the pack_sequences
+    discipline) — per-shard prefix sums, embarrassingly parallel, no
+    global ordering; the sampling fraction is unchanged because every
+    shard samples at the same rate.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.floor(F.col(id_col) / shard_size).cast("long").alias("shard"),
+        toks.alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    hits = (F.expr(f"_po_cum div {step}")
+            - F.expr(f"(_po_cum - n_tokens) div {step}"))
+    return (base.withColumn("_po_cum", cum)
+            .select("doc_id", "shard", "n_tokens",
+                    hits.cast("long").alias("n_hits"),
+                    (hits > 0).alias("selected")))

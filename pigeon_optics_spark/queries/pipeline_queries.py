@@ -4053,3 +4053,46 @@ LEFT JOIN words w2 ON w2.w = p.p2 // 32
 """
 
 register("dedup_bloom_membership", dedup_bloom_membership, _BLOOM_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Systematic PPS sampling (r5 wave 11): sample one document hit per 64
+# tokens of corpus mass laid end-to-end in id order — selection probability
+# exactly proportional to length, multi-hits for long docs, zero random
+# state (pipeline.text.pps_systematic_sample).  Complements the md5-
+# threshold samplers (uniform-per-doc) with the sample-by-token-mass
+# design a training mix actually wants.  Sharded prefix sum, never a
+# global window over raw docs.  Step 64 < max doc length (~100 tokens on
+# this corpus) so all three branches are live at every SF — measured
+# multi-hit/unselected: 66/130 (sf0.001), 50/126 (sf0.01), 521/1293
+# (sf0.1); a production mix would size step to the target token budget.
+# --------------------------------------------------------------------------
+
+
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import pps_systematic_sample
+
+    return pps_systematic_sample(load(spark, sf_dir, "documents"), step=64)
+
+
+_PPS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(FLOOR(doc_id / 1000) AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       cum // 64 - (cum - n_tokens) // 64 AS n_hits,
+       (cum // 64 - (cum - n_tokens) // 64) > 0 AS selected
+FROM c
+"""
+
+register("text_weighted_sample", text_weighted_sample, _PPS_ORACLE)

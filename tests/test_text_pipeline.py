@@ -549,3 +549,32 @@ def test_cusum_fold_matches_python_replica(spark):
             else:
                 s = t
         assert got[u] == (s, n), u
+
+
+def test_pps_systematic_sample_replica(spark):
+    """Pure-Python replica: per-shard token axis, one hit per step-th
+    token; total hits == floor(shard_tokens/step) summed over shards and
+    every hit count matches the interval arithmetic."""
+    import re
+
+    from pigeon_optics_spark.pipeline.text import TOKEN_RE, pps_systematic_sample
+
+    rows = [(i, ("w " * (i % 13)).strip()) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    step, shard_size = 5, 16
+    got = {r["doc_id"]: (r["shard"], r["n_tokens"], r["n_hits"], r["selected"])
+           for r in pps_systematic_sample(
+               df, step=step, shard_size=shard_size).collect()}
+    cums: dict[int, int] = {}
+    for i, text in rows:
+        n = len(re.findall(TOKEN_RE, text))
+        shard = i // shard_size
+        before = cums.get(shard, 0)
+        after = before + n
+        cums[shard] = after
+        hits = after // step - before // step
+        assert got[i] == (shard, n, hits, hits > 0), i
+    total_hits = sum(v[2] for v in got.values())
+    assert total_hits == sum(c // step for c in cums.values())
+    assert any(v[2] > 1 for v in got.values())  # multi-hit long doc
+    assert any(v[2] == 0 for v in got.values())  # zero-token docs skipped
