@@ -1834,3 +1834,125 @@ FROM dau d LEFT JOIN news n USING (day)
 
 register("events_cumulative_users", events_cumulative_users,
          _CUM_USERS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Watermark late-data accounting (r5 wave 11, 9th real streaming run).
+# The one streaming semantic no batch-equivalence gate had pinned yet:
+# event-time watermarking actually DROPPING too-late input while admitting
+# in-watermark stragglers.  Source = the 4 time-quartile files, except
+# file 4 additionally carries two planted row sets:
+#   * late20  — copies of the corpus's 20 EARLIEST events (re-ided):
+#     their windows closed days before batch 4's watermark, so the engine
+#     must discard them — their windows' counts stay at the original
+#     values (falsifiable: an engine that admits them doubles those
+#     counts and the hash goes red);
+#   * adm20   — copies of the 20 events at the 80%-by-count position:
+#     inside batch 4's watermark but with window_end safely below the
+#     FINAL watermark, so they must be counted twice.
+# Append mode: only windows with window_end <= final watermark
+# (max ts - 30 min) are ever emitted — the oracle applies the same
+# cutoff, which additionally pins append-mode finalization semantics.
+# Fixture-drift guards raise if the plants stop being provably
+# late/admitted (quartile geometry is driver-owned and can change).
+# --------------------------------------------------------------------------
+
+_STREAM_LATE_SRC: dict[str, str] = {}
+
+
+def _ensure_late_src(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    if sf_dir in _STREAM_LATE_SRC:
+        return _STREAM_LATE_SRC[sf_dir]
+    d = tempfile.mkdtemp(prefix="po_stream_late_")
+    ev = load_events(spark, sf_dir).select(
+        "ts", "event_id", "user_id", "value")
+    qs = ev.agg(F.expr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")).first()[0]
+    lo = F.unix_micros(F.col("ts"))
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))) \
+        .withColumn("_n", F.count("*").over(Window.partitionBy()))
+    late20 = (ranked.where(F.col("_rn") <= 20)
+              .select("ts", (F.col("event_id") + 2_000_000_000)
+                      .alias("event_id"), "user_id", "value"))
+    adm20 = (ranked.where((F.col("_rn") > F.expr("(_n * 4) div 5"))
+                          & (F.col("_rn") <= F.expr("(_n * 4) div 5 + 20")))
+             .select("ts", (F.col("event_id") + 3_000_000_000)
+                     .alias("event_id"), "user_id", "value"))
+    # fixture-drift guards: plants must be provably late / admitted
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    import datetime as _dt
+
+    q3 = _dt.datetime.utcfromtimestamp(qs[2] / 1e6)
+    late_hi = late20.agg(F.max("ts")).first()[0]
+    adm = adm20.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    if not late_hi + _dt.timedelta(minutes=45) < q3 - _dt.timedelta(minutes=30):
+        raise AssertionError("late plants are not safely late vs batch-4 wm")
+    if not adm[0] > q3 - _dt.timedelta(minutes=30):
+        raise AssertionError("admitted plants fall behind batch-4 watermark")
+    if not adm[1] + _dt.timedelta(minutes=45) < bounds[1] - _dt.timedelta(minutes=30):
+        raise AssertionError("admitted plants' windows not closed by final wm")
+    slices = [lo <= F.lit(int(qs[0])),
+              (lo > F.lit(int(qs[0]))) & (lo <= F.lit(int(qs[1]))),
+              (lo > F.lit(int(qs[1]))) & (lo <= F.lit(int(qs[2])))]
+    for cond in slices:
+        ev.where(cond).coalesce(1).write.mode("append").parquet(d)
+    (ev.where(lo > F.lit(int(qs[2]))).unionByName(late20).unionByName(adm20)
+     .coalesce(1).write.mode("append").parquet(d))
+    _STREAM_LATE_SRC[sf_dir] = d
+    return d
+
+
+def events_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = _ensure_late_src(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_late_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events")))
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; expected 4")
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "n_events")
+
+
+_STREAM_LATE_ORACLE = """
+WITH ranked AS (
+  SELECT ts,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+),
+adm AS (
+  SELECT ts FROM ranked
+  WHERE rn > (n * 4) // 5 AND rn <= (n * 4) // 5 + 20
+),
+wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS wm_final FROM events),
+uni AS (SELECT ts FROM events UNION ALL SELECT ts FROM adm)
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,
+       COUNT(*) AS n_events
+FROM uni
+WHERE time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE
+        <= (SELECT wm_final FROM wm)
+GROUP BY 1
+"""
+
+register("events_stream_late_drop", events_stream_late_drop,
+         _STREAM_LATE_ORACLE)
