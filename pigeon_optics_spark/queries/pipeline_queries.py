@@ -4096,3 +4096,134 @@ FROM c
 """
 
 register("text_weighted_sample", text_weighted_sample, _PPS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup JOIN (r5 wave 11): the pairing half the simhash family
+# was missing — dedup_simhash_signatures computes the 64-bit sketch, this
+# gate turns it into a bounded candidate join: split each signature into
+# 4 x 16-bit bands; Hamming distance <= 3 guarantees at least one band
+# matches exactly (pigeonhole), so candidates = band-bucket equi-join
+# (bucket-capped at 64, the LSH discipline), then exact Hamming verify
+# via bit_count(xor) per band — the Google-crawl simhash dedup design.
+# Fixture: docs 0-7 planted twice (+60M exact copies -> hamming 0; +61M
+# single-token 'zq' tweaks -> measured hamming spread [0..8]), so matched
+# pairs at distance 0 AND 1-3 AND rejected candidates (>3) all exist at
+# every SF (sf0.001 tweaks: 0,1,2,2,3,3,5,8; sf0.01: 0,1,1,2,3,4,4,4;
+# sf0.1: 0,1,2,2,2,4,5,8).
+# Plan: signatures persist+materialize (3 consumers), band explode is
+# O(4n) tiny rows, the candidate join is an equi-join on (band_idx,
+# band_value) — never all-pairs.
+# --------------------------------------------------------------------------
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    plant = docs.where(F.col("doc_id") < 8)
+    corpus = (base
+              .unionByName(plant.select(
+                  (F.col("doc_id") + 60_000_000).alias("doc_id"), "text"))
+              .unionByName(plant.select(
+                  (F.col("doc_id") + 61_000_000).alias("doc_id"),
+                  F.concat(F.col("text"), F.lit(" zq")).alias("text"))))
+    sigs = simhash64(corpus).persist()
+    sigs.count()  # materialize: band explode + two verify sides read it
+    band_vals = F.array(*[
+        F.conv(F.substring("simhash", 4 * i + 1, 4), 16, 10).cast("long")
+        for i in range(4)])
+    bands = sigs.select("doc_id", F.posexplode(band_vals).alias("bi", "bv"))
+    ok = (bands.groupBy("bi", "bv").agg(F.count("*").alias("n"))
+          .where(F.col("n") <= 64).select("bi", "bv"))
+    bands = bands.join(ok, ["bi", "bv"])
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.bi") == F.col("b.bi"))
+                  & (F.col("a.bv") == F.col("b.bv"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("da"),
+                    F.col("b.doc_id").alias("db"))
+            .distinct())
+    sa = sigs.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("ha", 4 * i + 1, 4), 16, 10).cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("hb", 4 * i + 1, 4), 16, 10).cast("long")))
+        for i in range(4))
+    return (cand.join(sa, "da").join(sb, "db")
+            .withColumn("hamming", ham.cast("long"))
+            .where(F.col("hamming") <= 3)
+            .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                    "hamming"))
+
+
+_SIMHASH_PAIRS_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 60000000, text FROM documents WHERE doc_id < 8
+  UNION ALL
+  SELECT doc_id + 61000000, text || ' zq' FROM documents WHERE doc_id < 8
+),
+tokens AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[A-Za-z0-9]+')) AS tok
+  FROM corpus
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (CAST(FLOOR(CAST(strpos('0123456789abcdef',
+                     substr(md5(tok), CAST(1 + b // 4 AS INT), 1)) - 1 AS DOUBLE)
+                   / pow(2, 3 - b % 4)) AS INT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tokens, (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY doc_id, b
+),
+nibbles AS (
+  SELECT doc_id, CAST(b // 4 AS INT) AS ni,
+         SUM(CASE WHEN s >= 0 THEN CAST(pow(2, 3 - b % 4) AS INT) ELSE 0 END) AS nib
+  FROM bits GROUP BY doc_id, CAST(b // 4 AS INT)
+),
+sigs AS (
+  SELECT doc_id,
+         string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), ''
+                    ORDER BY ni) AS simhash
+  FROM nibbles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, i AS bi,
+         ('0x' || substr(simhash, CAST(4 * i + 1 AS INT), 4))::BIGINT AS bv
+  FROM sigs, (SELECT unnest(range(0, 4)) AS i)
+),
+ok AS (SELECT bi, bv FROM bands GROUP BY bi, bv HAVING COUNT(*) <= 64),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a
+  JOIN ok USING (bi, bv)
+  JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT c.da AS doc_a, c.db AS doc_b,
+       CAST(bit_count(xor(('0x' || substr(sa.simhash, 1, 4))::BIGINT,
+                          ('0x' || substr(sb.simhash, 1, 4))::BIGINT))
+          + bit_count(xor(('0x' || substr(sa.simhash, 5, 4))::BIGINT,
+                          ('0x' || substr(sb.simhash, 5, 4))::BIGINT))
+          + bit_count(xor(('0x' || substr(sa.simhash, 9, 4))::BIGINT,
+                          ('0x' || substr(sb.simhash, 9, 4))::BIGINT))
+          + bit_count(xor(('0x' || substr(sa.simhash, 13, 4))::BIGINT,
+                          ('0x' || substr(sb.simhash, 13, 4))::BIGINT))
+         AS BIGINT) AS hamming
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.da
+JOIN sigs sb ON sb.doc_id = c.db
+WHERE bit_count(xor(('0x' || substr(sa.simhash, 1, 4))::BIGINT,
+                    ('0x' || substr(sb.simhash, 1, 4))::BIGINT))
+    + bit_count(xor(('0x' || substr(sa.simhash, 5, 4))::BIGINT,
+                    ('0x' || substr(sb.simhash, 5, 4))::BIGINT))
+    + bit_count(xor(('0x' || substr(sa.simhash, 9, 4))::BIGINT,
+                    ('0x' || substr(sb.simhash, 9, 4))::BIGINT))
+    + bit_count(xor(('0x' || substr(sa.simhash, 13, 4))::BIGINT,
+                    ('0x' || substr(sb.simhash, 13, 4))::BIGINT)) <= 3
+"""
+
+register("dedup_simhash_pairs", dedup_simhash_pairs, _SIMHASH_PAIRS_ORACLE)
