@@ -543,3 +543,55 @@ FROM documents
 """
 
 register("store_stream_ingest", store_stream_ingest, _STREAM_INGEST_ORACLE)
+
+
+def store_compact_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction preserves observable state (r5 wave 11): three-batch
+    history (full ingest, odd-id rewrites, tombstone deletes of
+    doc_id % 10 == 3) is compacted via ``compact_df`` and read back —
+    surviving rows must carry the exact post-history values and versions
+    while tombstoned keys are GONE, not resurrected (the classic
+    compaction bug class: merging segments in the wrong order revives
+    deleted or stale rows).  A distinct store instance from
+    ``_store_scan`` so the shared fixture's segment layout is untouched.
+    Compaction at 100 TB is the same per-collection segment fold the
+    write path uses — distributed read, one range-sorted rewrite."""
+    key = (sf_dir, "compact")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_storec_"))
+        store.create("t", "docs")
+        store.write_entries_df(spark, "t", "docs",
+                               _docs_src(spark, sf_dir))       # v1 all
+        resend = load(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("record_id"),
+            F.to_json(F.struct(
+                "lang",
+                F.when(F.col("doc_id") % 2 == 1,
+                       F.concat(F.col("text"), F.lit(" [v2]")))
+                .otherwise(F.col("text")).alias("text"))).alias("value"))
+        store.write_entries_df(spark, "t", "docs", resend)     # v2 odds
+        dels = [(str(r["doc_id"]), None) for r in
+                load(spark, sf_dir, "documents")
+                .where(F.col("doc_id") % 10 == 3)
+                .select("doc_id").collect()]
+        store.write_entries("t", "docs", dels)                 # tombstones
+        store.compact_df(spark, "t", "docs")
+        _STORES[key] = store
+    df = _STORES[key].read_df(spark, "t", "docs")
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    return df.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        parsed.getField("lang").alias("lang"),
+        F.length(parsed.getField("text")).alias("text_len"),
+        "version")
+
+
+_COMPACT_ORACLE = """
+SELECT doc_id, lang,
+       LENGTH(text) + CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 0 END AS text_len,
+       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS version
+FROM documents
+WHERE doc_id % 10 != 3
+"""
+
+register("store_compact_verify", store_compact_verify, _COMPACT_ORACLE)

@@ -679,9 +679,14 @@ class DatasetStore:
         suffix = "base" if overwrite else "delta"
         stage = os.path.join(self._dir(meta), f"_stage_{uuid.uuid4().hex}")
         _trace("plan")
-        rows.withColumn("seq", F.lit(seq)).select(
-            *[f.name for f in SEGMENT_SCHEMA]
-        ).write.mode("overwrite").parquet(stage)
+        # version/seq MUST be written int64: the pyarrow write path
+        # (write_entries / tombstones) uses SEGMENT_SCHEMA's int64, and a
+        # Python-int F.lit() is int32 — mixed-width segments fail the
+        # parquet read (found by store_compact_verify mixing the paths)
+        rows.withColumn("seq", F.lit(seq).cast("long")) \
+            .withColumn("version", F.col("version").cast("long")) \
+            .select(*[f.name for f in SEGMENT_SCHEMA]) \
+            .write.mode("overwrite").parquet(stage)
         _trace("write_job")
 
         parts = _glob.glob(os.path.join(stage, "*.parquet"))
@@ -773,7 +778,9 @@ class DatasetStore:
         rows = self.read_df(spark, author, name, source=source)
         seq = meta.last_seq + 1
         stage = os.path.join(self._dir(meta), f"_stage_{uuid.uuid4().hex}")
-        (rows.withColumn("deleted", F.lit(False)).withColumn("seq", F.lit(seq))
+        (rows.withColumn("deleted", F.lit(False))
+             .withColumn("seq", F.lit(seq).cast("long"))
+             .withColumn("version", F.col("version").cast("long"))
              .select(*[f.name for f in SEGMENT_SCHEMA])
              .write.mode("overwrite").parquet(stage))
         path = os.path.join(self._dir(meta), f"seg_{seq:08d}.base.parquet")
