@@ -1956,3 +1956,54 @@ GROUP BY 1
 
 register("events_stream_late_drop", events_stream_late_drop,
          _STREAM_LATE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival latency distribution (r5 wave 11): per event_type quartiles
+# of the per-user gap between consecutive events — the latency-histogram
+# primitive behind "p50/p75 time-between-actions" dashboards.  Gaps are
+# computed per (user, ts, event_id) lag — user-partitioned windows, never
+# a 5-partition event_type sort (at 100 TB event_type has a handful of
+# values; partitioning the raw window by it is a built-in skew bomb, so
+# the bounded-cardinality user axis carries the sort and event_type only
+# groups the AGGREGATE).  Quartiles are exact percentiles over integer
+# micro gaps with dyadic fractions — the q_exact_quantiles interpolation-
+# safety class (0.25·(b−a) is exact for any integer gap < 2^50 µs).
+# --------------------------------------------------------------------------
+
+
+def events_interarrival_quartiles(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (ev.select("user_id", "event_type", "ts", "event_id")
+            .withColumn("prev", F.lag("ts").over(w))
+            .where(F.col("prev").isNotNull())
+            .select("event_type",
+                    (F.unix_micros("ts")
+                     - F.unix_micros("prev")).alias("gap_us")))
+    return (gaps.groupBy("event_type")
+            .agg(F.expr("percentile(gap_us, 0.25)").alias("q25"),
+                 F.expr("percentile(gap_us, 0.5)").alias("q50"),
+                 F.expr("percentile(gap_us, 0.75)").alias("q75"),
+                 F.count("*").alias("n_gaps")))
+
+
+_INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       quantile_cont(gap_us, 0.25) AS q25,
+       quantile_cont(gap_us, 0.5) AS q50,
+       quantile_cont(gap_us, 0.75) AS q75,
+       COUNT(*) AS n_gaps
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+register("events_interarrival_quartiles", events_interarrival_quartiles,
+         _INTERARRIVAL_ORACLE)

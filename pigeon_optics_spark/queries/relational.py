@@ -2184,3 +2184,41 @@ FROM monthly
 """
 
 register("q_mom_revenue_change", q_mom_revenue_change, _MOM_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Salted-join correctness under the driver gate (r5 wave 11): the skew
+# toolkit (joins.salted_join — per-row salt on the big side, right side
+# replicated salt ways) had library tests but no driver row.  This gate
+# runs the ACTUAL salted execution strategy over lineitem ⨝ orders and
+# reduces to a per-priority rollup; the oracle is the PLAIN join — the
+# whole point is that salting changes only the shuffle layout, never the
+# result.  At 100 TB this is the hot-orderkey remedy when the dimension
+# is too big to broadcast; the gate pins result-identity through the
+# exact-decimal revenue sum (order-free, so the salt's nondeterministic
+# row routing cannot perturb the hash).
+# --------------------------------------------------------------------------
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..joins import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice",
+        "l_discount")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    j = salted_join(li, orders, ["o_orderkey"], salt=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.expr(dsum_exact(DISC_PRICE, "revenue")).alias("revenue")))
+
+
+_SALTED_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {dsum_exact(DISC_PRICE, 'revenue')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+register("q_salted_join", q_salted_join, _SALTED_ORACLE)
