@@ -118,7 +118,11 @@ _DRIVER_PRIORITY = [
     # wave 10: q12_priority_lines, q16_supplier_counts,
     #   q21_sole_late_supplier, q_rfm_segments, graph_triangle_count,
     #   multimodal_srt_cues, text_normalize_clean (+ any later wave-10
-    #   additions — see ROUND_NOTES wave-10 entry).
+    #   additions — see ROUND_NOTES wave-10 entry);
+    # wave 11: events_cumulative_users, dedup_bloom_membership,
+    #   text_weighted_sample, events_stream_late_drop, dedup_simhash_pairs,
+    #   store_compact_verify, q_salted_join, events_interarrival_quartiles
+    #   (+ any later wave-11 additions — see ROUND_NOTES wave-11 entry).
 ]
 
 
