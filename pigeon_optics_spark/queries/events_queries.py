@@ -2007,3 +2007,117 @@ GROUP BY event_type
 
 register("events_interarrival_quartiles", events_interarrival_quartiles,
          _INTERARRIVAL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Watermark-BOUNDED streaming dedup (r5 wave 11, 10th real streaming run):
+# ``dropDuplicatesWithinWatermark`` — the production trade the unbounded
+# ``events_stream_dedup`` docstring names: keyed state lives only for the
+# lateness bound, so a key replayed AFTER its state evicts is re-admitted.
+# Probed semantics (pinned by this gate): input older than the watermark
+# is dropped before dedup; a replay with a FRESH in-watermark timestamp
+# of an evicted key is emitted again.  Fixture (quartile files, forced
+# batching):
+#   * near20 — copies of 20 quartile-1 events re-emitted in the SAME file
+#     with ts+1min (inside the 10-min bound, state live) ⇒ deduped: an
+#     engine that failed to dedup inflates the counts and goes red;
+#   * far20  — the 20 earliest events replayed in file 4 with ts+27d
+#     (their own ts inside batch-4's watermark, the original state
+#     evicted ~27 days of event time earlier) ⇒ REPLAYED: an engine
+#     holding state forever (plain dropDuplicates) undercounts and goes
+#     red.  Counts and value-sums are invariant to WHICH copy of a
+#     deduped pair survives (copies differ only in ts).
+# --------------------------------------------------------------------------
+
+_STREAM_WMDUP_SRC: dict[str, str] = {}
+
+
+def _ensure_wmdup_src(spark: SparkSession, sf_dir: str) -> str:
+    import datetime as _dt
+    import tempfile
+
+    if sf_dir in _STREAM_WMDUP_SRC:
+        return _STREAM_WMDUP_SRC[sf_dir]
+    d = tempfile.mkdtemp(prefix="po_stream_wmdup_")
+    ev = load_events(spark, sf_dir).select(
+        "ts", "event_id", "user_id", "event_type", "value")
+    qs = ev.agg(F.expr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")).first()[0]
+    lo = F.unix_micros(F.col("ts"))
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+    near20 = (ranked.where((F.col("_rn") > 100) & (F.col("_rn") <= 120))
+              .select((F.col("ts") + F.expr("INTERVAL 1 MINUTE")).alias("ts"),
+                      "event_id", "user_id", "event_type", "value"))
+    far20 = (ranked.where(F.col("_rn") <= 20)
+             .select((F.col("ts") + F.expr("INTERVAL 27 DAYS")).alias("ts"),
+                     "event_id", "user_id", "event_type", "value"))
+    # drift guards: far replays must be inside batch-4's watermark with
+    # their original state provably evicted; near copies must be inside
+    # the 10-minute bound of a live key (same batch by construction)
+    q3 = _dt.datetime.utcfromtimestamp(qs[2] / 1e6)
+    far_b = far20.agg(F.min("ts").alias("lo")).first()
+    orig_hi = (ranked.where(F.col("_rn") <= 20)
+               .agg(F.max("ts")).first()[0])
+    if not far_b[0] > q3 - _dt.timedelta(minutes=10):
+        raise AssertionError("far replays would be dropped as late input")
+    if not orig_hi + _dt.timedelta(minutes=10) < q3 - _dt.timedelta(minutes=10):
+        raise AssertionError("far replays' original state not provably evicted")
+    parts = [
+        ev.where(lo <= F.lit(int(qs[0]))).unionByName(near20),
+        ev.where((lo > F.lit(int(qs[0]))) & (lo <= F.lit(int(qs[1])))),
+        ev.where((lo > F.lit(int(qs[1]))) & (lo <= F.lit(int(qs[2])))),
+        ev.where(lo > F.lit(int(qs[2]))).unionByName(far20),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(d)
+    _STREAM_WMDUP_SRC[sf_dir] = d
+    return d
+
+
+def events_stream_dedup_watermark(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = _ensure_wmdup_src(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_wmdup_{_STREAM_SEQ[0]}"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(d)
+              .withWatermark("ts", "10 minutes")
+              .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; expected 4")
+    return (spark.table(name).groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.expr(dsum("value", "total_value", 8)).alias("total_value")))
+
+
+_STREAM_WMDUP_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+  FROM events
+),
+uni AS (
+  SELECT event_type, value FROM events
+  UNION ALL
+  SELECT event_type, value FROM ranked WHERE rn <= 20
+)
+SELECT event_type, COUNT(*) AS n_events,
+       {dsum('value', 'total_value', 8)}
+FROM uni GROUP BY event_type
+"""
+
+register("events_stream_dedup_watermark", events_stream_dedup_watermark,
+         _STREAM_WMDUP_ORACLE)
