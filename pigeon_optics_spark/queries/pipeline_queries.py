@@ -4227,3 +4227,50 @@ WHERE bit_count(xor(('0x' || substr(sa.simhash, 1, 4))::BIGINT,
 """
 
 register("dedup_simhash_pairs", dedup_simhash_pairs, _SIMHASH_PAIRS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Mean-pooling doc embeddings (r5 wave 11): collapse per-token vectors
+# into one document vector by elementwise mean — the doc-embedding
+# builder that feeds the ANN / semantic-dedup stack (docs = vec_id div 8
+# token bags, the maxsim convention).  Exactness is the kmeans-train
+# discipline: integer-grid quantization (floor(x·1e4) BIGINT) makes the
+# per-dim sums order-free exact aggregates; each mean is ONE IEEE
+# division of exact integers.  One explode + one two-key agg — map-side
+# combinable, no joins, no windows.  DuckDB lambda index is 1-based
+# (i - 1 maps to Spark's 0-based posexplode).
+# --------------------------------------------------------------------------
+
+
+def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 10_000).cast("long"))
+    ex = emb.select(
+        F.expr("vec_id div 8").alias("doc_id"),
+        F.posexplode(qv).alias("dim", "q"))
+    return (ex.groupBy("doc_id", "dim")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n_tokens"))
+            .select("doc_id", "dim", "s", "n_tokens",
+                    (F.col("s").cast("double")
+                     / F.col("n_tokens").cast("double")).alias("mean_q")))
+
+
+_MEAN_POOL_ORACLE = """
+WITH ex AS (
+  SELECT vec_id // 8 AS doc_id,
+         unnest(list_transform(embedding, (x, i) ->
+           {'dim': i - 1,
+            'q': CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)})) AS s
+  FROM embeddings
+)
+SELECT doc_id, CAST(s.dim AS INT) AS dim,
+       CAST(SUM(s.q) AS BIGINT) AS s,
+       COUNT(*) AS n_tokens,
+       CAST(CAST(SUM(s.q) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS mean_q
+FROM ex GROUP BY doc_id, s.dim
+"""
+
+register("emb_mean_pool", emb_mean_pool, _MEAN_POOL_ORACLE)

@@ -2222,3 +2222,41 @@ GROUP BY o_orderpriority
 """
 
 register("q_salted_join", q_salted_join, _SALTED_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Multiset set-ops (r5 wave 11): INTERSECT ALL / EXCEPT ALL — the bag
+# semantics q_segment_setops' DISTINCT forms don't cover (multiplicity
+# min(a,b) and a-b respectively; a plain INTERSECT would collapse every
+# survivor to one row and go red).  Operands are the naturally
+# duplicate-bearing l_partkey bags of two return-flag slices; results
+# aggregated to (partkey, n) so the gate hashes multiplicities, which is
+# the entire point of ALL.  Spark plans these as hash aggregates over a
+# count-compare — no sort, shuffle only on the partkey, scale-clean.
+# --------------------------------------------------------------------------
+
+
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    ia = (a.intersectAll(b).groupBy("l_partkey")
+          .agg(F.count("*").alias("n"))
+          .withColumn("op", F.lit("intersect_all")))
+    ea = (a.exceptAll(b).groupBy("l_partkey")
+          .agg(F.count("*").alias("n"))
+          .withColumn("op", F.lit("except_all")))
+    return ia.unionByName(ea).select("op", "l_partkey", "n")
+
+
+_SETOPS_ALL_ORACLE = """
+WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+     b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY l_partkey
+UNION ALL
+SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY l_partkey
+"""
+
+register("q_setops_all", q_setops_all, _SETOPS_ALL_ORACLE)

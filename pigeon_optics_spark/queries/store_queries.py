@@ -595,3 +595,49 @@ WHERE doc_id % 10 != 3
 """
 
 register("store_compact_verify", store_compact_verify, _COMPACT_ORACLE)
+
+
+def store_overwrite_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overwrite/base-segment semantics as a driver gate (r5 wave 11;
+    previously pytest-only — VERDICT r4 listed it as the one §2.1 write
+    path without driver evidence).  Full ingest, then ``overwrite=True``
+    with only doc_id % 3 == 0 records (evens of those identical, the
+    rest value-changed): unmentioned keys must be GONE (base segment
+    replaces the collection), identical re-sent values keep version 1
+    (hash suppression applies through overwrite — ref
+    base-data-model.js:166-225 overwrite branch), changed values bump to
+    version 2."""
+    key = (sf_dir, "overwrite")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeo_"))
+        store.create("t", "docs")
+        store.write_entries_df(spark, "t", "docs",
+                               _docs_src(spark, sf_dir))       # v1 all
+        keep = load(spark, sf_dir, "documents") \
+            .where(F.col("doc_id") % 3 == 0).select(
+                F.col("doc_id").alias("record_id"),
+                F.to_json(F.struct(
+                    "lang",
+                    F.when(F.col("doc_id") % 2 == 1,
+                           F.concat(F.col("text"), F.lit(" [ow]")))
+                    .otherwise(F.col("text")).alias("text"))).alias("value"))
+        store.write_entries_df(spark, "t", "docs", keep, overwrite=True)
+        _STORES[key] = store
+    df = _STORES[key].read_df(spark, "t", "docs")
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    return df.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        parsed.getField("lang").alias("lang"),
+        F.length(parsed.getField("text")).alias("text_len"),
+        "version")
+
+
+_OVERWRITE_ORACLE = """
+SELECT doc_id, lang,
+       LENGTH(text) + CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 0 END AS text_len,
+       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS version
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+register("store_overwrite_verify", store_overwrite_verify, _OVERWRITE_ORACLE)
