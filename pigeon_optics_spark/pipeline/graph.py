@@ -129,3 +129,35 @@ def triangle_enumerate(edges: DataFrame) -> DataFrame:
     srt = F.array_sort(F.array("a", "b", "c"))
     return tris.select(srt[0].alias("p1"), srt[1].alias("p2"),
                        srt[2].alias("p3"))
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
+                  src: str = "u", dst: str = "v") -> DataFrame:
+    """Multi-source BFS over an undirected edge list: shortest hop count
+    from ANY seed, bounded at ``max_hops`` (nodes farther than the bound
+    are absent — at scale an unbounded frontier is the whole graph).
+
+    → (node, dist) with dist in [0, max_hops].  The Pregel min-plus
+    shape shared with pagerank/connected_components: each round joins
+    the current distances to the adjacency list and folds with MIN —
+    pure integer arithmetic, order-free, bit-reproducible in an
+    iteration-unrolled SQL oracle.  ``localCheckpoint`` per round (the
+    connected-components lesson: without it the self-referencing plan
+    doubles every round and planning hangs).
+
+    ``seeds`` is a (node) DataFrame; seed nodes need not appear in the
+    edge list (dist 0 either way).
+    """
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionAll(edges.select(F.col(dst).alias("a"),
+                                  F.col(src).alias("b"))))
+    dist = seeds.select(F.col("node"),
+                        F.lit(0).cast("long").alias("dist")).distinct()
+    for h in range(1, max_hops + 1):
+        frontier = (dist.join(und, dist["node"] == und["a"])
+                    .select(F.col("b").alias("node"),
+                            F.lit(h).cast("long").alias("dist")))
+        dist = (dist.unionByName(frontier)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    return dist

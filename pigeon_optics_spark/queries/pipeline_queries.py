@@ -4274,3 +4274,68 @@ FROM ex GROUP BY doc_id, s.dim
 """
 
 register("emb_mean_pool", emb_mean_pool, _MEAN_POOL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS (r5 wave 11): hop distance from seed products over the
+# co-purchase graph (sup >= 2 edges, the triangle gate's graph) bounded
+# at 3 hops — the fourth graph algorithm family (after components,
+# pagerank, triangles): min-plus propagation.  Seeds = part ids % 100
+# == 0 appearing in the graph.  All-integer, order-free folds; oracle is
+# the iteration-unrolled CTE chain.  Nodes beyond 3 hops are absent by
+# contract (the bounded-frontier scale stance).  Branch audit: dist
+# 0/1/2/3 all populated at every SF (2/52/145/1, 20/71/228/572,
+# 57/73/35/12); unreached nodes exist at sf0.01 (891 of 1880 reached)
+# and sf0.1 (177 of 5922) — sf0.001's dense graph is fully covered
+# within 3 hops, so the absence branch is pinned by the larger tiers.
+# --------------------------------------------------------------------------
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.graph import bfs_distances
+
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+    pairs = baskets.select(F.explode(
+        ordered_pairs_col(F.col("items"), "u", "v")).alias("p"))
+    edges = (pairs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+             .agg(F.count("*").alias("sup"))
+             .where(F.col("sup") >= 2)
+             .select("u", "v"))
+    nodes = (edges.select(F.col("u").alias("node"))
+             .unionAll(edges.select(F.col("v").alias("node"))).distinct())
+    seeds = nodes.where(F.col("node") % 100 == 0)
+    return bfs_distances(edges, seeds, max_hops=3)
+
+
+_BFS_ORACLE = """
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS (SELECT u AS a, v AS b FROM edges
+        UNION ALL SELECT v AS a, u AS b FROM edges),
+d0 AS (
+  SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist FROM und
+  WHERE a % 100 = 0
+),
+r1 AS (SELECT e.b AS node, CAST(1 AS BIGINT) AS dist
+       FROM d0 JOIN und e ON e.a = d0.node),
+d1 AS (SELECT node, MIN(dist) AS dist FROM
+       (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY node),
+r2 AS (SELECT e.b AS node, CAST(2 AS BIGINT) AS dist
+       FROM d1 JOIN und e ON e.a = d1.node),
+d2 AS (SELECT node, MIN(dist) AS dist FROM
+       (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY node),
+r3 AS (SELECT e.b AS node, CAST(3 AS BIGINT) AS dist
+       FROM d2 JOIN und e ON e.a = d2.node),
+d3 AS (SELECT node, MIN(dist) AS dist FROM
+       (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY node)
+SELECT node, dist FROM d3
+"""
+
+register("graph_bfs_distances", graph_bfs_distances, _BFS_ORACLE)

@@ -56,3 +56,37 @@ class TestPagerank:
         assert sum(got.values()) <= SCALE
         base = (SCALE * 15) // (2 * 100)
         assert all(v >= base for v in got.values())
+
+
+def test_bfs_distances_matches_python_bfs(spark):
+    """Brute-force BFS replica on a seeded random graph + a path graph
+    whose tail exceeds the hop bound (absence contract)."""
+    import collections
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = {(a, b) for a, b in
+             (sorted(rng.sample(nodes, 2)) for _ in range(45))}
+    # plus a long path hanging off node 0: 100 -> 101 -> ... -> 105
+    path = [(0, 100)] + [(100 + i, 101 + i) for i in range(5)]
+    all_edges = sorted(edges) + path
+    adj = collections.defaultdict(set)
+    for a, b in all_edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = [0, 7]
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in (1, 2, 3):
+        frontier = {v for u in frontier for v in adj[u] if v not in want}
+        for v in frontier:
+            want[v] = h
+    from pigeon_optics_spark.pipeline.graph import bfs_distances
+
+    e_df = spark.createDataFrame(all_edges, "u long, v long")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(e_df, s_df, max_hops=3).collect()}
+    assert got == want
+    assert 103 in got and 104 not in got  # bound cuts the path tail
