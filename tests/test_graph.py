@@ -89,4 +89,5 @@ def test_bfs_distances_matches_python_bfs(spark):
     got = {r["node"]: r["dist"]
            for r in bfs_distances(e_df, s_df, max_hops=3).collect()}
     assert got == want
-    assert 103 in got and 104 not in got  # bound cuts the path tail
+    # path tail: 0 -> 100 (h1) -> 101 (h2) -> 102 (h3); 103+ beyond bound
+    assert 102 in got and 103 not in got
