@@ -700,3 +700,69 @@ def parse_srt_cues_df(df: DataFrame, text_col: str = "srt",
             yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
+def wav_pcm_stats(data: bytes) -> tuple[int, int, int, int, int] | None:
+    """SAMPLE-level PCM decode of a 16-bit RIFF/WAVE payload → exact
+    integer aggregates (n_samples, sum_amp, sum_sq, peak_abs, n_clipped),
+    or None for non-WAV / non-16-bit input.
+
+    This is a real decode — the data chunk's bytes are interpreted as
+    interleaved little-endian int16 frames (numpy.frombuffer, summed in
+    int64) — not a header sniff: uncompressed PCM needs no codec
+    library, so the pixel-stub limitation does not apply to audio.
+    Aggregates instead of raw samples keep the operator's output
+    O(files) not O(samples); all five are exact integers (sum_sq of a
+    bounded clip stays far under 2^63), the RMS/loudness ratios are the
+    consumer's one division (the q8 num/den discipline).
+    """
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    i = 12
+    bits = None
+    payload = None
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        clen = struct.unpack("<I", data[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(data):
+            bits = struct.unpack("<H", data[i + 22:i + 24])[0]
+        elif cid == b"data":
+            payload = data[i + 8:i + 8 + clen]
+        i += 8 + clen + (clen % 2)
+    if bits != 16 or payload is None:
+        return None
+    samples = np.frombuffer(payload[:len(payload) // 2 * 2], dtype="<i2")
+    if len(samples) == 0:
+        return 0, 0, 0, 0, 0
+    s64 = samples.astype(np.int64)
+    return (int(len(s64)), int(s64.sum()), int((s64 * s64).sum()),
+            int(np.abs(s64).max()),
+            int(((samples == 32767) | (samples == -32768)).sum()))
+
+
+def decode_wav_pcm(df: DataFrame, binary_col: str = "data",
+                   id_col: str = "media_id") -> DataFrame:
+    """binary column → per-file exact PCM sample aggregates via
+    :func:`wav_pcm_stats` (Arrow-batched mapInPandas; non-decodable rows
+    are dropped with decodable=false semantics left to the meta gate)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "sum_amp": [],
+                   "sum_sq": [], "peak_abs": [], "n_clipped": []}
+            for mid, b in zip(pdf[id_col], pdf[binary_col]):
+                st = wav_pcm_stats(bytes(b))
+                if st is None:
+                    continue
+                out["media_id"].append(int(mid))
+                for k, v in zip(("n_samples", "sum_amp", "sum_sq",
+                                 "peak_abs", "n_clipped"), st):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema=("media_id long, n_samples long, sum_amp long, "
+                     "sum_sq long, peak_abs long, n_clipped long"))

@@ -4339,3 +4339,79 @@ SELECT node, dist FROM d3
 """
 
 register("graph_bfs_distances", graph_bfs_distances, _BFS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# WAV PCM sample decode (r5 wave 11): the first SAMPLE-level (not header)
+# media decode in the suite — possible without codec libraries because
+# 16-bit PCM is raw interleaved int16.  Fixture WAVs carry doc_id-derived
+# samples v_i = ((id·7919 + i·31) mod 65536) − 32768 over
+# (id%50+1)·160·channels frames, so DuckDB reproduces every aggregate
+# arithmetically: n_samples, exact sum/sum-of-squares (loudness inputs),
+# peak amplitude, clipped-sample count.  Clipping branch live by the
+# modular sweep (31 ⊥ 65536 ⇒ residues 65535/0 hit regularly).  The
+# kernel walks the REAL RIFF chunk grammar; stats are O(files) output.
+# --------------------------------------------------------------------------
+
+
+def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    import pandas as pd
+
+    from ..pipeline.multimodal import decode_wav_pcm
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def make_pcm_wav(mid: int) -> bytes:
+        ch = 1 + mid % 2
+        n = (mid % 50 + 1) * 160 * ch
+        import numpy as np
+
+        i = np.arange(n, dtype=np.int64)
+        v = ((mid * 7919 + i * 31) % 65536 - 32768).astype("<i2")
+        payload = v.tobytes()
+        rate = 8000
+        fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        body = (b"fmt " + _struct.pack("<I", 16) + fmt
+                + b"data" + _struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "data": [make_pcm_wav(int(m)) for m in pdf["media_id"]]})
+
+    media = docs.mapInPandas(synth, schema="media_id long, data binary")
+    return decode_wav_pcm(media)
+
+
+_WAV_PCM_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 50 + 1) * 160 * (1 + doc_id % 2) AS n
+  FROM documents WHERE doc_id <= 300
+),
+s AS (
+  SELECT media_id,
+         unnest(range(0, n)) AS i
+  FROM m
+),
+v AS (
+  SELECT media_id,
+         (media_id * 7919 + i * 31) % 65536 - 32768 AS v
+  FROM s
+)
+SELECT media_id, COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(COUNT(*) FILTER (v = 32767 OR v = -32768) AS BIGINT)
+         AS n_clipped
+FROM v GROUP BY media_id
+"""
+
+register("multimodal_wav_pcm_stats", multimodal_wav_pcm_stats,
+         _WAV_PCM_ORACLE)

@@ -494,3 +494,47 @@ def test_srt_whitespace_only_separator_lines():
     assert parse_srt_cues(srt) == [(1, 1000, 2000, 1, 1),
                                    (2, 3000, 4000, 1, 2),
                                    (3, 5000, 6000, 1, 3)]
+
+
+def test_wav_pcm_stats_against_stdlib_wave():
+    """The PCM kernel must agree with a file written by stdlib `wave`
+    (independent writer), reject non-16-bit input, and tolerate an
+    odd-length payload by dropping the trailing half-sample."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from pigeon_optics_spark.pipeline.multimodal import wav_pcm_stats
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32768, size=999, dtype=np.int16)
+    samples[5] = 32767
+    samples[6] = -32768
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    st = wav_pcm_stats(buf.getvalue())
+    s64 = samples.astype(np.int64)
+    assert st == (999, int(s64.sum()), int((s64 * s64).sum()),
+                  int(np.abs(s64).max()),
+                  int(((samples == 32767) | (samples == -32768)).sum()))
+    assert wav_pcm_stats(b"not a wav") is None
+    # 8-bit wav: rejected (kernel is 16-bit PCM only)
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"fmt " + struct.pack("<I", 16) + fmt8 \
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    assert wav_pcm_stats(b"RIFF" + struct.pack("<I", 4 + len(body))
+                         + b"WAVE" + body) is None
+    # odd payload length: trailing byte ignored, not a crash
+    raw = buf.getvalue() + b"\x00"
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"fmt " + struct.pack("<I", 16) + fmt16 \
+        + b"data" + struct.pack("<I", 5) + b"\x01\x00\x02\x00\x03"
+    st2 = wav_pcm_stats(b"RIFF" + struct.pack("<I", 4 + len(body))
+                        + b"WAVE" + body)
+    assert st2 is not None and st2[0] == 2
