@@ -4415,3 +4415,139 @@ FROM v GROUP BY media_id
 
 register("multimodal_wav_pcm_stats", multimodal_wav_pcm_stats,
          _WAV_PCM_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Vocabulary construction (r5 wave 11): the token→id table every
+# tokenizer/embedding pipeline starts from — distinct tokens ranked by
+# (document frequency DESC, token ASC) with dense ids, truncated to the
+# top 20 (the corpus's synthetic vocabulary is 31 tokens, so a realistic
+# 30k cap would never truncate — trivially-green rule; production sets
+# the cap to the model's vocab budget).  The global rank is over the DISTINCT-TOKEN aggregate (a
+# bounded vocabulary, HashAggregate upstream — the sweep-test contract),
+# never over raw token occurrences; ties are total-ordered by the token
+# string so ids are engine-stable.  Emits (token, vocab_id, df) — df
+# kept so the falsifiable content is the whole frequency table, not
+# just an ordering.
+# --------------------------------------------------------------------------
+
+
+def text_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))))
+        .alias("token"))
+    dfreq = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"))
+    w = Window.orderBy(F.desc("df"), F.asc("token"))
+    return (dfreq.select("token", "df",
+                         F.row_number().over(w).alias("vocab_id"))
+            .where(F.col("vocab_id") <= 20))
+
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks
+          GROUP BY token)
+SELECT token, df, vocab_id FROM (
+  SELECT token, df,
+         ROW_NUMBER() OVER (ORDER BY df DESC, token ASC) AS vocab_id
+  FROM dfreq
+) WHERE vocab_id <= 20
+"""
+
+register("text_vocab_ids", text_vocab_ids, _VOCAB_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Normalization-aware exact dedup (r5 wave 11): the CCNet-family compose -
+# clean_text_col THEN hash-group - catching duplicates that differ only
+# in whitespace/control dirt, which a raw byte hash misses.  Fixture
+# plants two copy families of docs 0-7: +70M "dirty" copies
+# (ctrl-prefix + doubled spaces; normalizes back to the original) and
+# +71M byte-exact copies, so BOTH dup branches are live at every SF:
+# normalized_only=true (caught only by normalization) and
+# normalized_only=false (raw-equal).  canon = min doc_id per normalized
+# key; grouping is hash-equi (groupBy/window on the md5 key), no
+# similarity join.  The oracle mirrors the cleanup regex chain (Java vs
+# RE2 class parity pinned by the text_normalize_clean pytest) and
+# constructs the planted dirt itself - every byte of the corpus is
+# known to both engines.
+# --------------------------------------------------------------------------
+
+
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..pipeline.text import clean_text_col
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    plant = docs.where(F.col("doc_id") < 8)
+    corpus = (docs.select("doc_id", t.alias("raw"))
+              .unionByName(plant.select(
+                  (F.col("doc_id") + 70_000_000).alias("doc_id"),
+                  F.concat(F.lit("\u0001\u0002"),
+                           F.replace(t, F.lit(" "), F.lit("  ")))
+                  .alias("raw")))
+              .unionByName(plant.select(
+                  (F.col("doc_id") + 71_000_000).alias("doc_id"),
+                  t.alias("raw"))))
+    keyed = corpus.select(
+        "doc_id",
+        F.md5(F.encode(clean_text_col(F.col("raw")), "UTF-8")).alias("nk"),
+        F.md5(F.encode(F.col("raw"), "UTF-8")).alias("rk"))
+    w = Window.partitionBy("nk").orderBy("doc_id")
+    return (keyed
+            .withColumn("canon_id", F.first("doc_id").over(w))
+            .withColumn("canon_rk", F.first("rk").over(w))
+            .select("doc_id", "canon_id",
+                    (F.col("doc_id") != F.col("canon_id")).alias("is_dup"),
+                    ((F.col("doc_id") != F.col("canon_id"))
+                     & (F.col("rk") != F.col("canon_rk")))
+                    .alias("normalized_only")))
+
+
+_NORM_DEDUP_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, COALESCE(text, '') AS raw FROM documents
+  UNION ALL
+  SELECT doc_id + 70000000,
+         chr(1) || chr(2) || replace(COALESCE(text, ''), ' ', '  ')
+  FROM documents WHERE doc_id < 8
+  UNION ALL
+  SELECT doc_id + 71000000, COALESCE(text, '')
+  FROM documents WHERE doc_id < 8
+),
+keyed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+             regexp_replace(regexp_replace(raw,
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\x{200b}-\x{200d}\x{feff}]',
+                 '', 'g'),
+                 '[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]',
+                 ' ', 'g'),
+             '[ \t\r\n]+', ' ', 'g'))) AS nk,
+         md5(raw) AS rk
+  FROM corpus
+)
+SELECT doc_id,
+       FIRST_VALUE(doc_id) OVER w AS canon_id,
+       doc_id != FIRST_VALUE(doc_id) OVER w AS is_dup,
+       (doc_id != FIRST_VALUE(doc_id) OVER w
+        AND rk != FIRST_VALUE(rk) OVER w) AS normalized_only
+FROM keyed
+WINDOW w AS (PARTITION BY nk ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+register("dedup_normalized_exact", dedup_normalized_exact,
+         _NORM_DEDUP_ORACLE)
