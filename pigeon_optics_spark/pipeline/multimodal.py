@@ -766,3 +766,31 @@ def decode_wav_pcm(df: DataFrame, binary_col: str = "data",
     return df.mapInPandas(
         run, schema=("media_id long, n_samples long, sum_amp long, "
                      "sum_sq long, peak_abs long, n_clipped long"))
+
+
+def png_chunk_integrity(data: bytes) -> tuple[int, int, bool] | None:
+    """Chunk-level PNG integrity scan → (n_chunks, n_bad_crc, ok), or
+    None if the signature is not PNG.  Walks the chunk grammar
+    (len/type/data/crc) verifying each stored CRC32 against
+    zlib.crc32(type + data) — the binary-column data-quality primitive
+    (detect bit-rot / truncation in a media lake without decoding
+    pixels).  A truncated chunk counts as bad."""
+    import zlib as _zlib
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    n_chunks = n_bad = 0
+    while i + 8 <= len(data):
+        clen = struct.unpack(">I", data[i:i + 4])[0]
+        ctype = data[i + 4:i + 8]
+        end = i + 8 + clen
+        n_chunks += 1
+        if end + 4 > len(data):
+            n_bad += 1
+            break
+        stored = struct.unpack(">I", data[end:end + 4])[0]
+        if _zlib.crc32(ctype + data[i + 8:end]) & 0xFFFFFFFF != stored:
+            n_bad += 1
+        i = end + 4
+    return n_chunks, n_bad, n_bad == 0

@@ -4551,3 +4551,86 @@ WINDOW w AS (PARTITION BY nk ORDER BY doc_id
 
 register("dedup_normalized_exact", dedup_normalized_exact,
          _NORM_DEDUP_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# PNG chunk-CRC integrity scan (r5 wave 11): binary-column data quality -
+# verify every chunk's stored CRC32 against its bytes and surface
+# corruption WITHOUT decoding pixels (bit-rot / truncation detection for
+# a media lake).  Fixture PNGs carry 2 + doc_id%3 data chunks of
+# doc_id-derived bytes with CORRECT CRCs, except doc_id % 7 == 0 files
+# where one chunk's payload byte is flipped after the CRC was computed -
+# so the corrupted and clean branches are both live at every SF and the
+# oracle is pure doc_id arithmetic (the engine must find exactly one bad
+# chunk in exactly the planted files).
+# --------------------------------------------------------------------------
+
+
+def multimodal_png_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+    import zlib as _zlib
+
+    import pandas as pd
+
+    from ..pipeline.multimodal import png_chunk_integrity
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        crc = _zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return (_struct.pack(">I", len(payload)) + ctype + payload
+                + _struct.pack(">I", crc))
+
+    def make_png(mid: int) -> bytes:
+        ihdr = _struct.pack(">II5B", mid % 64 + 1, mid % 48 + 1, 8, 6, 0, 0, 0)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        for k in range(1 + mid % 3):
+            payload = bytes((mid * 13 + k * 7 + j) % 256
+                            for j in range(16 + (mid + k) % 32))
+            c = chunk(b"idAT", payload)
+            if mid % 7 == 0 and k == 0:
+                # flip one payload byte AFTER the CRC was computed
+                b = bytearray(c)
+                b[8] ^= 0xFF
+                c = bytes(b)
+            out += c
+        return out
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "data": [make_png(int(m)) for m in pdf["media_id"]]})
+
+    media = docs.mapInPandas(synth, schema="media_id long, data binary")
+
+    def scan(batches):
+        for pdf in batches:
+            out = {"media_id": [], "n_chunks": [], "n_bad_crc": [],
+                   "ok": []}
+            for mid, b in zip(pdf["media_id"], pdf["data"]):
+                st = png_chunk_integrity(bytes(b))
+                if st is None:
+                    continue
+                out["media_id"].append(int(mid))
+                out["n_chunks"].append(st[0])
+                out["n_bad_crc"].append(st[1])
+                out["ok"].append(st[2])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        scan, schema="media_id long, n_chunks long, n_bad_crc long, ok boolean")
+
+
+_PNG_INTEGRITY_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_chunks,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_bad_crc,
+       doc_id % 7 != 0 AS ok
+FROM documents WHERE doc_id <= 300
+"""
+
+register("multimodal_png_integrity", multimodal_png_integrity,
+         _PNG_INTEGRITY_ORACLE)

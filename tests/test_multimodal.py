@@ -538,3 +538,29 @@ def test_wav_pcm_stats_against_stdlib_wave():
     st2 = wav_pcm_stats(b"RIFF" + struct.pack("<I", 4 + len(body))
                         + b"WAVE" + body)
     assert st2 is not None and st2[0] == 2
+
+
+def test_png_chunk_integrity_kernel():
+    """CRC verify: intact file ok; payload flip caught; truncated final
+    chunk counted bad; non-PNG rejected."""
+    import struct
+    import zlib
+
+    from pigeon_optics_spark.pipeline.multimodal import png_chunk_integrity
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload \
+            + struct.pack(">I", crc)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">II5B", 4, 4, 8, 6, 0, 0, 0))
+    good = sig + ihdr + chunk(b"idAT", b"hello world")
+    assert png_chunk_integrity(good) == (2, 0, True)
+    bad = bytearray(good)
+    bad[len(sig) + len(ihdr) + 8] ^= 0xFF  # flip first payload byte
+    assert png_chunk_integrity(bytes(bad)) == (2, 1, False)
+    truncated = good[:-6]  # chops into the final chunk's CRC
+    n, nbad, ok = png_chunk_integrity(truncated)
+    assert nbad >= 1 and not ok
+    assert png_chunk_integrity(b"JFIF") is None
