@@ -121,7 +121,10 @@ _DRIVER_PRIORITY = [
     #   additions — see ROUND_NOTES wave-10 entry);
     # wave 11: events_cumulative_users, dedup_bloom_membership,
     #   text_weighted_sample, events_stream_late_drop, dedup_simhash_pairs,
-    #   store_compact_verify, q_salted_join, events_interarrival_quartiles
+    #   store_compact_verify, q_salted_join, events_interarrival_quartiles,
+    #   events_stream_dedup_watermark, store_overwrite_verify, q_setops_all,
+    #   emb_mean_pool, graph_bfs_distances, multimodal_wav_pcm_stats,
+    #   text_vocab_ids, dedup_normalized_exact, multimodal_png_integrity
     #   (+ any later wave-11 additions — see ROUND_NOTES wave-11 entry).
 ]
 

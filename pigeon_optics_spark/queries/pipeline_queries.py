@@ -4002,9 +4002,11 @@ def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     seen = (docs.where(F.col("doc_id") % 2 == 0)
-            .select(F.md5("text").alias("key")).distinct())
+            .select(F.md5("text").alias("key")).distinct().persist())
     # one scalar collect: the filter is sized to its corpus (a fixed m
-    # cannot serve 10^3 and 10^8 keys alike) — the kmeans-collect class
+    # cannot serve 10^3 and 10^8 keys alike) — the kmeans-collect class.
+    # count() also materializes the persist (seen feeds the word build,
+    # the truth marker, and the sizing — the r1 unmaterialized lesson)
     n = seen.count()
     m_bits = 4 * n
     words = bloom_build(seen, "key", m_bits)
