@@ -2121,3 +2121,56 @@ FROM uni GROUP BY event_type
 
 register("events_stream_dedup_watermark", events_stream_dedup_watermark,
          _STREAM_WMDUP_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU / MAU stickiness (r5 wave 11): per day, distinct users active
+# that day, in the trailing 7 days, and in the trailing 30 — the
+# engagement-ratio inputs (emitted as counts, never the DAU/MAU ratio —
+# the num/den discipline).  Trailing distinct-over-window is computed by
+# OFFSET EXPLODE: each (user, day) pair contributes to target days
+# day..day+29, one equi-groupBy with conditional distincts — 30× row
+# amplification of the ALREADY-DEDUPED user-day pairs, no range join, no
+# per-day prefix rescans; target days joined (broadcast) to the observed
+# day grid.  At 100 TB user-days ≪ raw events, so the amplification is
+# bounded and shuffle-friendly.
+# --------------------------------------------------------------------------
+
+
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    days = ud.select("day").distinct()
+    ex = (ud.select(
+        "user_id", "day",
+        F.explode(F.sequence(F.lit(0), F.lit(29))).alias("o"))
+        .select("user_id", "o",
+                F.expr("timestampadd(DAY, o, day)").alias("tday")))
+    return (ex.join(F.broadcast(days), ex["tday"] == days["day"])
+            .groupBy("day")
+            .agg(F.countDistinct(
+                     F.when(F.col("o") == 0, F.col("user_id"))).alias("dau"),
+                 F.countDistinct(
+                     F.when(F.col("o") <= 6, F.col("user_id"))).alias("wau"),
+                 F.countDistinct("user_id").alias("mau")))
+
+
+_DAU_WAU_MAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+ex AS (
+  SELECT user_id, o, day + o * INTERVAL 1 DAY AS tday
+  FROM ud, (SELECT unnest(range(0, 30)) AS o)
+)
+SELECT d.day,
+       COUNT(DISTINCT CASE WHEN e.o = 0 THEN e.user_id END) AS dau,
+       COUNT(DISTINCT CASE WHEN e.o <= 6 THEN e.user_id END) AS wau,
+       COUNT(DISTINCT e.user_id) AS mau
+FROM ex e JOIN days d ON d.day = e.tday
+GROUP BY d.day
+"""
+
+register("events_dau_wau_mau", events_dau_wau_mau, _DAU_WAU_MAU_ORACLE)

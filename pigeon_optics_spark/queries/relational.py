@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from . import register
 from ._util import (CHARGE, DISC_PRICE, dsum_exact, davg, dsum, load,
-                    load_events, ordered_pairs_col)
+                    load_events, ordered_pairs_col, register_views)
 
 # --------------------------------------------------------------------------
 # q1_pricing_summary — TPC-H Q1 shape: scan + filter + 2-key hash agg.
@@ -2260,3 +2260,71 @@ FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY l_partkey
 """
 
 register("q_setops_all", q_setops_all, _SETOPS_ALL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# NULL-aware anti-join semantics (r5 wave 11): the NOT IN vs NOT EXISTS
+# trap as an explicit gate — one NULL in the subquery makes NOT IN
+# three-valued-logic empty (x != NULL is UNKNOWN for every x), while
+# NOT EXISTS keeps matching on equality.  The subquery plants NULLs
+# deterministically (every 97th high-value order), and the third variant
+# shows the standard remedy (filter the NULLs) restoring NOT EXISTS
+# counts.  Exercises Spark's NullAwareAntiJoin physical path via the SQL
+# surface (spark.sql over the registered views, same text as the
+# oracle).  Branch audit at 400k: null keys 6/22/321, not_in 0 (by
+# semantics), not_exists 20/205/2037 across the three SFs.
+# --------------------------------------------------------------------------
+
+_NULL_ANTI_SQL = """
+WITH keys AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders WHERE o_totalprice > 400000
+)
+SELECT 'not_in' AS op, COUNT(*) AS n
+FROM customer WHERE c_custkey NOT IN (SELECT k FROM keys)
+UNION ALL
+SELECT 'not_exists' AS op, COUNT(*) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = c.c_custkey)
+UNION ALL
+SELECT 'not_in_null_filtered' AS op, COUNT(*) AS n
+FROM customer
+WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)
+"""
+
+
+def q_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_NULL_ANTI_SQL)
+
+
+register("q_null_aware_anti", q_null_aware_anti, _NULL_ANTI_SQL)
+
+
+# --------------------------------------------------------------------------
+# Discrete percentiles (r5 wave 11): percentile_disc picks an EXISTING
+# member (first value with cumulative distribution >= fraction), so it is
+# engine-exact on ANY numeric column — no interpolation-safety constraint
+# (q_exact_quantiles needs integer-valued data; this works on raw money
+# doubles).  Conventions verified identical Spark vs DuckDB on the
+# 4-element probe (0.25/0.5/0.75 -> 1/2/3).  The robust-statistics
+# complement: medians/quartiles for monitoring where a fabricated
+# interpolated value is unacceptable.
+# --------------------------------------------------------------------------
+
+_PDISC_SQL = """
+SELECT l_returnflag,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_PDISC_SQL)
+
+
+register("q_percentile_disc", q_percentile_disc, _PDISC_SQL)
