@@ -2174,3 +2174,59 @@ GROUP BY d.day
 """
 
 register("events_dau_wau_mau", events_dau_wau_mau, _DAU_WAU_MAU_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Point-in-time feature snapshot (r5 wave 11): the feature-store
+# primitive — for every LABEL row (purchase), trailing-window behavioral
+# features computed leakage-free: counts over the user's events in
+# (t − 7d, t) STRICTLY BEFORE the label's timestamp.  Strictness comes
+# from the value-based RANGE frame ending at 1 µs PRECEDING — same-
+# microsecond rows (including the label itself) are excluded, which is
+# the train-serve-safe convention (a feature computed from a tie would
+# leak the label event into its own features).  The window expression is
+# projected BEFORE the purchase filter (the events_attribution lesson:
+# a window Column re-evaluated after a filter sees the filtered frame).
+# Windowed SUM(int) CAST BIGINT both sides (HUGEINT class).
+# --------------------------------------------------------------------------
+
+
+def events_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    base = ev.select("event_id", "user_id", "event_type", "ts",
+                     us.alias("us"),
+                     (F.col("event_type") == "view").cast("int").alias("iv"))
+    week_us = 7 * 24 * 3600 * 1_000_000
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-week_us, -1))
+    feat = base.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.coalesce(F.sum("iv").over(w), F.lit(0)).alias("n_views_7d"),
+        F.coalesce(F.count("us").over(w), F.lit(0)).alias("n_events_7d"))
+    return (feat.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts",
+                    F.col("n_views_7d").cast("long").alias("n_views_7d"),
+                    "n_events_7d"))
+
+
+_FEATURE_SNAP_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS iv
+  FROM events
+),
+feat AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(COALESCE(SUM(iv) OVER w, 0) AS BIGINT) AS n_views_7d,
+         CAST(COALESCE(COUNT(us) OVER w, 0) AS BIGINT) AS n_events_7d
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, n_views_7d, n_events_7d
+FROM feat WHERE event_type = 'purchase'
+"""
+
+register("events_feature_snapshot", events_feature_snapshot,
+         _FEATURE_SNAP_ORACLE)

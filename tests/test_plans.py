@@ -667,3 +667,26 @@ def test_containment_bucketed_never_all_pairs(spark, sf_dir):
     p = plan_of(dedup_containment(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dau_wau_mau_no_range_join(spark, sf_dir):
+    """Trailing-distinct via offset explode must stay an equi-join on the
+    day grid (broadcast), never a nested-loop range join."""
+    from pigeon_optics_spark.queries.events_queries import events_dau_wau_mau
+
+    p = plan_of(events_dau_wau_mau(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_feature_snapshot_single_scan_no_join(spark, sf_dir):
+    """Point-in-time features are ONE user-partitioned window over one
+    events scan — no self-join of events, no label-side rescan."""
+    from pigeon_optics_spark.queries.events_queries import (
+        events_feature_snapshot,
+    )
+
+    p = plan_of(events_feature_snapshot(spark, sf_dir))
+    assert p.count("FileScan") == 1
+    assert "Join" not in p
