@@ -641,3 +641,58 @@ WHERE doc_id % 3 = 0
 """
 
 register("store_overwrite_verify", store_overwrite_verify, _OVERWRITE_ORACLE)
+
+
+def store_dedup_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline × store composition (r5 wave 11): dedup decisions applied
+    BACK to the store as deletes — the curation loop's write half
+    (detect dups → tombstone losers → serve the deduped collection).
+    Ingest all documents, group by exact content hash (md5 of the value
+    JSON's text), tombstone every non-canonical member (min doc_id
+    keeps), read back: the surviving set must be exactly the canonical
+    members.  Exercises batch tombstoning driven by a DataFrame
+    computation (write_entries_df with null values), not a driver list.
+    Fixture plants +80M byte-exact copies of docs 0-7 so losers exist at
+    every SF regardless of natural duplication."""
+    key = (sf_dir, "dedup_wb")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_storewb_"))
+        store.create("t", "docs")
+        docs = load(spark, sf_dir, "documents")
+        plant = docs.where(F.col("doc_id") < 8).select(
+            (F.col("doc_id") + 80_000_000).alias("doc_id"), "text", "lang")
+        corpus = docs.select("doc_id", "text", "lang").unionByName(plant)
+        src = corpus.select(
+            F.col("doc_id").alias("record_id"),
+            F.to_json(F.struct("lang", "text")).alias("value"))
+        store.write_entries_df(spark, "t", "docs", src)
+        canon = (corpus
+                 .select("doc_id", F.md5(F.coalesce("text", F.lit("")))
+                         .alias("k"))
+                 .groupBy("k").agg(F.min("doc_id").alias("canon_id")))
+        losers = (corpus.select("doc_id", F.md5(
+            F.coalesce("text", F.lit(""))).alias("k"))
+            .join(canon, "k")
+            .where(F.col("doc_id") != F.col("canon_id"))
+            .select(F.col("doc_id").cast("string").alias("record_id"),
+                    F.lit(None).cast("string").alias("value")))
+        store.write_entries_df(spark, "t", "docs", losers)  # tombstones
+        _STORES[key] = store
+    df = _STORES[key].read_df(spark, "t", "docs")
+    return df.select(F.col("record_id").cast("long").alias("doc_id"),
+                     "version")
+
+
+_DEDUP_WB_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 80000000, text FROM documents WHERE doc_id < 8
+),
+keyed AS (SELECT doc_id, md5(COALESCE(text, '')) AS k FROM corpus),
+canon AS (SELECT k, MIN(doc_id) AS canon_id FROM keyed GROUP BY k)
+SELECT c.canon_id AS doc_id, CAST(1 AS BIGINT) AS version
+FROM canon c
+"""
+
+register("store_dedup_writeback", store_dedup_writeback, _DEDUP_WB_ORACLE)
