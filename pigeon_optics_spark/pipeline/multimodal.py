@@ -408,8 +408,11 @@ def sample_frames(df: DataFrame, binary_col: str = "data",
     """Video frame sampling shape: one input row → N frame rows (flatMap via
     the mapInPandas iterator contract).  Fake kernel hashes fixed-size byte
     windows as stand-in 'frames'.  For GIF containers the REAL sibling is
-    :func:`enumerate_gif_frames` (block-walk, no pixel decode); general
-    video (mp4/webm) frame extraction needs ffmpeg/PyAV, absent here."""
+    :func:`enumerate_gif_frames` (block-walk, no pixel decode); still-image
+    PIXEL decode is real for PNG (:func:`decode_png_pixels` — zlib + full
+    scanline-filter inversion) and sample decode for PCM audio
+    (:func:`wav_pcm_stats`), leaving inter-frame VIDEO codecs (mp4/webm)
+    as the one genuinely env-bound kernel (needs ffmpeg/PyAV)."""
     if not fake:
         raise NotImplementedError(
             "real frame extraction for general video needs ffmpeg/PyAV (not "
@@ -794,3 +797,143 @@ def png_chunk_integrity(data: bytes) -> tuple[int, int, bool] | None:
             n_bad += 1
         i = end + 4
     return n_chunks, n_bad, n_bad == 0
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_pixels(data: bytes):
+    """REAL PNG pixel decode — no image library: IDAT zlib inflate + the
+    five scanline filters (None/Sub/Up/Average/Paeth) inverted per the
+    spec.  Supports 8-bit color types 2 (RGB) and 6 (RGBA),
+    non-interlaced — the overwhelmingly common lossless web case.
+    Returns (width, height, channels, bytes of raw pixels row-major) or
+    None for non-PNG / unsupported layouts (16-bit, palette, interlaced).
+
+    This closes most of the long-standing 'pixel decode is env-bound'
+    stub: PNG's codec is zlib (stdlib); only inter-frame video codecs
+    (``sample_frames``) still genuinely need external libraries.
+    """
+    import zlib as _zlib
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i = 8
+    w = h = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while i + 8 <= len(data):
+        clen = struct.unpack(">I", data[i:i + 4])[0]
+        ctype = data[i + 4:i + 8]
+        body = data[i + 8:i + 8 + clen]
+        if ctype == b"IHDR" and clen >= 13:
+            w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            interlace = body[12]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 8 + clen + 4
+    if w is None or bit_depth != 8 or color_type not in (2, 6) \
+            or interlace != 0:
+        return None
+    ch = 3 if color_type == 2 else 4
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prior = bytes(stride)
+    pos = 0
+    for row in range(h):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if f == 1:      # Sub
+            for k in range(ch, stride):
+                line[k] = (line[k] + line[k - ch]) & 0xFF
+        elif f == 2:    # Up
+            for k in range(stride):
+                line[k] = (line[k] + prior[k]) & 0xFF
+        elif f == 3:    # Average
+            for k in range(stride):
+                a = line[k - ch] if k >= ch else 0
+                line[k] = (line[k] + ((a + prior[k]) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for k in range(stride):
+                a = line[k - ch] if k >= ch else 0
+                c = prior[k - ch] if k >= ch else 0
+                line[k] = (line[k] + _png_paeth(a, prior[k], c)) & 0xFF
+        elif f != 0:
+            return None
+        out[row * stride:(row + 1) * stride] = line
+        prior = bytes(line)
+    return w, h, ch, bytes(out)
+
+
+def write_png(pixels: bytes, w: int, h: int, channels: int = 3,
+              row_filters=None) -> bytes:
+    """Deterministic PNG writer for 8-bit RGB/RGBA row-major pixel bytes —
+    the fixture/export twin of :func:`decode_png_pixels`.  ``row_filters``
+    optionally assigns a spec filter (0..4) per row (default all 0);
+    filtering is applied against RAW neighbor bytes per the spec, so a
+    mixed-filter file exercises every decoder branch."""
+    import zlib as _zlib
+
+    if channels not in (2, 3, 4):
+        raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
+    if channels == 2:
+        raise ValueError("channels must be 3 (RGB) or 4 (RGBA)")
+    stride = w * channels
+    if len(pixels) != h * stride:
+        raise ValueError("pixel buffer does not match w*h*channels")
+    ch = channels
+    rows = bytearray()
+    prior = bytes(stride)
+    for row in range(h):
+        line = pixels[row * stride:(row + 1) * stride]
+        f = row_filters[row] if row_filters is not None else 0
+        enc = bytearray(line)
+        if f == 1:
+            for k in range(stride - 1, ch - 1, -1):
+                enc[k] = (line[k] - line[k - ch]) & 0xFF
+        elif f == 2:
+            for k in range(stride):
+                enc[k] = (line[k] - prior[k]) & 0xFF
+        elif f == 3:
+            for k in range(stride):
+                a = line[k - ch] if k >= ch else 0
+                enc[k] = (line[k] - ((a + prior[k]) >> 1)) & 0xFF
+        elif f == 4:
+            for k in range(stride):
+                a = line[k - ch] if k >= ch else 0
+                c = prior[k - ch] if k >= ch else 0
+                enc[k] = (line[k] - _png_paeth(a, prior[k], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown filter {f}")
+        rows.append(f)
+        rows += enc
+        prior = line
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        import zlib as _z
+
+        crc = _z.crc32(ctype + payload) & 0xFFFFFFFF
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", crc))
+
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(rows), 6))
+            + chunk(b"IEND", b""))

@@ -4636,3 +4636,88 @@ FROM documents WHERE doc_id <= 300
 
 register("multimodal_png_integrity", multimodal_png_integrity,
          _PNG_INTEGRITY_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# PNG PIXEL decode (r5 wave 11): the flagship gap-closer - real pixel
+# values out of a real compressed image format with NO image library
+# (PNG's codec is stdlib zlib; the scanline filters are inverted per
+# spec in pipeline.multimodal.decode_png_pixels, validated against
+# third-party-encoded files and a hand-filtered spec example).  Fixture
+# PNGs carry doc_id-derived pixels v(i) = (id*31 + i*7) % 256 at
+# w=16+id%16, h=12+id%8, RGB, with row filter (id+row) % 5 - every
+# decoder branch (None/Sub/Up/Average/Paeth) exercised INSIDE the gate.
+# The oracle recomputes per-channel sums and a position-weighted
+# checksum purely arithmetically: the engine must invert zlib + all
+# five filters exactly to match.  After this, only inter-frame VIDEO
+# decode (sample_frames) remains env-bound.
+# --------------------------------------------------------------------------
+
+
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.multimodal import decode_png_pixels, write_png
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def make_png(mid: int) -> bytes:
+        w, h = 16 + mid % 16, 12 + mid % 8
+        n = w * h * 3
+        px = bytes((mid * 31 + i * 7) % 256 for i in range(n))
+        return write_png(px, w, h, 3, [(mid + r) % 5 for r in range(h)])
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "data": [make_png(int(m)) for m in pdf["media_id"]]})
+
+    media = docs.mapInPandas(synth, schema="media_id long, data binary")
+
+    def scan(batches):
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": [], "wsum": []}
+            for mid, b in zip(pdf["media_id"], pdf["data"]):
+                got = decode_png_pixels(bytes(b))
+                if got is None:
+                    continue
+                w, h, ch, px = got
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(px[0::3]))
+                out["sum_g"].append(sum(px[1::3]))
+                out["sum_b"].append(sum(px[2::3]))
+                out["wsum"].append(sum(i * v for i, v in enumerate(px)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        scan, schema=("media_id long, width long, height long, sum_r long, "
+                      "sum_g long, sum_b long, wsum long"))
+
+
+_PNG_PIXEL_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h
+  FROM documents WHERE doc_id <= 300
+),
+px AS (
+  SELECT media_id, w, h, i,
+         (media_id * 31 + i * 7) % 256 AS v
+  FROM m, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i)
+)
+SELECT media_id, CAST(MIN(w) AS BIGINT) AS width,
+       CAST(MIN(h) AS BIGINT) AS height,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(SUM(i * v) AS BIGINT) AS wsum
+FROM px GROUP BY media_id
+"""
+
+register("multimodal_png_pixel_stats", multimodal_png_pixel_stats,
+         _PNG_PIXEL_ORACLE)

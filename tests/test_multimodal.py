@@ -564,3 +564,87 @@ def test_png_chunk_integrity_kernel():
     n, nbad, ok = png_chunk_integrity(truncated)
     assert nbad >= 1 and not ok
     assert png_chunk_integrity(b"JFIF") is None
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """write_png/decode_png_pixels identity across every filter type,
+    channel count, and odd sizes (incl. 1x1 where left/up neighbors are
+    absent)."""
+    import random
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        decode_png_pixels,
+        write_png,
+    )
+
+    rng = random.Random(1)
+    for ch in (3, 4):
+        for w, h in ((1, 1), (5, 4), (17, 9)):
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            for filt in (None, [1] * h, [2] * h, [3] * h, [4] * h,
+                         [rng.randrange(5) for _ in range(h)]):
+                b = write_png(px, w, h, ch, filt)
+                assert decode_png_pixels(b) == (w, h, ch, px)
+
+
+def test_png_decode_hand_computed_paeth():
+    """Independent of the writer: a 2x2 RGB IDAT stream hand-filtered per
+    the PNG spec (filter 4 rows; Paeth predictor worked by hand) must
+    invert to the intended raw pixels — guards against a shared
+    encoder/decoder bug (the events_concurrency lesson)."""
+    import struct
+    import zlib
+
+    from pigeon_optics_spark.pipeline.multimodal import decode_png_pixels
+
+    # raw pixels: row0 = (10,20,30) (40,60,80); row1 = (15,25,35) (70,90,110)
+    # row0 filter 4: prior row = 0s -> paeth(a,0,0)=a (first px a=0 -> raw)
+    #   bytes: 10 20 30 | 40-10=30 60-20=40 80-30=50
+    # row1 filter 4: a=left raw, b=up raw, c=up-left raw
+    #   px0: paeth(0, up, 0)=up -> 15-10=5 25-20=5 35-30=5
+    #   px1: a=(15,25,35) b=(40,60,80) c=(10,20,30):
+    #     p=a+b-c=(45,65,85); |p-a|=30,40,50; |p-b|=5,5,5; |p-c|=35,45,55
+    #     -> predictor=b -> 70-40=30 90-60=30 110-80=30
+    rows = bytes([4, 10, 20, 30, 30, 40, 50,
+                  4, 5, 5, 5, 30, 30, 30])
+
+    def chunk(ctype, payload):
+        crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + ctype + payload \
+            + struct.pack(">I", crc)
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(rows))
+           + chunk(b"IEND", b""))
+    got = decode_png_pixels(png)
+    assert got == (2, 2, 3, bytes([10, 20, 30, 40, 60, 80,
+                                   15, 25, 35, 70, 90, 110]))
+
+
+def test_png_decode_third_party_file():
+    """Decode a PNG produced by an external encoder (adaptive per-row
+    filters): stream must parse end-to-end with exact length — any
+    filter-inversion bug desyncs the row walk immediately."""
+    import glob
+    import os
+
+    import pytest
+
+    from pigeon_optics_spark.pipeline.multimodal import decode_png_pixels
+
+    candidates = [p for pat in ("/usr/share/doc/python3/_static/*.png",
+                                "/usr/share/gitweb/static/*.png")
+                  for p in glob.glob(pat)]
+    decoded = 0
+    for p in candidates:
+        if not os.path.exists(p):
+            continue
+        got = decode_png_pixels(open(p, "rb").read())
+        if got is None:     # palette/16-bit/interlaced: out of scope
+            continue
+        w, h, ch, px = got
+        assert len(px) == w * h * ch
+        decoded += 1
+    if decoded == 0:
+        pytest.skip("no decodable system PNGs on this host")
