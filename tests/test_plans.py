@@ -690,3 +690,44 @@ def test_feature_snapshot_single_scan_no_join(spark, sf_dir):
     p = plan_of(events_feature_snapshot(spark, sf_dir))
     assert p.count("FileScan") == 1
     assert "Join" not in p
+
+
+# Gates where BroadcastNestedLoopJoin is the CORRECT plan: a 1-row scalar
+# aggregate (grand total / global threshold / quartile fences) or a
+# bounded-by-construction query side broadcast against the corpus with no
+# equi key.  Audited individually (r5 wave 11); additions need the same
+# justification or an equi-join rewrite.
+_BNLJ_WHITELIST = {
+    "text_mix_weights",      # design-table cross join (|langs| x |temps|)
+    "ann_recall_eval",       # bounded query set vs corpus, brute-force tier
+    "ann_topk_methods",      # same (brute-force branch)
+    "emb_pq_topk",           # ADC scan: broadcast query literals
+    "emb_maxsim_colbert",    # 8-row query bag broadcast
+    "q22_idle_balance",      # 1-row global average threshold
+    "q11_important_parts",   # 1-row grand-total threshold
+    "q_rfm_segments",        # 1-row global stats broadcast
+    "text_winsorize",        # 1-row quartile-fence broadcast
+}
+
+
+def test_no_unjustified_cartesian_or_bnlj_suite_wide(spark, sf_dir):
+    """Sweep every scan-path gate's physical plan: CartesianProduct is
+    never acceptable; BroadcastNestedLoopJoin only in the audited
+    whitelist above (scalar/bounded broadcasts).  Catches the classic
+    silent-cross-join regression (a dropped join key planning as a
+    nested loop over the corpus) suite-wide."""
+    from pigeon_optics_spark.queries import all_queries
+
+    skip_prefixes = ("store_", "codec_", "lens_", "reactive_",
+                     "attachments_", "pipeline_end_to_end",
+                     "events_stream_")
+    offenders = []
+    for name, (fn, _oracle) in all_queries().items():
+        if name.startswith(skip_prefixes):
+            continue
+        p = plan_of(fn(spark, sf_dir))
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        elif "BroadcastNestedLoopJoin" in p and name not in _BNLJ_WHITELIST:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
