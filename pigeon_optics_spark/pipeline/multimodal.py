@@ -705,20 +705,10 @@ def parse_srt_cues_df(df: DataFrame, text_col: str = "srt",
     return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
-def wav_pcm_stats(data: bytes) -> tuple[int, int, int, int, int] | None:
-    """SAMPLE-level PCM decode of a 16-bit RIFF/WAVE payload → exact
-    integer aggregates (n_samples, sum_amp, sum_sq, peak_abs, n_clipped),
-    or None for non-WAV / non-16-bit input.
-
-    This is a real decode — the data chunk's bytes are interpreted as
-    interleaved little-endian int16 frames (numpy.frombuffer, summed in
-    int64) — not a header sniff: uncompressed PCM needs no codec
-    library, so the pixel-stub limitation does not apply to audio.
-    Aggregates instead of raw samples keep the operator's output
-    O(files) not O(samples); all five are exact integers (sum_sq of a
-    bounded clip stays far under 2^63), the RMS/loudness ratios are the
-    consumer's one division (the q8 num/den discipline).
-    """
+def _wav_pcm_samples(data: bytes):
+    """Shared RIFF chunk walk → interleaved int16 sample array (numpy
+    ``<i2``), or None for non-WAV / non-16-bit input.  The decode core of
+    :func:`wav_pcm_stats` and :func:`pcm_frame_energies`."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -736,7 +726,28 @@ def wav_pcm_stats(data: bytes) -> tuple[int, int, int, int, int] | None:
         i += 8 + clen + (clen % 2)
     if bits != 16 or payload is None:
         return None
-    samples = np.frombuffer(payload[:len(payload) // 2 * 2], dtype="<i2")
+    return np.frombuffer(payload[:len(payload) // 2 * 2], dtype="<i2")
+
+
+def wav_pcm_stats(data: bytes) -> tuple[int, int, int, int, int] | None:
+    """SAMPLE-level PCM decode of a 16-bit RIFF/WAVE payload → exact
+    integer aggregates (n_samples, sum_amp, sum_sq, peak_abs, n_clipped),
+    or None for non-WAV / non-16-bit input.
+
+    This is a real decode — the data chunk's bytes are interpreted as
+    interleaved little-endian int16 frames (numpy.frombuffer, summed in
+    int64) — not a header sniff: uncompressed PCM needs no codec
+    library, so the pixel-stub limitation does not apply to audio.
+    Aggregates instead of raw samples keep the operator's output
+    O(files) not O(samples); all five are exact integers (sum_sq of a
+    bounded clip stays far under 2^63), the RMS/loudness ratios are the
+    consumer's one division (the q8 num/den discipline).
+    """
+    import numpy as np
+
+    samples = _wav_pcm_samples(data)
+    if samples is None:
+        return None
     if len(samples) == 0:
         return 0, 0, 0, 0, 0
     s64 = samples.astype(np.int64)
@@ -769,6 +780,130 @@ def decode_wav_pcm(df: DataFrame, binary_col: str = "data",
     return df.mapInPandas(
         run, schema=("media_id long, n_samples long, sum_amp long, "
                      "sum_sq long, peak_abs long, n_clipped long"))
+
+
+def pcm_frame_energies(data: bytes, frame: int = 160) -> list[int] | None:
+    """Per-frame exact energy of a 16-bit PCM WAV: the interleaved sample
+    stream is cut into consecutive ``frame``-sample blocks and each block's
+    Σv² is returned as an exact int (a trailing partial block is dropped).
+    None for non-WAV / non-16-bit input.
+
+    This is the segmentation primitive under VAD / silence-split / loudness
+    profiling: energies are O(samples/frame) per file, integer-exact (so
+    downstream thresholding can use cross-multiplied comparisons instead of
+    IEEE division), and each file decodes independently — map-only at any
+    corpus size."""
+    import numpy as np
+
+    samples = _wav_pcm_samples(data)
+    if samples is None:
+        return None
+    n = len(samples) // frame * frame
+    if n == 0:
+        return []
+    s64 = samples[:n].astype(np.int64).reshape(-1, frame)
+    return [int(e) for e in (s64 * s64).sum(axis=1)]
+
+
+def pcm_frame_energy_df(df: DataFrame, binary_col: str = "data",
+                        id_col: str = "media_id",
+                        frame: int = 160) -> DataFrame:
+    """binary column → one row per PCM frame (media_id, frame_idx, energy)
+    via :func:`pcm_frame_energies` (Arrow-batched mapInPandas flatMap;
+    non-decodable rows dropped)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "energy": []}
+            for mid, b in zip(pdf[id_col], pdf[binary_col]):
+                es = pcm_frame_energies(bytes(b), frame)
+                if es is None:
+                    continue
+                for j, e in enumerate(es):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(j)
+                    out["energy"].append(e)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="media_id long, frame_idx long, energy long")
+
+
+def ahash64_words(w: int, h: int, ch: int, pixels: bytes) \
+        -> tuple[int, int] | None:
+    """64-bit average-hash (aHash) of decoded RGB(A) pixels as two exact
+    32-bit words ``(hash_hi, hash_lo)`` — the perceptual-dedup signature.
+
+    The image is divided into an 8×8 grid of equal cells (requires w, h
+    divisible by 8; returns None otherwise — production would resample
+    first, which needs interpolation this integer kernel refuses to fake).
+    Each pixel contributes integer luma 299·R + 587·G + 114·B (the BT.601
+    weights ×1000, so everything stays integral); bit b is set iff
+    cell_sum·64 > total_sum (cross-multiplied — no division, no float).
+
+    The hash is EXACTLY invariant under a constant per-channel brightness
+    shift that avoids clamping: a shift of c adds c·1000·(pixels/cell) to
+    every cell and 64× that to the total, which cancels in the
+    cross-multiplied comparison — the invariance the phash gate plants
+    against.  Two 32-bit words instead of one 64-bit value keep every
+    downstream shift ≤ 31 (DuckDB raises on 1<<63)."""
+    if w % 8 or h % 8 or ch < 3:
+        return None
+    cw, chh = w // 8, h // 8
+    cells = [0] * 64
+    stride = w * ch
+    for y in range(h):
+        row8 = (y // chh) * 8
+        base = y * stride
+        for x in range(w):
+            p = base + x * ch
+            luma = (299 * pixels[p] + 587 * pixels[p + 1]
+                    + 114 * pixels[p + 2])
+            cells[row8 + x // cw] += luma
+    total = sum(cells)
+    lo = hi = 0
+    for b in range(64):
+        if cells[b] * 64 > total:
+            if b < 32:
+                lo |= 1 << b
+            else:
+                hi |= 1 << (b - 32)
+    return hi, lo
+
+
+def png_ahash(df: DataFrame, binary_col: str = "data",
+              id_col: str = "media_id") -> DataFrame:
+    """binary PNG column → (media_id, width, height, hash_hi, hash_lo)
+    perceptual signatures: :func:`decode_png_pixels` (real zlib + filter
+    inversion) composed with :func:`ahash64_words`.  Rows that fail to
+    decode or whose dimensions aren't 8-divisible are dropped.  Map-only:
+    each file hashes independently, the dedup join downstream shuffles
+    only the 16-byte signatures."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "hash_hi": [], "hash_lo": []}
+            for mid, b in zip(pdf[id_col], pdf[binary_col]):
+                got = decode_png_pixels(bytes(b))
+                if got is None:
+                    continue
+                w, h, ch, px = got
+                words = ahash64_words(w, h, ch, px)
+                if words is None:
+                    continue
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["hash_hi"].append(words[0])
+                out["hash_lo"].append(words[1])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema=("media_id long, width long, height long, "
+                     "hash_hi long, hash_lo long"))
 
 
 def png_chunk_integrity(data: bytes) -> tuple[int, int, bool] | None:

@@ -8,7 +8,7 @@ bit-identical across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..pipeline.dedup import (
@@ -4721,3 +4721,229 @@ FROM px GROUP BY media_id
 
 register("multimodal_png_pixel_stats", multimodal_png_pixel_stats,
          _PNG_PIXEL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash image dedup (r5 wave 12): the multimodal twin of the
+# text near-dup family — REAL PNG pixel decode (zlib + filter inversion)
+# → integer 8x8 average-hash (pipeline.multimodal.ahash64_words) →
+# signature equi-join.  The planted near-dups (doc_id < 40, media_id
+# +50000000) are brightness-shifted copies (+16 on every channel, fixture
+# pixels capped at 223 so nothing clamps): byte-level dedup CANNOT pair
+# them, but aHash is exactly invariant under unclamped constant shifts
+# (cross-multiplied cell-vs-mean bits — see the kernel docstring), so the
+# engine must decode pixels and hash perceptually to go green.  Pixels
+# carry a quadratic term ((i*i)%97) so cell sums differ across images —
+# a purely linear ramp would collapse many originals into one bucket.
+# Scale shape: hashing is map-only; the pair join shuffles 16-byte
+# signatures on (hash_hi, hash_lo) — never pixels, never all-pairs.
+# --------------------------------------------------------------------------
+
+
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.multimodal import png_ahash, write_png
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
+        .select(F.col("doc_id").alias("media_id"))
+    dups = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40) \
+        .select((F.col("doc_id") + 50000000).alias("media_id"))
+
+    def make_png(media_id: int) -> bytes:
+        base, delta = (media_id - 50000000, 16) \
+            if media_id >= 50000000 else (media_id, 0)
+        w, h = 16 + 8 * (base % 2), 16
+        n = w * h * 3
+        px = bytes((base * 31 + i * 7 + (i * i) % 97) % 224 + delta
+                   for i in range(n))
+        return write_png(px, w, h, 3, [(base + r) % 5 for r in range(h)])
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "data": [make_png(int(m)) for m in pdf["media_id"]]})
+
+    media = docs.unionByName(dups).mapInPandas(
+        synth, schema="media_id long, data binary")
+    sig = png_ahash(media).select("media_id", "hash_hi", "hash_lo")
+    a = sig.select(F.col("media_id").alias("id_a"), "hash_hi", "hash_lo")
+    b = sig.select(F.col("media_id").alias("id_b"),
+                   F.col("hash_hi").alias("bh"), F.col("hash_lo").alias("bl"))
+    return (a.join(b, (F.col("hash_hi") == F.col("bh"))
+                   & (F.col("hash_lo") == F.col("bl"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", "hash_hi", "hash_lo"))
+
+
+#: The oracle recomputes luma → cell sums → threshold bits → packed words
+#: arithmetically from the fixture formula: the engine must invert zlib +
+#: all five PNG filters AND reproduce the exact integer hash to match.
+_PHASH_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id AS base, 0 AS delta,
+         16 + 8 * (doc_id % 2) AS w, 16 AS h
+  FROM documents WHERE doc_id <= 300
+  UNION ALL
+  SELECT doc_id + 50000000, doc_id, 16, 16 + 8 * (doc_id % 2), 16
+  FROM documents WHERE doc_id < 40
+),
+px AS (
+  SELECT media_id, w, h, i,
+         (base * 31 + i * 7 + (i * i) % 97) % 224 + delta AS v
+  FROM m, LATERAL (SELECT unnest(range(0, w * h * 3)) AS i)
+),
+lum AS (
+  SELECT media_id, w, h, i // 3 AS p,
+         SUM(v * CASE i % 3 WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END)
+           AS luma
+  FROM px GROUP BY 1, 2, 3, 4
+),
+cells AS (
+  SELECT media_id,
+         ((p // w) // (h // 8)) * 8 + (p % w) // (w // 8) AS cell,
+         SUM(luma) AS cs
+  FROM lum GROUP BY 1, 2
+),
+bits AS (
+  SELECT media_id, cell,
+         CASE WHEN cs * 64 > SUM(cs) OVER (PARTITION BY media_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM cells
+),
+hw AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN cell >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (cell - 32))
+                       ELSE 0 END) AS BIGINT) AS hash_hi,
+         CAST(SUM(CASE WHEN cell < 32
+                       THEN bit * (CAST(1 AS BIGINT) << cell)
+                       ELSE 0 END) AS BIGINT) AS hash_lo
+  FROM bits GROUP BY 1
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b, a.hash_hi, a.hash_lo
+FROM hw a JOIN hw b
+  ON a.hash_hi = b.hash_hi AND a.hash_lo = b.hash_lo
+ AND a.media_id < b.media_id
+"""
+
+register("multimodal_phash_pairs", multimodal_phash_pairs, _PHASH_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Audio frame-energy segmentation (r5 wave 12): the VAD / silence-split
+# primitive over the REAL PCM decode — per-frame exact energies
+# (pipeline.multimodal.pcm_frame_energies), loud = frame energy above the
+# file mean (cross-multiplied: energy·n_frames > Σenergy — no division),
+# then gaps-and-islands over the loud frames → per-file segment profile.
+# Same fixture family as multimodal_wav_pcm_stats so DuckDB reproduces
+# every sample arithmetically.  Windows partition per media_id (≤ 102
+# frames each) — bounded, never global.  Single-frame files keep the
+# strict > comparison false (energy·1 > energy) → zero loud frames; the
+# left join keeps them with zeroed counts (branch-audited below).
+# --------------------------------------------------------------------------
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    import pandas as pd
+
+    from ..pipeline.multimodal import pcm_frame_energy_df
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def make_pcm_wav(mid: int) -> bytes:
+        ch = 1 + mid % 2
+        n = (mid % 50 + 1) * 160 * ch
+        import numpy as np
+
+        i = np.arange(n, dtype=np.int64)
+        v = ((mid * 7919 + i * 31) % 65536 - 32768).astype("<i2")
+        payload = v.tobytes()
+        rate = 8000
+        fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+        body = (b"fmt " + _struct.pack("<I", 16) + fmt
+                + b"data" + _struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "data": [make_pcm_wav(int(m)) for m in pdf["media_id"]]})
+
+    media = docs.mapInPandas(synth, schema="media_id long, data binary")
+    frames = pcm_frame_energy_df(media, frame=160)
+
+    wfile = Window.partitionBy("media_id")
+    marked = frames.select(
+        "media_id", "frame_idx", "energy",
+        F.count("*").over(wfile).alias("n_frames"),
+        F.sum("energy").over(wfile).alias("total_e"))
+    loud = marked.where(
+        F.col("energy") * F.col("n_frames") > F.col("total_e"))
+    wseq = Window.partitionBy("media_id").orderBy("frame_idx")
+    runs = (loud.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(wseq))
+        .groupBy("media_id", "grp").agg(F.count("*").alias("run_len")))
+    seg = runs.groupBy("media_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("run_len").alias("n_loud"),
+        F.max("run_len").alias("max_run"))
+    per_file = frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"))
+    return (per_file.join(seg, "media_id", "left")
+            .select("media_id", "n_frames",
+                    F.coalesce("n_loud", F.lit(0)).alias("n_loud"),
+                    F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+                    F.coalesce("max_run", F.lit(0)).alias("max_run")))
+
+
+_AUDIO_ENERGY_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 50 + 1) * 160 * (1 + doc_id % 2) AS n
+  FROM documents WHERE doc_id <= 300
+),
+v AS (
+  SELECT media_id, i // 160 AS frame_idx,
+         (media_id * 7919 + i * 31) % 65536 - 32768 AS v
+  FROM m, LATERAL (SELECT unnest(range(0, n)) AS i)
+),
+fr AS (
+  SELECT media_id, frame_idx, SUM(v * v) AS energy
+  FROM v GROUP BY 1, 2
+),
+mk AS (
+  SELECT media_id, frame_idx, energy,
+         COUNT(*) OVER (PARTITION BY media_id) AS n_frames,
+         SUM(energy) OVER (PARTITION BY media_id) AS total_e
+  FROM fr
+),
+loud AS (
+  SELECT media_id, frame_idx,
+         frame_idx - ROW_NUMBER() OVER (PARTITION BY media_id
+                                        ORDER BY frame_idx) AS grp
+  FROM mk WHERE energy * n_frames > total_e
+),
+runs AS (
+  SELECT media_id, grp, COUNT(*) AS run_len FROM loud GROUP BY 1, 2
+),
+seg AS (
+  SELECT media_id, COUNT(*) AS n_segments, SUM(run_len) AS n_loud,
+         MAX(run_len) AS max_run
+  FROM runs GROUP BY 1
+)
+SELECT f.media_id, f.n_frames,
+       CAST(COALESCE(s.n_loud, 0) AS BIGINT) AS n_loud,
+       CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(s.max_run, 0) AS BIGINT) AS max_run
+FROM (SELECT media_id, COUNT(*) AS n_frames FROM fr GROUP BY 1) f
+LEFT JOIN seg s ON f.media_id = s.media_id
+"""
+
+register("multimodal_audio_energy", multimodal_audio_energy,
+         _AUDIO_ENERGY_ORACLE)

@@ -648,3 +648,74 @@ def test_png_decode_third_party_file():
         decoded += 1
     if decoded == 0:
         pytest.skip("no decodable system PNGs on this host")
+
+
+def test_ahash64_brightness_invariance_and_sensitivity():
+    """aHash is exactly invariant under unclamped constant brightness
+    shifts (the phash gate's plant class) yet changes when cell structure
+    changes (not a constant function)."""
+    from pigeon_optics_spark.pipeline.multimodal import ahash64_words
+
+    w = h = 16
+    base = bytes((i * 7 + (i * i) % 97) % 224 for i in range(w * h * 3))
+    shifted = bytes(v + 16 for v in base)
+    hw0 = ahash64_words(w, h, 3, base)
+    assert hw0 == ahash64_words(w, h, 3, shifted)
+    assert 0 <= hw0[0] < (1 << 32) and 0 <= hw0[1] < (1 << 32)
+    # brighten ONLY the top half: top cells flip relative to the mean
+    half = bytearray(base)
+    for i in range(len(half) // 2):
+        half[i] = min(255, half[i] + 120)
+    assert ahash64_words(w, h, 3, bytes(half)) != hw0
+    # non-8-divisible dims refuse (no fake resampling)
+    assert ahash64_words(12, 16, 3, bytes(12 * 16 * 3)) is None
+
+
+def test_ahash64_matches_bruteforce_reference():
+    """Kernel vs an independent dict-based reference on RGBA pixels."""
+    from pigeon_optics_spark.pipeline.multimodal import ahash64_words
+
+    w, h, ch = 24, 8, 4
+    px = bytes((i * 13 + (i * i * i) % 31) % 256 for i in range(w * h * ch))
+    cells = {}
+    for y in range(h):
+        for x in range(w):
+            p = (y * w + x) * ch
+            luma = 299 * px[p] + 587 * px[p + 1] + 114 * px[p + 2]
+            key = (y // (h // 8)) * 8 + x // (w // 8)
+            cells[key] = cells.get(key, 0) + luma
+    total = sum(cells.values())
+    hi = lo = 0
+    for b, cs in cells.items():
+        if cs * 64 > total:
+            if b < 32:
+                lo |= 1 << b
+            else:
+                hi |= 1 << (b - 32)
+    assert ahash64_words(w, h, ch, px) == (hi, lo)
+
+
+def test_pcm_frame_energies_consistent_with_stats():
+    """Σ per-frame energies + tail == wav_pcm_stats sum_sq; frame cut and
+    tail-drop semantics pinned."""
+    import numpy as np
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        pcm_frame_energies, wav_pcm_stats)
+
+    n = 160 * 3 + 57          # deliberately non-multiple: 57-sample tail
+    i = np.arange(n, dtype=np.int64)
+    v = ((i * 31 + 5) % 65536 - 32768).astype("<i2")
+    payload = v.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(payload)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(payload)) + payload)
+    es = pcm_frame_energies(wav, frame=160)
+    assert len(es) == 3
+    s64 = v.astype(np.int64)
+    for j, e in enumerate(es):
+        assert e == int((s64[j * 160:(j + 1) * 160] ** 2).sum())
+    stats = wav_pcm_stats(wav)
+    assert sum(es) + int((s64[480:] ** 2).sum()) == stats[2]
+    assert pcm_frame_energies(b"RIFX" + wav[4:]) is None
