@@ -383,6 +383,85 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, m: int = 8, k: int = 16,
             .select("query_id", "rank", "neighbor_id", "adc_dist2"))
 
 
+def sq8_encode(corpus: DataFrame, grid: int = 10_000,
+               id_col: str = "vec_id", vec_col: str = "embedding") \
+        -> tuple[DataFrame, list[int], list[int]]:
+    """Scalar quantization (the SQ8 / int8 ANN storage tier): each dimension
+    is affinely mapped to a 0..255 code from its corpus-wide [min, max].
+
+    Everything is exact-integer so the oracle can reproduce it: vectors are
+    first snapped to the ``floor(x·grid)`` BIGINT lattice (the emb_covariance
+    idiom), per-dim min/max is a bounded ``dim``-row aggregate collected to
+    literals (the centroid-literal pattern — ships inside the plan, no
+    training state on executors), and the code is the integer floor division
+    ``(v − mn)·255 // max(mx − mn, 1)`` (a constant dimension maps to code 0
+    via the GREATEST guard — same formula both engines).  The division runs
+    in doubles but is provably exact-floor: numerators ≤ range·255 ≈ 5·10⁶
+    are double-exact, IEEE quotients are correctly rounded, and a non-exact
+    quotient sits ≥ 1/range ≫ ulp away from the nearest integer.
+
+    → (codes DataFrame (id, codes array<long>), mn list, rng list).
+    Scale shape: ONE bounded stats pass, then map-only encode — codes are
+    1 byte/dim of information vs 4, the memory tier between full vectors
+    and PQ."""
+    gcol = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(grid))).cast("long"))
+    stats = (corpus.select(F.posexplode(gcol).alias("d", "v"))
+             .groupBy("d").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+             .orderBy("d").collect())
+    mn = [int(r["mn"]) for r in stats]
+    rng = [max(int(r["mx"]) - int(r["mn"]), 1) for r in stats]
+    mn_lit = F.array(*[F.lit(v) for v in mn])
+    rng_lit = F.array(*[F.lit(v) for v in rng])
+    codes = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            gcol,
+            lambda x, i: F.floor(
+                ((x - F.element_at(mn_lit, i + 1)) * F.lit(255))
+                .cast("double")
+                / F.element_at(rng_lit, i + 1).cast("double")).cast("long"),
+        ).alias("codes"))
+    return codes, mn, rng
+
+
+def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             grid: int = 10_000, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric top-k over SQ8 codes: the corpus side keeps only its
+    scalar-quantized codes (:func:`sq8_encode`), queries keep the full
+    ``grid`` lattice — the SQ analogue of PQ's ADC.  The score is the exact
+    BIGINT inner product ⟨query-lattice, corpus-codes⟩ (codes ≤ 255,
+    lattice ≤ grid·|x|, 64 dims → far under 2^63), so ranking is integer-
+    deterministic and the DuckDB oracle reproduces it bit-for-bit; a
+    production deployment would de-affine scores with the stored (mn, rng)
+    — a per-row epilogue that doesn't change the machinery.
+
+    → (query_id, rank, neighbor_id, score).  Plan: bounded query side
+    broadcast into the code scan (the pq_topk/ADC whitelist class), one
+    window top-k.  At 100 TB the corpus scan reads 1-byte codes instead of
+    float vectors — a 4× IO tier with none of PQ's codebook training."""
+    codes, _mn, _rng = sq8_encode(corpus, grid, id_col, vec_col)
+    qgrid = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(grid)))
+            .cast("long")).alias("qg"))
+    pairs = (codes.withColumnRenamed("id", "neighbor_id")
+             .join(F.broadcast(qgrid),
+                   F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("score", F.aggregate(
+                 F.zip_with("codes", "qg", lambda c, q: c * q),
+                 F.lit(0).cast("long"), lambda acc, v: acc + v)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "score"))
+
+
 def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
                n_centroids: int = 16, n_probe: int = 4, m: int = 8,
                k: int = 16, id_col: str = "vec_id",

@@ -4947,3 +4947,63 @@ LEFT JOIN seg s ON f.media_id = s.media_id
 
 register("multimodal_audio_energy", multimodal_audio_energy,
          _AUDIO_ENERGY_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar-quantization ANN (r5 wave 12): the third compression tier of
+# the ANN family — full vectors (brute force) > SQ8 codes (this gate:
+# 1 byte/dim, no training) > PQ codes (8 bytes/vec, trained codebook).
+# pipeline.similarity.sq8_encode/sq8_topk: per-dim [min,max] from ONE
+# bounded stats pass (collected to plan literals), integer floor-division
+# codes, exact BIGINT asymmetric inner product — every step reproducible
+# in DuckDB, so unlike float ANN scores the ranking gate is hash-exact.
+# Query side = 20 SF-invariant vectors broadcast into the code scan
+# (audited BNLJ whitelist class, same as emb_pq_topk's ADC scan).
+# --------------------------------------------------------------------------
+
+
+def emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import sq8_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return sq8_topk(emb.where(F.col("vec_id") < 20), emb, k=5)
+
+
+#: DuckDB list lambdas are 1-based (emb_covariance note); '//' on BIGINTs
+#: is integer floor division, matching the engine's provably-exact-floor
+#: double path; SUM → HUGEINT needs the BIGINT cast.
+_SQ8_ORACLE = """
+WITH g AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS gv
+  FROM embeddings
+),
+e2 AS (
+  SELECT vec_id, s.i AS i, s.v AS v FROM (
+    SELECT vec_id,
+           unnest(list_transform(gv, (x, i) -> {'i': i - 1, 'v': x})) AS s
+    FROM g) t
+),
+dims AS (
+  SELECT i, MIN(v) AS mn, GREATEST(MAX(v) - MIN(v), 1) AS rng
+  FROM e2 GROUP BY i
+),
+codes AS (
+  SELECT e2.vec_id, e2.i, (e2.v - d.mn) * 255 // d.rng AS code
+  FROM e2 JOIN dims d ON e2.i = d.i
+),
+sc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(q.v * c.code) AS BIGINT) AS score
+  FROM e2 q JOIN codes c ON q.i = c.i AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM sc) WHERE rank <= 5
+"""
+
+register("emb_sq8_topk", emb_sq8_topk, _SQ8_ORACLE)

@@ -553,3 +553,48 @@ class TestTriangleEnumerate:
         got = self._spark_triangles(spark, edges)
         assert got == self._brute(edges)
         assert got, "fixture must actually contain triangles"
+
+
+def test_sq8_encode_and_topk_match_python_replica(spark):
+    """SQ8 codes are 0..255, constant dims map to 0, and the asymmetric
+    integer scores + ranking equal an independent pure-Python replica."""
+    import math
+
+    from pigeon_optics_spark.pipeline.similarity import sq8_encode, sq8_topk
+
+    rng = __import__("random").Random(20260814)
+    dim, n, grid = 6, 30, 10_000
+    vecs = []
+    for vid in range(n):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        v[3] = 0.25            # constant dimension → rng guard → code 0
+        vecs.append((vid, v))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    # python replica on the SAME float32-rounded values Spark stores
+    import numpy as np
+
+    g = {vid: [math.floor(float(np.float32(x)) * grid) for x in v]
+         for vid, v in vecs}
+    mn = [min(g[vid][d] for vid in g) for d in range(dim)]
+    rr = [max(max(g[vid][d] for vid in g) - mn[d], 1) for d in range(dim)]
+    codes = {vid: [(gv[d] - mn[d]) * 255 // rr[d] for d in range(dim)]
+             for vid, gv in g.items()}
+
+    got_codes = {r["id"]: list(r["codes"])
+                 for r in sq8_encode(emb, grid)[0].collect()}
+    assert got_codes == codes
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+    assert all(cs[3] == 0 for cs in codes.values())
+
+    got = [(r["query_id"], r["rank"], r["neighbor_id"], r["score"])
+           for r in sq8_topk(emb.where("vec_id < 3"), emb, k=4, grid=grid)
+           .collect()]
+    want = []
+    for q in range(3):
+        scored = sorted(
+            ((sum(gq * c for gq, c in zip(g[q], codes[v])), v)
+             for v in g if v != q),
+            key=lambda t: (-t[0], t[1]))[:4]
+        want += [(q, i + 1, v, s) for i, (s, v) in enumerate(scored)]
+    assert sorted(got) == sorted(want)

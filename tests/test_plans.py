@@ -702,6 +702,7 @@ _BNLJ_WHITELIST = {
     "ann_recall_eval",       # bounded query set vs corpus, brute-force tier
     "ann_topk_methods",      # same (brute-force branch)
     "emb_pq_topk",           # ADC scan: broadcast query literals
+    "emb_sq8_topk",          # SQ8 code scan: 20-query broadcast, ADC class
     "emb_maxsim_colbert",    # 8-row query bag broadcast
     "q22_idle_balance",      # 1-row global average threshold
     "q11_important_parts",   # 1-row grand-total threshold
