@@ -2328,3 +2328,132 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_percentile_disc", q_percentile_disc, _PDISC_SQL)
+
+
+# --------------------------------------------------------------------------
+# q20-style potential part promotion (r5 wave 12) — the LAST TPC-H shape
+# (with this, all 22 query numbers have an adapted gate): nested
+# correlated-aggregate threshold → semi-join chain up to the supplier
+# dimension.  ADAPTED like q11/q16: no partsupp table in this testdata, so
+# "availability" per (supplier, part) is lifetime shipped quantity and the
+# Q20 predicate availqty > 0.5 · qty-shipped-in-period becomes
+# remaining = qall − q96 > q96/2, decided division-free on the BIGINT
+# quantity grid (2·qall > 3·q96 — l_quantity is integral 1..50).  Pairs
+# with q96 = 0 are excluded (a zero period-demand threshold accepts any
+# stock — the trivially-green flood; original Q20's partsupp row implies
+# the part was stocked, ours must imply it was SHIPPED in-period).
+# Shape preserved: p_name prefix filter pushed to the part scan → pair
+# aggregate over the part-filtered lineitem → semi-join into supplier →
+# nation-name filter.  Both qualifying and failing pairs live at every SF
+# (77/11 at sf0.001, 203/907 at sf0.01, 200/10662 at sf0.1).
+# --------------------------------------------------------------------------
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    qty = F.col("l_quantity").cast("long")
+    pairs = (
+        li.join(F.broadcast(part.where(F.col("p_name").like("large%"))
+                            .select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qty).alias("qall"),
+             F.sum(F.when(F.year("l_shipdate") == 1996, qty)
+                   .otherwise(F.lit(0))).alias("q96"))
+        .where((F.col("q96") > 0)
+               & (F.lit(2) * F.col("qall") > F.lit(3) * F.col("q96")))
+    )
+    return (
+        sup.join(pairs.select("l_suppkey").distinct(),
+                 F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat.where(F.col("n_name").like("NATION_1%"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_Q20_ORACLE = """
+WITH pairs AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS qall,
+         SUM(CASE WHEN EXTRACT(year FROM l_shipdate) = 1996
+                  THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS q96
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'large%'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name LIKE 'NATION_1%'
+  AND s_suppkey IN (SELECT l_suppkey FROM pairs
+                    WHERE q96 > 0 AND 2 * qall > 3 * q96)
+"""
+
+register("q20_potential_promotion", q20_potential_promotion, _Q20_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit (r5 wave 12): the data-profiling op under
+# schema discovery / Deequ-style constraint suggestion — for each candidate
+# FD lhs → rhs, how many lhs groups exist, how many are violated (> 1
+# distinct rhs), and the worst group's variant count.  Three live
+# candidates (part→supplier fan-out, customer→priority, nation→segment)
+# plus a key-determined control (c_custkey → c_mktsegment) so the
+# holds=true branch is live by construction.  Plan: one groupBy per
+# candidate over its single table (map-side partial count-distinct), then
+# a 1-row rollup each — no joins; at 100 TB each candidate is one shuffle
+# on its lhs.  All counts exact integers.
+# --------------------------------------------------------------------------
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(df: DataFrame, fd: str, lhs: str, rhs: str) -> DataFrame:
+        return (df.groupBy(lhs)
+                .agg(F.countDistinct(rhs).alias("nv"))
+                .agg(F.lit(fd).alias("fd"),
+                     F.count("*").alias("n_groups"),
+                     F.sum(F.when(F.col("nv") > 1, 1).otherwise(0))
+                     .alias("n_violating"),
+                     F.max("nv").alias("max_rhs_variants"))
+                .withColumn("holds", F.col("n_violating") == 0))
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        audit(li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey")
+        .unionByName(audit(orders, "o_custkey->o_orderpriority",
+                           "o_custkey", "o_orderpriority"))
+        .unionByName(audit(cust, "c_nationkey->c_mktsegment",
+                           "c_nationkey", "c_mktsegment"))
+        .unionByName(audit(cust, "c_custkey->c_mktsegment",
+                           "c_custkey", "c_mktsegment"))
+    )
+
+
+_FD_ORACLE = """
+WITH a AS (
+  SELECT 'l_partkey->l_suppkey' AS fd, l_partkey AS lhs,
+         COUNT(DISTINCT l_suppkey) AS nv FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'o_custkey->o_orderpriority', o_custkey,
+         COUNT(DISTINCT o_orderpriority) FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'c_nationkey->c_mktsegment', c_nationkey,
+         COUNT(DISTINCT c_mktsegment) FROM customer GROUP BY 2
+  UNION ALL
+  SELECT 'c_custkey->c_mktsegment', c_custkey,
+         COUNT(DISTINCT c_mktsegment) FROM customer GROUP BY 2
+)
+SELECT fd, COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(MAX(nv) AS BIGINT) AS max_rhs_variants,
+       SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM a GROUP BY fd
+"""
+
+register("q_fd_violations", q_fd_violations, _FD_ORACLE)
