@@ -2230,3 +2230,64 @@ FROM feat WHERE event_type = 'purchase'
 
 register("events_feature_snapshot", events_feature_snapshot,
          _FEATURE_SNAP_ORACLE)
+
+
+def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join as the 11th real Structured Streaming run — the
+    canonical enrichment topology (Kafka stream ⋈ broadcast dimension) that
+    none of the prior ten runs exercised: the events file stream is joined
+    to the static ``customer`` table (user_id = c_custkey) INSIDE the
+    streaming query, then aggregated per (market segment, 1-day window).
+
+    Stream-static inner joins are stateless in Spark's model (each
+    micro-batch probes the static side; no watermark, no join state), so
+    complete-mode windowed aggregation converges to exactly the batch
+    answer — the unified-model guarantee this gate turns into a check.
+    The dimension is broadcast per micro-batch: at 100 TB of events the
+    static side is the small one (bounded customers), which is precisely
+    the broadcast-enrichment shape a production pipeline runs.
+
+    Decimal value sums (dsum) keep the hash engine-exact, as in every
+    batch twin.  Events whose user has no customer row would drop (inner
+    join semantics); the fixture's user ids are a subset of customer keys
+    at every SF, so the gate's row count also pins that no row leaks.
+    """
+    import tempfile
+
+    from ._util import load
+
+    d = _stream_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_static_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema).parquet(d)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"),
+             F.expr(dsum("value", "total_value", 8)).alias("total_value"))
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "c_mktsegment",
+        "n_events", "total_value")
+
+
+_STREAM_STATIC_ORACLE = f"""
+SELECT time_bucket(INTERVAL 1 DAY, e.ts) AS window_start, c.c_mktsegment,
+       COUNT(*) AS n_events,
+       {dsum('e.value', 'total_value', 8)}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+register("events_stream_static_join", events_stream_static_join,
+         _STREAM_STATIC_ORACLE)
