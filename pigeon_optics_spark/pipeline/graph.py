@@ -131,6 +131,45 @@ def triangle_enumerate(edges: DataFrame) -> DataFrame:
                        srt[2].alias("p3"))
 
 
+def kcore(edges: DataFrame, k: int, max_rounds: int = 20,
+          src: str = "u", dst: str = "v") -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly remove nodes
+    whose degree among SURVIVORS is < k until a fixpoint — the classic
+    community-density / spam-subgraph primitive (the fifth graph family
+    after components, pagerank, triangles, BFS).
+
+    ``edges``: undirected, one row per edge (pre-deduped, the
+    triangle_enumerate contract).  → (node, core_deg): the surviving
+    k-core members with their degree INSIDE the core.
+
+    Scale shape: each round is one degree aggregation (map-side combined)
+    + two anti-joins pruning the edge list, ``localCheckpoint``-ed so the
+    loop's lineage stays flat (the connected-components lesson).  The only
+    driver-side values are the per-round removal COUNTs — the scalar
+    round-control class (kmeans/pagerank stance).  Peeling converges in
+    O(peel depth) rounds (degeneracy ordering depth), data-dependent:
+    exceeding ``max_rounds`` raises instead of silently returning a
+    non-core (fixture-drift guard; the oracle unrolls a fixed superset of
+    rounds, which is safe because peeling is idempotent at fixpoint)."""
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionAll(edges.select(F.col(dst).alias("a"),
+                                  F.col(src).alias("b"))))\
+        .localCheckpoint()
+    for _ in range(max_rounds):
+        deg = und.groupBy("a").agg(F.count("*").alias("core_deg"))
+        removed = deg.where(F.col("core_deg") < k).select("a")
+        if removed.count() == 0:
+            return deg.select(F.col("a").alias("node"), "core_deg")
+        rm_a = removed
+        rm_b = removed.select(F.col("a").alias("b"))
+        und = (und.join(rm_a, "a", "left_anti")
+               .join(rm_b, "b", "left_anti")
+               .localCheckpoint())
+    raise RuntimeError(
+        f"k-core did not converge within {max_rounds} rounds — "
+        "graph shape drifted; raise max_rounds and re-unroll the oracle")
+
+
 def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
                   src: str = "u", dst: str = "v") -> DataFrame:
     """Multi-source BFS over an undirected edge list: shortest hop count

@@ -4344,6 +4344,79 @@ register("graph_bfs_distances", graph_bfs_distances, _BFS_ORACLE)
 
 
 # --------------------------------------------------------------------------
+# k-core decomposition (r5 wave 12): iterative peeling over the
+# co-purchase graph (pipeline.graph.kcore, k=3) — the density-community
+# primitive, fifth graph family.  The natural graph's k=3 behavior flips
+# with SF (sf0.001 fully survives, sf0.1 fully peels), so BOTH branches
+# are planted live by construction: a K6 clique (+90M ids, internal
+# degree 5 ≥ 3 — must survive even though nothing else at sf0.1 does)
+# and a 4-node chain (+91M, degree ≤ 2 — must peel even at dense
+# sf0.001).  The engine iterates to fixpoint with a drift-guard raise;
+# the oracle unrolls 14 peel rounds (max observed 10 at sf0.01), safe
+# because peeling is idempotent at fixpoint.  Survivors report their
+# IN-CORE degree, so the falsifiable content is the remaining topology,
+# not just membership.
+# --------------------------------------------------------------------------
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.graph import kcore
+
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+    pairs = baskets.select(F.explode(
+        ordered_pairs_col(F.col("items"), "u", "v")).alias("p"))
+    edges = (pairs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+             .agg(F.count("*").alias("sup"))
+             .where(F.col("sup") >= 2)
+             .select("u", "v"))
+    planted = spark.createDataFrame(
+        _KCORE_PLANTED, "u long, v long")
+    return kcore(edges.unionByName(planted), k=3)
+
+
+_KCORE_PLANTED = (
+    [(90000000 + i, 90000000 + j) for i in range(6) for j in range(i + 1, 6)]
+    + [(91000000 + i, 91000000 + i + 1) for i in range(3)])
+
+
+def _kcore_oracle() -> str:
+    # every alive{r} is referenced twice per round and feeds the next round:
+    # DuckDB inlines plain CTEs, so without MATERIALIZED the expansion tree
+    # doubles per unrolled round (2^14 lineitem scans — found as a "too many
+    # open files" blowup at sf0.001)
+    values = ", ".join(f"({u}, {v})" for u, v in _KCORE_PLANTED)
+    parts = [f"""WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+planted(u, v) AS (VALUES {values}),
+alledges AS (SELECT u, v FROM edges UNION ALL SELECT u, v FROM planted),
+und AS MATERIALIZED (SELECT u AS a, v AS b FROM alledges
+        UNION ALL SELECT v AS a, u AS b FROM alledges),
+alive0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und)"""]
+    rounds = 14
+    for r in range(rounds):
+        parts.append(f"""deg{r} AS MATERIALIZED (
+  SELECT u.a AS node, COUNT(*) AS core_deg FROM und u
+  JOIN alive{r} x ON u.a = x.node
+  JOIN alive{r} y ON u.b = y.node
+  GROUP BY u.a
+),
+alive{r + 1} AS MATERIALIZED (SELECT node FROM deg{r} WHERE core_deg >= 3)""")
+    return (",\n".join(parts)
+            + f"\nSELECT node, core_deg FROM deg{rounds - 1} "
+              "WHERE core_deg >= 3")
+
+
+register("graph_kcore", graph_kcore, _kcore_oracle())
+
+
+# --------------------------------------------------------------------------
 # WAV PCM sample decode (r5 wave 11): the first SAMPLE-level (not header)
 # media decode in the suite — possible without codec libraries because
 # 16-bit PCM is raw interleaved int16.  Fixture WAVs carry doc_id-derived

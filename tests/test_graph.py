@@ -91,3 +91,42 @@ def test_bfs_distances_matches_python_bfs(spark):
     assert got == want
     # path tail: 0 -> 100 (h1) -> 101 (h2) -> 102 (h3); 103+ beyond bound
     assert 102 in got and 103 not in got
+
+
+def test_kcore_matches_python_peeling(spark):
+    """kcore vs an independent Python peel on a mixed graph: a K5 clique
+    (4-core), a C4 ring (2-core), a chain, and a bridge between clique
+    and ring; verified at k=2 and k=3 including in-core degrees."""
+    import collections
+
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    ring = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    chain = [(20, 21), (21, 22)]
+    bridge = [(0, 10)]
+    all_edges = clique + ring + chain + bridge
+
+    def peel(k):
+        adj = collections.defaultdict(set)
+        for a, b in all_edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        alive = set(adj)
+        while True:
+            rm = {n for n in alive
+                  if sum(1 for m in adj[n] if m in alive) < k}
+            if not rm:
+                break
+            alive -= rm
+        return {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+
+    from pigeon_optics_spark.pipeline.graph import kcore
+
+    e_df = spark.createDataFrame(all_edges, "u long, v long")
+    for k in (2, 3):
+        got = {r["node"]: r["core_deg"] for r in kcore(e_df, k=k).collect()}
+        assert got == peel(k), k
+    # k=3 drops ring/chain/bridge, keeps the bare K5 at degree 4
+    got3 = {r["node"]: r["core_deg"] for r in kcore(e_df, k=3).collect()}
+    assert got3 == {i: 4 for i in range(5)}
+    # k=6 peels everything -> empty result, not an error
+    assert kcore(e_df, k=6).count() == 0
