@@ -2291,3 +2291,111 @@ GROUP BY 1, 2
 
 register("events_stream_static_join", events_stream_static_join,
          _STREAM_STATIC_ORACLE)
+
+
+def events_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch rollup — the FREQUENCY twin of the HLL distinct
+    rollup (events_sketch_rollup): per-(type, day) CMS counter rows are
+    built once, merged to per-type sketches by plain re-aggregation
+    (counter addition IS the sketch union — mergeable by construction),
+    then point-queried for the probe users.  Unlike the HLL gate, every
+    number here is deterministic: bucket positions come from the shared
+    md5 grammar (bloom's 15-hex idiom) and counters are exact BIGINTs, so
+    the driver hashes the actual estimates — no tolerance boolean needed.
+
+    The CMS overestimate guarantee (est ≥ true, equality iff no bucket
+    collision under BOTH salts) is emitted per row as ``collided``; depth
+    2 × width 64 keeps both the exact and the collided branch live at the
+    gate tiers (5/35 at sf0.001, 30/10 at sf0.01); at sf0.1 the ~1500
+    users saturate the 64 buckets and every probe collides — the honest
+    small-sketch regime, still hash-exact.  Scale shape: the sketch table is O(types·days·depth·width)
+    rows regardless of event volume, merges cost sketch rows not data,
+    and the probe side is two broadcast equi-joins — the reason a 100 TB
+    pipeline stores daily sketches instead of re-scanning raw events for
+    each new rollup grain.
+    """
+    width = 64
+    ev = load_events(spark, sf_dir)
+
+    def pos(salt: str) -> F.Column:
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("user_id").cast("string"))),
+            1, 15), 16, 10).cast("long") % width)
+
+    expl = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("d"),
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("j"), pos("c1").alias("b")),
+            F.struct(F.lit(1).alias("j"), pos("c2").alias("b")))).alias("h"))
+    daily = (expl.groupBy("event_type", "d",
+                          F.col("h.j").alias("j"), F.col("h.b").alias("b"))
+             .agg(F.count("*").alias("cnt")))
+    merged = (daily.groupBy("event_type", "j", "b")
+              .agg(F.sum("cnt").alias("cnt")))
+
+    probes = (ev.where(F.col("user_id") < 8)
+              .select("event_type", "user_id").distinct()
+              .withColumn("b1", pos("c1")).withColumn("b2", pos("c2")))
+    m1 = merged.where(F.col("j") == 0).select(
+        F.col("event_type").alias("t1"), F.col("b").alias("mb1"),
+        F.col("cnt").alias("c1"))
+    m2 = merged.where(F.col("j") == 1).select(
+        F.col("event_type").alias("t2"), F.col("b").alias("mb2"),
+        F.col("cnt").alias("c2"))
+    est = (probes
+           .join(F.broadcast(m1), (F.col("event_type") == F.col("t1"))
+                 & (F.col("b1") == F.col("mb1")))
+           .join(F.broadcast(m2), (F.col("event_type") == F.col("t2"))
+                 & (F.col("b2") == F.col("mb2")))
+           .select("event_type", "user_id",
+                   F.least("c1", "c2").alias("est_n")))
+    true_n = (ev.where(F.col("user_id") < 8)
+              .groupBy("event_type", "user_id")
+              .agg(F.count("*").alias("true_n")))
+    return (est.join(true_n, ["event_type", "user_id"])
+            .select("event_type", "user_id", "est_n", "true_n",
+                    (F.col("est_n") > F.col("true_n")).alias("collided")))
+
+
+_CMS_ORACLE = """
+WITH ev AS (
+  SELECT event_type, date_trunc('day', ts) AS d, user_id,
+         ('0x' || substr(md5('c1' || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 64 AS b1,
+         ('0x' || substr(md5('c2' || CAST(user_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 64 AS b2
+  FROM events
+),
+daily AS (
+  SELECT event_type, d, j, b, COUNT(*) AS cnt FROM (
+    SELECT event_type, d, 0 AS j, b1 AS b FROM ev
+    UNION ALL
+    SELECT event_type, d, 1 AS j, b2 AS b FROM ev
+  ) GROUP BY 1, 2, 3, 4
+),
+merged AS (
+  SELECT event_type, j, b, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM daily GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT DISTINCT event_type, user_id, b1, b2 FROM ev WHERE user_id < 8
+),
+est AS (
+  SELECT p.event_type, p.user_id, LEAST(m1.cnt, m2.cnt) AS est_n
+  FROM probes p
+  JOIN merged m1 ON m1.event_type = p.event_type AND m1.j = 0
+                AND m1.b = p.b1
+  JOIN merged m2 ON m2.event_type = p.event_type AND m2.j = 1
+                AND m2.b = p.b2
+),
+truth AS (
+  SELECT event_type, user_id, COUNT(*) AS true_n
+  FROM events WHERE user_id < 8 GROUP BY 1, 2
+)
+SELECT e.event_type, e.user_id, e.est_n, t.true_n,
+       e.est_n > t.true_n AS collided
+FROM est e JOIN truth t
+  ON e.event_type = t.event_type AND e.user_id = t.user_id
+"""
+
+register("events_cms_rollup", events_cms_rollup, _CMS_ORACLE)

@@ -4417,6 +4417,76 @@ register("graph_kcore", graph_kcore, _kcore_oracle())
 
 
 # --------------------------------------------------------------------------
+# PMI collocation mining (r5 wave 12): pointwise mutual information over
+# within-document token co-occurrence — the phrase/collocation detector of
+# a tokenizer-prep pipeline.  Division-free discipline (q11/q22): the gate
+# emits the exact counts (n_ab, n_a, n_b, n_docs) that define PMI plus
+# lift_millis = (n_ab · N · 1000) div (n_a · n_b) — integer floor division
+# agreed by Spark div / DuckDB // — so ranking-by-lift is hashed without a
+# single IEEE op; the consumer applies log to taste.  Shape: doc-distinct
+# tokens → doc_id equi-self-join (a < b) → pair counts → two bounded
+# vocabulary joins.  N is a scalar collect (round-control class).  The
+# support floor (n_ab ≥ 3) bounds output; the fixture vocabulary is ~31
+# tokens so the pair space is ≤ C(31,2) at any SF — at 100 TB the
+# production prefilter is a top-V vocabulary semi-join before the
+# self-join, same plan otherwise.
+# --------------------------------------------------------------------------
+
+
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))))
+        .alias("token"))
+    a = toks.select("doc_id", F.col("token").alias("tok_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"),
+                    F.col("token").alias("tok_b"))
+    pairs = (a.join(b, (F.col("doc_id") == F.col("doc_b"))
+                    & (F.col("tok_a") < F.col("tok_b")))
+             .groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+             .where(F.col("n_ab") >= 3))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("n_tok"))
+    return (pairs
+            .join(dfreq.select(F.col("token").alias("tok_a"),
+                               F.col("n_tok").alias("n_a")), "tok_a")
+            .join(dfreq.select(F.col("token").alias("tok_b"),
+                               F.col("n_tok").alias("n_b")), "tok_b")
+            .select("tok_a", "tok_b", "n_ab", "n_a", "n_b",
+                    F.lit(n_docs).cast("long").alias("n_docs"),
+                    F.expr(f"(n_ab * {n_docs} * 1000) div (n_a * n_b)")
+                    .alias("lift_millis")))
+
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_ab
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+dfreq AS (SELECT token, COUNT(*) AS n_tok FROM toks GROUP BY token)
+SELECT p.tok_a, p.tok_b, p.n_ab, da.n_tok AS n_a, db.n_tok AS n_b,
+       n.n_docs,
+       (p.n_ab * n.n_docs * 1000) // (da.n_tok * db.n_tok) AS lift_millis
+FROM pairs p
+JOIN dfreq da ON p.tok_a = da.token
+JOIN dfreq db ON p.tok_b = db.token
+CROSS JOIN n
+"""
+
+register("text_pmi_pairs", text_pmi_pairs, _PMI_ORACLE)
+
+
+# --------------------------------------------------------------------------
 # WAV PCM sample decode (r5 wave 11): the first SAMPLE-level (not header)
 # media decode in the suite — possible without codec libraries because
 # 16-bit PCM is raw interleaved int16.  Fixture WAVs carry doc_id-derived
