@@ -2399,3 +2399,78 @@ FROM est e JOIN truth t
 """
 
 register("events_cms_rollup", events_cms_rollup, _CMS_ORACLE)
+
+
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (double exponential) per user — the
+    forecasting extension of events_ewma_users: state (level, trend) folds
+    in (ts, event_id) order through
+
+        l_i = 0.25·x_i + 0.75·(l_{i−1} + b_{i−1})
+        b_i = 0.5·(l_i − l_{i−1}) + 0.5·b_{i−1}
+
+    with l_1 = x_1, b_1 = 0.  Dyadic α=1/4, β=1/2 keep the coefficients
+    exact and the identical literal expression tree on both engines makes
+    the IEEE sequence bit-reproducible (the sequential-fold class).
+    DuckDB's list_reduce requires acc ≡ element type, so the oracle folds
+    over [x, l, b] DOUBLE[] elements whose first element IS the init
+    state — same op sequence, l_new spelled out twice identically in the
+    trend term on BOTH sides.  LIST state, not STRUCT state, on purpose:
+    DuckDB 1.0.0's list_reduce with a struct accumulator mis-binds acc
+    field references to freshly-written output fields (probed:
+    {'a': acc.c+1, 'c': acc.a*2} sees the NEW a in c — a new
+    cross-engine hazard class; list indexing evaluates correctly).
+    Emits the final state and the one-step forecast l + b — the
+    capacity-planning number.
+
+    Scale shape: identical to EWMA — one groupBy(user_id), in-row fold,
+    session-sized sequences; the streaming twin carries (l, b) in keyed
+    state.
+    """
+    ev = load_events(spark, sf_dir)
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("ts", "event_id", "value")))
+               .alias("s")))
+    vals = F.col("s").getField("value")
+    tail = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    init = F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b"))
+
+    def step(acc, x):
+        l_new = F.lit(0.25) * x + F.lit(0.75) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(0.5) * ((F.lit(0.25) * x
+                            + F.lit(0.75) * (acc["l"] + acc["b"]))
+                           - acc["l"])
+             + F.lit(0.5) * acc["b"]).alias("b"))
+
+    st = F.aggregate(tail, init, step)
+    return seq.select(
+        "user_id", F.size("s").cast("long").alias("n_events"),
+        st.getField("l").alias("level"), st.getField("b").alias("trend"),
+        (st.getField("l") + st.getField("b")).alias("forecast_1"))
+
+
+_HOLT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+st AS (
+  SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+         list_reduce(
+           list_transform(vals, x -> [x, x, CAST(0 AS DOUBLE)]),
+           (acc, e) -> [
+             e[1],
+             0.25 * e[1] + 0.75 * (acc[2] + acc[3]),
+             0.5 * (0.25 * e[1] + 0.75 * (acc[2] + acc[3]) - acc[2])
+                  + 0.5 * acc[3]]) AS f
+  FROM seq
+)
+SELECT user_id, n_events, f[2] AS level, f[3] AS trend,
+       f[2] + f[3] AS forecast_1
+FROM st
+"""
+
+register("events_holt_trend", events_holt_trend, _HOLT_ORACLE)
