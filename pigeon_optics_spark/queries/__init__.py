@@ -125,7 +125,11 @@ _DRIVER_PRIORITY = [
     #   events_stream_dedup_watermark, store_overwrite_verify, q_setops_all,
     #   emb_mean_pool, graph_bfs_distances, multimodal_wav_pcm_stats,
     #   text_vocab_ids, dedup_normalized_exact, multimodal_png_integrity
-    #   (+ any later wave-11 additions — see ROUND_NOTES wave-11 entry).
+    #   (+ any later wave-11 additions — see ROUND_NOTES wave-11 entry);
+    # wave 12: multimodal_phash_pairs, multimodal_audio_energy,
+    #   emb_sq8_topk, q20_potential_promotion, q_fd_violations,
+    #   events_stream_static_join, graph_kcore, text_pmi_pairs,
+    #   events_cms_rollup, events_holt_trend.
 ]
 
 
