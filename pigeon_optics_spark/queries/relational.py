@@ -2457,3 +2457,58 @@ FROM a GROUP BY fd
 """
 
 register("q_fd_violations", q_fd_violations, _FD_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Ranking-function semantics (r5 wave 12): row_number / rank / dense_rank /
+# percent_rank / cume_dist over a TIE-BEARING order in ONE gate — the
+# functions differ exactly on ties, so the ranking column is the count
+# BUCKET (n_lines div 8), which collides groups by construction at every
+# SF (a raw-count order turned out tie-free, i.e. trivially green — the
+# ranks would never diverge).  rank gaps, dense_rank's gap-free steps,
+# percent_rank = (rank−1)/(n−1) and cume_dist = peers/n (each ONE IEEE
+# division of exact integers — engine-identical) are all hashed; a wrong
+# tie semantic in any one reddens the row.  row_number needs a total
+# order to be deterministic, so it ranks by (bucket, qty) — unique —
+# while the tie-sensitive four rank by bucket alone.  Windows run over
+# the per-(flag, quantity) aggregate (≤ 150 rows), never raw lineitem:
+# rank audits at 100 TB reduce first, then rank the bounded aggregate.
+# --------------------------------------------------------------------------
+
+
+def q_rank_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag",
+                      F.col("l_quantity").cast("long").alias("qty"))
+           .agg(F.count("*").alias("n_lines"))
+           .withColumn("bucket", F.expr("n_lines div 8")))
+    wt = Window.partitionBy("l_returnflag").orderBy(F.desc("bucket"))
+    wu = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("bucket"), F.asc("qty"))
+    return agg.select(
+        "l_returnflag", "qty", "n_lines", "bucket",
+        F.row_number().over(wu).alias("rn"),
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+        F.percent_rank().over(wt).alias("prnk"),
+        F.cume_dist().over(wt).alias("cdist"))
+
+
+_RANK_SEMANTICS_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         COUNT(*) AS n_lines, COUNT(*) // 8 AS bucket
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, qty, n_lines, bucket,
+       ROW_NUMBER() OVER wu AS rn,
+       RANK() OVER wt AS rnk,
+       DENSE_RANK() OVER wt AS drnk,
+       PERCENT_RANK() OVER wt AS prnk,
+       CUME_DIST() OVER wt AS cdist
+FROM agg
+WINDOW wt AS (PARTITION BY l_returnflag ORDER BY bucket DESC),
+       wu AS (PARTITION BY l_returnflag ORDER BY bucket DESC, qty ASC)
+"""
+
+register("q_rank_semantics", q_rank_semantics, _RANK_SEMANTICS_ORACLE)
