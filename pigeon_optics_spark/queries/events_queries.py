@@ -2474,3 +2474,80 @@ FROM st
 """
 
 register("events_holt_trend", events_holt_trend, _HOLT_ORACLE)
+
+
+def events_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt trend smoothing — the incremental twin of
+    ``events_holt_trend`` and the 12th real Structured Streaming run:
+    per-user (n, level, trend) state carried across the four FORCED
+    time-quartile micro-batches via ``applyInPandasWithState`` (the
+    stream_ewma/stream_cusum recipe).  Python executes the identical IEEE
+    sequence as the batch gate's fold (l' = 0.25·x + 0.75·(l+b);
+    b' = 0.5·(l'−l) + 0.5·b), so the final state is BIT-EXACT equal to
+    the batch list-fold oracle; the collapsed-stream guard raises on a
+    degenerate single-batch run.  The batch/stream operator pairs now:
+    EWMA, sessionization, dedup, CUSUM, Holt.
+    """
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _ensure_quartile_src(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    def fold(key, pdfs, state: GroupState):
+        n, lvl, trend = state.get if state.exists else (0, None, 0.0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["ts", "event_id"]))
+            for v in rows["value"]:
+                v = float(v)
+                if lvl is None:
+                    lvl, trend = v, 0.0
+                else:
+                    l_new = 0.25 * v + 0.75 * (lvl + trend)
+                    trend = 0.5 * (l_new - lvl) + 0.5 * trend
+                    lvl = l_new
+                n += 1
+        state.update((n, lvl, trend))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "level": [lvl], "trend": [trend]})
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_holt_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=("user_id long, n_events long, "
+                              "level double, trend double"),
+            stateStructType="n_events long, level double, trend double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; "
+            "expected 4 (one per time-quartile file)")
+    last = F.max(F.struct("n_events", "level", "trend")).alias("s")
+    return (spark.table(name).groupBy("user_id").agg(last)
+            .select("user_id", F.col("s.n_events").alias("n_events"),
+                    F.col("s.level").alias("level"),
+                    F.col("s.trend").alias("trend"),
+                    (F.col("s.level") + F.col("s.trend"))
+                    .alias("forecast_1")))
+
+
+register("events_stream_holt", events_stream_holt, _HOLT_ORACLE)
