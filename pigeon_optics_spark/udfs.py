@@ -33,3 +33,29 @@ def _links_fast(s: str) -> list:
 def links_udf(v: pd.Series) -> pd.Series:
     """hash:// attachment URIs referenced by a tagged-JSON value column."""
     return v.map(_links_fast)
+
+
+def register_ngrams_udtf(spark):
+    """Native Python UDTF surface (SURVEY §2.10): the lens engine covers the
+    flatMap *capability* via mapInPandas; this registers the same shape as a
+    first-class SQL table function — ``po_ngrams(text, n)`` emits one row
+    per character n-gram with its position, usable in LATERAL position
+    (``SELECT t.doc_id, g.* FROM docs t, LATERAL po_ngrams(t.text, 5) g``).
+
+    Deterministic and stateless by construction (``asDeterministic()``),
+    so Catalyst is free to reorder/prune around it.  Returns the registered
+    UDTF for direct DataFrame-API use.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string")
+    class PoNgrams:
+        def eval(self, text: str, n: int):
+            if text is None or n is None or n <= 0:
+                return
+            for i in range(max(len(text) - n + 1, 0)):
+                yield i, text[i:i + n]
+
+    fn = PoNgrams.asDeterministic()
+    spark.udtf.register("po_ngrams", fn)
+    return fn

@@ -578,3 +578,20 @@ def test_pps_systematic_sample_replica(spark):
     assert total_hits == sum(c // step for c in cums.values())
     assert any(v[2] > 1 for v in got.values())  # multi-hit long doc
     assert any(v[2] == 0 for v in got.values())  # zero-token docs skipped
+
+
+class TestNgramsUdtf:
+    def test_lateral_sql_and_python_replica(self, spark):
+        """Native Python UDTF (§2.10): LATERAL expansion matches a pure
+        replica, including the empty (short-text) and NULL branches."""
+        from pigeon_optics_spark.udfs import register_ngrams_udtf
+
+        register_ngrams_udtf(spark)
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, "ab"), (3, None)], "doc_id long, text string")
+        df.createOrReplaceTempView("po_udtf_docs")
+        got = [(r.doc_id, r.pos, r.gram) for r in spark.sql(
+            "SELECT t.doc_id, g.pos, g.gram "
+            "FROM po_udtf_docs t, LATERAL po_ngrams(t.text, 3) g").collect()]
+        want = [(1, i, "hello"[i:i + 3]) for i in range(3)]
+        assert sorted(got) == want  # doc 2 too short, doc 3 NULL -> no rows
