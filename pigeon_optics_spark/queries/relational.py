@@ -2512,3 +2512,45 @@ WINDOW wt AS (PARTITION BY l_returnflag ORDER BY bucket DESC),
 """
 
 register("q_rank_semantics", q_rank_semantics, _RANK_SEMANTICS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE transitive closure (r5 wave 12): Spark 4's WITH RECURSIVE
+# (a long-absent engine surface — probed working in this build) against
+# DuckDB's, over the implicit binary-tree hierarchy parent(p) = p div 2 on
+# part keys: every seed (p_partkey % 97 = 0, ≥ 2) walks its ancestor chain
+# to the root with depth tracking — the org-chart / BOM-explosion shape
+# that previously required the Pregel loops (graph.py) or unrolled-round
+# oracles.  Depth is structurally bounded at log2(max key) ≈ 15, so the
+# recursion terminates by construction at any SF.  The only spelling
+# difference between the two texts is integer division (Spark `div`,
+# DuckDB `//`).
+# --------------------------------------------------------------------------
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql("""
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS start, p_partkey AS node,
+                 CAST(0 AS BIGINT) AS depth
+          FROM part WHERE p_partkey % 97 = 0 AND p_partkey >= 2
+          UNION ALL
+          SELECT start, node div 2, depth + 1 FROM anc WHERE node >= 2
+        )
+        SELECT start, node AS ancestor, depth FROM anc
+    """)
+
+
+_RECURSIVE_CTE_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS start, p_partkey AS node,
+         CAST(0 AS BIGINT) AS depth
+  FROM part WHERE p_partkey % 97 = 0 AND p_partkey >= 2
+  UNION ALL
+  SELECT start, node // 2, depth + 1 FROM anc WHERE node >= 2
+)
+SELECT start, node AS ancestor, depth FROM anc
+"""
+
+register("q_recursive_cte", q_recursive_cte, _RECURSIVE_CTE_ORACLE)
