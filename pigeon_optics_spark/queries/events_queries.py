@@ -2551,3 +2551,36 @@ def events_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_stream_holt", events_stream_holt, _HOLT_ORACLE)
+
+
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT-native semi-structured analytics — the open-schema
+    complement of events_json_extract (which projects to a FIXED struct
+    via from_json): props parses to the binary VARIANT encoding once and
+    ``variant_get`` path-extracts under a typed cast, the
+    schema-on-read shape for heterogeneous payloads where no single
+    struct fits.  Banded aggregate over the extracted value makes every
+    row's extraction load-bearing in the hash.  Map-only until the final
+    bounded groupBy; at 100 TB VARIANT's value is exactly that the parse
+    happens once per row however many paths are later extracted.
+    """
+    ev = load_events(spark, sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type", F.expr("k div 20").alias("k_band"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+_VARIANT_ORACLE = """
+SELECT event_type, CAST(props::JSON ->> 'k' AS BIGINT) // 20 AS k_band,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1, 2
+"""
+
+register("events_variant_extract", events_variant_extract, _VARIANT_ORACLE)
