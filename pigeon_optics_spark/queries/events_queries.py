@@ -2584,3 +2584,71 @@ FROM events GROUP BY 1, 2
 """
 
 register("events_variant_extract", events_variant_extract, _VARIANT_ORACLE)
+
+
+def events_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence-pattern detection (the MATCH_RECOGNIZE surface Spark
+    lacks natively): count non-overlapping CONTIGUOUS view→click→purchase
+    triples in each user's (ts, event_id)-ordered event-type sequence,
+    implemented as a deterministic finite automaton folded over the
+    sequence with a SINGLE BIGINT state = matches·4 + phase (phase 0/1/2;
+    any non-advancing symbol resets — the strict-contiguity pattern).
+    Pure integer CASE arithmetic, so the same fold is bit-exact in DuckDB
+    (scalar list_reduce with a 0-state sentinel prepended, since
+    list_reduce's init IS the first element).  Emits the match count AND
+    the automaton's end phase — partial-progress states are hashed too.
+
+    Scale shape: the EWMA class — one groupBy(user), in-row fold over the
+    session-sized sequence; the streaming twin carries the state long in
+    keyed state.  A production engine generalizes the state encoding to
+    any regex-like pattern compiled to integer transitions.
+    """
+    ev = load_events(spark, sf_dir)
+    code = (F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .when(F.col("event_type") == "purchase", 3)
+            .otherwise(0).cast("long"))
+    seq = (ev.select("user_id", "ts", "event_id", code.alias("c"))
+           .groupBy("user_id")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("ts", "event_id", "c"))).alias("s")))
+    codes = F.col("s").getField("c")
+
+    def step(acc, e):
+        m4 = acc - acc % 4                      # matches*4, stays integral
+        return (F.when(e == 1, m4 + 1)
+                .when((e == 2) & (acc % 4 == 1), m4 + 2)
+                .when((e == 3) & (acc % 4 == 2), m4 + 4)
+                .otherwise(m4))
+
+    st = F.aggregate(codes, F.lit(0).cast("long"), step)
+    return (seq.select(
+        "user_id", F.size("s").cast("long").alias("n_events"),
+        st.alias("st"))
+        .select("user_id", "n_events",
+                F.expr("st div 4").alias("n_matches"),
+                (F.col("st") % 4).alias("end_phase")))
+
+
+_PATTERN_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         list(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END::BIGINT
+              ORDER BY ts, event_id) AS codes
+  FROM events GROUP BY user_id
+),
+st AS (
+  SELECT user_id, CAST(len(codes) AS BIGINT) AS n_events,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+           (acc, e) -> CASE WHEN e = 1 THEN acc - acc % 4 + 1
+                            WHEN e = 2 AND acc % 4 = 1 THEN acc - acc % 4 + 2
+                            WHEN e = 3 AND acc % 4 = 2 THEN acc - acc % 4 + 4
+                            ELSE acc - acc % 4 END) AS state
+  FROM seq
+)
+SELECT user_id, n_events, state // 4 AS n_matches, state % 4 AS end_phase
+FROM st
+"""
+
+register("events_pattern_matches", events_pattern_matches, _PATTERN_ORACLE)
