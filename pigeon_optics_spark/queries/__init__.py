@@ -129,7 +129,9 @@ _DRIVER_PRIORITY = [
     # wave 12: multimodal_phash_pairs, multimodal_audio_energy,
     #   emb_sq8_topk, q20_potential_promotion, q_fd_violations,
     #   events_stream_static_join, graph_kcore, text_pmi_pairs,
-    #   events_cms_rollup, events_holt_trend.
+    #   events_cms_rollup, events_holt_trend, q_rank_semantics,
+    #   events_stream_holt, q_recursive_cte, events_variant_extract,
+    #   events_pattern_matches, events_stream_pattern.
 ]
 
 
