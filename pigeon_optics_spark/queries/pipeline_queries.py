@@ -4487,6 +4487,113 @@ register("text_pmi_pairs", text_pmi_pairs, _PMI_ORACLE)
 
 
 # --------------------------------------------------------------------------
+# Content-defined chunking dedup (r5 wave 12): the FastCDC-family rolling-
+# gear boundary — the STORAGE-dedup mechanism missing from the line/
+# fixed-chunk family: boundaries depend on local content, so the planted
+# 2-char-prefix variants (+80M, doc_id < 40) re-align after the edit and
+# share most chunk hashes, which fixed-offset chunking provably cannot
+# (the chunk_dedup gate's chunks all shift).  Engine: O(n) sequential
+# rolling pass (pipeline.dedup.cdc_chunks); oracle: the hash's 16-step
+# aging window makes h_i a windowed sum Σ g(c_j)·2^(i−j) mod 2^16 —
+# state-free, O(n·16) via a bounded-range self-join.  Per-doc output
+# (n_chunks, max_chunk_len, n_shared_with_twin) hashes the whole
+# chunking, not just the plants.
+# --------------------------------------------------------------------------
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import cdc_chunk_df
+
+    docs = (load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+            .select("doc_id", "text"))
+    variants = (load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+                .select((F.col("doc_id") + 80000000).alias("doc_id"),
+                        F.concat(F.lit("xx"), F.col("text")).alias("text")))
+    chunks = cdc_chunk_df(docs.unionByName(variants))
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max("chunk_len").alias("max_chunk_len"))
+    hashes = chunks.select("doc_id", "chunk_md5").distinct()
+    a = hashes.where(F.col("doc_id") < 40)
+    b = hashes.where(F.col("doc_id") >= 80000000).select(
+        (F.col("doc_id") - 80000000).alias("doc_id"), "chunk_md5")
+    shared = (a.join(b, ["doc_id", "chunk_md5"])
+              .groupBy("doc_id").agg(F.count("*").alias("n_shared")))
+    both = shared.unionByName(
+        shared.select((F.col("doc_id") + 80000000).alias("doc_id"),
+                      "n_shared"))
+    return (per_doc.join(both, "doc_id", "left")
+            .select("doc_id", "n_chunks", "max_chunk_len",
+                    F.coalesce("n_shared", F.lit(0)).alias("n_shared")))
+
+
+_CDC_ORACLE = """
+WITH m AS (
+  SELECT doc_id, text AS txt FROM documents WHERE doc_id <= 300
+  UNION ALL
+  SELECT doc_id + 80000000, 'xx' || text FROM documents WHERE doc_id < 40
+),
+ch AS (
+  SELECT doc_id, i,
+         unicode(substr(txt, CAST(i AS INT), 1)) AS c
+  FROM m, LATERAL (SELECT unnest(range(1, len(txt) + 1)) AS i)
+),
+g AS (
+  SELECT doc_id, i, (c * 2654435761) % 65536 AS gv FROM ch
+),
+h AS (
+  SELECT a.doc_id, a.i,
+         CAST(SUM(b.gv * (1 << CAST(a.i - b.i AS INT))) % 65536 AS BIGINT)
+           AS hv
+  FROM g a JOIN g b
+    ON a.doc_id = b.doc_id AND b.i BETWEEN a.i - 15 AND a.i
+  GROUP BY a.doc_id, a.i
+),
+marked AS (
+  SELECT doc_id, i,
+         CASE WHEN hv % 32 = 0 THEN 1 ELSE 0 END AS bnd
+  FROM h
+),
+cidx AS (
+  SELECT doc_id, i,
+         CAST(COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS chunk_idx
+  FROM marked
+),
+chunks AS (
+  SELECT x.doc_id, x.chunk_idx,
+         md5(string_agg(chr(ch.c), '' ORDER BY x.i)) AS chunk_md5,
+         COUNT(*) AS chunk_len
+  FROM cidx x JOIN ch ON ch.doc_id = x.doc_id AND ch.i = x.i
+  GROUP BY x.doc_id, x.chunk_idx
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_chunks, MAX(chunk_len) AS max_chunk_len
+  FROM chunks GROUP BY doc_id
+),
+hs AS (SELECT DISTINCT doc_id, chunk_md5 FROM chunks),
+shared AS (
+  SELECT a.doc_id, COUNT(*) AS n_shared
+  FROM hs a JOIN hs b
+    ON b.doc_id = a.doc_id + 80000000 AND a.chunk_md5 = b.chunk_md5
+  WHERE a.doc_id < 40
+  GROUP BY a.doc_id
+),
+twin_shared AS (
+  SELECT doc_id, n_shared FROM shared
+  UNION ALL
+  SELECT doc_id + 80000000, n_shared FROM shared
+)
+SELECT p.doc_id, p.n_chunks, p.max_chunk_len,
+       CAST(COALESCE(b.n_shared, 0) AS BIGINT) AS n_shared
+FROM per_doc p LEFT JOIN twin_shared b ON p.doc_id = b.doc_id
+"""
+
+register("dedup_cdc_chunks", dedup_cdc_chunks, _CDC_ORACLE)
+
+
+# --------------------------------------------------------------------------
 # WAV PCM sample decode (r5 wave 11): the first SAMPLE-level (not header)
 # media decode in the suite — possible without codec libraries because
 # 16-bit PCM is raw interleaved int16.  Fixture WAVs carry doc_id-derived

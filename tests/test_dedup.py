@@ -354,3 +354,58 @@ def test_bloom_probe_broadcasts_words(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestCdcChunks:
+    def test_rolling_equals_windowed_sum_and_roundtrip(self):
+        """The O(n) rolling hash equals the state-free 16-step windowed
+        sum the SQL oracle uses, and chunks concatenate back to the
+        text."""
+        from pigeon_optics_spark.pipeline.dedup import cdc_chunks
+
+        t = "".join(chr(33 + (i * 7919) % 90) for i in range(500))
+        cs = cdc_chunks(t)
+        assert "".join(cs) == t
+        # windowed-sum replica of the boundary predicate
+        g = [(ord(c) * 2654435761) % (1 << 16) for c in t]
+        bounds = []
+        for i in range(len(t)):
+            h = sum(g[j] * (1 << (i - j))
+                    for j in range(max(0, i - 15), i + 1)) % (1 << 16)
+            if h % 32 == 0:
+                bounds.append(i)
+        want, start = [], 0
+        for b in bounds:
+            want.append(t[start:b + 1])
+            start = b + 1
+        if start < len(t):
+            want.append(t[start:])
+        assert cs == want
+
+    def test_shift_realignment(self):
+        """An inserted prefix shifts every offset, yet downstream chunks
+        re-align — the content-defined property fixed chunking lacks."""
+        from pigeon_optics_spark.pipeline.dedup import cdc_chunks
+
+        import hashlib
+
+        # aperiodic text (a periodic generator collapses the distinct
+        # chunk set and voids the shared-count assertion)
+        stream = b"".join(hashlib.sha256(bytes([i])).digest()
+                          for i in range(16))
+        t = "".join(chr(97 + byte % 26) for byte in stream)[:400]
+        a, b = cdc_chunks(t), cdc_chunks("zq" + t)
+        shared = set(a) & set(b)
+        assert len(shared) >= len(a) // 2, (len(shared), len(a))
+        # fixed 32-char chunking shares nothing after a 2-char shift
+        fixed_a = {t[i:i + 32] for i in range(0, len(t), 32)}
+        fixed_b = {("zq" + t)[i:i + 32]
+                   for i in range(0, len("zq" + t), 32)}
+        assert not (fixed_a & fixed_b)
+
+    def test_unicode_codepoints(self):
+        from pigeon_optics_spark.pipeline.dedup import cdc_chunks
+
+        t = "中文字符串测试" * 20
+        cs = cdc_chunks(t)
+        assert "".join(cs) == t and len(cs) >= 1
