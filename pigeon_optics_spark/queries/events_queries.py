@@ -2741,3 +2741,69 @@ def events_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_stream_pattern", events_stream_pattern, _PATTERN_ORACLE)
+
+
+def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary-least-squares slope of event value over time per type —
+    supervised model FITTING under the exact gate (the inference-side
+    twin is text_quality_classifier): the normal-equation slope
+    (n·Sxy − Sx·Sy) / (n·Sxx − Sx²) is emitted as an EXACT BIGINT
+    rational (num, den) plus one IEEE division for display — the q8
+    num/den discipline applied to regression.  x = per-type-centered
+    epoch hour (exact int; centering keeps products ≤ ~1e16, 500×
+    BIGINT headroom at sf0.1); y = value on the cents grid (2-decimal
+    money double → DECIMAL(8,2)·100, the DISC_PRICE stance).
+
+    Plan: one scan → per-type min (bounded agg, broadcast back) → one
+    five-group aggregate of the four moment sums; map-side combinable,
+    no windows (a 5-partition event_type window would be the skew bomb
+    the interarrival gate avoided)."""
+    ev = load_events(spark, sf_dir)
+    xh = F.expr("unix_micros(ts) div 3600000000")
+    v = F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+    base = ev.select("event_type", xh.alias("xh"), v.alias("v"))
+    mins = base.groupBy("event_type").agg(F.min("xh").alias("x0"))
+    j = (base.join(F.broadcast(mins), "event_type")
+         .select("event_type", (F.col("xh") - F.col("x0")).alias("x"), "v"))
+    agg = j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("v").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("v")).alias("sxy"))
+    return agg.select(
+        "event_type", "n", "sx", "sy", "sxx", "sxy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("slope_den")) \
+        .withColumn("slope_cents_per_hour",
+                    F.col("slope_num").cast("double")
+                    / F.col("slope_den").cast("double"))
+
+
+_LINREG_ORACLE = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS xh,
+         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS v
+  FROM events
+),
+c AS (
+  SELECT event_type, xh - MIN(xh) OVER (PARTITION BY event_type) AS x, v
+  FROM base
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * v) AS BIGINT) AS sxy
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n, sx, sy, sxx, sxy,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour
+FROM agg
+"""
+
+register("events_linreg_trend", events_linreg_trend, _LINREG_ORACLE)
