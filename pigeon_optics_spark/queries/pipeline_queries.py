@@ -5257,3 +5257,52 @@ SELECT query_id, rank, neighbor_id, score FROM (
 """
 
 register("emb_sq8_topk", emb_sq8_topk, _SQ8_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Gini-impurity composition audit (r5 wave 12): corpus-diversity metric
+# per source — impurity of the language mix 1 − Σp_i² emitted as the
+# EXACT integer rational (N² − Σc_i², N²) — Shannon entropy needs log
+# (IEEE-divergent), Gini is polynomial in the counts, so the division-
+# free discipline applies and the hash carries the exact mix.  Two
+# bounded aggregations (per-(source, lang) counts → per-source fold);
+# map-side combinable, no windows, no joins.
+# --------------------------------------------------------------------------
+
+
+def text_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    return (cnt.groupBy("source")
+            .agg(F.sum("c").alias("n_docs"),
+                 F.count("*").alias("n_langs"),
+                 F.sum(F.col("c") * F.col("c")).alias("sum_c2"))
+            .select("source", "n_docs", "n_langs",
+                    (F.col("n_docs") * F.col("n_docs") - F.col("sum_c2"))
+                    .alias("gini_num"),
+                    (F.col("n_docs") * F.col("n_docs")).alias("gini_den"),
+                    ((F.col("n_docs") * F.col("n_docs") - F.col("sum_c2"))
+                     .cast("double")
+                     / (F.col("n_docs") * F.col("n_docs")).cast("double"))
+                    .alias("gini")))
+
+
+_GINI_ORACLE = """
+WITH cnt AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+         COUNT(*) AS n_langs,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM cnt GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       n_docs * n_docs - sum_c2 AS gini_num,
+       n_docs * n_docs AS gini_den,
+       CAST(n_docs * n_docs - sum_c2 AS DOUBLE)
+         / CAST(n_docs * n_docs AS DOUBLE) AS gini
+FROM agg
+"""
+
+register("text_gini_diversity", text_gini_diversity, _GINI_ORACLE)
