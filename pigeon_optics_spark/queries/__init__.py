@@ -131,7 +131,8 @@ _DRIVER_PRIORITY = [
     #   events_stream_static_join, graph_kcore, text_pmi_pairs,
     #   events_cms_rollup, events_holt_trend, q_rank_semantics,
     #   events_stream_holt, q_recursive_cte, events_variant_extract,
-    #   events_pattern_matches, events_stream_pattern.
+    #   events_pattern_matches, events_stream_pattern, dedup_cdc_chunks,
+    #   events_linreg_trend, text_gini_diversity.
 ]
 
 

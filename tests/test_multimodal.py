@@ -719,3 +719,31 @@ def test_pcm_frame_energies_consistent_with_stats():
     stats = wav_pcm_stats(wav)
     assert sum(es) + int((s64[480:] ** 2).sum()) == stats[2]
     assert pcm_frame_energies(b"RIFX" + wav[4:]) is None
+
+
+def test_png_ahash_and_frame_energy_drop_undecodable(spark):
+    """DataFrame kernels drop non-decodable rows instead of erroring —
+    the media-lake reality where a fraction of blobs is junk."""
+    from pigeon_optics_spark.pipeline.multimodal import (
+        pcm_frame_energy_df, png_ahash, write_png)
+
+    good_png = write_png(bytes(16 * 16 * 3), 16, 16, 3)
+    rows = [(1, bytearray(good_png)), (2, bytearray(b"not a png")),
+            (3, bytearray(b""))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = png_ahash(df).collect()
+    assert [r["media_id"] for r in got] == [1]
+    # all-zero image: no cell beats the mean -> hash words are 0
+    assert (got[0]["hash_hi"], got[0]["hash_lo"]) == (0, 0)
+
+    import struct as _s
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pay = (b"\x01\x00" * 320)
+    wav = (b"RIFF" + _s.pack("<I", 4 + 24 + 8 + len(pay)) + b"WAVE"
+           + b"fmt " + _s.pack("<I", 16) + fmt
+           + b"data" + _s.pack("<I", len(pay)) + pay)
+    rows = [(1, bytearray(wav)), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = pcm_frame_energy_df(df, frame=160).collect()
+    assert sorted((r["media_id"], r["frame_idx"], r["energy"])
+                  for r in got) == [(1, 0, 160), (1, 1, 160)]
