@@ -2554,3 +2554,111 @@ SELECT start, node AS ancestor, depth FROM anc
 """
 
 register("q_recursive_cte", q_recursive_cte, _RECURSIVE_CTE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Calendar-function conventions (r5 wave 12): the date toolkit under the
+# gate with every cross-engine convention bridged EXPLICITLY — dayofweek
+# is 1=Sunday in Spark but 0=Sunday in DuckDB (oracle adds 1); month
+# arithmetic end-of-month clamping agrees (probed: Feb 29 + 3 months =
+# May 29 both); weekofyear is ISO on both.  Computed DATE values are
+# emitted as strings (date_format/strftime) because the two engines'
+# pandas materializations of date scalars differ in class, not value —
+# the dtype-split lesson applied to temporals.  Map-only projection over
+# a keyed sample; every row's full calendar decomposition is hashed.
+# --------------------------------------------------------------------------
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (orders.where(F.col("o_orderkey") % 37 == 0)
+            .select(
+                "o_orderkey",
+                F.year(d).alias("yr"),
+                F.quarter(d).alias("qtr"),
+                F.month(d).alias("mo"),
+                F.dayofmonth(d).alias("dom"),
+                F.dayofweek(d).alias("dow"),
+                F.weekofyear(d).alias("woy"),
+                F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+                F.date_format(F.date_add(d, 45), "yyyy-MM-dd").alias("d45"),
+                F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("m3"),
+                F.datediff(F.lit("2001-01-01").cast("date"), d)
+                .alias("days_to_2001")))
+
+
+_DATE_FUNCS_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(d) AS INT) AS yr, CAST(quarter(d) AS INT) AS qtr,
+       CAST(month(d) AS INT) AS mo, CAST(day(d) AS INT) AS dom,
+       CAST(dayofweek(d) + 1 AS INT) AS dow,
+       CAST(weekofyear(d) AS INT) AS woy,
+       strftime(last_day(d), '%Y-%m-%d') AS eom,
+       strftime(d + 45, '%Y-%m-%d') AS d45,
+       strftime(CAST(d + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS m3,
+       CAST(date_diff('day', d, DATE '2001-01-01') AS INT) AS days_to_2001
+FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+      WHERE o_orderkey % 37 = 0)
+"""
+
+register("q_date_functions", q_date_functions, _DATE_FUNCS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Array higher-order functions (r5 wave 12): the §2.8 function-library
+# breadth gate for the ARRAY domain — transform/filter/exists/aggregate-
+# fold/zip_with/slice/position/contains over a deterministic per-part
+# quantity bag (array_sort(collect_list) — collect order is engine-free,
+# the sort pins it).  The full array content is hashed via array_join, so
+# the collection itself is load-bearing, not just the derived scalars.
+# DuckDB bridges probed: list_position returns 0 for absent (matches
+# Spark), list slicing is 1-based inclusive, list_sum is HUGEINT (cast).
+# One shuffle (the groupBy); every HOF is a map-only expression after it.
+# --------------------------------------------------------------------------
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    base = (li.where(F.col("l_partkey") % 53 == 0)
+            .groupBy("l_partkey")
+            .agg(F.array_sort(
+                F.collect_list(F.col("l_quantity").cast("long")))
+                .alias("arr")))
+    arr = F.col("arr")
+    return base.select(
+        "l_partkey",
+        F.size(arr).cast("long").alias("n"),
+        F.array_join(F.slice(arr, 1, 3), ",").alias("first3"),
+        F.array_position(arr, 50).alias("pos50"),
+        F.size(F.filter(arr, lambda x: x >= 25)).cast("long").alias("n_big"),
+        F.array_contains(arr, 40).alias("has40"),
+        F.aggregate(arr, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("total"),
+        F.element_at(F.zip_with(arr, F.reverse(arr),
+                                lambda a, b: a + b), 1)
+        .alias("first_plus_last"),
+        F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+        .alias("arr_str"))
+
+
+_ARRAY_FUNCS_ORACLE = """
+WITH base AS (
+  SELECT l_partkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS arr
+  FROM lineitem WHERE l_partkey % 53 = 0
+  GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(len(arr) AS BIGINT) AS n,
+       array_to_string(arr[1:3], ',') AS first3,
+       CAST(list_position(arr, 50) AS BIGINT) AS pos50,
+       CAST(len(list_filter(arr, x -> x >= 25)) AS BIGINT) AS n_big,
+       list_contains(arr, 40) AS has40,
+       CAST(list_sum(arr) AS BIGINT) AS total,
+       arr[1] + arr[-1] AS first_plus_last,
+       array_to_string(arr, ',') AS arr_str
+FROM base
+"""
+
+register("q_array_functions", q_array_functions, _ARRAY_FUNCS_ORACLE)
