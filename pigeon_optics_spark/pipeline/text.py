@@ -1160,3 +1160,19 @@ def pps_systematic_sample(df: DataFrame, step: int,
             .select("doc_id", "shard", "n_tokens",
                     hits.cast("long").alias("n_hits"),
                     (hits > 0).alias("selected")))
+
+
+def nfc_md5_col(df: DataFrame, text_col: str = "text",
+                out_col: str = "nfc_md5") -> DataFrame:
+    """Append md5 of the NFC-normalized text — the Unicode-correctness
+    dedup key: canonically-equivalent strings (é precomposed U+00E9 vs
+    e + combining acute U+0301) byte-differ but MUST dedup together in a
+    multilingual corpus; NFC is the W3C-recommended canonical form.
+    Arrow-batched pandas transform (Python owns unicodedata; Spark has no
+    normalization builtin); DuckDB's ``nfc_normalize`` reproduces it
+    oracle-side.  Map-only — the dedup join downstream shuffles digests.
+    The UDF itself lives in ``udfs.py``: this module's future-annotations
+    import stringifies type hints, which breaks pandas_udf inference."""
+    from ..udfs import nfc_md5_udf
+
+    return df.withColumn(out_col, nfc_md5_udf(F.col(text_col)))

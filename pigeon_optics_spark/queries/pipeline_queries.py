@@ -5306,3 +5306,71 @@ FROM agg
 """
 
 register("text_gini_diversity", text_gini_diversity, _GINI_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Unicode canonical-equivalence dedup (r5 wave 12): NFC-normalized hashing
+# (pipeline.text.nfc_md5_col) pairs canonically-equivalent texts that
+# byte-dedup misses — planted twins replace every 'e' with precomposed
+# é (U+00E9, +92M) vs decomposed e+U+0301 (+93M): same rendered string,
+# different code sequences.  The corpus has no natural decompositions
+# (audited: ASCII + CJK, and CJK has none — and no raw-equal pairs
+# either in the ≤300 slice), so BOTH branches are planted: the twins
+# carry nfc-only (every doc < 40 contains an 'e' — 40 pairs), and
+# verbatim byte-copies (+94M, doc_id < 10) carry raw_equal=true; the
+# emitted flag hashes the distinction.  Oracle: DuckDB nfc_normalize.
+# --------------------------------------------------------------------------
+
+
+def dedup_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import nfc_md5_col
+
+    docs = (load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+            .select("doc_id", "text"))
+    nfc_e = "é"
+    nfd_e = "é"
+    a = (load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+         .select((F.col("doc_id") + 92000000).alias("doc_id"),
+                 F.regexp_replace("text", "e", nfc_e).alias("text")))
+    b = (load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+         .select((F.col("doc_id") + 93000000).alias("doc_id"),
+                 F.regexp_replace("text", "e", nfd_e).alias("text")))
+    c = (load(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+         .select((F.col("doc_id") + 94000000).alias("doc_id"), "text"))
+    corpus = docs.unionByName(a).unionByName(b).unionByName(c)
+    keyed = nfc_md5_col(corpus).select(
+        "doc_id", "nfc_md5", F.md5("text").alias("raw_md5"))
+    l = keyed.select(F.col("doc_id").alias("id_a"), "nfc_md5",
+                     F.col("raw_md5").alias("ra"))
+    r = keyed.select(F.col("doc_id").alias("id_b"),
+                     F.col("nfc_md5").alias("nb"),
+                     F.col("raw_md5").alias("rb"))
+    return (l.join(r, (F.col("nfc_md5") == F.col("nb"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b",
+                    (F.col("ra") == F.col("rb")).alias("raw_equal")))
+
+
+_NFC_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id <= 300
+  UNION ALL
+  SELECT doc_id + 92000000, replace(text, 'e', chr(233))
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 93000000, replace(text, 'e', 'e' || chr(769))
+  FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 94000000, text FROM documents WHERE doc_id < 10
+),
+keyed AS (
+  SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5, md5(text) AS raw_md5
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       a.raw_md5 = b.raw_md5 AS raw_equal
+FROM keyed a JOIN keyed b
+  ON a.nfc_md5 = b.nfc_md5 AND a.doc_id < b.doc_id
+"""
+
+register("dedup_unicode_nfc", dedup_unicode_nfc, _NFC_ORACLE)

@@ -59,3 +59,22 @@ def register_ngrams_udtf(spark):
     fn = PoNgrams.asDeterministic()
     spark.udtf.register("po_ngrams", fn)
     return fn
+
+
+def _nfc_md5_one(t):
+    import unicodedata
+
+    if t is None:
+        return None
+    import hashlib
+
+    return hashlib.md5(
+        unicodedata.normalize("NFC", t).encode("utf-8")).hexdigest()
+
+
+@F.pandas_udf(StringType())
+def nfc_md5_udf(s: pd.Series) -> pd.Series:
+    """md5 of the NFC-normalized string — the Unicode canonical-equivalence
+    dedup key (see pipeline.text.nfc_md5_col for semantics and the DuckDB
+    ``nfc_normalize`` oracle twin)."""
+    return s.map(_nfc_md5_one)
