@@ -2662,3 +2662,106 @@ FROM base
 """
 
 register("q_array_functions", q_array_functions, _ARRAY_FUNCS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# min_by / max_by selector aggregates (r5 wave 12): "the key of the
+# extreme row" without a self-join — the aggregate-selector surface the
+# struct-max idiom approximates.  Ties are real on this data (integral-
+# cent prices repeat), so the ordering value is struct(price, orderkey):
+# Spark's struct comparison makes the pick total-ordered and
+# deterministic.  DuckDB 1.0's arg_min/arg_max take only scalar ordering
+# keys (probed — no composite overload), so the oracle derives the same
+# rows via ROW_NUMBER windows: same semantics, different machinery, which
+# is the point of a differential gate.  One shuffle (groupBy flag).
+# --------------------------------------------------------------------------
+
+
+def q_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    okey = F.struct(F.col("l_extendedprice"), F.col("l_orderkey"))
+    return (li.groupBy("l_returnflag")
+            .agg(F.min_by("l_orderkey", okey).alias("cheapest_order"),
+                 F.max_by("l_orderkey", okey).alias("priciest_order"),
+                 F.min("l_extendedprice").alias("min_price"),
+                 F.max("l_extendedprice").alias("max_price"),
+                 F.count("*").alias("n")))
+
+
+_MINBY_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag, l_orderkey, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice ASC, l_orderkey ASC)
+           AS rn_min,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey DESC)
+           AS rn_max
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag, MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price, COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT a.l_returnflag,
+       mn.l_orderkey AS cheapest_order,
+       mx.l_orderkey AS priciest_order,
+       a.min_price, a.max_price, a.n
+FROM agg a
+JOIN r mn ON mn.l_returnflag = a.l_returnflag AND mn.rn_min = 1
+JOIN r mx ON mx.l_returnflag = a.l_returnflag AND mx.rn_max = 1
+"""
+
+register("q_minby_maxby", q_minby_maxby, _MINBY_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# posexplode_outer semantics (r5 wave 12): OUTER explosion keeps the
+# parent row with NULL (pos, val) when the array is empty — the
+# lateral-view branch every "flatten but keep empty parents" pipeline
+# needs and plain explode silently drops (the row-loss bug class).  The
+# per-order array of near-max quantities (≥ 48) is empty for most orders
+# and populated for some, so both branches are live by data shape.
+# DuckDB has no outer unnest — the oracle substitutes a one-element
+# [{NULL, NULL}] list before unnesting: same rows, different machinery.
+# --------------------------------------------------------------------------
+
+
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    base = (li.where(F.col("l_orderkey") % 41 == 0)
+            .groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_list(
+                F.when(F.col("l_quantity") >= 48,
+                       F.col("l_quantity").cast("long"))))
+                .alias("arr")))
+    # collect_list drops the when()'s NULLs, leaving only qty >= 48
+    return base.select(
+        "l_orderkey",
+        F.size("arr").cast("long").alias("n_big"),
+        F.posexplode_outer("arr").alias("pos", "qty"))
+
+
+_EXPLODE_OUTER_ORACLE = """
+WITH base AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))
+                   FILTER (l_quantity >= 48)) AS arr
+  FROM lineitem WHERE l_orderkey % 41 = 0
+  GROUP BY l_orderkey
+),
+shaped AS (
+  SELECT l_orderkey,
+         CAST(COALESCE(len(arr), 0) AS BIGINT) AS n_big,
+         CASE WHEN arr IS NULL OR len(arr) = 0
+              THEN [{'pos': CAST(NULL AS INT), 'qty': CAST(NULL AS BIGINT)}]
+              ELSE list_transform(arr, (x, i) ->
+                     {'pos': CAST(i - 1 AS INT), 'qty': x}) END AS ex
+  FROM base
+)
+SELECT l_orderkey, n_big, u.pos, u.qty
+FROM (SELECT l_orderkey, n_big, unnest(ex) AS u FROM shaped)
+"""
+
+register("q_explode_outer", q_explode_outer, _EXPLODE_OUTER_ORACLE)
