@@ -132,7 +132,9 @@ _DRIVER_PRIORITY = [
     #   events_cms_rollup, events_holt_trend, q_rank_semantics,
     #   events_stream_holt, q_recursive_cte, events_variant_extract,
     #   events_pattern_matches, events_stream_pattern, dedup_cdc_chunks,
-    #   events_linreg_trend, text_gini_diversity.
+    #   events_linreg_trend, text_gini_diversity, q_date_functions,
+    #   q_array_functions, dedup_unicode_nfc, q_minby_maxby,
+    #   q_explode_outer.
 ]
 
 
