@@ -2760,7 +2760,7 @@ def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interarrival gate avoided)."""
     ev = load_events(spark, sf_dir)
     xh = F.expr("unix_micros(ts) div 3600000000")
-    v = F.expr("CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT)")
+    v = F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT)")
     base = ev.select("event_type", xh.alias("xh"), v.alias("v"))
     mins = base.groupBy("event_type").agg(F.min("xh").alias("x0"))
     j = (base.join(F.broadcast(mins), "event_type")
@@ -2776,7 +2776,7 @@ def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("slope_num"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
         .alias("slope_den")) \
-        .withColumn("slope_cents_per_hour",
+        .withColumn("slope_grid_per_hour",
                     F.col("slope_num").cast("double")
                     / F.col("slope_den").cast("double"))
 
@@ -2784,7 +2784,7 @@ def events_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINREG_ORACLE = """
 WITH base AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS xh,
-         CAST(CAST(value AS DECIMAL(8,2)) * 100 AS BIGINT) AS v
+         CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS v
   FROM events
 ),
 c AS (
@@ -2802,8 +2802,104 @@ SELECT event_type, n, sx, sy, sxx, sxy,
        n * sxy - sx * sy AS slope_num,
        n * sxx - sx * sx AS slope_den,
        CAST(n * sxy - sx * sy AS DOUBLE)
-         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_grid_per_hour
 FROM agg
 """
 
 register("events_linreg_trend", events_linreg_trend, _LINREG_ORACLE)
+
+
+def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the 14th real streaming
+    run and the OUTER half the inner-join gate (5th run) cannot pin: an
+    unmatched view emits its NULL-click row only after the global
+    watermark passes its join window, i.e. outer results depend on STATE
+    EVICTION, not just matching.
+
+    Spark documents outer-NULL emission timing as delayed-but-unspecified
+    near the watermark frontier, so the gate compares only rows whose
+    eviction is unambiguous: both sides filter to views older than
+    (final watermark − join interval − 1 day).  Inside that cutoff every
+    view must appear exactly once — matched with its click(s) or as a
+    NULL-click outer row; an engine that drops unmatched views (inner
+    semantics) or leaks join state (never emits) reddens the hash.  The
+    final watermark is min(max view_ts, max click_ts) − 1 h, mirrored in
+    SQL on the oracle side.
+    """
+    import tempfile
+
+    d = _stream_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_soj_{_STREAM_SEQ[0]}"
+    views = (spark.readStream.schema(schema).parquet(d)
+             .where(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "1 hour"))
+    clicks = (spark.readStream.schema(schema).parquet(d)
+              .where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "1 hour"))
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts")
+           + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="po_stream_ck_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # eviction-unambiguous cutoff, computed batch-side (bounded scalars)
+    batch = load_events(spark, sf_dir)
+    mx = batch.agg(
+        F.max(F.when(F.col("event_type") == "view",
+                     F.unix_micros("ts"))).alias("mv"),
+        F.max(F.when(F.col("event_type") == "click",
+                     F.unix_micros("ts"))).alias("mc")).first()
+    wm = min(mx["mv"], mx["mc"]) - 3600 * 1_000_000
+    cutoff = wm - 1800 * 1_000_000 - 86400 * 1_000_000
+    return (spark.table(name)
+            .where(F.unix_micros("view_ts") <= F.lit(cutoff))
+            .select("user_id", "view_id", "click_id",
+                    (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+                    .alias("delta_us")))
+
+
+_STREAM_SOJ_ORACLE = """
+WITH wm AS (
+  SELECT LEAST(
+           MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END),
+           MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END))
+         - CAST(3600 AS BIGINT) * 1000000 AS w
+  FROM events
+),
+v AS (
+  SELECT user_id, event_id, ts FROM events, wm
+  WHERE event_type = 'view'
+    AND epoch_us(ts) <= w - CAST(1800 AS BIGINT) * 1000000
+                     - CAST(86400 AS BIGINT) * 1000000
+),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS delta_us
+FROM v LEFT JOIN c
+  ON v.user_id = c.user_id
+ AND epoch_us(c.ts) - epoch_us(v.ts) BETWEEN 0 AND 1800 * 1000000
+"""
+
+register("events_stream_outer_join", events_stream_outer_join,
+         _STREAM_SOJ_ORACLE)

@@ -54,6 +54,15 @@ SWEEP_QUERIES = [
     # and longer chains at 5x compound it; also exercises the DuckDB
     # list-accumulator oracle form at scale)
     "events_cusum_alarms",
+    # r5 wave 12: Holt (coupled level/trend double fold — the longest
+    # IEEE chains in the suite at 5×), OLS rationals (verifies the
+    # documented BIGINT headroom live: 5× rows ⇒ ~25× products),
+    # Gini (N² products at 5× corpus), min_by/max_by (perturbed prices
+    # move the tie structure the struct order must keep deterministic)
+    "events_holt_trend",
+    "events_linreg_trend",
+    "text_gini_diversity",
+    "q_minby_maxby",
 ]
 
 #: per-copy deterministic perturbations; k=0 is the original rows so the
