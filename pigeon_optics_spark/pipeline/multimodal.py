@@ -817,7 +817,7 @@ def pcm_frame_energy_df(df: DataFrame, binary_col: str = "data",
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "energy": []}
             for mid, b in zip(pdf[id_col], pdf[binary_col]):
-                es = pcm_frame_energies(bytes(b), frame)
+                es = None if b is None else pcm_frame_energies(bytes(b), frame)
                 if es is None:
                     continue
                 for j, e in enumerate(es):
@@ -848,19 +848,19 @@ def ahash64_words(w: int, h: int, ch: int, pixels: bytes) \
     cross-multiplied comparison — the invariance the phash gate plants
     against.  Two 32-bit words instead of one 64-bit value keep every
     downstream shift ≤ 31 (DuckDB raises on 1<<63)."""
+    import numpy as np
+
     if w % 8 or h % 8 or ch < 3:
         return None
     cw, chh = w // 8, h // 8
-    cells = [0] * 64
-    stride = w * ch
-    for y in range(h):
-        row8 = (y // chh) * 8
-        base = y * stride
-        for x in range(w):
-            p = base + x * ch
-            luma = (299 * pixels[p] + 587 * pixels[p + 1]
-                    + 114 * pixels[p + 2])
-            cells[row8 + x // cw] += luma
+    # vectorized exact-int luma + 8x8 block sums: int64 throughout (luma
+    # <= 255*1000, block sums bounded far under 2^63), ~100x the pure-
+    # Python double loop on production-sized images
+    px = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+    luma = (px[:, :, :3].astype(np.int64)
+            * np.array([299, 587, 114], dtype=np.int64)).sum(axis=2)
+    blocks = luma.reshape(8, chh, 8, cw).sum(axis=(1, 3))
+    cells = [int(v) for v in blocks.reshape(64)]
     total = sum(cells)
     lo = hi = 0
     for b in range(64):
@@ -887,7 +887,7 @@ def png_ahash(df: DataFrame, binary_col: str = "data",
             out = {"media_id": [], "width": [], "height": [],
                    "hash_hi": [], "hash_lo": []}
             for mid, b in zip(pdf[id_col], pdf[binary_col]):
-                got = decode_png_pixels(bytes(b))
+                got = None if b is None else decode_png_pixels(bytes(b))
                 if got is None:
                     continue
                 w, h, ch, px = got

@@ -1226,7 +1226,7 @@ def _ensure_quartile_src(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _STREAM_EWMA_SRC:
         d = tempfile.mkdtemp(prefix="po_stream_ewma_")
         ev = load_events(spark, sf_dir).select(
-            "ts", "event_id", "user_id", "value")
+            "ts", "event_id", "user_id", "value", "event_type")
         qs = ev.agg(F.expr(
             "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))")).first()[0]
         lo = F.unix_micros(F.col("ts"))
@@ -2317,10 +2317,13 @@ def events_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = 64
     ev = load_events(spark, sf_dir)
 
-    def pos(salt: str) -> F.Column:
-        return (F.conv(F.substring(
-            F.md5(F.concat(F.lit(salt), F.col("user_id").cast("string"))),
-            1, 15), 16, 10).cast("long") % width)
+    def pos(salt: str):
+        # the one audited md5->LONG bucket (pipeline.hash_bucket), not a
+        # fresh inline copy of the 15-hex idiom
+        from ..pipeline import hash_bucket
+        return hash_bucket(
+            F.concat(F.lit(salt), F.col("user_id").cast("string")),
+            digits=15) % width
 
     expl = ev.select(
         "event_type", F.date_trunc("day", "ts").alias("d"),
@@ -2676,8 +2679,6 @@ def events_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(d).schema
     src = (spark.readStream.schema(schema)
            .option("maxFilesPerTrigger", 1).parquet(d))
-    ev_all = load_events(spark, sf_dir).select(
-        "event_id", "event_type")
 
     def fold(key, pdfs, state: GroupState):
         n, st = state.get if state.exists else (0, 0)
@@ -2701,9 +2702,6 @@ def events_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "st": [st]})
 
-    # the quartile source lacks event_type; re-derive the code by joining
-    # the static events table on event_id (stream-static join feeding the
-    # stateful operator — two streaming surfaces composed)
     code = (F.when(F.col("event_type") == "view", 1)
             .when(F.col("event_type") == "click", 2)
             .when(F.col("event_type") == "purchase", 3)
@@ -2711,8 +2709,7 @@ def events_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     _STREAM_SEQ[0] += 1
     name = f"po_stream_pattern_{_STREAM_SEQ[0]}"
     stream = (
-        src.join(F.broadcast(ev_all), "event_id")
-        .select("user_id", "ts", "event_id", code.alias("c"))
+        src.select("user_id", "ts", "event_id", code.alias("c"))
         .groupBy("user_id")
         .applyInPandasWithState(
             fold,

@@ -4359,6 +4359,12 @@ register("graph_bfs_distances", graph_bfs_distances, _BFS_ORACLE)
 # --------------------------------------------------------------------------
 
 
+#: engine iteration cap == oracle unroll depth: if the peel ever needs
+#: more rounds the ENGINE raises loudly (kcore's drift guard) instead of
+#: the oracle silently under-peeling in rounds 15..N
+_KCORE_ROUNDS = 14
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.graph import kcore
 
@@ -4373,7 +4379,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("u", "v"))
     planted = spark.createDataFrame(
         _KCORE_PLANTED, "u long, v long")
-    return kcore(edges.unionByName(planted), k=3)
+    return kcore(edges.unionByName(planted), k=3,
+                 max_rounds=_KCORE_ROUNDS)
 
 
 _KCORE_PLANTED = (
@@ -4399,7 +4406,7 @@ alledges AS (SELECT u, v FROM edges UNION ALL SELECT u, v FROM planted),
 und AS MATERIALIZED (SELECT u AS a, v AS b FROM alledges
         UNION ALL SELECT v AS a, u AS b FROM alledges),
 alive0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und)"""]
-    rounds = 14
+    rounds = _KCORE_ROUNDS
     for r in range(rounds):
         parts.append(f"""deg{r} AS MATERIALIZED (
   SELECT u.a AS node, COUNT(*) AS core_deg FROM und u
@@ -4606,9 +4613,32 @@ register("dedup_cdc_chunks", dedup_cdc_chunks, _CDC_ORACLE)
 # --------------------------------------------------------------------------
 
 
-def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _make_pcm_wav_fixture(mid: int) -> bytes:
+    """Shared 16-bit PCM WAV fixture: samples v_i = ((mid*7919 + i*31)
+    mod 65536) - 32768 over (mid%50+1)*160*ch frames, ch = 1 + mid%2.
+    ONE definition on purpose: multimodal_wav_pcm_stats and
+    multimodal_audio_energy's oracles both reproduce these samples
+    arithmetically, so fixture identity is a correctness invariant, not
+    a style choice."""
     import struct as _struct
 
+    import numpy as np
+
+    ch = 1 + mid % 2
+    n = (mid % 50 + 1) * 160 * ch
+    i = np.arange(n, dtype=np.int64)
+    v = ((mid * 7919 + i * 31) % 65536 - 32768).astype("<i2")
+    payload = v.tobytes()
+    rate = 8000
+    fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (b"fmt " + _struct.pack("<I", 16) + fmt
+            + b"data" + _struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+
+def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..pipeline.multimodal import decode_wav_pcm
@@ -4616,25 +4646,12 @@ def multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
         .select(F.col("doc_id").alias("media_id"))
 
-    def make_pcm_wav(mid: int) -> bytes:
-        ch = 1 + mid % 2
-        n = (mid % 50 + 1) * 160 * ch
-        import numpy as np
-
-        i = np.arange(n, dtype=np.int64)
-        v = ((mid * 7919 + i * 31) % 65536 - 32768).astype("<i2")
-        payload = v.tobytes()
-        rate = 8000
-        fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
-        body = (b"fmt " + _struct.pack("<I", 16) + fmt
-                + b"data" + _struct.pack("<I", len(payload)) + payload)
-        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
-
     def synth(batches):
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": [int(m) for m in pdf["media_id"]],
-                "data": [make_pcm_wav(int(m)) for m in pdf["media_id"]]})
+                "data": [_make_pcm_wav_fixture(int(m))
+                         for m in pdf["media_id"]]})
 
     media = docs.mapInPandas(synth, schema="media_id long, data binary")
     return decode_wav_pcm(media)
@@ -5096,8 +5113,6 @@ register("multimodal_phash_pairs", multimodal_phash_pairs, _PHASH_ORACLE)
 
 
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import struct as _struct
-
     import pandas as pd
 
     from ..pipeline.multimodal import pcm_frame_energy_df
@@ -5105,25 +5120,12 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
         .select(F.col("doc_id").alias("media_id"))
 
-    def make_pcm_wav(mid: int) -> bytes:
-        ch = 1 + mid % 2
-        n = (mid % 50 + 1) * 160 * ch
-        import numpy as np
-
-        i = np.arange(n, dtype=np.int64)
-        v = ((mid * 7919 + i * 31) % 65536 - 32768).astype("<i2")
-        payload = v.tobytes()
-        rate = 8000
-        fmt = _struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
-        body = (b"fmt " + _struct.pack("<I", 16) + fmt
-                + b"data" + _struct.pack("<I", len(payload)) + payload)
-        return b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
-
     def synth(batches):
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": [int(m) for m in pdf["media_id"]],
-                "data": [make_pcm_wav(int(m)) for m in pdf["media_id"]]})
+                "data": [_make_pcm_wav_fixture(int(m))
+                         for m in pdf["media_id"]]})
 
     media = docs.mapInPandas(synth, schema="media_id long, data binary")
     frames = pcm_frame_energy_df(media, frame=160)
