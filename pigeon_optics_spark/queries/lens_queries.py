@@ -246,3 +246,56 @@ FROM documents
 """
 
 register("lens_error_capture", lens_error_capture, _ERRLOG_ORACLE)
+
+
+MARKUP_CODE = """\
+title = Markup.select(data, 'title')[0]
+body = Markup.select(data, 'body')[0]
+lang = Markup.get.attribute(data, 'lang')
+output(lang, {"n": 1, "chars": len(Markup.get.text(body)),
+              "sample": Markup.get.text(title)})
+"""
+
+
+def lens_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-sandbox ``Markup`` toolkit (SURVEY §2.5, ref
+    workers/environment.js/markup.js) under DRIVER evidence — previously
+    pytest-only: records are JsonML trees
+    ``["doc", {"lang": ...}, ["title", {}, "T<id>"], ["body", {}, text]]``
+    and the lens CSS-selects title/body and reads the lang attribute, so
+    a selector/getter defect changes the aggregate.  The reduce exercises
+    the object-merge rules end-to-end on the extraction results: counts
+    add, char totals add, the title string last-wins in natural record
+    order (= max doc_id — the fold-order contract again, now through
+    Markup-derived values)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    esc = F.expr(
+        "substring(to_json(array(text)), 2,"
+        " length(to_json(array(text))) - 2)")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.concat(
+            F.lit('["doc",{"lang":"'), F.col("lang"),
+            F.lit('"},["title",{},"T'), F.col("doc_id").cast("string"),
+            F.lit('"],["body",{},'), esc, F.lit("]]")).alias("value"))
+    store = _ensure(spark, sf_dir, "jsonml-docs", "markup-extract",
+                    MARKUP_CODE, src)
+    out = store.read_df(spark, "tpch", "markup-extract", source="lenses")
+    parsed = F.from_json(
+        "value", "struct<n:long,chars:long,sample:string>")
+    return out.select(
+        F.col("record_id").alias("lang"),
+        parsed.getField("n").alias("n_docs"),
+        parsed.getField("chars").alias("total_chars"),
+        parsed.getField("sample").alias("last_title"))
+
+
+_MARKUP_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       'T' || CAST(MAX(doc_id) AS VARCHAR) AS last_title
+FROM documents WHERE doc_id <= 300
+GROUP BY lang
+"""
+
+register("lens_markup_extract", lens_markup_extract, _MARKUP_ORACLE)
