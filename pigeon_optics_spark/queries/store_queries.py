@@ -696,3 +696,116 @@ FROM canon c
 """
 
 register("store_dedup_writeback", store_dedup_writeback, _DEDUP_WB_ORACLE)
+
+
+def store_meta_vfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``/meta/system:system`` virtual collection (SURVEY §2.1 Meta VFS
+    + collection list, ref meta-vfs.js) under DRIVER evidence — previously
+    pytest-only.  A dedicated store gets one dataset per distinct document
+    language (so the catalog content derives from DATA, not constants)
+    plus a lens entry; the VFS records then expose authors / natural-
+    sorted collection lists / stats, flattened to joined strings the
+    oracle rebuilds from ``SELECT DISTINCT lang``.  The formats record
+    pins the codec registry breadth (a constants row, labeled as such).
+    """
+    import json as _json
+
+    from ..vfs import meta_records
+
+    key = (sf_dir, "vfs")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_storevfs_"))
+        langs = [r["lang"] for r in load(spark, sf_dir, "documents")
+                 .select("lang").distinct().collect()]
+        for lang in langs:
+            store.create("tpch", f"docs-{lang}")
+        create_lens(store, "meta", "any-lens",
+                    inputs=[f"/datasets/tpch:docs-{sorted(langs)[0]}"],
+                    code="output('k', 1)")
+        _STORES[key] = store
+    recs = meta_records(_STORES[key])
+    rows = [
+        ("authors", ",".join(recs["authors"])),
+        ("datasets", ",".join(recs["datasets"])),
+        ("lenses", ",".join(recs["lenses"])),
+        ("stats", _json.dumps(recs["stats"], sort_keys=True)),
+        ("formats", ",".join(recs["formats"])),
+    ]
+    return spark.createDataFrame(rows, "record_id string, content string")
+
+
+#: formats is the engine's codec registry — a constants row that pins the
+#: 8-codec breadth; everything else derives from the documents table.
+_META_VFS_ORACLE = """
+WITH langs AS (SELECT DISTINCT lang FROM documents),
+n AS (SELECT COUNT(*) AS nl FROM langs)
+SELECT 'authors' AS record_id, 'meta,tpch' AS content
+UNION ALL
+SELECT 'datasets',
+       string_agg('tpch:docs-' || lang, ',' ORDER BY lang) FROM langs
+UNION ALL
+SELECT 'lenses', 'meta:any-lens'
+UNION ALL
+SELECT 'stats',
+       '{"authors": 2, "collections": ' || CAST(nl + 1 AS VARCHAR)
+       || ', "datasets": ' || CAST(nl AS VARCHAR) || ', "lenses": 1}'
+FROM n
+UNION ALL
+SELECT 'formats', 'cbor,html,json,json5,jsonl,msgpack,xml,yaml'
+"""
+
+register("store_meta_vfs", store_meta_vfs, _META_VFS_ORACLE)
+
+
+def store_cid_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upload path end-to-end (SURVEY §2.1 multipart import + §2.2
+    cid:→hash: rewrite + attachment-presence validation, ref
+    record-structure.js:44-72, auto-import-attachments.js) under DRIVER
+    evidence — previously pytest-only: each record value references its
+    uploaded blob as ``cid:blob<doc_id>``; the blobs (the document text
+    bytes) are imported into a content-addressed AttachmentStore, the cid
+    links are rewritten to ``hash://sha256/...`` URIs, and the store —
+    wired with the attachment checker, so a missing blob would REJECT the
+    write — extracts the links at write time.  The oracle recomputes
+    every hash URI with DuckDB's own sha256 over the same text, so the
+    whole chain (blob hashing, rewrite, link walk) is value-checked.
+    """
+    import json as _json
+
+    from ..attachments import AttachmentStore
+    from ..values import resolve_cid_links
+
+    key = (sf_dir, "cid")
+    if key not in _STORES:
+        blobs = AttachmentStore(tempfile.mkdtemp(prefix="po_cidblob_"))
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_cidstore_"),
+                             attachment_checker=blobs.checker())
+        store.create("t", "uploads")
+        docs = (load(spark, sf_dir, "documents")
+                .where(F.col("doc_id") < 25)
+                .select("doc_id", "text").collect())
+        entries = []
+        for r in docs:
+            cid = f"blob{r['doc_id']}"
+            cid_map = {cid: blobs.add(r["text"].encode("utf-8"))}
+            value = resolve_cid_links(
+                {"note": f"cid:{cid}", "n_chars": len(r["text"])}, cid_map)
+            entries.append((str(r["doc_id"]), value))
+        store.write_entries("t", "uploads", entries)
+        _STORES[key] = store
+    out = _STORES[key].read_df(spark, "t", "uploads")
+    return out.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        F.element_at("links", 1).alias("blob_link"),
+        F.from_json("value", "struct<n_chars:long>")
+        .getField("n_chars").alias("n_chars"))
+
+
+_CID_ORACLE = """
+SELECT doc_id,
+       'hash://sha256/' || sha256(text) AS blob_link,
+       LENGTH(text) AS n_chars
+FROM documents WHERE doc_id < 25
+"""
+
+register("store_cid_import", store_cid_import, _CID_ORACLE)

@@ -46,7 +46,10 @@ def meta_records(store: DatasetStore) -> dict[str, Any]:
     lenses = [f"{m.author}:{m.name}" for m in store._catalog.values()  # noqa: SLF001
               if m.source == "lenses"]
     stats = {
-        "collections": len(store._catalog),  # noqa: SLF001
+        # user-visible collections only: lens compute caches are an engine
+        # internal (the reference keeps them inside the lens archive, not
+        # in the catalog — meta-vfs.js lists datasets and lenses)
+        "collections": len(datasets) + len(lenses),
         "datasets": len(datasets),
         "lenses": len(lenses),
         "authors": len(authors),
