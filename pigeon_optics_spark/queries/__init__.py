@@ -134,7 +134,8 @@ _DRIVER_PRIORITY = [
     #   events_pattern_matches, events_stream_pattern, dedup_cdc_chunks,
     #   events_linreg_trend, text_gini_diversity, q_date_functions,
     #   q_array_functions, dedup_unicode_nfc, q_minby_maxby,
-    #   q_explode_outer, events_stream_outer_join.
+    #   q_explode_outer, events_stream_outer_join, lens_markup_extract,
+    #   store_meta_vfs, store_cid_import.
 ]
 
 
