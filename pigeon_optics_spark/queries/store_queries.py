@@ -809,3 +809,36 @@ FROM documents WHERE doc_id < 25
 """
 
 register("store_cid_import", store_cid_import, _CID_ORACLE)
+
+
+def store_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store as a FIRST-CLASS Spark source — Spark 4's Python
+    DataSource API (sources/pigeon_datasource.py): the same two-batch
+    suppression fixture as store_scan_documents, read through
+    ``spark.read.format("pigeon_optics")`` instead of the library call.
+    The connector must reproduce the engine's own latest-wins segment
+    resolution (max-seq wins, tombstones drop, suppression-kept versions)
+    bucket-partitioned across executors; the identical oracle pins the
+    two read paths interchangeable.
+    """
+    from ..sources.pigeon_datasource import PigeonDataSource
+
+    store = _store_scan(spark, sf_dir)
+    try:
+        spark.dataSource.register(PigeonDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (spark.read.format("pigeon_optics")
+          .option("root", store.root)
+          .option("author", "t").option("name", "docs")
+          .load())
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    return df.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        parsed.getField("lang").alias("lang"),
+        F.length(parsed.getField("text")).alias("text_len"),
+        "version",
+    )
+
+
+register("store_datasource_read", store_datasource_read, _SCAN_ORACLE)

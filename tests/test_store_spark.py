@@ -50,3 +50,39 @@ def test_write_entries_df_overwrite(spark, tmp_path):
     assert set(recs) == {"r2", "r4"}
     assert recs["r2"]["version"] == 1  # identical content keeps old version
     assert recs["r4"]["version"] == 2
+
+
+def test_python_datasource_matches_read_df_with_tombstones(spark, tmp_path):
+    """The pigeon_optics DataSource must equal read_df through a history
+    with updates AND deletes (tombstones must not resurrect through the
+    bucket-partitioned resolution), at a bucket count that forces
+    multi-partition reads."""
+    from pigeon_optics_spark.sources.pigeon_datasource import (
+        PigeonDataSource,
+    )
+    from pigeon_optics_spark.store import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    store.write_entries("a", "c",
+                        [(f"r{i}", {"v": i}) for i in range(50)])
+    store.write_entries("a", "c",
+                        [(f"r{i}", {"v": i * 10}) for i in range(0, 50, 2)])
+    store.delete_record("a", "c", "r4")
+    store.delete_record("a", "c", "r5")
+
+    try:
+        spark.dataSource.register(PigeonDataSource)
+    except Exception:
+        pass
+    via_source = (spark.read.format("pigeon_optics")
+                  .option("root", store.root)
+                  .option("author", "a").option("name", "c")
+                  .option("buckets", "4")
+                  .load())
+    want = {(r["record_id"], r["value"], r["version"])
+            for r in store.read_df(spark, "a", "c").collect()}
+    got = {(r["record_id"], r["value"], r["version"])
+           for r in via_source.collect()}
+    assert got == want
+    assert len(got) == 48 and not any(r[0] in ("r4", "r5") for r in got)
