@@ -2900,3 +2900,135 @@ FROM v LEFT JOIN c
 
 register("events_stream_outer_join", events_stream_outer_join,
          _STREAM_SOJ_ORACLE)
+
+
+def events_stream_timeout_sessions(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    """Custom sessionizer on the EVENT-TIME TIMEOUT path — the 15th real
+    streaming run and the one stateful-API surface none of the prior runs
+    touch: ``GroupStateTimeout.EventTimeTimeout`` with
+    ``state.setTimeoutTimestamp(last_ts + gap)``, so an idle session is
+    closed by the WATERMARK CLOCK (the fold is invoked with
+    ``state.hasTimedOut`` and no data), not by a successor event.  Data
+    batches close earlier sessions on the gap rule; the timeout path
+    closes trailing ones — both emissions flow to the same sink.
+
+    Timeout firing near the end of an availableNow run is inherently
+    unfinalized (the last watermark advance has no later batch to fire
+    in), so the comparison uses the eviction-unambiguous-cutoff
+    discipline (events_stream_outer_join): both sides keep sessions
+    ending ≥ 1 day before the third-quartile watermark, where the
+    timeout MUST have fired.  Session semantics = events_sessionize's
+    30-minute gap rule, so the oracle is the batch sessionizer grouped
+    to (user, session) rows.
+    """
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = 1800 * 1_000_000
+    d = _ensure_quartile_src(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    def fold(key, pdfs, state: GroupState):
+        out = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            out.append((key[0], start, last, n))
+            state.remove()
+        else:
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                rows = (pd.concat(chunks, ignore_index=True)
+                        .sort_values(["ts", "event_id"]))
+                if state.exists:
+                    start, last, n = state.get
+                else:
+                    start = last = n = None
+                for ts in rows["ts"]:
+                    us = int(ts.value) // 1000
+                    if start is None:
+                        start, last, n = us, us, 1
+                    elif us - last > gap_us:
+                        out.append((key[0], start, last, n))
+                        start, last, n = us, us, 1
+                    else:
+                        last, n = us, n + 1
+                state.update((start, last, n))
+                state.setTimeoutTimestamp((last + gap_us) // 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_us", "end_us", "n_events"])
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_tmo_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=("user_id long, start_us long, end_us long, "
+                              "n_events long"),
+            stateStructType="start_us long, end_us long, n_events long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout)
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; "
+            "expected 4 (one per time-quartile file)")
+    ev = load_events(spark, sf_dir)
+    q3 = ev.agg(F.expr(
+        "percentile(unix_micros(ts), 0.75)")).first()[0]
+    cutoff = int(q3) - 600 * 1_000_000 - 86400 * 1_000_000
+    return (spark.table(name)
+            .where(F.col("end_us") <= F.lit(cutoff))
+            .select("user_id", "start_us", "end_us", "n_events"))
+
+
+_TIMEOUT_SESS_ORACLE = """
+WITH cutoff AS (
+  SELECT quantile_cont(epoch_us(ts), 0.75)
+         - CAST(600 AS BIGINT) * 1000000
+         - CAST(86400 AS BIGINT) * 1000000 AS c
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                      > 1800 * CAST(1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  -- (us, event_id) ordering: same-timestamp ties must keep the is_new
+  -- row first or the cumulative splits sessions nondeterministically
+  SELECT user_id, us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, start_us, end_us, n_events
+FROM agg, cutoff WHERE end_us <= c
+"""
+
+register("events_stream_timeout_sessions", events_stream_timeout_sessions,
+         _TIMEOUT_SESS_ORACLE)
