@@ -842,3 +842,101 @@ def store_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("store_datasource_read", store_datasource_read, _SCAN_ORACLE)
+
+
+def store_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's change feed as a NATIVE streaming source — the 16th
+    real streaming run and the streaming half of the Python-DataSource
+    connector: ``readStream.format("pigeon_optics").option("feed",
+    "changes")`` tails raw segment-log rows with offsets = segment seq.
+
+    Offset RESUMPTION is the falsifiable core: run 1 (availableNow,
+    checkpoint C) drains the initial ingest; two more write batches land
+    (updates + tombstones); run 2 resumes from C and must emit ONLY the
+    new segments — a source that ignores offsets re-emits batch 1 and
+    the doubled rows red the count, one that overshoots drops the
+    update batch.  The union of both runs is the exact log history the
+    oracle rebuilds from documents arithmetic (suppression-free batches
+    by construction), tombstones included — the reference's SSE change
+    feed (§2.9) as first-class Spark streaming.
+    """
+    import tempfile
+
+    from ..sources.pigeon_datasource import PigeonDataSource
+
+    key = (sf_dir, "streamsrc")
+    if key not in _STORES:
+        try:
+            spark.dataSource.register(PigeonDataSource)
+        except Exception:
+            pass
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_streamsrc_"))
+        store.create("t", "feed")
+        docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+        store.write_entries_df(spark, "t", "feed", docs.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct("lang", "text")).alias("value")))
+        ck = tempfile.mkdtemp(prefix="po_streamsrc_ck_")
+        out_dir = tempfile.mkdtemp(prefix="po_streamsrc_out_")
+
+        def run_once() -> None:
+            # parquet sink, not memory: the memory sink refuses checkpoint
+            # RECOVERY, and resumption is this gate's point; the file
+            # sink's commit log also makes the two-run union exactly-once
+            q = (spark.readStream.format("pigeon_optics")
+                 .option("root", store.root)
+                 .option("author", "t").option("name", "feed")
+                 .option("feed", "changes")
+                 .load()
+                 .writeStream.format("parquet")
+                 .option("path", out_dir)
+                 .outputMode("append")
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+
+        run_once()
+        r1 = spark.read.parquet(out_dir)
+        n1 = r1.count()
+        s1max = r1.agg(F.max("seq")).first()[0]
+        store.write_entries_df(spark, "t", "feed", docs.where(
+            F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                "lang", F.concat(F.col("text"), F.lit(" [v2]"))
+                .alias("text"))).alias("value")))
+        store.write_entries("t", "feed", [
+            (str(row["doc_id"]), None)
+            for row in docs.where(F.col("doc_id") % 10 == 0)
+            .select("doc_id").collect()])  # ONE batch: all tombstones v3
+        run_once()
+        union = spark.read.parquet(out_dir)
+        if union.where(F.col("seq") <= s1max).count() != n1:
+            raise AssertionError(
+                "run 2 re-emitted run-1 segments — offset resumption broken")
+        if n1 == 0 or union.count() == n1:
+            raise AssertionError("stream runs degenerate (no new rows)")
+        _STORES[key] = store
+        store._feed_union = union  # type: ignore[attr-defined]
+    union = _STORES[key]._feed_union  # type: ignore[attr-defined]
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    return union.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        "version", "deleted",
+        F.length(parsed.getField("text")).alias("text_len"))
+
+
+_STREAM_SOURCE_ORACLE = """
+SELECT doc_id, CAST(1 AS BIGINT) AS version, FALSE AS deleted,
+       LENGTH(text) AS text_len
+FROM documents WHERE doc_id < 60
+UNION ALL
+SELECT doc_id, 2, FALSE, LENGTH(text) + 5
+FROM documents WHERE doc_id < 60 AND doc_id % 2 = 1
+UNION ALL
+SELECT doc_id, 3, TRUE, CAST(NULL AS BIGINT)
+FROM documents WHERE doc_id < 60 AND doc_id % 10 = 0
+"""
+
+register("store_stream_source", store_stream_source, _STREAM_SOURCE_ORACLE)

@@ -24,10 +24,21 @@ from __future__ import annotations
 
 import zlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = ("record_id string, value string, hash string, "
           "links array<string>, version long")
+
+#: change-feed mode (option feed=changes): raw log rows incl. tombstones —
+#: the store's CDF shape (read_delta_df), tailable as a stream
+FEED_SCHEMA = ("record_id string, value string, hash string, "
+               "links array<string>, version long, seq long, "
+               "deleted boolean")
 
 
 class _Bucket(InputPartition):
@@ -46,10 +57,15 @@ class PigeonDataSource(DataSource):
         return "pigeon_optics"
 
     def schema(self) -> str:
+        if self.options.get("feed") == "changes":
+            return FEED_SCHEMA
         return SCHEMA
 
     def reader(self, schema) -> "PigeonSegmentReader":
         return PigeonSegmentReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "PigeonStreamReader":
+        return PigeonStreamReader(self.options)
 
 
 class PigeonSegmentReader(DataSourceReader):
@@ -92,3 +108,65 @@ class PigeonSegmentReader(DataSourceReader):
                     state[rid] = (rid, row["value"], row["hash"],
                                   list(row["links"] or []), row["version"])
         yield from state.values()
+
+
+def _seq_of(path: str) -> int:
+    """Segment seq from the filename — the same parse rule as
+    store._segments (``*_<seq>.parquet``)."""
+    import os
+
+    return int(os.path.basename(path).split("_")[1].split(".")[0])
+
+
+class PigeonStreamReader(SimpleDataSourceStreamReader):
+    """The store's segment log as a STREAMING source (the reference's
+    change feed, SURVEY §2.9, surfaced through the native API):
+    ``spark.readStream.format("pigeon_optics").option("feed", "changes")``
+    tails raw log rows — updates AND tombstones — with offsets = the last
+    processed segment seq, so restarts resume exactly where the
+    checkpoint left off and re-runs never re-emit a segment.
+
+    The simple-reader variant reads on the driver per micro-batch — the
+    right tier for a change LOG (bounded rows per batch by compaction's
+    contract); a partition-parallel DataSourceStreamReader over segment
+    row-groups is the named production upgrade for firehose ingest."""
+
+    def __init__(self, options):
+        self._options = dict(options)
+
+    def _segments_after(self, seq: int) -> list[tuple[int, str]]:
+        from ..store import DatasetStore
+
+        o = self._options
+        store = DatasetStore(o["root"])
+        meta = store._meta(o.get("source", "datasets"),  # noqa: SLF001
+                           o["author"], o["name"])
+        return sorted((s, p) for p in store._segments(meta)  # noqa: SLF001
+                      if (s := _seq_of(p)) > seq)
+
+    @staticmethod
+    def _rows_of(path: str):
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(path).to_pylist():
+            yield (row["record_id"], row["value"], row["hash"],
+                   list(row["links"] or []), row["version"], row["seq"],
+                   row["deleted"])
+
+    def initialOffset(self) -> dict:
+        return {"seq": -1}
+
+    def read(self, start: dict):
+        segs = self._segments_after(int(start["seq"]))
+        if not segs:
+            return iter([]), start
+        rows = [r for _s, p in segs for r in self._rows_of(p)]
+        return iter(rows), {"seq": max(s for s, _p in segs)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = int(start["seq"]), int(end["seq"])
+        return iter([r for s, p in self._segments_after(lo) if s <= hi
+                     for r in self._rows_of(p)])
+
+    def commit(self, end: dict) -> None:
+        pass
