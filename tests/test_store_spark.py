@@ -86,3 +86,41 @@ def test_python_datasource_matches_read_df_with_tombstones(spark, tmp_path):
            for r in via_source.collect()}
     assert got == want
     assert len(got) == 48 and not any(r[0] in ("r4", "r5") for r in got)
+
+
+def test_stream_reader_offsets_and_replay(tmp_path):
+    """PigeonStreamReader unit semantics: initial read drains everything
+    and advances the offset; incremental read returns only new segments;
+    readBetweenOffsets (the checkpoint-recovery replay path) returns
+    exactly the half-open segment range."""
+    from pigeon_optics_spark.sources.pigeon_datasource import (
+        PigeonStreamReader,
+    )
+    from pigeon_optics_spark.store import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    store.write_entries("a", "c", [("r1", {"v": 1}), ("r2", {"v": 2})])
+    store.write_entries("a", "c", [("r1", {"v": 10})])
+    store.write_entries("a", "c", [("r2", None)])   # tombstone batch
+
+    rdr = PigeonStreamReader({"root": store.root, "author": "a",
+                              "name": "c"})
+    start = rdr.initialOffset()
+    rows, off1 = rdr.read(start)
+    rows = list(rows)
+    assert len(rows) == 4 and off1["seq"] >= 3
+    assert sum(1 for r in rows if r[6]) == 1          # one tombstone
+    # no new data -> empty batch, offset unchanged
+    empty, off_same = rdr.read(off1)
+    assert list(empty) == [] and off_same == off1
+    # new segment -> incremental
+    store.write_entries("a", "c", [("r4", {"v": 4})])
+    inc, off2 = rdr.read(off1)
+    inc = list(inc)
+    assert [r[0] for r in inc] == ["r4"] and off2["seq"] > off1["seq"]
+    # recovery replay of the middle range only
+    seqs = sorted({r[5] for r in rows})
+    mid = list(rdr.readBetweenOffsets({"seq": seqs[0]},
+                                      {"seq": seqs[1]}))
+    assert [r[0] for r in mid] == ["r1"] and mid[0][1] is not None
