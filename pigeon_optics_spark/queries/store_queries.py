@@ -940,3 +940,61 @@ FROM documents WHERE doc_id < 60 AND doc_id % 10 = 0
 """
 
 register("store_stream_source", store_stream_source, _STREAM_SOURCE_ORACLE)
+
+
+def store_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the connector:
+    ``df.write.format("pigeon_optics").mode("append")`` twice — initial
+    ingest, then a full re-send with only odd doc_ids changed — read back
+    through the engine.  Because the writer's commit routes staged parts
+    through ``write_entries_df``, hash change-suppression must hold
+    ACROSS the connector boundary: unchanged re-sent records keep
+    version 1, changed ones bump to 2 (the store_scan_documents
+    semantics, reached through the public Spark write API instead of the
+    library call)."""
+    from ..sources.pigeon_datasource import PigeonDataSource
+
+    key = (sf_dir, "dswrite")
+    if key not in _STORES:
+        try:
+            spark.dataSource.register(PigeonDataSource)
+        except Exception:
+            pass
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_dswrite_"))
+        store.create("t", "w")
+        docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+
+        def write(df) -> None:
+            (df.write.format("pigeon_optics")
+             .option("root", store.root)
+             .option("author", "t").option("name", "w")
+             .mode("append").save())
+
+        write(docs.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct("lang", "text")).alias("value")))
+        write(docs.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                "lang",
+                F.when(F.col("doc_id") % 2 == 1,
+                       F.concat(F.col("text"), F.lit(" [v2]")))
+                .otherwise(F.col("text")).alias("text"))).alias("value")))
+        _STORES[key] = store
+    df = _STORES[key].read_df(spark, "t", "w")
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    return df.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        parsed.getField("lang").alias("lang"),
+        F.length(parsed.getField("text")).alias("text_len"),
+        "version")
+
+
+_DSWRITE_ORACLE = """
+SELECT doc_id, lang,
+       LENGTH(text) + CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 0 END AS text_len,
+       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS version
+FROM documents WHERE doc_id < 60
+"""
+
+register("store_datasource_write", store_datasource_write, _DSWRITE_ORACLE)

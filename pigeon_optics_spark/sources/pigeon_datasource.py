@@ -27,8 +27,10 @@ import zlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = ("record_id string, value string, hash string, "
@@ -66,6 +68,9 @@ class PigeonDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "PigeonStreamReader":
         return PigeonStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "PigeonWriter":
+        return PigeonWriter(self.options, overwrite)
 
 
 class PigeonSegmentReader(DataSourceReader):
@@ -170,3 +175,83 @@ class PigeonStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class _PartStaged(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class PigeonWriter(DataSourceWriter):
+    """``df.write.format("pigeon_optics")`` — the WRITE half of the
+    connector: executors stage their partition's (record_id, value) rows
+    as parquet parts; ``commit`` then routes the staged rows through the
+    engine's own ``write_entries`` transaction, so hashing, link
+    extraction, change-suppression, version stamping, and the
+    segment/catalog update are the store's — the connector adds an API
+    surface, never a second write semantics.
+
+    The commit callback runs in a session-less Python worker
+    (``SparkSession.getActiveSession()`` is None there — learned live),
+    so it reads the staged parts with pure pyarrow and uses the store's
+    DRIVER write path; fine under the bounded-batch contract, and the
+    named production upgrade is executor-side hashing into full
+    segment-schema parts + a metadata-only staged-segment promotion in
+    commit.  ``abort`` removes the staging directory; a commit that
+    never runs leaves only unreferenced staged files (the store ignores
+    non-segment names)."""
+
+    def __init__(self, options, overwrite: bool):
+        import os
+        import uuid
+
+        self._options = dict(options)
+        self._overwrite = overwrite
+        self._stage = os.path.join(
+            options["root"], "_dswrite_" + uuid.uuid4().hex[:12])
+
+    def write(self, iterator) -> _PartStaged:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [(r["record_id"], r["value"]) for r in iterator]
+        os.makedirs(self._stage, exist_ok=True)
+        path = os.path.join(self._stage, f"part_{uuid.uuid4().hex}.parquet")
+        table = pa.Table.from_pydict({
+            "record_id": [r[0] for r in rows],
+            "value": [r[1] for r in rows]})
+        pq.write_table(table, path)
+        return _PartStaged(path, len(rows))
+
+    def commit(self, messages) -> None:
+        import json
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from ..store import DatasetStore
+        from ..values import tagged_to_value
+
+        o = self._options
+        store = DatasetStore(o["root"])
+        entries = []
+        for m in messages:
+            if m is None:
+                continue
+            for row in pq.read_table(m.path).to_pylist():
+                entries.append((row["record_id"],
+                                tagged_to_value(json.loads(row["value"]))))
+        store.write_entries(
+            o["author"], o["name"], entries,
+            source=o.get("source", "datasets"),
+            overwrite=self._overwrite)
+        shutil.rmtree(self._stage, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._stage, ignore_errors=True)
