@@ -136,7 +136,8 @@ _DRIVER_PRIORITY = [
     #   q_array_functions, dedup_unicode_nfc, q_minby_maxby,
     #   q_explode_outer, events_stream_outer_join, lens_markup_extract,
     #   store_meta_vfs, store_cid_import, store_datasource_read,
-    #   events_stream_timeout_sessions, store_stream_source.
+    #   events_stream_timeout_sessions, store_stream_source,
+    #   store_datasource_write.
 ]
 
 
