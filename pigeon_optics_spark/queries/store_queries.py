@@ -998,3 +998,150 @@ FROM documents WHERE doc_id < 60
 """
 
 register("store_datasource_write", store_datasource_write, _DSWRITE_ORACLE)
+
+
+def store_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter PUSHDOWN through the connector (Spark 4.1
+    ``DataSourceReader.pushFilters``): the same suppression fixture as
+    store_datasource_read, but read with ``option("pushdown", "true")``
+    and a ``record_id IN (...)`` predicate — Catalyst hands the In filter
+    to the reader at planning time, which prunes the bucket partitions to
+    the ids' own buckets and pushes the id set into the parquet row-group
+    filter (sources/pigeon_datasource.py:PigeonPushdownReader).
+
+    Falsifiable core: pushing a record_id predicate below latest-wins
+    resolution must NOT change resolution — a reader that drops a kept
+    id's older segment rows, or prunes the bucket that holds its
+    tombstone/update, resolves the wrong version or value and reds the
+    hash.  The id list includes an absent id (never-written) so the empty
+    branch executes, and the residual ``version >= 1`` filter is one the
+    reader hands BACK to Spark (partial pushdown).
+    """
+    from ..sources.pigeon_datasource import PigeonDataSource
+
+    store = _store_scan(spark, sf_dir)
+    try:
+        spark.dataSource.register(PigeonDataSource)
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ids = ["1", "2", "3", "5", "8", "13", "21", "34", "-1"]
+    df = (spark.read.format("pigeon_optics")
+          .option("root", store.root)
+          .option("author", "t").option("name", "docs")
+          .option("pushdown", "true")
+          .load()
+          .where(F.col("record_id").isin(ids) & (F.col("version") >= 1)))
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    return df.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        parsed.getField("lang").alias("lang"),
+        F.length(parsed.getField("text")).alias("text_len"),
+        "version",
+    )
+
+
+_PUSHDOWN_ORACLE = """
+SELECT doc_id, lang,
+       LENGTH(text) + CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 0 END AS text_len,
+       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS version
+FROM documents
+WHERE doc_id IN (1, 2, 3, 5, 8, 13, 21, 34)
+"""
+
+register("store_datasource_pushdown", store_datasource_pushdown,
+         _PUSHDOWN_ORACLE)
+
+
+def store_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store→store REPLICATION — the 17th real streaming run and the
+    STREAMING-SINK half of the connector: leader A's change feed
+    (``readStream.format("pigeon_optics").option("feed", "changes")``)
+    drives ``writeStream.format("pigeon_optics")`` into follower B, whose
+    every micro-batch commits through B's own write transaction
+    (sources/pigeon_datasource.py:PigeonStreamWriter).  This is the
+    reference's SSE change feed (§2.9, sse-events.js) replayed into a
+    second store, expressed as ONE native readStream→writeStream.
+
+    Two availableNow runs share a checkpoint: run 1 replicates the
+    initial ingest; then odd doc_ids are updated AND doc_id%5==0 records
+    are tombstoned on A; run 2 resumes and replicates both batches in one
+    micro-batch — so every odd multiple of 5 has an update AND a later
+    tombstone in the SAME commit.  The sink's seq-last-wins rule must
+    apply them in log order: partition-order application resurrects
+    deleted records (or deletes then re-inserts), flipping rows AND hash.
+    A NULL feed value must map to B's delete (the null⇒tombstone rule),
+    and unchanged records re-sent by nothing stay at B-version 1 by
+    suppression.
+    """
+    import tempfile as _tf
+
+    from ..sources.pigeon_datasource import PigeonDataSource
+
+    key = (sf_dir, "streamrepl")
+    if key not in _STORES:
+        try:
+            spark.dataSource.register(PigeonDataSource)
+        except Exception:
+            pass
+        leader = DatasetStore(_tf.mkdtemp(prefix="po_repl_a_"))
+        leader.create("t", "feed")
+        follower = DatasetStore(_tf.mkdtemp(prefix="po_repl_b_"))
+        follower.create("t", "copy")
+        docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+        leader.write_entries_df(spark, "t", "feed", docs.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct("lang", "text")).alias("value")))
+        ck = _tf.mkdtemp(prefix="po_repl_ck_")
+
+        def replicate() -> None:
+            q = (spark.readStream.format("pigeon_optics")
+                 .option("root", leader.root)
+                 .option("author", "t").option("name", "feed")
+                 .option("feed", "changes")
+                 .load()
+                 .select("record_id", "value", "seq")
+                 .writeStream.format("pigeon_optics")
+                 .option("root", follower.root)
+                 .option("author", "t").option("name", "copy")
+                 .option("checkpointLocation", ck)
+                 .outputMode("append")
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+
+        replicate()                                   # run 1: initial state
+        if follower.read_df(spark, "t", "copy").count() != docs.count():
+            raise AssertionError("run-1 replication incomplete")
+        leader.write_entries_df(spark, "t", "feed", docs.where(
+            F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                "lang", F.concat(F.col("text"), F.lit(" [v2]"))
+                .alias("text"))).alias("value")))
+        leader.write_entries("t", "feed", [
+            (str(row["doc_id"]), None)
+            for row in docs.where(F.col("doc_id") % 5 == 0)
+            .select("doc_id").collect()])
+        replicate()                                   # run 2: delta only
+        _STORES[key] = follower
+    df = _STORES[key].read_df(spark, "t", "copy")
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    return df.select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        parsed.getField("lang").alias("lang"),
+        F.length(parsed.getField("text")).alias("text_len"),
+        "version",
+    )
+
+
+_STREAM_REPL_ORACLE = """
+SELECT doc_id, lang,
+       LENGTH(text) + CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 0 END AS text_len,
+       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS version
+FROM documents
+WHERE doc_id < 50 AND doc_id % 5 <> 0
+"""
+
+register("store_stream_replicate", store_stream_replicate,
+         _STREAM_REPL_ORACLE)

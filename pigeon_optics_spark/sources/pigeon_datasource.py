@@ -13,11 +13,20 @@ against the same DuckDB oracle.
 Scale shape: ``partitions()`` hashes record ids into ``buckets`` input
 partitions; each partition scans the segment log column-pruned and keeps
 only its bucket's rows, so resolution state per task is
-O(records/buckets) and tasks parallelize like any other scan.  Each
-partition does read every segment file (the log is short by compaction's
-contract); a production iteration would push bucket pruning into parquet
-row-group statistics and implement ``pushFilters`` for record_id
-predicates — named, not hidden.
+O(records/buckets) and tasks parallelize like any other scan.
+
+Filter pushdown (``option("pushdown", "true")`` + the session conf
+``spark.sql.python.filterPushdown.enabled``): record_id EqualTo/In
+predicates prune the BUCKET partitions at planning time and reach the
+parquet scan as row-group filters — a point lookup through the connector
+plans O(1) partitions and skips non-matching row groups by statistics,
+instead of resolving the whole collection and filtering after.  Pushing a
+record_id predicate below latest-wins resolution is semantics-preserving
+because resolution is per-record: dropping other records' rows (including
+their tombstones) cannot change the kept record's resolved row.  The
+pushdown reader is an opt-in SUBCLASS because Spark refuses a reader that
+implements ``pushFilters`` while the conf is disabled — the default
+reader must stay inert for sessions that never opt in.
 """
 
 from __future__ import annotations
@@ -27,7 +36,10 @@ import zlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
+    EqualTo,
+    In,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -44,10 +56,13 @@ FEED_SCHEMA = ("record_id string, value string, hash string, "
 
 
 class _Bucket(InputPartition):
-    def __init__(self, idx: int, n: int, segments: list[str]):
+    def __init__(self, idx: int, n: int, segments: list[str],
+                 ids: frozenset | None = None):
         self.idx = idx
         self.n = n
         self.segments = segments
+        #: pushed record_id constraint (None = unconstrained)
+        self.ids = ids
 
 
 class PigeonDataSource(DataSource):
@@ -64,6 +79,8 @@ class PigeonDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema) -> "PigeonSegmentReader":
+        if self.options.get("pushdown") == "true":
+            return PigeonPushdownReader(self.options)
         return PigeonSegmentReader(self.options)
 
     def simpleStreamReader(self, schema) -> "PigeonStreamReader":
@@ -71,6 +88,9 @@ class PigeonDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "PigeonWriter":
         return PigeonWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "PigeonStreamWriter":
+        return PigeonStreamWriter(self.options, overwrite)
 
 
 class PigeonSegmentReader(DataSourceReader):
@@ -93,11 +113,16 @@ class PigeonSegmentReader(DataSourceReader):
     def read(self, partition: _Bucket):
         import pyarrow.parquet as pq
 
+        # pushed record_id constraint reaches the parquet scan: row groups
+        # whose record_id min/max statistics exclude every wanted id are
+        # skipped entirely (pyarrow evaluates the filter against stats)
+        pq_filter = (None if partition.ids is None
+                     else [("record_id", "in", sorted(partition.ids))])
         state: dict[str, tuple] = {}
         for path in partition.segments:      # seq order (driver-resolved)
             table = pq.read_table(path, columns=[
                 "record_id", "value", "hash", "links", "version",
-                "seq", "deleted"])
+                "seq", "deleted"], filters=pq_filter)
             rows = table.to_pylist()
             # distributed segments hold one seq but unordered part files;
             # order rows by seq for the multi-seq-per-dir safety margin
@@ -107,12 +132,56 @@ class PigeonSegmentReader(DataSourceReader):
                 if zlib.crc32(rid.encode("utf-8")) % partition.n \
                         != partition.idx:
                     continue
+                if partition.ids is not None and rid not in partition.ids:
+                    continue
                 if row["deleted"]:
                     state.pop(rid, None)
                 else:
                     state[rid] = (rid, row["value"], row["hash"],
                                   list(row["links"] or []), row["version"])
         yield from state.values()
+
+
+class PigeonPushdownReader(PigeonSegmentReader):
+    """record_id predicate pushdown (``option("pushdown", "true")``).
+
+    ``pushFilters`` keeps EqualTo / In filters on record_id (intersecting
+    repeated constraints) and hands everything else back to Spark.  The
+    kept ids prune ``partitions()`` to the buckets that can contain them —
+    a point lookup plans ONE input partition instead of ``buckets`` — and
+    travel in the partition so ``read`` can push them into the parquet
+    row-group filter.  Contradictory constraints (empty intersection)
+    plan a single no-op partition.
+    """
+
+    def __init__(self, options):
+        super().__init__(options)
+        self._ids: frozenset | None = None
+
+    def _constrain(self, ids) -> None:
+        new = frozenset(ids)
+        self._ids = new if self._ids is None else (self._ids & new)
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if (isinstance(f, EqualTo) and f.attribute == ("record_id",)
+                    and isinstance(f.value, str)):
+                self._constrain({f.value})
+            elif (isinstance(f, In) and f.attribute == ("record_id",)
+                    and all(isinstance(v, str) for v in f.value)):
+                self._constrain(f.value)
+            else:
+                yield f                      # Spark re-evaluates this one
+
+    def partitions(self):
+        if self._ids is None:
+            return super().partitions()
+        if not self._ids:
+            return [_Bucket(0, self.n_buckets, [], ids=self._ids)]
+        buckets = sorted({zlib.crc32(i.encode("utf-8")) % self.n_buckets
+                          for i in self._ids})
+        return [_Bucket(b, self.n_buckets, self.segments, ids=self._ids)
+                for b in buckets]
 
 
 def _seq_of(path: str) -> int:
@@ -183,16 +252,16 @@ class _PartStaged(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-class PigeonWriter(DataSourceWriter):
-    """``df.write.format("pigeon_optics")`` — the WRITE half of the
-    connector: executors stage their partition's (record_id, value) rows
-    as parquet parts; ``commit`` then routes the staged rows through the
+class _StagedStoreWrite:
+    """Shared write machinery for the batch and streaming writers:
+    executors stage their partition's (record_id, value[, seq]) rows as
+    parquet parts; the commit callback routes the staged rows through the
     engine's own ``write_entries`` transaction, so hashing, link
     extraction, change-suppression, version stamping, and the
     segment/catalog update are the store's — the connector adds an API
     surface, never a second write semantics.
 
-    The commit callback runs in a session-less Python worker
+    Commit runs in a session-less Python worker
     (``SparkSession.getActiveSession()`` is None there — learned live),
     so it reads the staged parts with pure pyarrow and uses the store's
     DRIVER write path; fine under the bounded-batch contract, and the
@@ -200,7 +269,14 @@ class PigeonWriter(DataSourceWriter):
     segment-schema parts + a metadata-only staged-segment promotion in
     commit.  ``abort`` removes the staging directory; a commit that
     never runs leaves only unreferenced staged files (the store ignores
-    non-segment names)."""
+    non-segment names).
+
+    Row semantics mirror the engine: a NULL ``value`` is a DELETE (the
+    reference's null⇒tombstone merge rule), and when the input carries a
+    ``seq`` column — e.g. replicating another store's change feed — the
+    batch is reduced to each record's highest-seq row before the write,
+    so one micro-batch that contains both an update and a later tombstone
+    for the same record applies in log order, not partition order."""
 
     def __init__(self, options, overwrite: bool):
         import os
@@ -218,16 +294,19 @@ class PigeonWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = [(r["record_id"], r["value"]) for r in iterator]
+        rows = [r.asDict() for r in iterator]
         os.makedirs(self._stage, exist_ok=True)
         path = os.path.join(self._stage, f"part_{uuid.uuid4().hex}.parquet")
-        table = pa.Table.from_pydict({
-            "record_id": [r[0] for r in rows],
-            "value": [r[1] for r in rows]})
+        cols = {
+            "record_id": [r["record_id"] for r in rows],
+            "value": [r["value"] for r in rows]}
+        if rows and "seq" in rows[0]:
+            cols["seq"] = [r["seq"] for r in rows]
+        table = pa.Table.from_pydict(cols)
         pq.write_table(table, path)
         return _PartStaged(path, len(rows))
 
-    def commit(self, messages) -> None:
+    def _apply(self, messages) -> None:
         import json
         import shutil
 
@@ -238,13 +317,23 @@ class PigeonWriter(DataSourceWriter):
 
         o = self._options
         store = DatasetStore(o["root"])
-        entries = []
+        staged = []
         for m in messages:
             if m is None:
                 continue
-            for row in pq.read_table(m.path).to_pylist():
-                entries.append((row["record_id"],
-                                tagged_to_value(json.loads(row["value"]))))
+            staged.extend(pq.read_table(m.path).to_pylist())
+        if staged and "seq" in staged[0]:
+            last: dict[str, dict] = {}
+            for row in staged:
+                cur = last.get(row["record_id"])
+                if cur is None or row["seq"] >= cur["seq"]:
+                    last[row["record_id"]] = row
+            staged = list(last.values())
+        entries = [
+            (row["record_id"],
+             None if row["value"] is None
+             else tagged_to_value(json.loads(row["value"])))
+            for row in staged]
         store.write_entries(
             o["author"], o["name"], entries,
             source=o.get("source", "datasets"),
@@ -255,3 +344,32 @@ class PigeonWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(self._stage, ignore_errors=True)
+
+
+class PigeonWriter(_StagedStoreWrite, DataSourceWriter):
+    """``df.write.format("pigeon_optics")`` — the batch WRITE half."""
+
+    def commit(self, messages) -> None:
+        self._apply(messages)
+
+
+class PigeonStreamWriter(_StagedStoreWrite, DataSourceStreamWriter):
+    """``df.writeStream.format("pigeon_optics")`` — the STREAMING sink
+    half of the connector: every micro-batch commits through the store's
+    write transaction.  Change-suppression makes an epoch REPLAY after a
+    commit-then-crash benign for unchanged rows (the re-send suppresses
+    to the same version); a replayed batch whose rows changed upstream is
+    the same at-least-once surface every idempotent-by-content sink has.
+    Paired with the ``feed=changes`` stream READER this is store→store
+    replication: the reference's SSE change feed (§2.9) driving a
+    follower store, expressed as one native ``readStream → writeStream``.
+
+    Each epoch re-stages into the writer's staging directory and commit
+    consumes exactly the staged paths in its messages, so a failed epoch
+    leaves only unreferenced files that ``abort`` sweeps."""
+
+    def commit(self, messages, batchId: int) -> None:
+        self._apply(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        _StagedStoreWrite.abort(self, messages)

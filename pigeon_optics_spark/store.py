@@ -38,6 +38,8 @@ a Spark DataFrame (``read_df``: analytics, lens builds).
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import tempfile
@@ -162,10 +164,51 @@ class DatasetStore:
     # -- catalog ------------------------------------------------------------
 
     def _load_catalog(self) -> None:
-        if os.path.exists(self._catalog_path):
-            with open(self._catalog_path, encoding="utf-8") as f:
-                raw = json.load(f)
-            self._catalog = {k: CollectionMeta(**v) for k, v in raw.items()}
+        with self._catalog_lock:
+            if os.path.exists(self._catalog_path):
+                with open(self._catalog_path, encoding="utf-8") as f:
+                    raw = json.load(f)
+                self._catalog = {k: CollectionMeta(**v)
+                                 for k, v in raw.items()}
+
+    def refresh(self) -> None:
+        """Re-read the catalog from disk.  A DatasetStore instance reads
+        through its constructor-time catalog snapshot; when ANOTHER
+        instance (or process) has written since — e.g. the connector's
+        session-less commit worker next to a library handle — call this
+        before reading to see its segments/base_seq.  Write paths refresh
+        automatically inside their transaction (``_txn``)."""
+        self._load_catalog()
+
+    @contextlib.contextmanager
+    def _txn(self, source: str, author: str, name: str):
+        """Cross-instance write transaction.
+
+        Three layers: the in-process per-collection lock (thread
+        serialization, the reference's queued-mutation property), an
+        EXCLUSIVE flock on ``<root>/.store.lock`` (serializes seq/version
+        allocation across DatasetStore INSTANCES and same-host processes
+        — the connector's commit worker constructs its own instance, so
+        instance-cached ``last_seq`` alone would collide segment numbers
+        and resurrect deleted records; found live by a staged-write
+        test), and a disk-fresh catalog reload so the transaction starts
+        from the true committed state.  The flock spans segment write +
+        catalog save: store-wide, not per-collection — the documented
+        trade for a single lock file; per-collection lock files are the
+        refinement if concurrent multi-collection ingest ever matters.
+        On a shared-nothing cluster the local-FS store is per-node
+        scratch by contract; the production tier is a transactional
+        table format's commit protocol, not flock."""
+        with self._collection_lock(source, author, name):
+            fd = os.open(os.path.join(self.root, ".store.lock"),
+                         os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                self._load_catalog()
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
 
     def _save_catalog(self) -> None:
         # atomic temp+rename, the reference's crash-safe pattern (fs/raw.js:152-197)
@@ -192,7 +235,7 @@ class DatasetStore:
         _validate_name(name)
         _validate_name(author)
         key = f"{source}/{author}/{name}"
-        with self._catalog_lock:
+        with self._txn(source, author, name), self._catalog_lock:
             if key in self._catalog:
                 raise StoreError(f"collection exists: {key}")
             meta = CollectionMeta(source=source, author=author, name=name, memo=memo,
@@ -214,7 +257,7 @@ class DatasetStore:
     def delete_collection(self, author: str, name: str, *, source: str = "datasets") -> None:
         import shutil
 
-        with self._catalog_lock:
+        with self._txn(source, author, name), self._catalog_lock:
             meta = self._meta(source, author, name)
             shutil.rmtree(self._dir(meta), ignore_errors=True)
             del self._catalog[meta.key]
@@ -237,7 +280,7 @@ class DatasetStore:
         # collection lock: the version bump races concurrent write_entries
         # version bumps on the same collection (e.g. lens cursor updates vs
         # user writes) without it
-        with self._collection_lock(source, author, name):
+        with self._txn(source, author, name):
             meta = self._meta(source, author, name)
             meta.config = config
             if memo is not None:
@@ -460,7 +503,7 @@ class DatasetStore:
                       entries: Iterable[tuple[str, Any]], *,
                       source: str = "datasets", overwrite: bool = False,
                       _allow_missing_delete: bool = True) -> CollectionMeta:
-        with self._collection_lock(source, author, name):
+        with self._txn(source, author, name):
             return self._write_entries_impl(
                 author, name, entries, source=source, overwrite=overwrite,
                 _allow_missing_delete=_allow_missing_delete)
@@ -469,14 +512,14 @@ class DatasetStore:
                          source: str = "datasets", overwrite: bool = False,
                          precanonical: bool = False,
                          no_links: bool = False) -> CollectionMeta:
-        with self._collection_lock(source, author, name):
+        with self._txn(source, author, name):
             return self._write_entries_df_impl(
                 spark, author, name, df, source=source, overwrite=overwrite,
                 precanonical=precanonical, no_links=no_links)
 
     def compact_df(self, spark, author: str, name: str, *,
                    source: str = "datasets") -> None:
-        with self._collection_lock(source, author, name):
+        with self._txn(source, author, name):
             return self._compact_df_impl(spark, author, name, source=source)
 
     def _write_entries_impl(self, author: str, name: str,
@@ -806,6 +849,11 @@ class DatasetStore:
     def compact(self, author: str, name: str, *, source: str = "datasets") -> None:
         """Fold the segment log into one base segment (keeps resolution O(1)
         segments; on a cluster this is OPTIMIZE/auto-compaction)."""
+        with self._txn(source, author, name):
+            self._compact_impl(author, name, source=source)
+
+    def _compact_impl(self, author: str, name: str, *,
+                      source: str = "datasets") -> None:
         meta = self._meta(source, author, name)
         st = self._state(meta)
         rows = [

@@ -124,3 +124,112 @@ def test_stream_reader_offsets_and_replay(tmp_path):
     mid = list(rdr.readBetweenOffsets({"seq": seqs[0]},
                                       {"seq": seqs[1]}))
     assert [r[0] for r in mid] == ["r1"] and mid[0][1] is not None
+
+
+def test_pushdown_reader_prunes_buckets_and_filters(tmp_path):
+    """PigeonPushdownReader unit semantics: record_id EqualTo/In filters
+    are consumed (intersecting), everything else is handed back to Spark;
+    partitions() plans only the ids' buckets; a contradictory constraint
+    plans a single no-op partition; the default reader must NOT override
+    pushFilters (a session with the pushdown conf off would refuse it)."""
+    import zlib
+
+    from pyspark.sql.datasource import EqualTo, In, IsNotNull
+
+    from pigeon_optics_spark.sources.pigeon_datasource import (
+        PigeonPushdownReader,
+        PigeonSegmentReader,
+    )
+    from pigeon_optics_spark.store import DatasetStore
+
+    assert "pushFilters" not in PigeonSegmentReader.__dict__
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    store.write_entries("a", "c", [(f"r{i}", {"v": i}) for i in range(40)])
+    opts = {"root": store.root, "author": "a", "name": "c", "buckets": "8"}
+
+    rdr = PigeonPushdownReader(opts)
+    residual = list(rdr.pushFilters([
+        In(("record_id",), ("r1", "r2", "r3")),
+        IsNotNull(("value",)),            # not ours -> back to Spark
+    ]))
+    assert residual == [IsNotNull(("value",))]
+    parts = rdr.partitions()
+    want_buckets = {zlib.crc32(f"r{i}".encode()) % 8 for i in (1, 2, 3)}
+    assert {p.idx for p in parts} == want_buckets
+    got = sorted(r[0] for p in parts for r in rdr.read(p))
+    assert got == ["r1", "r2", "r3"]
+
+    # repeated constraints intersect; EqualTo + In -> singleton
+    rdr2 = PigeonPushdownReader(opts)
+    list(rdr2.pushFilters([In(("record_id",), ("r1", "r2")),
+                           EqualTo(("record_id",), "r2")]))
+    assert sorted(r[0] for p in rdr2.partitions()
+                  for r in rdr2.read(p)) == ["r2"]
+
+    # contradictory -> one empty partition, zero rows
+    rdr3 = PigeonPushdownReader(opts)
+    list(rdr3.pushFilters([EqualTo(("record_id",), "r1"),
+                           EqualTo(("record_id",), "r2")]))
+    parts3 = rdr3.partitions()
+    assert len(parts3) == 1
+    assert list(rdr3.read(parts3[0])) == []
+
+    # a non-string comparand is not ours either (Spark keeps it)
+    rdr4 = PigeonPushdownReader(opts)
+    f = EqualTo(("record_id",), 7)
+    assert list(rdr4.pushFilters([f])) == [f]
+    assert rdr4._ids is None
+
+
+def test_staged_write_seq_last_wins_and_null_delete(tmp_path):
+    """_StagedStoreWrite._apply unit semantics: a batch carrying a seq
+    column reduces to each record's highest-seq row before the write
+    (update then tombstone in ONE commit applies in log order), and a
+    NULL value deletes.  Without seq, null-delete still applies."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pigeon_optics_spark.sources.pigeon_datasource import (
+        _PartStaged,
+        _StagedStoreWrite,
+    )
+    from pigeon_optics_spark.store import DatasetStore
+    from pigeon_optics_spark.values import value_to_tagged
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    store.write_entries("a", "c", [("keep", {"v": 0}), ("gone", {"v": 1}),
+                                   ("flip", {"v": 2})])
+
+    def tag(v):
+        return json.dumps(value_to_tagged(v))
+
+    w = _StagedStoreWrite({"root": store.root, "author": "a", "name": "c"},
+                          overwrite=False)
+    part = str(tmp_path / "part.parquet")
+    pq.write_table(pa.Table.from_pydict({
+        "record_id": ["flip", "flip", "gone", "flip"],
+        # stale update (seq 1), real update (seq 5), tombstone LAST (seq 9)
+        "value": [tag({"v": 99}), tag({"v": 5}), None, None],
+        "seq": [1, 5, 9, 9]}), part)
+    w._apply([_PartStaged(part, 4)])
+    recs = {r["id"]: r["value"] for r in store.iterate("a", "c",
+                                                       fast_read=True)}
+    assert recs == {"keep": {"v": 0}}  # flip deleted by its seq-9 tombstone
+
+    # without seq: plain null-delete + upsert
+    store.write_entries("a", "c", [("x", {"v": 1}), ("y", {"v": 2})])
+    w2 = _StagedStoreWrite({"root": store.root, "author": "a", "name": "c"},
+                           overwrite=False)
+    part2 = str(tmp_path / "part2.parquet")
+    pq.write_table(pa.Table.from_pydict({
+        "record_id": ["x", "y"],
+        "value": [None, tag({"v": 20})]}), part2)
+    w2._apply([_PartStaged(part2, 2)])
+    recs = {r["id"]: r["value"] for r in store.iterate("a", "c",
+                                                       fast_read=True)}
+    assert recs == {"keep": {"v": 0}, "y": {"v": 20}}
