@@ -137,7 +137,10 @@ _DRIVER_PRIORITY = [
     #   q_explode_outer, events_stream_outer_join, lens_markup_extract,
     #   store_meta_vfs, store_cid_import, store_datasource_read,
     #   events_stream_timeout_sessions, store_stream_source,
-    #   store_datasource_write.
+    #   store_datasource_write;
+    # wave 13: store_datasource_pushdown, store_stream_replicate,
+    #   events_rate_limit, events_stream_rate_limit (+ any later wave-13
+    #   additions — see ROUND_NOTES wave-13 entry).
 ]
 
 

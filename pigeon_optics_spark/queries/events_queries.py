@@ -847,6 +847,200 @@ FROM (
 register("events_throttle_dedup", events_throttle_dedup, _THROTTLE_ORACLE)
 
 
+# --------------------------------------------------------------------------
+# Strict token-bucket rate limiter — the STATEFUL variant the
+# events_throttle_dedup docstring names as "carries state through the
+# scan": each decision depends on PRIOR decisions (tokens spent by
+# earlier admitted events), so no window expression can compute it; it is
+# the events_cusum_alarms ordered-fold class.
+#
+# Semantics: per user, bucket capacity 2 tokens, refill 1 token per
+# 8192 s, admission costs 1 token, bucket starts full.  ALL-INTEGER state
+# in micro-tokens: refill = elapsed_us >> 13 (1e6 micro-tokens per
+# 8192e6 us), capacity 2_000_000, cost 1_000_000 — the bit shift is the
+# same exact operation in Spark, DuckDB, and the Python replica, so no
+# division-rounding class can open between engines.  Parameters keep both
+# branches populated at every SF (admitted/denied measured before
+# commit).  Sentinel last_ts = -1 marks the first event (no refill).
+#
+# Scale shape: one groupBy shuffle to assemble per-user ordered
+# sequences, then a map-only in-row fold — state is O(1) per user and
+# the fold is O(events-per-user); never a window over the raw stream.
+# The streaming twin (events_stream_rate_limit) carries the identical
+# 4-long state through applyInPandasWithState.
+# --------------------------------------------------------------------------
+
+_RL_CAP = 2_000_000     # micro-tokens (2 tokens)
+_RL_COST = 1_000_000    # micro-tokens per admitted event
+_RL_SHIFT = 13          # refill: elapsed_us >> 13 == 1 token / 8192 s
+
+
+def rate_limit_state_col(ts_micros):
+    """Folded token-bucket state over an ordered array of epoch-micro
+    longs: struct (tok = final micro-tokens, last = last ts, a =
+    admitted, d = denied).  Module-level so the pytest replica exercises
+    THIS expression."""
+    init = F.struct(
+        F.lit(_RL_CAP).cast("long").alias("tok"),
+        F.lit(-1).cast("long").alias("last"),
+        F.lit(0).cast("long").alias("a"),
+        F.lit(0).cast("long").alias("d"))
+
+    def step(acc, t):
+        refill = F.when(acc.getField("last") == -1,
+                        F.lit(0).cast("long")).otherwise(
+            F.shiftright(t - acc.getField("last"), _RL_SHIFT))
+        tok2 = F.least(F.lit(_RL_CAP).cast("long"),
+                       acc.getField("tok") + refill)
+        return F.when(
+            tok2 >= _RL_COST,
+            F.struct((tok2 - _RL_COST).alias("tok"), t.alias("last"),
+                     (acc.getField("a") + 1).alias("a"),
+                     acc.getField("d").alias("d"))
+        ).otherwise(
+            F.struct(tok2.alias("tok"), t.alias("last"),
+                     acc.getField("a").alias("a"),
+                     (acc.getField("d") + 1).alias("d")))
+
+    return F.aggregate(ts_micros, init, step)
+
+
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("ts", "event_id"))).alias("s")))
+    st = rate_limit_state_col(
+        F.transform(F.col("s"), lambda x: F.unix_micros(x.getField("ts"))))
+    return seq.select(
+        "user_id",
+        F.size("s").cast("long").alias("n_events"),
+        st.getField("a").alias("n_admitted"),
+        st.getField("d").alias("n_denied"),
+        st.getField("tok").alias("final_tokens"))
+
+
+_RATE_LIMIT_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, list(epoch_us(ts) ORDER BY ts, event_id) AS ts_us
+  FROM events GROUP BY user_id
+),
+folded AS (
+  -- LIST accumulator [tok, last, a, d], not a struct (DuckDB 1.0.0
+  -- list_reduce struct-accumulator lane defect — see events_cusum_alarms)
+  SELECT user_id, len(ts_us) AS n_events, list_reduce(
+    list_prepend([CAST({_RL_CAP} AS BIGINT), CAST(-1 AS BIGINT),
+                  CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+      list_transform(ts_us, t -> [t, CAST(0 AS BIGINT),
+                                  CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+    (acc, e) -> CASE
+      WHEN least(CAST({_RL_CAP} AS BIGINT),
+                 acc[1] + CASE WHEN acc[2] = -1 THEN 0
+                          ELSE (e[1] - acc[2]) >> {_RL_SHIFT} END)
+           >= {_RL_COST}
+      THEN [least(CAST({_RL_CAP} AS BIGINT),
+                  acc[1] + CASE WHEN acc[2] = -1 THEN 0
+                           ELSE (e[1] - acc[2]) >> {_RL_SHIFT} END)
+            - {_RL_COST},
+            e[1], acc[3] + 1, acc[4]]
+      ELSE [least(CAST({_RL_CAP} AS BIGINT),
+                  acc[1] + CASE WHEN acc[2] = -1 THEN 0
+                           ELSE (e[1] - acc[2]) >> {_RL_SHIFT} END),
+            e[1], acc[3], acc[4] + 1] END) AS st
+  FROM seq
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       st[3] AS n_admitted, st[4] AS n_denied, st[1] AS final_tokens
+FROM folded
+"""
+
+register("events_rate_limit", events_rate_limit, _RATE_LIMIT_ORACLE)
+
+
+def events_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-bucket rate limiter — the 18th real Structured
+    Streaming run and the incremental twin of ``events_rate_limit``
+    (itself the stateful variant events_throttle_dedup's docstring
+    promises): per-user (tok, last, admitted, denied) carried across the
+    four forced time-quartile micro-batches, same all-integer fold as
+    ``rate_limit_state_col`` (refill = elapsed_us >> 13), so the final
+    state is EXACTLY the batch oracle's — integers, not tolerance.
+
+    At 100 TB this is admission control at ingest: O(1) keyed state per
+    user, micro-batch order within a key supplied by Kafka partition
+    ordering (modeled by the quartile files + maxFilesPerTrigger=1); the
+    collapse guard raises if the run degenerates to fewer batches.
+    """
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _ensure_quartile_src(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    def fold(key, pdfs, state: GroupState):
+        tok, last, a, dn = (state.get if state.exists
+                            else (_RL_CAP, -1, 0, 0))
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["ts", "event_id"]))
+            for t in rows["ts"]:
+                t_us = t.value // 1000          # pandas ns -> micros
+                refill = 0 if last == -1 else (t_us - last) >> _RL_SHIFT
+                tok = min(_RL_CAP, tok + refill)
+                if tok >= _RL_COST:
+                    tok -= _RL_COST
+                    a += 1
+                else:
+                    dn += 1
+                last = t_us
+        state.update((tok, last, a, dn))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [a + dn],
+            "n_admitted": [a], "n_denied": [dn], "final_tokens": [tok]})
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_rl_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=("user_id long, n_events long, "
+                              "n_admitted long, n_denied long, "
+                              "final_tokens long"),
+            stateStructType=("tok long, last long, a long, d long"),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; "
+            "expected 4 (one per time-quartile file)")
+    last = F.max(F.struct("n_events", "n_admitted", "n_denied",
+                          "final_tokens")).alias("s")
+    return (spark.table(name).groupBy("user_id").agg(last)
+            .select("user_id", F.col("s.n_events").alias("n_events"),
+                    F.col("s.n_admitted").alias("n_admitted"),
+                    F.col("s.n_denied").alias("n_denied"),
+                    F.col("s.final_tokens").alias("final_tokens")))
+
+
+register("events_stream_rate_limit", events_stream_rate_limit,
+         _RATE_LIMIT_ORACLE)
+
+
 def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE distributed-first distinct-counting
     pattern: per-(type, day) HyperLogLog sketches of distinct users are

@@ -595,3 +595,59 @@ class TestNgramsUdtf:
             "FROM po_udtf_docs t, LATERAL po_ngrams(t.text, 3) g").collect()]
         want = [(1, i, "hello"[i:i + 3]) for i in range(3)]
         assert sorted(got) == want  # doc 2 too short, doc 3 NULL -> no rows
+
+
+def test_rate_limit_fold_matches_python_replica(spark):
+    """Token-bucket fold: Spark's aggregate() must execute the exact
+    integer sequence of the Python reference — refill shift, capacity
+    clamp, admission decisions, sentinel first event.  Gap pattern is
+    adversarial: zero gaps (same-ts bursts), exact-refill-boundary gaps
+    (k * 8192 s), and long gaps that clamp at capacity."""
+    import random
+
+    from pigeon_optics_spark.queries.events_queries import (
+        _RL_CAP,
+        _RL_COST,
+        _RL_SHIFT,
+        rate_limit_state_col,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260815)
+    rows = []
+    for u in range(20):
+        t = 1_700_000_000_000_000  # epoch micros
+        for i in range(rng.randint(1, 60)):
+            gap = rng.choice([0, 1, 8192 * 10**6, 8192 * 10**6 - 1,
+                              rng.randint(1, 10**11)])
+            t += gap
+            rows.append((u, i, t))
+    df = spark.createDataFrame(rows, "user_id long, seq long, t long")
+    agg = (df.groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(F.struct("seq", "t")))
+                .alias("s")))
+    st = rate_limit_state_col(F.col("s").getField("t"))
+    got = {r["user_id"]: (r["tok"], r["a"], r["d"])
+           for r in agg.select("user_id",
+                               st.getField("tok").alias("tok"),
+                               st.getField("a").alias("a"),
+                               st.getField("d").alias("d")).collect()}
+    import collections
+
+    series = collections.defaultdict(list)
+    for u, i, t in sorted(rows):
+        series[u].append(t)
+    n_denies = 0
+    for u, ts in series.items():
+        tok, last, a, d = _RL_CAP, -1, 0, 0
+        for t in ts:
+            refill = 0 if last == -1 else (t - last) >> _RL_SHIFT
+            tok = min(_RL_CAP, tok + refill)
+            if tok >= _RL_COST:
+                tok, a = tok - _RL_COST, a + 1
+            else:
+                d += 1
+            last = t
+        assert got[u] == (tok, a, d), u
+        n_denies += d
+    assert n_denies > 0  # the adversarial gaps must exercise the deny branch
