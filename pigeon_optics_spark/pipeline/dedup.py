@@ -806,3 +806,41 @@ def cdc_chunk_df(df: DataFrame, text_col: str = "text",
     return df.mapInPandas(
         run, schema=("doc_id long, chunk_idx long, chunk_len long, "
                      "chunk_md5 string"))
+
+
+#: query parameters stripped by URL canonicalization (tracking/click ids)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)="
+
+
+def canonical_url_col(url: Column | str) -> Column:
+    """Canonical form of a URL for crawl dedup — pure JVM expressions
+    (``parse_url`` + regex/array ops), no UDF:
+
+    - scheme and host lowercased; leading ``www.`` stripped
+    - port dropped (``parse_url('HOST')`` excludes it) and fragment
+      dropped (no component includes it)
+    - duplicate slashes in the path collapsed, trailing slashes stripped
+      (the root path canonicalizes to the empty string)
+    - tracking query params removed (:data:`TRACKING_PARAM_RE`), the
+      remaining params byte-sorted and rejoined
+
+    Deliberately NOT done: percent-decoding (decoding can change path
+    semantics) and scheme folding (http and https stay distinct
+    documents).  The standard crawl-frontier normalizer; scale shape is
+    map-only column expressions feeding an exact hash-groupBy dedup.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(u, F.lit("HOST"))), r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_replace(F.parse_url(u, F.lit("PATH")), "/{2,}", "/"),
+        "/+$", "")
+    q = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.array_join(
+        F.array_sort(F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")))

@@ -1176,3 +1176,32 @@ def nfc_md5_col(df: DataFrame, text_col: str = "text",
     from ..udfs import nfc_md5_udf
 
     return df.withColumn(out_col, nfc_md5_udf(F.col(text_col)))
+
+
+#: UTF-8-read-as-latin1 artifact: a char in the UTF-8 LEAD-byte range
+#: U+00C2-U+00F4 (2-, 3-, and 4-byte sequence leads) followed by a char
+#: in the continuation-byte range U+0080-U+00BF — e.g. U+00C3 U+00A9 is
+#: mojibake for e-acute, U+00E2 U+0080 U+0099 for the right single
+#: quote.  Built from chr() codes so the source stays ASCII-clean.
+MOJIBAKE_RE = ("[" + chr(0xC2) + "-" + chr(0xF4) + "]["
+               + chr(0x80) + "-" + chr(0xBF) + "]")
+
+
+def mojibake_repair_col(s: Column | str) -> Column:
+    """Detect-and-repair double-encoding damage (ftfy's core case): a
+    string whose UTF-8 bytes were decoded as latin-1 shows artifact
+    pairs like A-tilde + copyright-sign where the source had e-acute;
+    the repair is the inverse transcode — re-encode as ISO-8859-1
+    (codepoint == byte) and decode the bytes as UTF-8.  Entirely
+    JVM-side: ``decode(encode(s))`` built-ins guarded by a
+    :data:`MOJIBAKE_RE` artifact test, no UDF.
+
+    Heuristic by nature (documented, not hidden): a string that
+    legitimately contains an artifact-shaped pair is transcoded too, and
+    mixed content with codepoints > U+00FF would lose them to ``?`` —
+    the guard keeps repair off strings with no artifact evidence, which
+    is the standard corpus-cleaning trade."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.when(
+        F.regexp_count(c, F.lit(MOJIBAKE_RE)) > 0,
+        F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")).otherwise(c)

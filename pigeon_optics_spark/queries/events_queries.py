@@ -1041,6 +1041,60 @@ register("events_stream_rate_limit", events_stream_rate_limit,
          _RATE_LIMIT_ORACLE)
 
 
+# --------------------------------------------------------------------------
+# OHLC bars (r5 wave 13) — the candlestick / telemetry downsampler: per
+# (event_type, hour), open = first value, high/low = extrema, close =
+# last value, n + decimal-exact volume.  ONE grouped aggregation: open
+# and close are min_by/max_by over the (ts, event_id) struct key — order
+# statistics, not window functions, so there is no per-row window pass
+# and partial aggregation stays map-side combinable (the q_minby_maxby
+# class).  The oracle computes first/last structurally independently via
+# ROW_NUMBER joins.  Determinism: event_id breaks (ts) ties in the key;
+# high/low are exact (no accumulation); volume uses the dsum decimal
+# cast.  Scale: the canonical downsample-before-analytics step — output
+# is O(types x hours), thousands of rows per 100 TB day.
+# --------------------------------------------------------------------------
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    return (ev.groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("bar_hour"))
+            .agg(F.min_by("value", key).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", key).alias("close"),
+                 F.count("*").alias("n_events"),
+                 F.expr(dsum("value", "volume", 8)).alias("volume")))
+
+
+_OHLC_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_z
+  FROM events
+),
+agg AS (
+  SELECT event_type, bar_hour, MAX(value) AS high, MIN(value) AS low,
+         COUNT(*) AS n_events, {dsum('value', 'volume', 8)}
+  FROM r GROUP BY 1, 2
+)
+SELECT a.event_type, a.bar_hour, o.value AS open, a.high, a.low,
+       c.value AS close, a.n_events, a.volume
+FROM agg a
+JOIN r o ON o.event_type = a.event_type AND o.bar_hour = a.bar_hour
+        AND o.rn_a = 1
+JOIN r c ON c.event_type = a.event_type AND c.bar_hour = a.bar_hour
+        AND c.rn_z = 1
+"""
+
+register("events_ohlc_bars", events_ohlc_bars, _OHLC_ORACLE)
+
+
 def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE distributed-first distinct-counting
     pattern: per-(type, day) HyperLogLog sketches of distinct users are

@@ -5376,3 +5376,143 @@ FROM keyed a JOIN keyed b
 """
 
 register("dedup_unicode_nfc", dedup_unicode_nfc, _NFC_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (r5 wave 13) — the crawl-frontier /
+# seen-URL normalizer: the same page arrives as protocol-relative dirt
+# (case-folded scheme+host, default port, www., fragments, duplicate
+# slashes, trailing slashes, tracking params, shuffled query order) and
+# must collapse to ONE canonical key before fetch/storage dedup.
+#
+# Fixture (doc_id arithmetic): k = doc_id // 3 picks the page, host =
+# example{k % 7}.com, dirt class v = doc_id % 5 — v 0/1/2 carry no real
+# query (mixed-case host, uppercase+port+frag+double-slash, www+utm) and
+# v 3/4 carry a=1&b=2 (trailing slash + shuffled order; + gclid noise),
+# so a page's triplet splits into a no-query group and a query group:
+# group sizes 1, 2, AND 3 all occur at every SF.
+#
+# Structural independence: Spark builds the DIRTY strings and runs the
+# real canonicalizer (parse_url + regex/array ops, map-only); the oracle
+# never parses dirt — it constructs the canonical DIRECTLY from the same
+# (k, v) arithmetic, so a canonicalizer bug cannot be mirrored.
+# Scale shape: map-only canonicalization + one hash-groupBy — the exact
+# dedup class; the per-canonical window here is bounded by group size 3.
+# --------------------------------------------------------------------------
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.dedup import canonical_url_col
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") / 3).cast("long")
+    h = F.concat(F.lit("example"), (k % 7).cast("string"), F.lit(".com"))
+    page = F.concat(F.lit("/p/"), k.cast("string"))
+    v = F.col("doc_id") % 5
+    dirty = (
+        F.when(v == 0, F.concat(F.lit("https://Example"),
+                                (k % 7).cast("string"), F.lit(".com"), page))
+        .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(h), F.lit(":443"),
+                               F.regexp_replace(page, "^/", "//"),
+                               F.lit("#frag")))
+        .when(v == 2, F.concat(F.lit("https://www."), h, page,
+                               F.lit("?utm_source=x&utm_campaign="),
+                               F.col("doc_id").cast("string")))
+        .when(v == 3, F.concat(F.lit("https://"), h, page,
+                               F.lit("/?b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://"), h, F.lit(":443"), page,
+                            F.lit("?a=1&gclid=zz"),
+                            F.col("doc_id").cast("string"), F.lit("&b=2"))))
+    urls = d.select("doc_id", canonical_url_col(dirty).alias("canonical"))
+    w = Window.partitionBy("canonical")
+    return urls.select(
+        "doc_id", "canonical",
+        F.count("*").over(w).cast("long").alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_survivor"))
+
+
+_URL_CANON_ORACLE = """
+WITH canon AS (
+  SELECT doc_id,
+         'https://example' || CAST((doc_id // 3) % 7 AS VARCHAR)
+         || '.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+         || CASE WHEN doc_id % 5 IN (3, 4) THEN '?a=1&b=2' ELSE '' END
+         AS canonical
+  FROM documents
+)
+SELECT doc_id, canonical,
+       COUNT(*) OVER (PARTITION BY canonical) AS group_size,
+       doc_id = MIN(doc_id) OVER (PARTITION BY canonical) AS is_survivor
+FROM canon
+"""
+
+register("dedup_url_canonical", dedup_url_canonical, _URL_CANON_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Mojibake detect + repair (r5 wave 13) — double-encoding damage (UTF-8
+# bytes decoded as latin-1, the ftfy core case) detected by the artifact
+# regex and repaired by the inverse transcode, all JVM built-ins
+# (pipeline/text.py:mojibake_repair_col).
+#
+# Fixture: docs < 40 appear TWICE — planted (every 'e' replaced by the
+# 2-char artifact pair U+00C3 U+00A9, ids +95M) and clean (verbatim).
+# Both branches are guarded by the cross-engine ASCII test
+# octet_length(text) == length(text), so a future non-ASCII testdata
+# round shrinks the fixture instead of silently breaking the arithmetic
+# (the text_normalize_clean defensive-fixture lesson).
+#
+# Structural independence: the engine counts artifacts with the regex
+# and repairs by encode/decode; the oracle never parses the dirty string
+# — artifact count is the 'e'-count length identity and the repaired
+# hash is md5 of the ORIGINAL text with 'e' -> e-acute (chr(233)),
+# computed from the clean source.  n_chars pins that repair restored
+# the original character length (a failed transcode leaves +1 char per
+# artifact).  Scale: map-only column expressions, one scan.
+# --------------------------------------------------------------------------
+
+
+def text_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import MOJIBAKE_RE, mojibake_repair_col
+
+    moji = chr(0xC3) + chr(0xA9)        # mojibake rendering of e-acute
+    docs = (load(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < 40)
+                   & (F.octet_length("text") == F.length("text")))
+            .select("doc_id", "text"))
+    planted = docs.select(
+        (F.col("doc_id") + 95_000_000).alias("doc_id"),
+        F.regexp_replace("text", "e", moji).alias("dirty"))
+    clean = docs.select("doc_id", F.col("text").alias("dirty"))
+    corpus = planted.unionByName(clean)
+    n_art = F.regexp_count("dirty", F.lit(MOJIBAKE_RE))
+    rep = mojibake_repair_col("dirty")
+    return corpus.select(
+        "doc_id",
+        n_art.cast("long").alias("artifact_count"),
+        (n_art > 0).alias("is_mojibake"),
+        F.md5(rep).alias("repaired_md5"),
+        F.length(rep).cast("long").alias("n_chars"))
+
+
+_MOJIBAKE_ORACLE = """
+WITH src AS (
+  SELECT doc_id, text,
+         length(text) - length(replace(text, 'e', '')) AS a
+  FROM documents
+  WHERE doc_id < 40 AND strlen(text) = length(text)
+)
+SELECT doc_id + 95000000 AS doc_id,
+       CAST(a AS BIGINT) AS artifact_count,
+       a > 0 AS is_mojibake,
+       CASE WHEN a > 0 THEN md5(replace(text, 'e', chr(233)))
+            ELSE md5(text) END AS repaired_md5,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM src
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), FALSE, md5(text),
+       CAST(length(text) AS BIGINT)
+FROM src
+"""
+
+register("text_mojibake", text_mojibake, _MOJIBAKE_ORACLE)

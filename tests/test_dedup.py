@@ -409,3 +409,36 @@ class TestCdcChunks:
         t = "中文字符串测试" * 20
         cs = cdc_chunks(t)
         assert "".join(cs) == t and len(cs) >= 1
+
+
+def test_canonical_url_adversarial(spark):
+    """canonical_url_col edge semantics: root path, tracking-only query,
+    duplicate param keys kept (sorted), empty params dropped, case
+    preserved in path and query values, no percent-decoding."""
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.pipeline.dedup import canonical_url_col
+
+    cases = [
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/", "https://example.com"),
+        ("HTTP://WWW.Example.COM:80/#top", "http://example.com"),
+        ("https://example.com/a//b///c/", "https://example.com/a/b/c"),
+        ("https://example.com/x?utm_source=a&utm_medium=b",
+         "https://example.com/x"),
+        ("https://example.com/x?b=2&a=1&a=10",
+         "https://example.com/x?a=1&a=10&b=2"),
+        ("https://example.com/x?a=1&&b=2",
+         "https://example.com/x?a=1&b=2"),
+        ("https://example.com/CaseSensitive/Path?q=MixedCase",
+         "https://example.com/CaseSensitive/Path?q=MixedCase"),
+        ("https://example.com/p%2Fq?x=%20y",
+         "https://example.com/p%2Fq?x=%20y"),
+        ("https://example.com/x?gclid=abc&fbclid=def&real=1",
+         "https://example.com/x?real=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url_col("url").alias("c")).collect()]
+    for (u, want), g in zip(cases, got):
+        assert g == want, (u, g, want)

@@ -651,3 +651,30 @@ def test_rate_limit_fold_matches_python_replica(spark):
         assert got[u] == (tok, a, d), u
         n_denies += d
     assert n_denies > 0  # the adversarial gaps must exercise the deny branch
+
+
+def test_mojibake_repair_col_semantics(spark):
+    """mojibake_repair_col: true mojibake transcodes back to the
+    original, clean strings (ASCII, real accents, CJK) pass through
+    untouched because the guard sees no artifact pair."""
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.pipeline.text import mojibake_repair_col
+
+    originals = [
+        "caf" + chr(0xE9),                     # cafe-acute
+        "na" + chr(0xEF) + "ve r" + chr(0xE9) + "sum" + chr(0xE9),
+        chr(0x2019) + "smart quote" + chr(0x2019),   # U+2019 (3-byte UTF-8)
+    ]
+    def moji(s):  # what latin-1 misdecoding does to the UTF-8 bytes
+        return s.encode("utf-8").decode("latin-1")
+    rows = ([(moji(s), s) for s in originals]            # damaged -> original
+            + [("plain ascii", "plain ascii")]           # untouched
+            + [(originals[0], originals[0])]             # real accent kept
+            + [("CJK " + chr(0x4E2D) + chr(0x6587),
+                "CJK " + chr(0x4E2D) + chr(0x6587))])    # guard: no transcode
+    df = spark.createDataFrame([(d,) for d, _ in rows], "dirty string")
+    got = [r["c"] for r in
+           df.select(mojibake_repair_col("dirty").alias("c")).collect()]
+    for (dirty, want), g in zip(rows, got):
+        assert g == want, (dirty, g, want)
