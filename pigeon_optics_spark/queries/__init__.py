@@ -140,7 +140,8 @@ _DRIVER_PRIORITY = [
     #   store_datasource_write;
     # wave 13: store_datasource_pushdown, store_stream_replicate,
     #   events_rate_limit, events_stream_rate_limit, dedup_url_canonical,
-    #   events_ohlc_bars, text_mojibake (+ any later wave-13 additions —
+    #   events_ohlc_bars, text_mojibake,
+    #   store_time_travel (+ any later wave-13 additions —
     #   see ROUND_NOTES wave-13 entry).
 ]
 

@@ -1145,3 +1145,73 @@ WHERE doc_id < 50 AND doc_id % 5 <> 0
 
 register("store_stream_replicate", store_stream_replicate,
          _STREAM_REPL_ORACLE)
+
+
+def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the segment log (store.py:read_df(as_of_seq=)) —
+    the lakehouse read the log-structured layout buys over the
+    reference's rewrite-in-place files (the reference keeps only the
+    current archive; our ``?at=`` export filters versions, this
+    RECONSTRUCTS full past states): a 3-batch history (ingest, odd
+    updates, %10 tombstones) read back at every log position, unioned
+    with an ``as_of`` tag.
+
+    Falsifiable core: as_of 1 must show pre-update values AND records
+    that are deleted now; as_of 2 must show updates but no deletions;
+    as_of 3 equals the current read.  A reader that resolves against the
+    wrong segment subset (e.g. leaks a later tombstone backwards or
+    misses the seq<=S cut) flips rows at some tag.  The compaction
+    horizon and overwrite semantics are pinned by
+    tests/test_store.py:test_time_travel_read.
+    """
+    key = (sf_dir, "timetravel")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_tt_"))
+        store.create("t", "hist")
+        docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+        store.write_entries_df(spark, "t", "hist", docs.select(      # seq 1
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct("lang", "text")).alias("value")))
+        store.write_entries_df(spark, "t", "hist", docs.where(       # seq 2
+            F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                "lang", F.concat(F.col("text"), F.lit(" [v2]"))
+                .alias("text"))).alias("value")))
+        store.write_entries("t", "hist", [                           # seq 3
+            (str(row["doc_id"]), None)
+            for row in docs.where(F.col("doc_id") % 10 == 0)
+            .select("doc_id").collect()])
+        _STORES[key] = store
+    store = _STORES[key]
+    parsed = F.from_json("value", "struct<lang:string,text:string>")
+    reads = [
+        store.read_df(spark, "t", "hist", as_of_seq=s).select(
+            F.lit(s).cast("long").alias("as_of"),
+            F.col("record_id").cast("long").alias("doc_id"),
+            F.length(parsed.getField("text")).alias("text_len"),
+            "version")
+        for s in (1, 2, 3)]
+    out = reads[0]
+    for r in reads[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_TIME_TRAVEL_ORACLE = """
+SELECT 1 AS as_of, doc_id, LENGTH(text) AS text_len,
+       CAST(1 AS BIGINT) AS version
+FROM documents WHERE doc_id < 60
+UNION ALL
+SELECT 2, doc_id,
+       LENGTH(text) + CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 0 END,
+       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END
+FROM documents WHERE doc_id < 60
+UNION ALL
+SELECT 3, doc_id,
+       LENGTH(text) + CASE WHEN doc_id % 2 = 1 THEN 5 ELSE 0 END,
+       CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END
+FROM documents WHERE doc_id < 60 AND doc_id % 10 <> 0
+"""
+
+register("store_time_travel", store_time_travel, _TIME_TRAVEL_ORACLE)

@@ -414,7 +414,44 @@ class DatasetStore:
                     out["value"] = tagged_to_value(json.loads(vals[rid]))
                 yield out
 
-    def read_df(self, spark, author: str, name: str, *, source: str = "datasets"):
+    def _segments_as_of(self, meta: CollectionMeta, as_of_seq: int) -> list[str]:
+        """Segment paths reconstructing the state AS OF ``as_of_seq``
+        (time travel).  Unlike :meth:`_segments` this ignores the CURRENT
+        ``base_seq``: an overwrite logically truncates the log but keeps
+        the old files, so history before it stays readable; the effective
+        base for the requested point is the newest base segment at or
+        before it.  Compaction is the VACUUM horizon — it physically
+        removes old segments, and a request behind the horizon raises
+        instead of silently returning a wrong (partial) state: the log
+        must either carry a base <= as_of_seq or reach back to seq 1."""
+        d = self._dir(meta)
+        kept: list[tuple[int, bool, str]] = []
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if not fn.startswith("seg_"):
+                    continue
+                seq = int(fn.split("_")[1].split(".")[0])
+                if seq <= as_of_seq:
+                    kept.append((seq, ".base." in fn, os.path.join(d, fn)))
+        base = max((s for s, is_b, _p in kept if is_b), default=0)
+        kept = [(s, b, p) for s, b, p in kept if s >= base]
+        # every seq 1..last_seq wrote exactly one segment (suppressed
+        # batches consume no seq), so the state is reconstructible iff
+        # the surviving log covers the DENSE range [max(base, 1), S_eff]
+        # — a missing head OR tail means compaction removed it
+        s_eff = min(as_of_seq, meta.last_seq)
+        if s_eff >= 1:
+            have = {s for s, _b, _p in kept}
+            need = range(max(base, 1), s_eff + 1)
+            missing = [s for s in need if s not in have]
+            if missing:
+                raise StoreError(
+                    f"history at seq {as_of_seq} compacted away "
+                    f"(missing segment seqs {missing[:5]}...)")
+        return [p for _s, _b, p in sorted(kept)]
+
+    def read_df(self, spark, author: str, name: str, *,
+                source: str = "datasets", as_of_seq: int | None = None):
         """Current state as a Spark DataFrame
         ``(record_id, value, hash, links, version)``.
 
@@ -422,12 +459,19 @@ class DatasetStore:
         segment log) so Catalyst handles it; at scale the segment scan is
         partition-pruned to one collection directory and compaction keeps the
         log short.
+
+        ``as_of_seq`` is TIME TRAVEL: reconstruct the state as of that
+        segment seq (the same offset axis the change-feed stream and
+        ``read_delta_df`` use) — the lakehouse read the log-structured
+        layout buys over the reference's rewrite-in-place files, bounded
+        by the compaction horizon (:meth:`_segments_as_of`).
         """
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         meta = self._meta(source, author, name)
-        segs = self._segments(meta)
+        segs = (self._segments(meta) if as_of_seq is None
+                else self._segments_as_of(meta, as_of_seq))
         if not segs:
             return empty_local_df(
                 spark, "record_id string, value string, hash string, "

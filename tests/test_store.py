@@ -216,3 +216,46 @@ def test_iterate_chunked_fast_read(store):
     by_id = {r["id"]: r["value"] for r in whole}
     assert by_id["r7"] == {"v": 700}
     assert by_id["r24"] == {"v": 24}
+
+
+def test_time_travel_read(spark, tmp_path):
+    """as_of_seq reconstructs every historical state: post-ingest,
+    post-update, post-delete; an overwrite keeps earlier history
+    readable; compaction raises for points behind the horizon."""
+    import pytest
+
+    from pigeon_optics_spark.store import DatasetStore, StoreError
+
+    store = DatasetStore(str(tmp_path / "tt"))
+    store.create("a", "d")
+    store.write_entries("a", "d", [("r1", {"v": 1}), ("r2", {"v": 2})])  # seq1
+    store.write_entries("a", "d", [("r1", {"v": 10})])                  # seq2
+    store.write_entries("a", "d", [("r2", None)])                       # seq3
+
+    def state(s):
+        import json
+        return {r["record_id"]: json.loads(r["value"])
+                for r in store.read_df(spark, "a", "d",
+                                        as_of_seq=s).collect()}
+
+    assert state(1) == {"r1": {"v": 1}, "r2": {"v": 2}}
+    assert state(2) == {"r1": {"v": 10}, "r2": {"v": 2}}
+    assert state(3) == {"r1": {"v": 10}}
+    assert state(99) == {"r1": {"v": 10}}          # future seq = current
+    assert state(0) == {}                          # before first write
+
+    # overwrite truncates logically but keeps history readable
+    store.write_entries("a", "d", [("r9", {"v": 9})], overwrite=True)  # seq4
+    assert state(4) == {"r9": {"v": 9}}
+    assert state(2) == {"r1": {"v": 10}, "r2": {"v": 2}}
+
+    # compaction is the VACUUM horizon — but it only removes segments
+    # back to the PREVIOUS base (the overwrite), so pre-overwrite
+    # history stays readable while the vacuumed mid-range raises
+    store.write_entries("a", "d", [("r8", {"v": 8})])                  # seq5
+    store.compact("a", "d")                                           # seq6
+    assert state(6) == {"r8": {"v": 8}, "r9": {"v": 9}}
+    assert state(3) == {"r1": {"v": 10}}   # pre-overwrite files survive
+    for gone in (4, 5):                    # overwrite..pre-compaction gone
+        with pytest.raises(StoreError, match="compacted"):
+            state(gone)
