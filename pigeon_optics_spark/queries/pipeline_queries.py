@@ -5516,3 +5516,71 @@ FROM src
 """
 
 register("text_mojibake", text_mojibake, _MOJIBAKE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Image resize (r5 wave 13) — the resize stage of the multimodal
+# quartet, REAL end-to-end: synthesized PNGs (the phash fixture's pixel
+# formula and per-row filter cycle, so the decoder must invert filters
+# 0-4 correctly) are decoded with the pure-Python zlib+filter decoder
+# and resampled 8x8 by integer nearest neighbor
+# (pipeline/multimodal.py:resize_nearest).
+#
+# Value check: the oracle recomputes the EXACT thumbnail from the pixel
+# FORMULA — for output index k (0..191): y2 = k//24, x2 = (k%24)//3,
+# c = k%3, source index i = ((y2*2)*w + (x2*w)//8)*3 + c, value =
+# (doc*31 + i*7 + (i*i)%97) % 224 — summed per image plus two sampled
+# bytes.  Any filter-inversion or sampling-offset bug shifts px_sum.
+# Scale: map-only mapInPandas; only 6 longs per image leave the worker.
+# --------------------------------------------------------------------------
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.multimodal import png_resize_stats, write_png
+
+    docs = (load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+            .select(F.col("doc_id").alias("media_id")))
+
+    def make_png(media_id: int) -> bytes:
+        w, h = 16 + 8 * (media_id % 2), 16
+        n = w * h * 3
+        px = bytes((media_id * 31 + i * 7 + (i * i) % 97) % 224
+                   for i in range(n))
+        return write_png(px, w, h, 3, [(media_id + r) % 5 for r in range(h)])
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "data": [make_png(int(m)) for m in pdf["media_id"]]})
+
+    media = docs.mapInPandas(synth, schema="media_id long, data binary")
+    return png_resize_stats(media, 8, 8)
+
+
+_RESIZE_ORACLE = """
+WITH src AS (
+  SELECT doc_id AS media_id, 16 + 8 * (doc_id % 2) AS w
+  FROM documents WHERE doc_id < 40
+),
+thumb AS (
+  SELECT media_id, w,
+         list_sum(list_transform(
+           list_transform(range(192),
+             k -> ((k // 24) * 2 * w + ((k % 24) // 3) * w // 8) * 3
+                  + k % 3),
+           i -> (media_id * 31 + i * 7 + (i * i) % 97) % 224)) AS px_sum
+  FROM src
+)
+SELECT media_id, CAST(w AS BIGINT) AS src_w, CAST(16 AS BIGINT) AS src_h,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       (media_id * 31) % 224 AS px00,
+       (media_id * 31 + ((8 * w + w // 2) * 3) * 7
+        + (((8 * w + w // 2) * 3) * ((8 * w + w // 2) * 3)) % 97) % 224
+         AS px_center
+FROM thumb
+"""
+
+register("multimodal_image_resize", multimodal_image_resize, _RESIZE_ORACLE)

@@ -747,3 +747,28 @@ def test_png_ahash_and_frame_energy_drop_undecodable(spark):
     got = pcm_frame_energy_df(df, frame=160).collect()
     assert sorted((r["media_id"], r["frame_idx"], r["energy"])
                   for r in got) == [(1, 0, 160), (1, 1, 160)]
+
+
+def test_resize_nearest_odd_dims_replica():
+    """resize_nearest on non-divisible dims must match the pure-Python
+    floor-mapping replica exactly (5x3 -> 2x2, 7x7 -> 3x3), and an
+    upscale repeats source pixels."""
+    from pigeon_optics_spark.pipeline.multimodal import resize_nearest
+
+    def replica(w, h, ch, px, w2, h2):
+        out = bytearray()
+        for y2 in range(h2):
+            for x2 in range(w2):
+                sx, sy = (x2 * w) // w2, (y2 * h) // h2
+                base = (sy * w + sx) * ch
+                out.extend(px[base:base + 3])
+        return bytes(out)
+
+    import random
+    rng = random.Random(7)
+    for (w, h, w2, h2) in [(5, 3, 2, 2), (7, 7, 3, 3), (2, 2, 4, 4),
+                           (16, 16, 8, 8), (1, 1, 3, 3)]:
+        for ch in (3, 4):
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            assert resize_nearest(w, h, ch, px, w2, h2) \
+                == replica(w, h, ch, px, w2, h2), (w, h, w2, h2, ch)
