@@ -30,7 +30,7 @@ from ..pipeline.text import (
     words_col,
 )
 from . import register
-from ._util import load, ordered_pairs_col
+from ._util import dsum, load, ordered_pairs_col
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
@@ -5584,3 +5584,83 @@ FROM thumb
 """
 
 register("multimodal_image_resize", multimodal_image_resize, _RESIZE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# PCA under driver evidence (r5 wave 13) — pca_project was pytest-only
+# ("DuckDB has no eigensolver to mirror"); this gate pins it with the
+# q_approx_aggregates tolerance-boolean pattern on MATH INVARIANTS the
+# projection must satisfy regardless of solver: for components of the
+# fitted covariance, the projected corpus's per-component variance
+# equals the eigenvalue and distinct components are uncorrelated.  A
+# wrong eigenvector, missing mean-centering, wrong component order, or a
+# broken projection fold each shift a variance by O(1) — far beyond the
+# 1 % tolerance that covers the integer-grid quantization gap (the
+# covariance is fit on floor(x*1e4) while projection uses raw doubles).
+# All sums decimal-cast (order-free); n is exact and the oracle computes
+# it independently.  Scale: covariance pass + map-only projection + one
+# 14-sum aggregation.
+# --------------------------------------------------------------------------
+
+
+def emb_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..pipeline.similarity import embedding_covariance, pca_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    k = 4
+    # eigenvalues of the SAME covariance pca_project fits (driver-side,
+    # d x d — bounded)
+    cov_rows = embedding_covariance(emb, "embedding", grid=10_000).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((d, d))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+    # the covariance pass works on floor(x * grid) integers, so its
+    # eigenvalues carry grid^2 units; eigenVECTORS are scale-invariant
+    evals = [v / 10_000.0 ** 2
+             for v in sorted(np.linalg.eigvalsh(cov))[::-1][:k]]
+
+    proj = pca_project(emb, n_components=k)
+    z = proj.select(
+        *[F.col("components")[j].alias(f"z{j}") for j in range(k)])
+    sums = [dsum(f"z{j}", f"s{j}", 12) for j in range(k)]
+    sums += [dsum(f"z{j} * z{j}", f"ss{j}", 12) for j in range(k)]
+    sums += [dsum(f"z{i} * z{j}", f"sp{i}_{j}", 12)
+             for i in range(k) for j in range(i + 1, k)]
+    agg = z.selectExpr("*").groupBy().agg(
+        F.count("*").alias("n"),
+        *[F.expr(s.rsplit(" AS ", 1)[0]).alias(s.rsplit(" AS ", 1)[1])
+          for s in sums])
+    row = agg.first()
+    n = row["n"]
+    checks = []
+    for j in range(k):
+        var = row[f"ss{j}"] / n - (row[f"s{j}"] / n) ** 2
+        ok = abs(var - evals[j]) <= 0.01 * max(evals[j], 1e-9)
+        checks.append((f"var_{j}", bool(ok)))
+    for i in range(k):
+        for j in range(i + 1, k):
+            cv = row[f"sp{i}_{j}"] / n \
+                - (row[f"s{i}"] / n) * (row[f"s{j}"] / n)
+            ok = abs(cv) <= 0.01 * max((evals[i] * evals[j]) ** 0.5, 1e-9)
+            checks.append((f"orth_{i}_{j}", bool(ok)))
+    out = spark.createDataFrame(
+        [(c, ok, int(n)) for c, ok in checks],
+        "invariant string, ok boolean, n long")
+    return out
+
+
+_PCA_ORACLE = """
+WITH names(invariant) AS (
+  VALUES ('var_0'), ('var_1'), ('var_2'), ('var_3'),
+         ('orth_0_1'), ('orth_0_2'), ('orth_0_3'),
+         ('orth_1_2'), ('orth_1_3'), ('orth_2_3')
+)
+SELECT invariant, TRUE AS ok,
+       (SELECT COUNT(*) FROM embeddings) AS n
+FROM names
+"""
+
+register("emb_pca_invariants", emb_pca_invariants, _PCA_ORACLE)
