@@ -113,3 +113,41 @@ def test_leftover_stage_dir_ignored(tmp_path, spark):
     # writes still work and get the right seq
     store.write("a", "d", "r2", {"v": 2})
     assert store.get_meta("a", "d").last_seq == 2
+
+
+def _proc_writer(root, t, n):
+    # separate DatasetStore INSTANCE per call — the cross-instance path
+    from pigeon_optics_spark.store import DatasetStore
+
+    s = DatasetStore(root)
+    for i in range(n):
+        s.write_entries("a", "d", [(f"p{t}-r{i}", {"t": t, "i": i})])
+
+
+def test_cross_process_writers_serialize(tmp_path):
+    """Two PROCESSES (and thus two DatasetStore instances with separate
+    catalog caches) writing one collection must serialize through the
+    root flock: every batch gets a distinct seq, no segment file is
+    overwritten, nothing resurrects.  Before the _txn flock this lost
+    updates (instance-cached last_seq collided)."""
+    import multiprocessing as mp
+
+    from pigeon_optics_spark.store import DatasetStore
+
+    root = str(tmp_path / "xp")
+    DatasetStore(root).create("a", "d")
+    n_procs, per = 4, 12
+    ctx = mp.get_context("spawn")
+    procs = [ctx.Process(target=_proc_writer, args=(root, t, per))
+             for t in range(n_procs)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    fresh = DatasetStore(root)
+    meta = fresh.get_meta("a", "d")
+    assert meta.last_seq == n_procs * per
+    ids = fresh.list_record_ids("a", "d")
+    assert len(ids) == n_procs * per
+    assert fresh.read("a", "d", "p2-r7") == {"t": 2, "i": 7}
