@@ -1095,6 +1095,58 @@ JOIN r c ON c.event_type = a.event_type AND c.bar_hour = a.bar_hour
 register("events_ohlc_bars", events_ohlc_bars, _OHLC_ORACLE)
 
 
+def events_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC — the 19th real Structured Streaming run and the
+    incremental twin of ``events_ohlc_bars``: the same one-pass
+    min_by/max_by/extrema/decimal-volume aggregation as a STREAMING
+    window aggregate over the four forced time-quartile micro-batches.
+
+    The falsifiable core is STATE MERGE of the order statistics: the
+    quartile split cuts many (type, hour) bars across batch boundaries,
+    so Spark must merge partial min_by/max_by states such that open/close
+    still come from the bar's globally first/last event — a
+    last-batch-wins or first-batch-wins merge flips opens and closes on
+    every boundary-straddling bar.  Complete mode keeps every bar in the
+    sink; the result must equal the batch oracle row-for-row.
+    """
+    import tempfile
+
+    d = _ensure_quartile_src(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_ohlc_{_STREAM_SEQ[0]}"
+    key = F.struct("ts", "event_id")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.min_by("value", key).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", key).alias("close"),
+             F.count("*").alias("n_events"),
+             F.expr(dsum("value", "volume", 8)).alias("volume")))
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; "
+            "expected 4 (one per time-quartile file)")
+    return spark.table(name).select(
+        "event_type", F.col("w.start").alias("bar_hour"),
+        "open", "high", "low", "close", "n_events", "volume")
+
+
+register("events_stream_ohlc", events_stream_ohlc, _OHLC_ORACLE)
+
+
 def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE distributed-first distinct-counting
     pattern: per-(type, day) HyperLogLog sketches of distinct users are
