@@ -63,6 +63,15 @@ SWEEP_QUERIES = [
     "events_linreg_trend",
     "text_gini_diversity",
     "q_minby_maxby",
+    # r5 wave 13: OHLC (min_by/max_by over perturbed doubles + decimal
+    # volume, both batch and the streaming state-merge twin), PCA
+    # invariants (eigensolve + projected-variance tolerance at 5x n),
+    # rate limiter (pure integer — included to pin the shift arithmetic
+    # over 5x-longer per-user chains)
+    "events_ohlc_bars",
+    "events_stream_ohlc",
+    "emb_pca_invariants",
+    "events_rate_limit",
 ]
 
 #: per-copy deterministic perturbations; k=0 is the original rows so the
