@@ -1129,3 +1129,38 @@ def png_resize_stats(df: DataFrame, w2: int = 8, h2: int = 8,
     return df.mapInPandas(
         run, schema=("media_id long, src_w long, src_h long, "
                      "px_sum long, px00 long, px_center long"))
+
+
+def pcm_decimate_stats(df: DataFrame, factor: int = 4,
+                       binary_col: str = "data",
+                       id_col: str = "media_id") -> DataFrame:
+    """Integer PCM decimation (sample-rate reduction by keeping every
+    ``factor``-th sample) + exact stats of the downsampled signal —
+    audio's counterpart of :func:`resize_nearest`: the resample stage of
+    the decode/extract/resize/frame-sample quartet, real because the WAV
+    PCM decoder is real.  No anti-alias filter (documented: this is the
+    nearest-neighbor tier; a windowed-sinc low-pass is the production
+    upgrade and needs float DSP out of scope for the exact gate).
+
+    → (media_id, n_out, sum_amp, sum_sq): all exact integers; map-only.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "n_out": [], "sum_amp": [],
+                   "sum_sq": []}
+            for mid, b in zip(pdf[id_col], pdf[binary_col]):
+                samples = None if b is None else _wav_pcm_samples(bytes(b))
+                if samples is None:
+                    continue
+                # python ints, not np.int16: v*v overflows int16 silently
+                kept = [int(v) for v in samples[::factor]]
+                out["media_id"].append(int(mid))
+                out["n_out"].append(len(kept))
+                out["sum_amp"].append(sum(kept))
+                out["sum_sq"].append(sum(v * v for v in kept))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema="media_id long, n_out long, sum_amp long, sum_sq long")

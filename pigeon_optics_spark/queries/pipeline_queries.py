@@ -5664,3 +5664,59 @@ FROM names
 """
 
 register("emb_pca_invariants", emb_pca_invariants, _PCA_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Audio decimation (r5 wave 13) — the resample stage for AUDIO, real
+# end-to-end over the RIFF/PCM decoder (the image analogue is
+# multimodal_image_resize): keep every 4th int16 sample, emit exact
+# integer count/sum/energy of the downsampled signal.  The oracle
+# recomputes all three from the fixture's sample FORMULA at the
+# decimated indexes (i = 4j), so an off-by-one in the chunk walk, a
+# wrong stride, or int16 overflow in the energy sum each flip values.
+# No anti-alias filter by design (named trade in the op docstring).
+# --------------------------------------------------------------------------
+
+
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.multimodal import pcm_decimate_stats
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": [int(m) for m in pdf["media_id"]],
+                "data": [_make_pcm_wav_fixture(int(m))
+                         for m in pdf["media_id"]]})
+
+    media = docs.mapInPandas(synth, schema="media_id long, data binary")
+    return pcm_decimate_stats(media, factor=4)
+
+
+_AUDIO_RESAMPLE_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (doc_id % 50 + 1) * 160 * (1 + doc_id % 2) AS n
+  FROM documents WHERE doc_id <= 300
+),
+s AS (
+  SELECT media_id, 4 * unnest(range(0, (n + 3) // 4)) AS i
+  FROM m
+),
+v AS (
+  SELECT media_id,
+         (media_id * 7919 + i * 31) % 65536 - 32768 AS v
+  FROM s
+)
+SELECT media_id, COUNT(*) AS n_out,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq
+FROM v GROUP BY media_id
+"""
+
+register("multimodal_audio_resample", multimodal_audio_resample,
+         _AUDIO_RESAMPLE_ORACLE)
