@@ -142,7 +142,8 @@ _DRIVER_PRIORITY = [
     #   events_rate_limit, events_stream_rate_limit, dedup_url_canonical,
     #   events_ohlc_bars, text_mojibake,
     #   store_time_travel, multimodal_image_resize, emb_pca_invariants,
-    #   events_stream_ohlc, multimodal_audio_resample (+ any later wave-13
+    #   events_stream_ohlc, multimodal_audio_resample, events_log_histogram,
+    #   events_ab_conversion (+ any later wave-13
     #   additions —
     #   see ROUND_NOTES wave-13 entry).
 ]

@@ -1147,6 +1147,131 @@ def events_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("events_stream_ohlc", events_stream_ohlc, _OHLC_ORACLE)
 
 
+# --------------------------------------------------------------------------
+# Log2-bucketed histogram (r5 wave 13) — the HdrHistogram/DDSketch-
+# family latency-histogram primitive in its exact-integer form: value ->
+# milli units -> bucket = bit length of the integer (power-of-two
+# buckets, ~2x relative error), counts grouped per (type, bucket).
+# Bit length via length(bin(v)) — the same string-of-binary function in
+# Spark and DuckDB, no float log2 (which would open a boundary-rounding
+# class at exact powers of two).  Mergeability is the point at 100 TB:
+# per-partition bucket counts add; the shuffle carries O(types x 64)
+# rows regardless of event volume.  Bucket bounds emitted as exact
+# milli-unit integers (shifts <= 63 never reached: values < 2^20 milli).
+# --------------------------------------------------------------------------
+
+
+def events_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    v = F.floor(F.col("value") * 1000).cast("long")
+    bucket = F.length(F.bin(v)).cast("long")
+    return (ev.select("event_type", bucket.alias("bucket"), v.alias("v"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("v").alias("min_milli"),
+                 F.max("v").alias("max_milli"))
+            .withColumn("lo_milli",
+                        F.expr("shiftleft(1L, cast(bucket - 1 as int))"))
+            .withColumn("hi_milli",
+                        F.expr("shiftleft(1L, cast(bucket as int)) - 1")))
+
+
+_LOG_HIST_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(length(bin(CAST(floor(value * 1000) AS BIGINT))) AS BIGINT)
+           AS bucket,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, bucket, COUNT(*) AS n,
+       MIN(v) AS min_milli, MAX(v) AS max_milli,
+       (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) AS lo_milli,
+       (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 AS hi_milli
+FROM b GROUP BY event_type, bucket
+"""
+
+register("events_log_histogram", events_log_histogram, _LOG_HIST_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout (r5 wave 13) — the product-analytics primitive
+# over the funnel: users split into arms by stable id parity, exposure =
+# has a view, conversion = a purchase inside the 48-hour attribution
+# window after the FIRST view (the unwindowed variant converts EVERY
+# exposed user on this corpus — measured — leaving the no-conversion
+# branch dead; 48 h populates both branches at every SF: 11/4, 95/55,
+# 895/605 converted/not);
+# the 2x2 contingency table plus the chi-square statistic as EXACT
+# integer rationals chi2 = num/den with num = n*(ad-bc)^2 and den =
+# (a+b)(c+d)(a+c)(b+d) — the "emit counts and rationals, never the
+# float score" discipline (q8/readability class), so the gate is
+# hash-exact and the caller divides.  Overflow: counts <= 1e5 at sf0.1,
+# so num <= n^5 ~ 1e25?  No — (ad-bc) <= ~2.5e9, squared 6.25e18 ~ 2^62:
+# within BIGINT only because counts stay <= 5e4 per cell at sf0.1; the
+# VARCHAR-bounce alternative is named if testdata ever grows 10x.
+# Scale: two bounded aggregations (per-user, then per-arm) — no joins.
+# --------------------------------------------------------------------------
+
+
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    per_user = (ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("fv"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("lp")))
+    exposed = per_user.where(F.col("fv").isNotNull()).select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("lp") > F.col("fv")).cast("int").alias("conv"))
+    cell = (exposed.groupBy().agg(
+        F.sum(F.when((F.col("arm") == 0) & (F.col("conv") == 1), 1)
+              .otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("conv") == 0), 1)
+              .otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("conv") == 1), 1)
+              .otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("conv") == 0), 1)
+              .otherwise(0)).alias("d")))
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    delta = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    den = ((F.col("a") + F.col("b")) * (F.col("c") + F.col("d"))
+           * (F.col("a") + F.col("c")) * (F.col("b") + F.col("d")))
+    return cell.select(
+        "a", "b", "c", "d",
+        (n * delta * delta).alias("chi2_num"),
+        den.alias("chi2_den"))
+
+
+_AB_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
+  FROM events GROUP BY user_id
+),
+exposed AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN lp > fv THEN 1 ELSE 0 END AS conv
+  FROM per_user WHERE fv IS NOT NULL
+),
+cell AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(SUM(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+    CAST(SUM(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+    CAST(SUM(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM exposed
+)
+SELECT a, b, c, d,
+       (a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS chi2_num,
+       (a + b) * (c + d) * (a + c) * (b + d) AS chi2_den
+FROM cell
+"""
+
+register("events_ab_conversion", events_ab_conversion, _AB_ORACLE)
+
+
 def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE distributed-first distinct-counting
     pattern: per-(type, day) HyperLogLog sketches of distinct users are
