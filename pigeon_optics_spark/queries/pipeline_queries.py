@@ -5720,3 +5720,70 @@ FROM v GROUP BY media_id
 
 register("multimodal_audio_resample", multimodal_audio_resample,
          _AUDIO_RESAMPLE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Decision provenance audit (r5 wave 13) — the "why was this document
+# kept/dropped" readout every production curation pipeline ships next to
+# its filters: three rules evaluated per doc (too-short by whitespace
+# token proxy < 30; blocked language zh; exact-duplicate non-survivor by
+# md5 min-id) composed into a REASON BITMASK, kept = mask == 0.  The
+# audit table is the falsifiable artifact: a pipeline that only emits
+# survivors cannot be audited for WHY rows vanished.
+#
+# Branch liveness (measured): too-short fires 105/106/1117, zh 74/75/753;
+# exact dups are EMPTY below sf0.1 in the natural corpus, so docs 0-7
+# are planted as +96M copies — survivors keep (min id), plants carry
+# reason bit 4 at every SF.  Token proxy is pure length arithmetic
+# (spaces + 1), immune to regex-class divergence.  Scale: one scan +
+# one hash-partitioned window over md5 groups (bounded group size).
+# --------------------------------------------------------------------------
+
+
+def pipeline_decision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    plants = (docs.where(F.col("doc_id") < 8)
+              .select((F.col("doc_id") + 96_000_000).alias("doc_id"),
+                      "lang", "text"))
+    corpus = docs.unionByName(plants)
+    n_tok = (F.length("text")
+             - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+             + 1)
+    h = F.md5("text")
+    w = Window.partitionBy(h)
+    survivor_min = F.min("doc_id").over(w)
+    r1 = (n_tok < 30).cast("long")
+    r2 = (F.col("lang") == "zh").cast("long")
+    r3 = (F.col("doc_id") > survivor_min).cast("long")
+    mask = r1 + r2 * 2 + r3 * 4
+    return corpus.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tok"),
+        mask.alias("reason_mask"),
+        (mask == 0).alias("kept"))
+
+
+_DECISION_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 96000000, lang, text FROM documents WHERE doc_id < 8
+),
+r AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tok,
+         CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 30
+              THEN 1 ELSE 0 END
+         + CASE WHEN lang = 'zh' THEN 2 ELSE 0 END
+         + CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY md5(text))
+                THEN 4 ELSE 0 END AS reason_mask
+  FROM corpus
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(reason_mask AS BIGINT) AS reason_mask,
+       reason_mask = 0 AS kept
+FROM r
+"""
+
+register("pipeline_decision_audit", pipeline_decision_audit,
+         _DECISION_ORACLE)
