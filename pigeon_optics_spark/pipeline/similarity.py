@@ -684,7 +684,7 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding",
 
 def pca_project(emb: DataFrame, n_components: int = 8,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                grid: int = 10_000) -> DataFrame:
+                grid: int = 10_000, cov_rows: list | None = None) -> DataFrame:
     """PCA projection of the embedding corpus: covariance via
     :func:`embedding_covariance` (one distributed scan, exact integer
     aggregates), eigendecomposition DRIVER-SIDE on the d×d matrix (d² is
@@ -699,11 +699,16 @@ def pca_project(emb: DataFrame, n_components: int = 8,
     kernel (symmetric eigensolve) is legitimately driver-side — the
     distributed parts are the covariance pass and the projection map.
     Verified against numpy in pytest rather than oracle-gated: DuckDB has
-    no eigensolver to mirror.
+    no eigensolver to mirror — and the PROJECTION is pinned by the
+    emb_pca_invariants gate (variance == eigenvalue, orthogonality).
+    Pass ``cov_rows`` (collected :func:`embedding_covariance` output for
+    the same grid) to skip the internal covariance scan when the caller
+    already ran one — the gate does, halving its corpus passes.
     """
     import numpy as np
 
-    cov_rows = embedding_covariance(emb, vec_col, grid=grid).collect()
+    if cov_rows is None:
+        cov_rows = embedding_covariance(emb, vec_col, grid=grid).collect()
     if not cov_rows:
         raise ValueError(
             "pca_project: empty embedding corpus (no covariance rows)")

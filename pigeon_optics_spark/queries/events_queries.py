@@ -1164,30 +1164,43 @@ register("events_stream_ohlc", events_stream_ohlc, _OHLC_ORACLE)
 def events_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     v = F.floor(F.col("value") * 1000).cast("long")
-    bucket = F.length(F.bin(v)).cast("long")
+    # v <= 0 gets its own bucket 0 with bounds [0, 0]: value 0.0 occurs
+    # in the corpus, and bin(0) = '0' would otherwise land it in bucket
+    # 1 whose bounds exclude it (review-found); negatives would overflow
+    # the shift — clamped into the same floor bucket
+    bucket = F.when(v <= 0, F.lit(0).cast("long")) \
+        .otherwise(F.length(F.bin(v)).cast("long"))
     return (ev.select("event_type", bucket.alias("bucket"), v.alias("v"))
             .groupBy("event_type", "bucket")
             .agg(F.count("*").alias("n"),
                  F.min("v").alias("min_milli"),
                  F.max("v").alias("max_milli"))
             .withColumn("lo_milli",
-                        F.expr("shiftleft(1L, cast(bucket - 1 as int))"))
+                        F.expr("CASE WHEN bucket = 0 THEN 0L ELSE "
+                               "shiftleft(1L, cast(bucket - 1 as int)) END"))
             .withColumn("hi_milli",
-                        F.expr("shiftleft(1L, cast(bucket as int)) - 1")))
+                        F.expr("CASE WHEN bucket = 0 THEN 0L ELSE "
+                               "shiftleft(1L, cast(bucket as int)) - 1 END")))
 
 
 _LOG_HIST_ORACLE = """
 WITH b AS (
   SELECT event_type,
-         CAST(length(bin(CAST(floor(value * 1000) AS BIGINT))) AS BIGINT)
-           AS bucket,
+         CASE WHEN CAST(floor(value * 1000) AS BIGINT) <= 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin(CAST(floor(value * 1000) AS BIGINT)))
+                        AS BIGINT) END AS bucket,
          CAST(floor(value * 1000) AS BIGINT) AS v
   FROM events
 )
 SELECT event_type, bucket, COUNT(*) AS n,
        MIN(v) AS min_milli, MAX(v) AS max_milli,
-       (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) AS lo_milli,
-       (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 AS hi_milli
+       CASE WHEN bucket = 0 THEN 0
+            ELSE (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) END
+         AS lo_milli,
+       CASE WHEN bucket = 0 THEN 0
+            ELSE (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 END
+         AS hi_milli
 FROM b GROUP BY event_type, bucket
 """
 
@@ -1216,14 +1229,20 @@ register("events_log_histogram", events_log_histogram, _LOG_HIST_ORACLE)
 
 def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
-    per_user = (ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
-        .alias("fv"),
-        F.max(F.when(F.col("event_type") == "purchase", F.col("ts")))
-        .alias("lp")))
-    exposed = per_user.where(F.col("fv").isNotNull()).select(
-        (F.col("user_id") % 2).alias("arm"),
-        (F.col("lp") > F.col("fv")).cast("int").alias("conv"))
+    fv = (ev.where(F.col("event_type") == "view")
+          .groupBy("user_id").agg(F.min("ts").alias("fv")))
+    # the otherwise(0) keeps exposed-but-never-purchased users as conv=0
+    # (a NULL conv would silently drop them from every cell)
+    per_user = (ev.join(fv, "user_id")
+                .groupBy("user_id", "fv")
+                .agg(F.max(F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("fv"))
+                    & (F.col("ts") <= F.col("fv")
+                       + F.expr("INTERVAL 48 HOURS")), 1)
+                    .otherwise(0)).alias("conv")))
+    exposed = per_user.select(
+        (F.col("user_id") % 2).alias("arm"), "conv")
     cell = (exposed.groupBy().agg(
         F.sum(F.when((F.col("arm") == 0) & (F.col("conv") == 1), 1)
               .otherwise(0)).alias("a"),
@@ -1244,16 +1263,17 @@ def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AB_ORACLE = """
-WITH per_user AS (
-  SELECT user_id,
-         MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv,
-         MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
-  FROM events GROUP BY user_id
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS fv
+  FROM events WHERE event_type = 'view' GROUP BY user_id
 ),
 exposed AS (
-  SELECT user_id % 2 AS arm,
-         CASE WHEN lp > fv THEN 1 ELSE 0 END AS conv
-  FROM per_user WHERE fv IS NOT NULL
+  SELECT e.user_id % 2 AS arm,
+         MAX(CASE WHEN e.event_type = 'purchase' AND e.ts > f.fv
+                   AND e.ts <= f.fv + INTERVAL 48 HOUR
+              THEN 1 ELSE 0 END) AS conv
+  FROM events e JOIN fv f USING (user_id)
+  GROUP BY e.user_id
 ),
 cell AS (
   SELECT

@@ -5622,7 +5622,9 @@ def emb_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals = [v / 10_000.0 ** 2
              for v in sorted(np.linalg.eigvalsh(cov))[::-1][:k]]
 
-    proj = pca_project(emb, n_components=k)
+    # reuse the collected covariance — pca_project would otherwise run
+    # the identical corpus scan a second time (review-found)
+    proj = pca_project(emb, n_components=k, cov_rows=cov_rows)
     z = proj.select(
         *[F.col("components")[j].alias(f"z{j}") for j in range(k)])
     sums = [dsum(f"z{j}", f"s{j}", 12) for j in range(k)]

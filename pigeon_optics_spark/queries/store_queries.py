@@ -1016,6 +1016,14 @@ def store_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash.  The id list includes an absent id (never-written) so the empty
     branch executes, and the residual ``version >= 1`` filter is one the
     reader hands BACK to Spark (partial pushdown).
+
+    The filterPushdown conf is deliberately left ON for the session
+    (planning happens lazily after this function returns, so restoring
+    it here would break the gate's own execution): that is safe by
+    construction — the DEFAULT reader doesn't implement pushFilters
+    (subclass opt-in, exactly so a conf-on session changes nothing for
+    non-opted reads), and no other gate reads through the pushdown
+    option.
     """
     from ..sources.pigeon_datasource import PigeonDataSource
 
