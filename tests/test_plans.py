@@ -202,12 +202,19 @@ def test_stratified_sample_is_scan_plus_filter(spark, sf_dir):
 def _unpartitioned_window_lines(plan: str) -> list[str]:
     """Physical-plan lines holding a window WITHOUT a partition spec.
 
-    A partitioned window prints three bracket groups
-    (``Window [fns], [partition], [order]``), an unpartitioned one only two
-    (``Window [fns], [order]``) — so one ``], [`` separator means global."""
+    A partitioned+ordered window prints three bracket groups
+    (``Window [fns], [partition], [order]``); two groups is ambiguous:
+    an unpartitioned ordered window prints ``[fns], [order]`` but a
+    partitioned ORDER-LESS window (count/min over a partition, the
+    dedup_url_canonical shape) also prints ``[fns], [partition]`` — and
+    only the former is the global-shuffle hazard.  The second group is
+    an ORDER spec iff it carries sort directions, so two groups + a
+    sort token (or an explicitly empty second group) means global."""
     return [ln for ln in plan.splitlines()
             if "Window [" in ln and " WindowGroupLimit" not in ln
-            and ln.count("], [") == 1]
+            and (("], []" in ln)
+                 or (ln.count("], [") == 1
+                     and (" ASC" in ln or " DESC" in ln)))]
 
 
 def test_text_profile_is_one_scan_no_shuffle(spark, sf_dir):
