@@ -1205,3 +1205,40 @@ def mojibake_repair_col(s: Column | str) -> Column:
     return F.when(
         F.regexp_count(c, F.lit(MOJIBAKE_RE)) > 0,
         F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")).otherwise(c)
+
+
+def compression_ratio_df(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the Gopher-family
+    "too compressible = boilerplate/repetition" curation signal (and its
+    inverse, ratio ~> 1 = high-entropy noise/binary-in-text).  Python
+    zlib IS the capability here (Arrow-batched mapInPandas, the codec
+    class); ``level`` is pinned because the ratio is level-dependent.
+
+    → (doc_id, n_bytes, comp_bytes, ratio_millis): byte counts exact,
+    ratio as integer millis (comp*1000 // raw) so downstream thresholds
+    stay engine-exact.  Map-only; 100 TB shape is one scan."""
+    import pandas as pd
+
+    def run(batches):
+        import zlib as _z
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "comp_bytes": [],
+                   "ratio_millis": []}
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                raw = str(t).encode("utf-8")
+                comp = _z.compress(raw, level)
+                out["doc_id"].append(int(did))
+                out["n_bytes"].append(len(raw))
+                out["comp_bytes"].append(len(comp))
+                out["ratio_millis"].append(
+                    len(comp) * 1000 // len(raw) if raw else 0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run, schema=("doc_id long, n_bytes long, comp_bytes long, "
+                     "ratio_millis long"))

@@ -77,3 +77,84 @@ FROM sized
 
 register("codec_transcode_roundtrip", codec_transcode_roundtrip,
          _TRANSCODE_ORACLE)
+
+
+_CSV_DIRS: dict = {}
+
+
+def csv_dirty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with production dirt (SURVEY §2.1 sources — the one
+    text interchange format every training-data lake still ingests):
+    the fixture file is written with Python's csv writer from documents
+    rows, so commas and quotes in text get RFC-4180 quoting; every 7th
+    doc additionally gets a REAL embedded newline (first space
+    replaced), forcing ``multiLine`` reassembly; a planted row carries
+    a non-numeric doc_id and must surface in PERMISSIVE mode's
+    ``_corrupt_record`` (two live lessons: extra-column rows are NOT
+    corrupt to the univocity parser — it ignores trailing tokens — and
+    consecutive corrupt lines fold into ONE corrupt record in multiLine
+    mode) — the gate emits only clean rows, so a parser
+    that splits a quoted field, loses a multiline row, or admits a
+    corrupt row changes rows/values.
+
+    The oracle never parses CSV: it recomputes doc_id/lang/text_len from
+    the documents table (newline injection is 1-char-for-1-char, so
+    lengths are unchanged) — structurally independent of the quoting
+    round-trip under test.  Scale: spark.read.csv is a distributed
+    parallel scan; multiLine=true documents its real cost (file-level
+    parallelism, not split-level) as the trade for embedded newlines.
+    """
+    import csv
+    import os
+    import tempfile
+
+    key = (sf_dir, "csv")
+    if key not in _CSV_DIRS:
+        rows = (load(spark, sf_dir, "documents")
+                .where(F.col("doc_id") < 100)
+                .select("doc_id", "lang", "text")
+                .orderBy("doc_id").collect())
+        d = tempfile.mkdtemp(prefix="po_csv_")
+        path = os.path.join(d, "docs.csv")
+        with open(path, "w", newline="", encoding="utf-8") as f:
+            w = csv.writer(f)
+            w.writerow(["doc_id", "lang", "text"])
+            for r in rows:
+                text = r["text"]
+                if r["doc_id"] % 7 == 0 and " " in text:
+                    text = text.replace(" ", "\n", 1)
+                w.writerow([r["doc_id"], r["lang"], text])
+            # ONE unparseable trailing line: in multiLine mode the
+            # parser folds consecutive bad lines into a single corrupt
+            # record (and can swallow the following line as a quoted
+            # continuation — observed live), so exactly one planted
+            # corrupt row at EOF is the deterministic form
+            f.write("not_a_number,xx,junk row\n")
+        _CSV_DIRS[key] = path
+    df = (spark.read
+          .option("header", "true")
+          .option("multiLine", "true")
+          # RFC-4180 quote-doubling: Spark's default escape is backslash,
+          # which leaves csv.writer's "" forms RAW in the value
+          .option("escape", '"')
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema("doc_id long, lang string, text string, "
+                  "_corrupt_record string")
+          .csv(_CSV_DIRS[key]))
+    df = df.cache()     # required: corrupt-record queries need it stable
+    n_bad = df.where(F.col("_corrupt_record").isNotNull()).count()
+    if n_bad != 1:
+        raise AssertionError(
+            f"expected 1 corrupt row, parser saw {n_bad}")
+    return (df.where(F.col("_corrupt_record").isNull())
+            .select("doc_id", "lang",
+                    F.length("text").alias("text_len")))
+
+
+_CSV_ORACLE = """
+SELECT doc_id, lang, LENGTH(text) AS text_len
+FROM documents WHERE doc_id < 100
+"""
+
+register("csv_dirty_ingest", csv_dirty_ingest, _CSV_ORACLE)

@@ -5789,3 +5789,49 @@ FROM r
 
 register("pipeline_decision_audit", pipeline_decision_audit,
          _DECISION_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal (r5 wave 13) — the Gopher-family
+# "too compressible = repetition/boilerplate" heuristic: zlib level-6
+# ratio per document (pipeline/text.py:compression_ratio_df).  Exact
+# compressed byte counts are codec-version-dependent, so the GATE emits
+# what IS stable: exact raw byte counts plus the thresholded decision —
+# natural docs on this corpus measure ratio >= 0.398 and the planted
+# repetition 0.011 (measured), so the 0.2 threshold has a 2x margin on
+# both sides against zlib build drift (the sketch-envelope gate class).
+# Plants: +97M ids, 'd<id> ' prefix + a 10-char token repeated 400x —
+# the prefix keeps per-row byte counts id-dependent so n_bytes is
+# falsifiable arithmetic, not a constant.
+# --------------------------------------------------------------------------
+
+
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import compression_ratio_df
+
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 200).select("doc_id", "text"))
+    plants = docs.select(
+        (F.col("doc_id") + 97_000_000).alias("doc_id"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string"), F.lit(" "),
+                 F.repeat(F.lit("ab canvas "), 400)).alias("text"))
+    corpus = docs.unionByName(plants)
+    r = compression_ratio_df(corpus)
+    return r.select(
+        "doc_id", "n_bytes",
+        (F.col("ratio_millis") < 200).alias("is_highly_compressible"))
+
+
+_COMPRESS_ORACLE = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       FALSE AS is_highly_compressible
+FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT doc_id + 97000000,
+       CAST(strlen('d' || CAST(doc_id AS VARCHAR) || ' ') + 4000 AS BIGINT),
+       TRUE
+FROM documents WHERE doc_id < 200
+"""
+
+register("text_compression_quality", text_compression_quality,
+         _COMPRESS_ORACLE)
