@@ -1223,3 +1223,60 @@ FROM documents WHERE doc_id < 60 AND doc_id % 10 <> 0
 """
 
 register("store_time_travel", store_time_travel, _TIME_TRAVEL_ORACLE)
+
+
+def store_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store as SQL catalog surface (store.py:register_views): every
+    collection becomes a temp view ``po_<author>_<name>`` over the
+    latest-wins read, so plain ``spark.sql`` queries the store — the
+    reference's HTTP collection listing (meta VFS 'datasets' row)
+    re-expressed as catalog objects.  The gate registers two collections
+    and runs ONE SQL statement that joins them (records split
+    even/odd-of-doc_id across the two), proving cross-collection SQL
+    composes; suppression versions surface through the view (odd doc_ids
+    re-written identically stay v1 — the scan fixture discipline).
+    """
+    key = (sf_dir, "sqlviews")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_sqlv_"))
+        store.create("t", "alpha")
+        store.create("t", "beta")
+        docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+        src = docs.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct("lang", "text")).alias("value"),
+            (F.col("doc_id") % 2).alias("half"))
+        store.write_entries_df(spark, "t", "alpha",
+                               src.where("half = 0").drop("half"))
+        store.write_entries_df(spark, "t", "beta",
+                               src.where("half = 1").drop("half"))
+        # identical re-send into beta: suppression must hold through SQL
+        store.write_entries_df(spark, "t", "beta",
+                               src.where("half = 1").drop("half"))
+        _STORES[key] = store
+    store = _STORES[key]
+    views = store.register_views(spark)
+    if not {"po_t_alpha", "po_t_beta"} <= set(views):
+        raise AssertionError(f"views not registered: {views}")
+    return spark.sql("""
+        WITH both AS (
+          SELECT record_id, value, version, 'alpha' AS coll FROM po_t_alpha
+          UNION ALL
+          SELECT record_id, value, version, 'beta' FROM po_t_beta
+        )
+        SELECT get_json_object(value, '$.lang') AS lang, coll,
+               COUNT(*) AS n, SUM(CAST(record_id AS BIGINT)) AS id_sum,
+               MAX(version) AS max_version
+        FROM both GROUP BY 1, 2
+    """)
+
+
+_SQL_VIEWS_ORACLE = """
+SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 'alpha' ELSE 'beta' END AS coll,
+       COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(1 AS BIGINT) AS max_version
+FROM documents WHERE doc_id < 60
+GROUP BY 1, 2
+"""
+
+register("store_sql_views", store_sql_views, _SQL_VIEWS_ORACLE)

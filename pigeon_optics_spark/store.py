@@ -916,3 +916,27 @@ class DatasetStore:
         self._save_catalog()
         for p in old:
             os.remove(p)
+
+    # -- SQL catalog surface --------------------------------------------------
+
+    def register_views(self, spark, *, source: str = "datasets",
+                       prefix: str = "po") -> list[str]:
+        """Expose every collection as a Spark temp view
+        ``<prefix>_<author>_<name>`` (name chars outside [A-Za-z0-9_]
+        fold to ``_``) so plain ``spark.sql`` can query the store — the
+        reference's HTTP collection listing re-expressed as catalog
+        surface.  Views are lazy plans over :meth:`read_df`, so they
+        resolve latest-wins state AT QUERY TIME relative to this
+        instance's catalog snapshot (call :meth:`refresh` first to see
+        other writers).  Returns the view names registered."""
+        import re as _re
+
+        names = []
+        for author in self.list_authors(source=source):
+            for name in self.list_names(author, source=source):
+                view = _re.sub(r"[^A-Za-z0-9_]", "_",
+                               f"{prefix}_{author}_{name}")
+                self.read_df(spark, author, name,
+                             source=source).createOrReplaceTempView(view)
+                names.append(view)
+        return names
