@@ -144,8 +144,8 @@ _DRIVER_PRIORITY = [
     #   store_time_travel, multimodal_image_resize, emb_pca_invariants,
     #   events_stream_ohlc, multimodal_audio_resample, events_log_histogram,
     #   events_ab_conversion, pipeline_decision_audit,
-    #   text_compression_quality, csv_dirty_ingest, store_sql_views
-    #   (+ any later wave-13
+    #   text_compression_quality, csv_dirty_ingest, store_sql_views,
+    #   q_ntile_quartiles (+ any later wave-13
     #   additions —
     #   see ROUND_NOTES wave-13 entry).
 ]

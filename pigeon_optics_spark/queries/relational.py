@@ -2765,3 +2765,49 @@ FROM (SELECT l_orderkey, n_big, unnest(ex) AS u FROM shaped)
 """
 
 register("q_explode_outer", q_explode_outer, _EXPLODE_OUTER_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# NTILE bucket-boundary semantics (r5 wave 13) — the rank-family member
+# q_rank_semantics doesn't cover.  NTILE(k) over n rows gives the first
+# n % k buckets ceil(n/k) rows and the rest floor(n/k) — a boundary rule
+# engines could plausibly implement differently, so the gate pins it on
+# a TOTAL order (qty, then n_lines, over the distinct-qty aggregate —
+# no peer rows, so the distribution rule is the only degree of freedom).
+# Output is the per-bucket contingency (count + qty span), O(flags x 4).
+# --------------------------------------------------------------------------
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag",
+                      F.col("l_quantity").cast("long").alias("qty"))
+           .agg(F.count("*").alias("n_lines")))
+    w = Window.partitionBy("l_returnflag").orderBy("qty", "n_lines")
+    return (agg.withColumn("q4", F.ntile(4).over(w))
+            .groupBy("l_returnflag", "q4")
+            .agg(F.count("*").alias("n"),
+                 F.min("qty").alias("qty_lo"),
+                 F.max("qty").alias("qty_hi"),
+                 F.sum("n_lines").alias("lines")))
+
+
+_NTILE_ORACLE = """
+WITH agg AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY 1, 2
+),
+t AS (
+  SELECT l_returnflag, qty, n_lines,
+         NTILE(4) OVER (PARTITION BY l_returnflag
+                        ORDER BY qty, n_lines) AS q4
+  FROM agg
+)
+SELECT l_returnflag, CAST(q4 AS INT) AS q4, COUNT(*) AS n,
+       MIN(qty) AS qty_lo, MAX(qty) AS qty_hi,
+       CAST(SUM(n_lines) AS BIGINT) AS lines
+FROM t GROUP BY 1, 2
+"""
+
+register("q_ntile_quartiles", q_ntile_quartiles, _NTILE_ORACLE)
