@@ -145,7 +145,7 @@ _DRIVER_PRIORITY = [
     #   events_stream_ohlc, multimodal_audio_resample, events_log_histogram,
     #   events_ab_conversion, pipeline_decision_audit,
     #   text_compression_quality, csv_dirty_ingest, store_sql_views,
-    #   q_ntile_quartiles (+ any later wave-13
+    #   q_ntile_quartiles, reactive_subscribe_feed (+ any later wave-13
     #   additions —
     #   see ROUND_NOTES wave-13 entry).
 ]

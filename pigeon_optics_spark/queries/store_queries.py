@@ -1280,3 +1280,61 @@ GROUP BY 1, 2
 """
 
 register("store_sql_views", store_sql_views, _SQL_VIEWS_ORACLE)
+
+
+def reactive_subscribe_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSE subscribe + boot broadcast (SURVEY §2.9, ref
+    export-controller.js:153-176 current-version-on-connect and
+    update-events.js:17-35 catch-up list) under DRIVER evidence —
+    previously pytest-only: a store takes three write batches across two
+    collections; ``boot_broadcast`` must re-emit every collection at its
+    CURRENT version (a at 2 after the odd-update batch, b at 1), and a
+    filtered ``subscribe`` must yield the on-connect initial event (the
+    live version) followed by that collection's change events in file
+    order — a feed that misses the suppression rule (batch 3 re-sends
+    evens unchanged, so 'a' must NOT reach version 3) or leaks
+    collection b's events flips rows.
+    """
+    from ..streaming import boot_broadcast, subscribe
+
+    key = (sf_dir, "subscribe")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_sub_"))
+        store.create("t", "a")
+        store.create("t", "b")
+        docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+        src = docs.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct("lang", "text")).alias("value"))
+        store.write_entries_df(spark, "t", "a", src)            # a v1
+        store.write_entries_df(spark, "t", "b", src)            # b v1
+        store.write_entries_df(spark, "t", "a", docs.select(    # a v2
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                "lang",
+                F.when(F.col("doc_id") % 2 == 1,
+                       F.concat(F.col("text"), F.lit(" [v2]")))
+                .otherwise(F.col("text")).alias("text"))).alias("value")))
+        store.write_entries_df(spark, "t", "a", src.limit(0))   # empty: no-op
+        _STORES[key] = store
+    store = _STORES[key]
+    rows = [("boot", e["path"], e["version"], False)
+            for e in boot_broadcast(store)]
+    rows += [("sse", e["path"], e["version"], bool(e.get("initial", False)))
+             for e in subscribe(store, collection_path="/datasets/t:a",
+                                max_events=3, timeout=5.0)]
+    return spark.createDataFrame(
+        rows, "kind string, path string, version long, initial boolean")
+
+
+_SUBSCRIBE_ORACLE = """
+SELECT 'boot' AS kind, '/datasets/t:a' AS path,
+       CAST(2 AS BIGINT) AS version, FALSE AS initial
+UNION ALL SELECT 'boot', '/datasets/t:b', 1, FALSE
+UNION ALL SELECT 'sse', '/datasets/t:a', 2, TRUE
+UNION ALL SELECT 'sse', '/datasets/t:a', 1, FALSE
+UNION ALL SELECT 'sse', '/datasets/t:a', 2, FALSE
+"""
+
+register("reactive_subscribe_feed", reactive_subscribe_feed,
+         _SUBSCRIBE_ORACLE)
