@@ -233,3 +233,70 @@ def test_staged_write_seq_last_wins_and_null_delete(tmp_path):
     recs = {r["id"]: r["value"] for r in store.iterate("a", "c",
                                                        fast_read=True)}
     assert recs == {"keep": {"v": 0}, "y": {"v": 20}}
+
+
+def test_register_views_sql_and_name_folding(spark, tmp_path):
+    """register_views: names fold to [A-Za-z0-9_], views are queryable
+    via spark.sql, and re-registration after new writes sees new state
+    (views are lazy plans over read_df)."""
+    from pigeon_optics_spark.store import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "v"))
+    store.create("au-thor", "data.set")
+    store.write_entries("au-thor", "data.set", [("r1", {"x": 1})])
+    views = store.register_views(spark)
+    assert views == ["po_au_thor_data_set"]
+    assert spark.sql("SELECT COUNT(*) n FROM po_au_thor_data_set") \
+        .first()["n"] == 1
+    store.write_entries("au-thor", "data.set", [("r2", {"x": 2})])
+    store.register_views(spark)
+    assert spark.sql("SELECT COUNT(*) n FROM po_au_thor_data_set") \
+        .first()["n"] == 2
+
+
+def test_datasource_missing_collection_errors(spark, tmp_path):
+    """Reading a nonexistent collection through the connector surfaces
+    the store's own error at planning, not a silent empty result."""
+    import pytest
+
+    from pigeon_optics_spark.sources.pigeon_datasource import (
+        PigeonDataSource,
+    )
+    from pigeon_optics_spark.store import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "m"))
+    try:
+        spark.dataSource.register(PigeonDataSource)
+    except Exception:
+        pass
+    with pytest.raises(Exception, match="no such collection"):
+        (spark.read.format("pigeon_optics")
+         .option("root", store.root)
+         .option("author", "a").option("name", "nope")
+         .load().collect())
+
+
+def test_staged_write_abort_cleans_staging(tmp_path):
+    """abort() removes the staging directory so failed epochs leave no
+    files the store could misread."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pigeon_optics_spark.sources.pigeon_datasource import (
+        _StagedStoreWrite,
+    )
+    from pigeon_optics_spark.store import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "ab"))
+    store.create("a", "c")
+    w = _StagedStoreWrite({"root": store.root, "author": "a", "name": "c"},
+                          overwrite=False)
+    os.makedirs(w._stage, exist_ok=True)
+    pq.write_table(pa.Table.from_pydict(
+        {"record_id": ["r"], "value": ["{}"]}),
+        os.path.join(w._stage, "part.parquet"))
+    assert os.path.isdir(w._stage)
+    w.abort([])
+    assert not os.path.isdir(w._stage)
