@@ -1164,3 +1164,96 @@ def pcm_decimate_stats(df: DataFrame, factor: int = 4,
 
     return df.mapInPandas(
         run, schema="media_id long, n_out long, sum_amp long, sum_sq long")
+
+
+def sniff_webp_meta(data: bytes) \
+        -> tuple[int, int, str, bool, int] | None:
+    """REAL WebP container parse → (width, height, variant, has_alpha,
+    n_chunks), or None for non-WebP bytes.
+
+    WebP is a RIFF container (the WAV walker's grammar with a 'WEBP' form
+    type); the three bitstream variants encode dimensions differently and
+    all three are parsed for real:
+
+    - ``VP8 `` (lossy): 3-byte frame tag, the 9d 01 2a start code, then
+      width/height as little-endian u14 (upper 2 bits are scale hints).
+    - ``VP8L`` (lossless): 0x2f signature byte, then a 32-bit LE word
+      packing width-1 (bits 0-13), height-1 (bits 14-27) and an
+      alpha-is-used hint (bit 28).
+    - ``VP8X`` (extended): 1 flag byte (bit 4 = alpha), 3 reserved bytes,
+      then canvas width-1 / height-1 as 24-bit LE.
+
+    ``has_alpha`` is VP8X's flag bit, VP8L's hint bit, or the presence of
+    an ``ALPH`` chunk.  ``n_chunks`` counts every top-level chunk (the
+    word-alignment pad-byte rule is load-bearing: an odd-sized chunk
+    without the pad skip desyncs the walk).  Dimensions come from the
+    FIRST dimension-bearing chunk (VP8X canvas wins when present, per the
+    spec's extended-format rule that VP8X precedes the image data).
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None
+    i = 12
+    w = h = None
+    variant = None
+    has_alpha = False
+    n_chunks = 0
+    while i + 8 <= len(data):
+        cid = data[i:i + 4]
+        clen = struct.unpack("<I", data[i + 4:i + 8])[0]
+        body = data[i + 8:i + 8 + clen]
+        if len(body) < clen:
+            return None  # declared size runs past the buffer (tar lesson)
+        n_chunks += 1
+        if cid == b"VP8 " and w is None and clen >= 10 \
+                and body[3:6] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            variant = variant or "lossy"
+        elif cid == b"VP8L" and w is None and clen >= 5 \
+                and body[0] == 0x2F:
+            bits = struct.unpack("<I", body[1:5])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            has_alpha = has_alpha or bool((bits >> 28) & 1)
+            variant = variant or "lossless"
+        elif cid == b"VP8X" and clen >= 10:
+            # canvas dims override any later chunk's frame dims
+            has_alpha = has_alpha or bool(body[0] & 0x10)
+            w = 1 + (body[4] | body[5] << 8 | body[6] << 16)
+            h = 1 + (body[7] | body[8] << 8 | body[9] << 16)
+            variant = "extended"
+        elif cid == b"ALPH":
+            has_alpha = True
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if w is None or variant is None:
+        return None
+    return w, h, variant, has_alpha, n_chunks
+
+
+def decode_webp_meta(df: DataFrame, binary_col: str = "data",
+                     id_col: str = "media_id") -> DataFrame:
+    """binary column → WebP metadata rows (REAL container parse,
+    :func:`sniff_webp_meta`); non-WebP bytes are dropped (the documented
+    NULL/unknown-drop contract of the kernel family)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "variant", "has_alpha", "n_chunks")}
+            for mid, b in zip(pdf[id_col], pdf[binary_col]):
+                sniffed = None if b is None else sniff_webp_meta(bytes(b))
+                if sniffed is None:
+                    continue
+                w, hgt, variant, alpha, nc = sniffed
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(hgt)
+                out["variant"].append(variant)
+                out["has_alpha"].append(alpha)
+                out["n_chunks"].append(nc)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run, schema=("media_id long, width long, height long, "
+                     "variant string, has_alpha boolean, n_chunks long"))

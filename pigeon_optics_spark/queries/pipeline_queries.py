@@ -5835,3 +5835,185 @@ FROM documents WHERE doc_id < 200
 
 register("text_compression_quality", text_compression_quality,
          _COMPRESS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# WebP container metadata (r5 wave 14): the modern image wire format the
+# meta family (PNG/GIF/BMP/JPEG/WAV/mp4/tar/SRT) didn't cover — and the
+# only one whose dimension encoding differs per BITSTREAM VARIANT (lossy
+# u14 pair behind a start code, lossless packed 32-bit word, extended
+# 24-bit canvas), so one fourcc dispatch is not enough: all three layouts
+# are parsed for real by pipeline.multimodal.sniff_webp_meta.  Fixtures
+# cycle the three variants by doc_id, plant the alpha signal through a
+# DIFFERENT mechanism per variant (ALPH chunk / VP8L hint bit / VP8X flag
+# byte), and the lossless chunk's odd 5-byte payload makes the RIFF
+# word-alignment pad rule load-bearing (a walker that forgets the pad
+# desyncs and drops every following chunk).  Oracle is doc_id arithmetic.
+# Scale shape: Arrow-batched mapInPandas over the binary column, map-only.
+# --------------------------------------------------------------------------
+
+
+def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    import pandas as pd
+
+    from ..pipeline.multimodal import decode_webp_meta
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return (cid + _struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) % 2 else b""))
+
+    def make_webp(d: int) -> bytes:
+        w = d % 4000 + 16
+        h = (d * 3) % 3000 + 16
+        alpha = d % 5 == 0
+        if d % 3 == 0:      # lossy: VP8 frame tag + start code + u14 dims
+            body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                    + _struct.pack("<HH", w, h))
+            chunks = chunk(b"VP8 ", body)
+            if alpha:
+                chunks = chunk(b"ALPH", b"\x00") + chunks
+        elif d % 3 == 1:    # lossless: 0x2f + packed (w-1, h-1, alpha)
+            bits = (w - 1) | ((h - 1) << 14) | (int(alpha) << 28)
+            chunks = chunk(b"VP8L", b"\x2f" + _struct.pack("<I", bits))
+        else:               # extended: VP8X canvas + a VP8 frame chunk
+            vp8x = (bytes([0x10 if alpha else 0x00]) + b"\x00" * 3
+                    + (w - 1).to_bytes(3, "little")
+                    + (h - 1).to_bytes(3, "little"))
+            frame = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                     + _struct.pack("<HH", min(w, 16383), min(h, 16383)))
+            chunks = chunk(b"VP8X", vp8x) + chunk(b"VP8 ", frame)
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+    def run(batches):
+        for pdf in batches:
+            ids = [int(m) for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": ids,
+                                "data": [make_webp(d) for d in ids]})
+
+    media = docs.mapInPandas(run, schema="media_id long, data binary")
+    return decode_webp_meta(media)
+
+
+#: alpha plants land on doc_id % 5 == 0 regardless of variant; chunk count
+#: is 2 for lossy-with-ALPH and extended, else 1.
+_WEBP_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 4000 + 16 AS BIGINT) AS width,
+       CAST((doc_id * 3) % 3000 + 16 AS BIGINT) AS height,
+       CASE doc_id % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+            ELSE 'extended' END AS variant,
+       doc_id % 5 = 0 AS has_alpha,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+            WHEN 1 THEN 1 ELSE 2 END AS BIGINT) AS n_chunks
+FROM documents WHERE doc_id <= 300
+"""
+
+register("multimodal_webp_meta", multimodal_webp_meta, _WEBP_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Link prediction over the co-purchase graph (r5 wave 14): the 6th graph
+# family (after components, PageRank, triangles, BFS, k-core) — score
+# NON-edges by common-neighbor count, the recommender/knowledge-graph-
+# completion primitive (cn feeds Jaccard cn/(da+db-cn) or Adamic-Adar
+# downstream; the gate emits the exact integer ingredients, never a ratio).
+#
+# Spark shape: support>=2 edges (the triangle gate's graph), then each
+# WEDGE CENTER's sorted neighbor array expands in-row to its ordered pairs
+# (ordered_pairs_col — one shuffle, no self-join); centers with degree
+# > 64 are EXCLUDED (the minhash bucket-cap stance: a celebrity hub
+# contributes deg^2 wedges of near-zero signal — Adamic-Adar would weight
+# them 1/log(deg) ~ 0 — and is the exact skew bomb at 100 TB).  The cap is
+# falsifiable at every SF by a planted 100-neighbor hub star (+80M ids):
+# its C(100,2) = 4950 neighbor pairs appear in the output of any engine
+# that ignores the cap and red the row-count/hash (natural max degree is
+# 51 / 13 / 6 at sf0.001/0.01/0.1 — the natural graph never trips it).
+# Existing edges are removed by anti-join; degrees join back broadcast.
+#
+# Oracle: the same wedge/cap/anti-join algebra over the recursive-free CTE
+# stack.  Both sides exact integers end-to-end.
+# --------------------------------------------------------------------------
+
+_LINKPRED_CAP = 64
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+    pairs = baskets.select(F.explode(
+        ordered_pairs_col(F.col("items"), "u", "v")).alias("p"))
+    nat = (pairs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+           .agg(F.count("*").alias("sup"))
+           .where(F.col("sup") >= 2)
+           .select("u", "v"))
+    star = spark.range(1, 101).select(
+        F.lit(80_000_000).cast("long").alias("u"),
+        (F.lit(80_000_000) + F.col("id")).cast("long").alias("v"))
+    # 3 consumers (und, anti-join, none lazily shared) — persist +
+    # materialize per the r1 unmaterialized-persist lesson
+    edges = nat.unionByName(star).persist()
+    edges.count()
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")) \
+        .unionByName(edges.select(F.col("v").alias("a"),
+                                  F.col("u").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").alias("deg")) \
+        .withColumnRenamed("a", "node")
+    centers = deg.where(F.col("deg") <= _LINKPRED_CAP).select("node")
+    nbrs = (und.join(centers, und["a"] == centers["node"])
+            .groupBy("a")
+            .agg(F.array_sort(F.collect_set("b")).alias("nb")))
+    cand = nbrs.select(F.explode(
+        ordered_pairs_col(F.col("nb"), "x", "y")).alias("w"))
+    cn = (cand.groupBy(F.col("w.x").alias("x"), F.col("w.y").alias("y"))
+          .agg(F.count("*").alias("cn")))
+    pred = cn.join(edges, (cn["x"] == edges["u"]) & (cn["y"] == edges["v"]),
+                   "left_anti")
+    da = deg.withColumnsRenamed({"node": "x", "deg": "deg_a"})
+    db = deg.withColumnsRenamed({"node": "y", "deg": "deg_b"})
+    return (pred.join(da, "x").join(db, "y")
+            .select(F.col("x").alias("a"), F.col("y").alias("b"),
+                    "cn", "deg_a", "deg_b"))
+
+
+_LINKPRED_ORACLE = """
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nat AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT u, v FROM nat
+  UNION ALL
+  SELECT 80000000, 80000000 + range FROM range(1, 101)
+),
+und AS (SELECT u AS a, v AS b FROM edges
+        UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+centers AS (SELECT node FROM deg WHERE deg <= 64),
+wed AS (
+  SELECT w1.b AS x, w2.b AS y
+  FROM und w1 JOIN und w2 ON w1.a = w2.a AND w1.b < w2.b
+  JOIN centers c ON c.node = w1.a
+),
+cn AS (SELECT x, y, COUNT(*) AS cn FROM wed GROUP BY 1, 2),
+pred AS (
+  SELECT cn.* FROM cn
+  LEFT JOIN edges e ON e.u = cn.x AND e.v = cn.y
+  WHERE e.u IS NULL
+)
+SELECT p.x AS a, p.y AS b, p.cn AS cn, da.deg AS deg_a, db.deg AS deg_b
+FROM pred p
+JOIN deg da ON da.node = p.x
+JOIN deg db ON db.node = p.y
+"""
+
+register("graph_link_prediction", graph_link_prediction, _LINKPRED_ORACLE)

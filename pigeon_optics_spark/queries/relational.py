@@ -2811,3 +2811,62 @@ FROM t GROUP BY 1, 2
 """
 
 register("q_ntile_quartiles", q_ntile_quartiles, _NTILE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# MAP higher-order functions (r5 wave 14) — the MapType complement of
+# q_array_functions: map_from_entries construction, transform_values,
+# map_zip_with, map_filter, and an aggregate() fold over map_values, all
+# in one pass over the per-flag status->count map.  Spark pipelines lean
+# on MapType for sparse per-key features; each function here has a silent
+# failure mode (zip_with NULL on asymmetric keys, filter dropping the
+# wrong side) that plain relational tests never touch.  Both F and O
+# statuses exist for every flag at every SF (measured), so the k = 'F'
+# filter keeps exactly one of two keys — both branches live by data
+# shape.  DuckDB's MAP functions differ too much to mirror; the oracle
+# computes the same ROWS relationally (the q_explode_outer stance: same
+# rows, different machinery).  size() is INT in Spark — cast to long
+# (the dtype-split lesson); the oracle's plain SUM(count) is HUGEINT —
+# CAST AS BIGINT.
+# --------------------------------------------------------------------------
+
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    base = (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n")))
+    m = (base.groupBy("l_returnflag")
+         .agg(F.map_from_entries(
+             F.sort_array(F.collect_list(
+                 F.struct("l_linestatus", "n")))).alias("m")))
+    zipped = F.map_zip_with(
+        F.col("m"),
+        F.transform_values(F.col("m"), lambda k, v: v * 2 + 1),
+        lambda k, v1, v2: F.struct(v1.alias("n"),
+                                   (v2 - v1).alias("n_plus1")))
+    return (m.select(
+        "l_returnflag",
+        F.explode(zipped).alias("k", "s"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"),
+                    lambda acc, v: acc + v).alias("total"),
+        F.size(F.map_filter("m", lambda k, v: k == F.lit("F")))
+        .cast("long").alias("n_f_keys"))
+        .select("l_returnflag", "k", F.col("s.n").alias("n"),
+                F.col("s.n_plus1").alias("n_plus1"), "total", "n_f_keys"))
+
+
+_MAP_FUNCS_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag, l_linestatus AS k, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS total,
+         COUNT(*) FILTER (k = 'F') AS n_f_keys
+  FROM base GROUP BY 1
+)
+SELECT b.l_returnflag, b.k, b.n, b.n + 1 AS n_plus1, t.total, t.n_f_keys
+FROM base b JOIN tot t USING (l_returnflag)
+"""
+
+register("q_map_functions", q_map_functions, _MAP_FUNCS_ORACLE)

@@ -772,3 +772,46 @@ def test_resize_nearest_odd_dims_replica():
             px = bytes(rng.randrange(256) for _ in range(w * h * ch))
             assert resize_nearest(w, h, ch, px, w2, h2) \
                 == replica(w, h, ch, px, w2, h2), (w, h, w2, h2, ch)
+
+
+def test_webp_sniff_all_variants():
+    from pigeon_optics_spark.pipeline.multimodal import sniff_webp_meta
+
+    def chunk(cid, payload):
+        return (cid + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) % 2 else b""))
+
+    def riff(chunks):
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+    # lossy: u14 dims behind the 9d 01 2a start code
+    lossy = riff(chunk(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+                       + struct.pack("<HH", 640, 480)))
+    assert sniff_webp_meta(lossy) == (640, 480, "lossy", False, 1)
+
+    # lossless: packed 32-bit word, odd payload => pad byte is load-bearing
+    bits = (99) | (49 << 14) | (1 << 28)
+    vp8l = chunk(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    assert len(vp8l) % 2 == 0  # padded
+    trailer = chunk(b"META", b"xy")
+    assert sniff_webp_meta(riff(vp8l + trailer)) == \
+        (100, 50, "lossless", True, 2)
+
+    # extended: 24-bit canvas wins over the frame chunk's dims
+    vp8x = chunk(b"VP8X", b"\x10" + b"\x00" * 3
+                 + (7000 - 1).to_bytes(3, "little")
+                 + (5000 - 1).to_bytes(3, "little"))
+    frame = chunk(b"VP8 ", b"\x00\x00\x00\x9d\x01\x2a"
+                  + struct.pack("<HH", 16383, 16383))
+    assert sniff_webp_meta(riff(vp8x + frame)) == \
+        (7000, 5000, "extended", True, 2)
+
+    # ALPH chunk implies alpha without VP8X
+    alph = chunk(b"ALPH", b"\x00")
+    assert sniff_webp_meta(riff(alph + lossy[12:]))[3] is True
+
+    # negatives: wrong form type, empty, dimension-less, truncated payload
+    assert sniff_webp_meta(b"RIFF" + struct.pack("<I", 4) + b"WAVE") is None
+    assert sniff_webp_meta(b"") is None
+    assert sniff_webp_meta(riff(chunk(b"META", b"xy"))) is None
+    assert sniff_webp_meta(riff(vp8l)[:-3]) is None
