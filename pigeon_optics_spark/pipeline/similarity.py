@@ -738,3 +738,58 @@ def pca_project(emb: DataFrame, n_components: int = 8,
             F.lit(0.0), lambda acc, x: acc + x)
         for comp in comps]
     return emb.select(id_col, F.array(*proj_cols).alias("components"))
+
+
+def jl_sign_matrix(k: int, d: int, seed: str = "rp") -> list[list[int]]:
+    """±1 sign matrix for a Johnson-Lindenstrauss random projection,
+    derived per cell from md5 (the repo-wide engine-reproducible hash —
+    DuckDB/Python/Spark all rebuild the identical matrix, no RNG state).
+
+    Achlioptas (2001): a dense ±1 matrix scaled by 1/sqrt(k) satisfies the
+    JL lemma with the same distortion bounds as Gaussian projections — the
+    scaling is deferred to consumers (a constant factor doesn't change
+    neighbor ORDER, so the sketch stays exact-integer here)."""
+    import hashlib
+
+    return [[1 if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0
+             else -1 for i in range(d)] for j in range(k)]
+
+
+def random_project(emb: DataFrame, k: int = 16, grid: int = 10_000,
+                   seed: str = "rp", vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project each vector onto ``k`` md5-
+    derived ±1 directions — the dimensionality-reduction tier BETWEEN raw
+    brute force and trained quantizers (PQ/SQ8/IVF need a training pass;
+    a JL sketch needs none and preserves pairwise distances within
+    (1±eps) at k = O(log n / eps^2), so it's the first move when 64-dim
+    cosine at 100 TB is too wide to shuffle).
+
+    Exactness: components snap to the ``floor(x*grid)`` BIGINT lattice
+    (the emb_covariance discipline), each projection is a ±1-weighted
+    integer SUM — order-free, engine-exact.  Map-only: the sign matrix is
+    a compile-time literal inside one projected select; no shuffle, no
+    collect (the dim probe is one bounded ``first()``).
+
+    → (id_col, j, proj): k rows per vector, proj = Σ_i sign[j][i]·q_i.
+    """
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty embedding corpus")
+    d = len(first[0])
+    signs = jl_sign_matrix(k, d, seed)
+    signs_lit = F.array(*[F.array(*[F.lit(s) for s in row])
+                          for row in signs])
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * grid).cast("long"))
+    projs = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.struct(
+            j.cast("long").alias("j"),
+            F.aggregate(
+                F.zip_with(q, F.element_at(signs_lit, (j + 1).cast("int")),
+                           lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda acc, v: acc + v).alias("proj")))
+    return (emb.select(id_col, F.explode(projs).alias("s"))
+            .select(id_col, F.col("s.j").alias("j"),
+                    F.col("s.proj").alias("proj")))

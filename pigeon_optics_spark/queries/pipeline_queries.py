@@ -6017,3 +6017,46 @@ JOIN deg db ON db.node = p.y
 """
 
 register("graph_link_prediction", graph_link_prediction, _LINKPRED_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection sketch (r5 wave 14): the
+# training-free dimensionality-reduction tier of the ANN stack (brute →
+# JL sketch → SQ8 → PQ → IVF-PQ) — md5-derived ±1 directions, integer-
+# grid components, so every projection is an exact ±1-weighted BIGINT sum
+# the oracle reproduces bit-for-bit (pipeline.similarity.random_project).
+# Map-only, no shuffle; the sign matrix is a plan literal (the PQ
+# codebook stance).  The oracle rebuilds the SAME matrix from the md5
+# grammar (no literal-copy drift: a sign flip anywhere reds 1000+ rows).
+# --------------------------------------------------------------------------
+
+
+def emb_rp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.similarity import random_project
+
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    return random_project(emb, k=16)
+
+
+def _rp_oracle() -> str:
+    from ..pipeline.similarity import jl_sign_matrix
+
+    signs = jl_sign_matrix(16, 64)
+    m = "[" + ", ".join(
+        "[" + ", ".join(str(s) for s in row) + "]" for row in signs) + "]"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 1000
+),
+s AS (SELECT {m} AS m)
+SELECT q.vec_id, CAST(t.j AS BIGINT) AS j,
+       CAST(list_sum(list_transform(qv,
+              (x, i) -> x * (s.m)[t.j + 1][i])) AS BIGINT) AS proj
+FROM q, s, range(16) t(j)
+"""
+
+
+register("emb_rp_sketch", emb_rp_sketch, _rp_oracle())

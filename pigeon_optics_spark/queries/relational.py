@@ -2870,3 +2870,35 @@ FROM base b JOIN tot t USING (l_returnflag)
 """
 
 register("q_map_functions", q_map_functions, _MAP_FUNCS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Correlated LATERAL subquery (r5 wave 14): top-N-per-group expressed as
+# the SQL-standard LATERAL join — the OTHER physical route to the
+# q_top3_customers_per_nation result shape (there: rank window; here:
+# Spark's LateralJoin with a correlated ORDER BY/LIMIT inner).  Pipelines
+# ported from Postgres/DuckDB lean on LATERAL heavily; Spark only grew
+# full support recently, so the gate pins that the correlated limit is
+# per-OUTER-ROW (a wrong decorrelation applies one global LIMIT and
+# collapses the result to 2 rows — loudly red).  Same SQL text runs on
+# both engines (the q_null_aware_anti stance).  Raw money values are
+# hashed directly (no sums — no decimal discipline needed); the
+# (c_acctbal DESC, c_custkey) order is total, so top-2 is deterministic.
+# 25 nations x 2 customers at every SF.
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(_LATERAL_SQL)
+
+
+register("q_lateral_join", q_lateral_join, _LATERAL_SQL)
