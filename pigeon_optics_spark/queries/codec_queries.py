@@ -158,3 +158,57 @@ FROM documents WHERE doc_id < 100
 """
 
 register("csv_dirty_ingest", csv_dirty_ingest, _CSV_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Dirty JSONL ingest (r5 wave 14): the OTHER interchange format every
+# training lake scans — semi-structured lines parsed with from_json in
+# PERMISSIVE mode + columnNameOfCorruptRecord, the production stance at
+# 100 TB where a single malformed line must not kill a 1000-executor job
+# (FAILFAST) or silently vanish (DROPMALFORMED).  Probed semantics pinned
+# by the gate: a TRUNCATED record nulls ALL fields (no partial fill) and
+# lands in the corrupt column; unknown extra keys are NOT corrupt.  Two
+# dirt classes cycle by doc_id (truncated object / plainly-not-JSON);
+# corrupt rows stay IN the output with is_corrupt=true, so an engine
+# that drops or partially parses them reds rows or values.  In-plan
+# fixture (JVM concat builds the lines — no temp files, unlike the CSV
+# gate where multiLine forces a real file); map-only, zero shuffle.
+# Oracle recomputes every field from documents arithmetic.
+# --------------------------------------------------------------------------
+
+
+def json_dirty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 300)
+            .select("doc_id", "lang", "n_chars"))
+    did = F.col("doc_id")
+    good = F.concat(F.lit('{"id": '), did.cast("string"),
+                    F.lit(', "lang": "'), F.col("lang"),
+                    F.lit('", "n": '), F.col("n_chars").cast("string"),
+                    F.lit('}'))
+    truncated = F.concat(F.lit('{"id": '), did.cast("string"),
+                         F.lit(', "lang"'))
+    line = (F.when(did % 26 == 0, F.lit("plainly not json"))
+            .when(did % 13 == 0, truncated)
+            .otherwise(good))
+    parsed = F.from_json(line, "id long, lang string, n long, _bad string",
+                         {"mode": "PERMISSIVE",
+                          "columnNameOfCorruptRecord": "_bad"})
+    return (docs.select("doc_id", parsed.alias("p"))
+            .select("doc_id",
+                    F.col("p.id").alias("parsed_id"),
+                    F.col("p.lang").alias("parsed_lang"),
+                    F.col("p.n").alias("parsed_n"),
+                    F.col("p._bad").isNotNull().alias("is_corrupt")))
+
+
+_JSONL_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id END AS parsed_id,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS parsed_lang,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS parsed_n,
+       doc_id % 13 = 0 AS is_corrupt
+FROM documents WHERE doc_id < 300
+"""
+
+register("json_dirty_ingest", json_dirty_ingest, _JSONL_ORACLE)

@@ -2902,3 +2902,54 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_lateral_join", q_lateral_join, _LATERAL_SQL)
+
+
+# --------------------------------------------------------------------------
+# Window value-function frame semantics (r5 wave 14): last_value over the
+# DEFAULT frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW) is the current
+# row — the classic silent bug where a report's "final value" column
+# quietly equals the running value; the gate pins BOTH behaviors side by
+# side (lv_default vs lv_full over an explicit unbounded frame), plus
+# nth_value over the full frame, lag with an explicit default, and
+# last_value IGNORE NULLS — the null-skipping machinery events_attribution
+# uses, here under its own row.  Windows run over the per-(flag, month)
+# AGGREGATE (36 rows), never the raw scan (the q_ratio_to_report stance).
+# Engines disagree on IGNORE NULLS placement — Spark parses
+# `last_value(x) IGNORE NULLS`, DuckDB `last_value(x IGNORE NULLS)` — so
+# the oracle carries its own text (probed; everything else is shared
+# grammar).  month() is INT in Spark vs BIGINT in DuckDB: CAST both.
+# --------------------------------------------------------------------------
+
+_WINDOW_FRAMES_BODY = """
+WITH m AS (
+  SELECT l_returnflag AS flag, CAST(month(l_shipdate) AS BIGINT) AS mo,
+         COUNT(*) AS n,
+         CASE WHEN CAST(month(l_shipdate) AS BIGINT) %% 3 = 0 THEN NULL
+              ELSE COUNT(*) END AS n_nullable
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT flag, mo, n,
+  last_value(n) OVER w1 AS lv_default,
+  last_value(n) OVER w2 AS lv_full,
+  first_value(n) OVER w1 AS fv,
+  nth_value(n, 3) OVER w2 AS nth3,
+  lag(n, 2, -1) OVER w1 AS lag2,
+  %s AS lv_ign
+FROM m
+WINDOW w1 AS (PARTITION BY flag ORDER BY mo),
+       w2 AS (PARTITION BY flag ORDER BY mo
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+_WINDOW_FRAMES_SPARK = _WINDOW_FRAMES_BODY % \
+    "last_value(n_nullable) IGNORE NULLS OVER w2"
+_WINDOW_FRAMES_ORACLE = _WINDOW_FRAMES_BODY % \
+    "last_value(n_nullable IGNORE NULLS) OVER w2"
+
+
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_WINDOW_FRAMES_SPARK)
+
+
+register("q_window_frames", q_window_frames, _WINDOW_FRAMES_ORACLE)
