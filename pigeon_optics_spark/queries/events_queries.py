@@ -3477,3 +3477,85 @@ FROM agg, cutoff WHERE end_us <= c
 
 register("events_stream_timeout_sessions", events_stream_timeout_sessions,
          _TIMEOUT_SESS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Geohash density rollup (r5 wave 14): TRUE geohash encoding — bit-
+# interleaved lat/lon reduced to the 32768-step grid, base32-encoded with
+# the standard alphabet — then a per-cell density census, the geospatial
+# aggregation primitive (heatmaps, region joins, spatial partitioning
+# keys).  Reuses pipeline.layout.morton_key for the interleave: geohash
+# IS the Morton curve with lat owning the LSB lane, so morton_key([iy,
+# ix], 15) reproduces the spec's bit order exactly; the 6-char base32
+# string is element_at over a literal alphabet — all JVM expressions,
+# zero UDF, one shuffle (the groupBy).
+#
+# Coordinates derive from user_id: 12 hotspot classes (user_id % 4 lat x
+# % 3 lon) anchored on CELL-ALIGNED bases (180M/128 = 360M/256 = 1406250
+# micro-degrees exactly) plus sub-cell md5-free jitter < 1406250, so the
+# 3-char cell is a pure function of the class — multi-user cells exist by
+# PIGEONHOLE at every SF (measured 3/12/12 multi-user cells, with
+# single-user cells live at sf0.001), while the fine bits vary per user
+# and exercise the full 30-bit encoder (distinct gh6 per user).  Oracle
+# rebuilds the interleave term-by-term.
+# --------------------------------------------------------------------------
+
+_GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def events_geohash_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.layout import morton_key
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_id")
+    pos = ev.select(
+        "user_id",
+        F.expr("((user_id % 4) * 32 + 5) * 1406250"
+               " + (user_id * 2654435761) % 1406250").alias("y"),
+        F.expr("((user_id % 3) * 64 + 10) * 1406250"
+               " + (user_id * 2246822519) % 1406250").alias("x"))
+    grid = pos.select(
+        "user_id",
+        F.expr("(y * 32768) div 180000000").alias("iy"),
+        F.expr("(x * 32768) div 360000000").alias("ix"))
+    g = morton_key(["iy", "ix"], bits=15)
+    alpha = F.array(*[F.lit(c) for c in _GH_ALPHA])
+    gh6 = F.concat(*[
+        F.element_at(alpha,
+                     (F.shiftright(g, 25 - 5 * j).bitwiseAND(F.lit(31))
+                      + 1).cast("int"))
+        for j in range(6)])
+    return (grid.select("user_id", gh6.alias("gh6"))
+            .groupBy(F.substring("gh6", 1, 3).alias("cell3"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.min("gh6").alias("gh6_min")))
+
+
+def _geohash_oracle() -> str:
+    terms = " | ".join(
+        f"(((iy >> {i}) & 1) << {2 * i})"
+        f" | (((ix >> {i}) & 1) << {2 * i + 1})" for i in range(15))
+    chars = " || ".join(
+        f"substring('{_GH_ALPHA}',"
+        f" CAST((g >> {25 - 5 * j}) & 31 AS INT) + 1, 1)" for j in range(6))
+    return f"""
+WITH pos AS (
+  SELECT user_id,
+         ((user_id % 4) * 32 + 5) * 1406250
+           + (user_id * CAST(2654435761 AS BIGINT)) % 1406250 AS y,
+         ((user_id % 3) * 64 + 10) * 1406250
+           + (user_id * CAST(2246822519 AS BIGINT)) % 1406250 AS x
+  FROM events
+),
+grid AS (SELECT user_id, (y * 32768) // 180000000 AS iy,
+                (x * 32768) // 360000000 AS ix FROM pos),
+keyed AS (SELECT user_id, {terms} AS g FROM grid),
+gh AS (SELECT user_id, {chars} AS gh6 FROM keyed)
+SELECT substring(gh6, 1, 3) AS cell3, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users, MIN(gh6) AS gh6_min
+FROM gh GROUP BY 1
+"""
+
+
+register("events_geohash_density", events_geohash_density,
+         _geohash_oracle())
