@@ -212,3 +212,50 @@ FROM documents WHERE doc_id < 300
 """
 
 register("json_dirty_ingest", json_dirty_ingest, _JSONL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Parquet schema evolution (r5 wave 14): a dataset directory whose parts
+# were written at different schema generations — part A (doc_id, lang),
+# part B adds n_chars AND permutes the column order — read back with
+# mergeSchema=true.  At 100 TB schema evolution is the NORMAL state (a
+# year of daily drops never shares one schema); the gate pins the two
+# merge rules silently violated by naive readers: columns reconcile BY
+# NAME (not position — the permuted part B would swap lang/n_chars
+# positionally), and rows from pre-evolution parts surface the added
+# column as NULL, not as an error or a dropped row.  The oracle
+# reconstructs both generations from documents arithmetic.
+# --------------------------------------------------------------------------
+
+_EVOL_DIRS: dict = {}
+
+
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    if sf_dir not in _EVOL_DIRS:
+        docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+        d = tempfile.mkdtemp(prefix="po_evolve_")
+        # generation A: two columns
+        (docs.where(F.col("doc_id") < 150)
+         .select("doc_id", "lang")
+         .write.mode("overwrite").parquet(os.path.join(d, "gen=a")))
+        # generation B: adds n_chars, and permutes column order on disk
+        (docs.where(F.col("doc_id") >= 150)
+         .select("n_chars", "doc_id", "lang")
+         .write.mode("overwrite").parquet(os.path.join(d, "gen=b")))
+        _EVOL_DIRS[sf_dir] = d
+    df = (spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true")
+          .parquet(_EVOL_DIRS[sf_dir]))
+    return df.select("doc_id", "lang", "n_chars")
+
+
+_EVOL_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id < 150 THEN NULL ELSE n_chars END AS n_chars
+FROM documents WHERE doc_id < 300
+"""
+
+register("parquet_schema_evolution", parquet_schema_evolution, _EVOL_ORACLE)

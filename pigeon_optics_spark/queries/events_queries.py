@@ -3559,3 +3559,74 @@ FROM gh GROUP BY 1
 
 register("events_geohash_density", events_geohash_density,
          _geohash_oracle())
+
+
+# --------------------------------------------------------------------------
+# Multi-source streaming union (r5 wave 14, 20th real streaming run): ONE
+# streaming query over TWO independent file sources unioned — the
+# backfill-plus-live / multi-region ingest topology.  What's pinned is
+# offset coordination: each source tracks its own offsets in the shared
+# checkpoint and every record must be processed exactly once ACROSS
+# sources — a double-pull or a starved source changes counts and reds the
+# hash.  The split is event_id parity (both sources non-empty at every
+# SF by construction); each side is written as 2 part-files with
+# maxFilesPerTrigger=1 on one source, so availableNow interleaves
+# micro-batches that mix pulls from both sources.  Complete-mode window
+# agg converges to the batch oracle over the WHOLE corpus regardless of
+# slicing (the unified-model guarantee, per-source edition).
+# --------------------------------------------------------------------------
+
+_SPLIT_SRC: dict[str, tuple[str, str]] = {}
+
+
+def _ensure_split_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import tempfile
+
+    if sf_dir not in _SPLIT_SRC:
+        ev = load_events(spark, sf_dir)
+        d1 = tempfile.mkdtemp(prefix="po_stream_even_")
+        d2 = tempfile.mkdtemp(prefix="po_stream_odd_")
+        ev.where(F.col("event_id") % 2 == 0).repartition(2) \
+            .write.mode("overwrite").parquet(d1)
+        ev.where(F.col("event_id") % 2 == 1).repartition(2) \
+            .write.mode("overwrite").parquet(d2)
+        _SPLIT_SRC[sf_dir] = (d1, d2)
+    return _SPLIT_SRC[sf_dir]
+
+
+def events_stream_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d1, d2 = _ensure_split_src(spark, sf_dir)
+    schema = spark.read.parquet(d1).schema
+    s1 = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(d1))
+    s2 = spark.readStream.schema(schema).parquet(d2)
+    agg = (s1.unionByName(s2)
+           .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.expr(dsum("value", "total_value", 8)).alias("total_value")))
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_multisrc_{_STREAM_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type",
+        "n_events", "total_value")
+
+
+_MULTISRC_ORACLE = f"""
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {dsum('value', 'total_value', 8)}
+FROM events
+GROUP BY 1, 2
+"""
+
+register("events_stream_multi_source", events_stream_multi_source,
+         _MULTISRC_ORACLE)

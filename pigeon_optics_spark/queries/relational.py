@@ -2953,3 +2953,32 @@ def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_window_frames", q_window_frames, _WINDOW_FRAMES_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL (r5 wave 14): the analyst-SQL dialect
+# surface (DuckDB invented it, Spark adopted it) — grouping keys inferred
+# as every non-aggregate select item INCLUDING computed expressions (the
+# year() cast here), ordering inferred over the full select list.  Wrong
+# inference either errors or groups on the wrong set — both red.  Same
+# SQL text runs on both engines (the q_null_aware_anti stance); the
+# decimal-cast sum keeps the double exact, year() is cast to BIGINT on
+# both sides (INT vs BIGINT dtype-split lesson).
+# --------------------------------------------------------------------------
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS yr,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+register("q_group_by_all", q_group_by_all, _GROUP_BY_ALL_SQL)
