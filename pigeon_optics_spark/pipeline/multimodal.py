@@ -1257,3 +1257,104 @@ def decode_webp_meta(df: DataFrame, binary_col: str = "data",
     return df.select(id_col, binary_col).mapInPandas(
         run, schema=("media_id long, width long, height long, "
                      "variant string, has_alpha boolean, n_chunks long"))
+
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320)   # MPEG1 Layer III, kbps
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_frame_walk(data: bytes) \
+        -> tuple[int, int, int, int, bool] | None:
+    """REAL MPEG-1 Layer III frame walk → (n_frames, sample_rate,
+    kbps_min, kbps_max, is_vbr), or None for non-MP3 bytes.
+
+    MP3 has no container index: duration and bitrate mode are only
+    knowable by WALKING the frame chain, each frame's length computed
+    from its own 4-byte header (the 11-bit sync, version/layer bits,
+    bitrate and samplerate indexes, padding bit; len = 144000·kbps/rate
+    + pad for MPEG1-LIII).  A wrong length formula desyncs the walk at
+    the next header and the whole chain collapses — which is why the
+    walk, not the first header, is the parse.  Handles a leading ID3v2
+    tag (synchsafe 28-bit size skip) and a trailing 128-byte ID3v1
+    'TAG'.  ``is_vbr`` = more than one distinct bitrate seen (the VBR
+    detection every audio curation pass needs before trusting a
+    nominal-kbps metadata field).
+
+    Strictness (the tar/WebP lesson): a frame whose declared length runs
+    past the buffer, a bad sync where a frame should start, or zero
+    parseable frames all return None rather than a partial answer.
+    """
+    i = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        i = 10 + size
+    n = 0
+    rate = None
+    kmin = kmax = None
+    while i < len(data):
+        if data[i:i + 3] == b"TAG" and len(data) - i == 128:
+            break  # ID3v1 trailer
+        if i + 4 > len(data):
+            return None
+        b0, b1, b2 = data[i], data[i + 1], data[i + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            return None
+        if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+            return None  # only MPEG1 Layer III here
+        bri = (b2 >> 4) & 0xF
+        sri = (b2 >> 2) & 0x3
+        pad = (b2 >> 1) & 0x1
+        if not (1 <= bri <= 14) or sri > 2:
+            return None
+        kbps = _MP3_BITRATES[bri]
+        r = _MP3_RATES[sri]
+        if rate is None:
+            rate = r
+        elif r != rate:
+            return None  # mid-stream samplerate change: not one stream
+        flen = 144000 * kbps // r + pad
+        if i + flen > len(data):
+            return None  # declared frame runs past the buffer
+        kmin = kbps if kmin is None else min(kmin, kbps)
+        kmax = kbps if kmax is None else max(kmax, kbps)
+        n += 1
+        i += flen
+    if n == 0 or rate is None:
+        return None
+    return n, rate, kmin, kmax, kmin != kmax
+
+
+def decode_mp3_meta(df: DataFrame, binary_col: str = "data",
+                    id_col: str = "media_id") -> DataFrame:
+    """binary column → MP3 stream metadata rows (REAL frame walk,
+    :func:`mp3_frame_walk`); unparseable bytes are dropped (the kernel
+    family's documented contract).  duration_ms = n·1152/rate·1000 —
+    int/int division is a correctly-rounded double in Python and DuckDB
+    alike (the mp4 precedent)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_frames", "sample_rate",
+                                   "duration_ms", "kbps_min", "kbps_max",
+                                   "is_vbr")}
+            for mid, b in zip(pdf[id_col], pdf[binary_col]):
+                parsed = None if b is None else mp3_frame_walk(bytes(b))
+                if parsed is None:
+                    continue
+                n, rate, kmin, kmax, vbr = parsed
+                out["media_id"].append(int(mid))
+                out["n_frames"].append(n)
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(n * 1152 / rate * 1000)
+                out["kbps_min"].append(kmin)
+                out["kbps_max"].append(kmax)
+                out["is_vbr"].append(vbr)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run, schema=("media_id long, n_frames long, sample_rate long, "
+                     "duration_ms double, kbps_min long, kbps_max long, "
+                     "is_vbr boolean"))

@@ -6060,3 +6060,89 @@ FROM q, s, range(16) t(j)
 
 
 register("emb_rp_sketch", emb_rp_sketch, _rp_oracle())
+
+
+# --------------------------------------------------------------------------
+# MP3 stream metadata (r5 wave 14): the non-RIFF audio wire format — MPEG
+# audio has NO container index, so duration/bitrate-mode are only
+# knowable by walking the frame chain, every frame's length computed from
+# its own header (pipeline.multimodal.mp3_frame_walk).  The walk itself
+# is the falsifiable thing: a wrong length formula desyncs at the next
+# sync word and the doc drops out (rows red).  Fixtures cycle samplerate
+# and bitrate indexes by doc_id, alternate the padding bit per frame
+# (len±1 — padding handling is load-bearing), make odd docs VBR (two
+# alternating bitrate indexes — is_vbr and the min/max spread live),
+# prefix most docs with a synchsafe-sized ID3v2 tag and suffix every 4th
+# with an ID3v1 'TAG' trailer the walker must not read as a frame.
+# Oracle is doc_id arithmetic over the same bitrate/rate tables.
+# --------------------------------------------------------------------------
+
+
+def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.multimodal import decode_mp3_meta
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 250) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    brt = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    rates = (44100, 48000, 32000)
+
+    def make_mp3(d: int) -> bytes:
+        out = b""
+        if d % 3 != 2:              # ID3v2 prefix with synchsafe size
+            size = (d % 7) * 11
+            out += (b"ID3\x04\x00\x00"
+                    + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                             (size >> 7) & 0x7F, size & 0x7F])
+                    + b"\x00" * size)
+        sri = d % 3
+        rate = rates[sri]
+        n = d % 40 + 5
+        bri1 = (d % 14) + 1
+        bri2 = ((d + 5) % 14) + 1
+        for j in range(n):
+            bri = bri1 if (d % 2 == 0 or j % 2 == 0) else bri2
+            pad = j % 2
+            flen = 144000 * brt[bri] // rate + pad
+            hdr = bytes([0xFF, 0xFB, (bri << 4) | (sri << 2) | (pad << 1),
+                         0x00])
+            out += hdr + b"\x00" * (flen - 4)
+        if d % 4 == 0:              # ID3v1 trailer
+            out += b"TAG" + b"\x00" * 125
+        return out
+
+    def run(batches):
+        for pdf in batches:
+            ids = [int(m) for m in pdf["media_id"]]
+            yield pd.DataFrame({"media_id": ids,
+                                "data": [make_mp3(d) for d in ids]})
+
+    media = docs.mapInPandas(run, schema="media_id long, data binary")
+    return decode_mp3_meta(media)
+
+
+_MP3_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % 40 + 5 AS BIGINT) AS n_frames,
+         ([44100, 48000, 32000])[doc_id % 3 + 1] AS rate,
+         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+           [(doc_id % 14) + 1] AS k1,
+         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+           [((doc_id + 5) % 14) + 1] AS k2,
+         doc_id % 2 = 1 AS is_vbr
+  FROM documents WHERE doc_id <= 250
+)
+SELECT doc_id AS media_id, n_frames, CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n_frames * 1152 AS DOUBLE) / rate * 1000 AS duration_ms,
+       CAST(CASE WHEN is_vbr THEN LEAST(k1, k2) ELSE k1 END AS BIGINT)
+         AS kbps_min,
+       CAST(CASE WHEN is_vbr THEN GREATEST(k1, k2) ELSE k1 END AS BIGINT)
+         AS kbps_max,
+       is_vbr
+FROM t
+"""
+
+register("multimodal_mp3_meta", multimodal_mp3_meta, _MP3_ORACLE)

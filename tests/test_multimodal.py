@@ -815,3 +815,40 @@ def test_webp_sniff_all_variants():
     assert sniff_webp_meta(b"") is None
     assert sniff_webp_meta(riff(chunk(b"META", b"xy"))) is None
     assert sniff_webp_meta(riff(vp8l)[:-3]) is None
+
+
+def test_mp3_frame_walk_kernel():
+    from pigeon_optics_spark.pipeline.multimodal import mp3_frame_walk
+
+    def frame(bri, sri, pad):
+        brt = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+               160, 192, 224, 256, 320)
+        rates = (44100, 48000, 32000)
+        flen = 144000 * brt[bri] // rates[sri] + pad
+        return bytes([0xFF, 0xFB, (bri << 4) | (sri << 2) | (pad << 1),
+                      0]) + b"\x00" * (flen - 4)
+
+    # CBR: 3 frames at 128 kbps / 44100, alternating padding
+    cbr = frame(9, 0, 0) + frame(9, 0, 1) + frame(9, 0, 0)
+    assert mp3_frame_walk(cbr) == (3, 44100, 128, 128, False)
+
+    # VBR: two bitrates
+    vbr = frame(9, 1, 0) + frame(14, 1, 0)
+    assert mp3_frame_walk(vbr) == (2, 48000, 128, 320, True)
+
+    # ID3v2 prefix (synchsafe size 200) + ID3v1 trailer
+    size = 200
+    id3 = (b"ID3\x04\x00\x00"
+           + bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F]) + b"\x00" * size)
+    tagged = id3 + cbr + b"TAG" + b"\x00" * 125
+    assert mp3_frame_walk(tagged) == (3, 44100, 128, 128, False)
+
+    # negatives: garbage, truncated frame, mid-stream rate change,
+    # desync after a valid frame, ID3 with no frames
+    assert mp3_frame_walk(b"junkjunkjunk") is None
+    assert mp3_frame_walk(cbr[:-10]) is None
+    assert mp3_frame_walk(frame(9, 0, 0) + frame(9, 2, 0)) is None
+    assert mp3_frame_walk(frame(9, 0, 0) + b"\x00\x00\x00\x00") is None
+    assert mp3_frame_walk(id3) is None
+    assert mp3_frame_walk(b"") is None
