@@ -147,7 +147,13 @@ _DRIVER_PRIORITY = [
     #   text_compression_quality, csv_dirty_ingest, store_sql_views,
     #   q_ntile_quartiles, reactive_subscribe_feed (+ any later wave-13
     #   additions —
-    #   see ROUND_NOTES wave-13 entry).
+    #   see ROUND_NOTES wave-13 entry);
+    # wave 14: multimodal_webp_meta, graph_link_prediction,
+    #   q_map_functions, q_lateral_join, emb_rp_sketch, q_window_frames,
+    #   json_dirty_ingest, events_geohash_density,
+    #   events_stream_multi_source, parquet_schema_evolution,
+    #   q_group_by_all, multimodal_mp3_meta (+ any later wave-14
+    #   additions — see ROUND_NOTES wave-14 entry).
 ]
 
 

@@ -2982,3 +2982,95 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_group_by_all", q_group_by_all, _GROUP_BY_ALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# try_* error-safe functions (r5 wave 14): ANSI-mode arithmetic at 100 TB
+# means ONE bad row kills a 1000-executor job; the try_ family returns
+# NULL instead — the row-level fault-isolation complement of PERMISSIVE
+# ingest (json_dirty_ingest).  Pinned: try_divide by a planted zero,
+# try_cast of non-numeric strings, try_add at BIGINT_MAX overflow, and
+# try_to_timestamp on garbage — each emitted as per-flag null/ok counts
+# with both branches live by construction (parity/flag plants).  DuckDB
+# has no try_ family (its non-ANSI division already NULLs on x/0 only
+# for integers... it errors) — the oracle computes the same counts from
+# explicit CASE guards, structurally independent of the machinery.
+# --------------------------------------------------------------------------
+
+
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql("""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(*) - COUNT(try_divide(l_quantity, l_orderkey % 2))
+         AS n_div_null,
+       COUNT(*) - COUNT(try_cast(
+         CASE WHEN l_linenumber % 2 = 0 THEN '12' ELSE 'oops' END AS INT))
+         AS n_cast_null,
+       COUNT(*) - COUNT(try_add(9223372036854775807,
+                                CAST(l_orderkey % 2 AS BIGINT)))
+         AS n_add_overflow,
+       COUNT(*) - COUNT(try_to_timestamp(
+         CASE WHEN l_linenumber % 3 = 0 THEN 'not a time'
+              ELSE '2024-01-02 03:04:05' END))
+         AS n_ts_null
+FROM lineitem
+GROUP BY l_returnflag
+""")
+
+
+_TRY_FUNCS_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (l_orderkey % 2 = 0) AS n_div_null,
+       COUNT(*) FILTER (l_linenumber % 2 = 1) AS n_cast_null,
+       COUNT(*) FILTER (l_orderkey % 2 = 1) AS n_add_overflow,
+       COUNT(*) FILTER (l_linenumber % 3 = 0) AS n_ts_null
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+register("q_try_functions", q_try_functions, _TRY_FUNCS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Case-insensitive collation (r5 wave 14): Spark 4 collated strings —
+# grouping and equality under UTF8_LCASE must merge casings that byte-
+# compare different.  The fixture mixes casing by custkey parity, so a
+# binary-collation engine yields twice the groups (rows red).  The group
+# KEY under collation carries a first-seen casing (observed), so the
+# projection lowercases it for a deterministic output — the collation is
+# still load-bearing in the GROUP BY and in the collated-literal filter
+# count.  Oracle groups by lower() — same rows, no collation machinery.
+# --------------------------------------------------------------------------
+
+
+def q_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql("""
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg,
+         c_acctbal
+  FROM customer
+)
+SELECT lower(k) AS segment, COUNT(*) AS n,
+       CAST(COUNT(*) FILTER (WHERE k = 'Building') AS BIGINT) AS n_building
+FROM (SELECT COLLATE(seg, 'UTF8_LCASE') AS k FROM mixed)
+GROUP BY k
+""")
+
+
+_COLLATION_ORACLE = """
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT lower(seg) AS segment, COUNT(*) AS n,
+       COUNT(*) FILTER (lower(seg) = 'building') AS n_building
+FROM mixed GROUP BY 1
+"""
+
+register("q_collation_lcase", q_collation_lcase, _COLLATION_ORACLE)
