@@ -1358,3 +1358,66 @@ def decode_mp3_meta(df: DataFrame, binary_col: str = "data",
         run, schema=("media_id long, n_frames long, sample_rate long, "
                      "duration_ms double, kbps_min long, kbps_max long, "
                      "is_vbr boolean"))
+
+
+def write_bmp(pixels: bytes, w: int, h: int, topdown: bool = False) -> bytes:
+    """Deterministic 24-bit uncompressed BMP writer from RGB row-major
+    pixels — the cross-format twin of :func:`write_png`.  Encodes the
+    three BMP layout traps on purpose: BGR channel order, BOTTOM-UP row
+    order (or top-down via negative height when ``topdown``), and 4-byte
+    row padding."""
+    stride = w * 3
+    if len(pixels) != h * stride:
+        raise ValueError("pixel buffer does not match w*h*3")
+    pad = (-stride) % 4
+    body = bytearray()
+    order = range(h) if topdown else range(h - 1, -1, -1)
+    for row in order:
+        line = pixels[row * stride:(row + 1) * stride]
+        for x in range(w):
+            r, g, b = line[3 * x:3 * x + 3]
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    pixel_offset = 14 + 40
+    fh = b"BM" + struct.pack("<IHHI", pixel_offset + len(body), 0, 0,
+                             pixel_offset)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, -h if topdown else h, 1, 24,
+                     0, len(body), 2835, 2835, 0, 0)
+    return fh + ih + bytes(body)
+
+
+def decode_bmp_pixels(data: bytes):
+    """REAL BMP pixel decode → (width, height, 3, RGB row-major top-down
+    bytes) or None — 24-bit uncompressed BITMAPINFOHEADER, both row
+    orders (positive height = bottom-up, negative = top-down), padded
+    strides.  Output layout is byte-identical to
+    :func:`decode_png_pixels`, which is what makes cross-format
+    consistency checkable at all."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    pixel_offset = struct.unpack("<I", data[10:14])[0]
+    hsize = struct.unpack("<I", data[14:18])[0]
+    if hsize < 40:
+        return None
+    w, hh = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    comp = struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or comp != 0 or w <= 0 or hh == 0:
+        return None
+    topdown = hh < 0
+    h = abs(hh)
+    stride = w * 3
+    pad = (-stride) % 4
+    if len(data) < pixel_offset + h * (stride + pad):
+        return None  # declared geometry runs past the buffer
+    out = bytearray(h * stride)
+    for i in range(h):
+        src_row = i if topdown else h - 1 - i
+        base = pixel_offset + src_row * (stride + pad)
+        line = data[base:base + stride]
+        dst = i * stride
+        for x in range(w):
+            out[dst + 3 * x] = line[3 * x + 2]
+            out[dst + 3 * x + 1] = line[3 * x + 1]
+            out[dst + 3 * x + 2] = line[3 * x]
+    return w, h, 3, bytes(out)

@@ -6146,3 +6146,88 @@ FROM t
 """
 
 register("multimodal_mp3_meta", multimodal_mp3_meta, _MP3_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Cross-format pixel-decoder consistency (r5 wave 14): the same
+# deterministic pixel buffer is encoded as a PNG (mixed row filters —
+# every one of the five spec filters per image) AND a 24-bit BMP (BGR,
+# bottom-up rows with 4-byte padding, every 3rd doc top-down via
+# negative height), then decoded by the two REAL decoders — a defect in
+# EITHER codec (filter inversion, channel order, row order, stride
+# padding, zlib framing) breaks pixel equality or the arithmetic pixel
+# sum and reds the row.  This is the property a multimodal lake actually
+# needs: ingest format must not change the tensor.  Oracle recomputes
+# the pixel sum and the BMP byte length from doc_id arithmetic (padding
+# formula load-bearing) and asserts agreement as a constant the engines
+# must REACH, not copy.
+# --------------------------------------------------------------------------
+
+
+def multimodal_bmp_png_consistency(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.multimodal import (
+        decode_bmp_pixels,
+        decode_png_pixels,
+        write_bmp,
+        write_png,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 200) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "w", "h", "n_bytes_bmp",
+                                   "px_sum_png", "px_sum_bmp",
+                                   "formats_agree")}
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                w = d % 12 + 4
+                h = (d * 5) % 10 + 4
+                px = bytes((d * 31 + i * 7) % 256 for i in range(w * h * 3))
+                png = write_png(px, w, h, 3,
+                                row_filters=[r % 5 for r in range(h)])
+                bmp = write_bmp(px, w, h, topdown=(d % 3 == 0))
+                dp = decode_png_pixels(png)
+                db = decode_bmp_pixels(bmp)
+                out["media_id"].append(d)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["n_bytes_bmp"].append(len(bmp))
+                out["px_sum_png"].append(
+                    sum(dp[3]) if dp is not None else -1)
+                out["px_sum_bmp"].append(
+                    sum(db[3]) if db is not None else -1)
+                out["formats_agree"].append(
+                    dp is not None and db is not None and dp == db)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, schema=("media_id long, w long, h long, n_bytes_bmp long, "
+                     "px_sum_png long, px_sum_bmp long, "
+                     "formats_agree boolean"))
+
+
+#: BMP bytes = 54 header + h rows of (3w + pad) with pad = (-3w) mod 4
+#: == (4 - 3w%4) % 4.  Pixel sum = sum over the fixture byte formula.
+_BMP_PNG_ORACLE = """
+WITH geo AS (
+  SELECT doc_id, doc_id % 12 + 4 AS w, (doc_id * 5) % 10 + 4 AS h
+  FROM documents WHERE doc_id <= 200
+)
+SELECT doc_id AS media_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(54 + h * (3 * w + (4 - (3 * w) % 4) % 4) AS BIGINT)
+         AS n_bytes_bmp,
+       CAST(list_sum(list_transform(range(0, w * h * 3),
+              i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS px_sum_png,
+       CAST(list_sum(list_transform(range(0, w * h * 3),
+              i -> (doc_id * 31 + i * 7) % 256)) AS BIGINT) AS px_sum_bmp,
+       TRUE AS formats_agree
+FROM geo
+"""
+
+register("multimodal_bmp_png_consistency", multimodal_bmp_png_consistency,
+         _BMP_PNG_ORACLE)

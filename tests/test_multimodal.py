@@ -852,3 +852,34 @@ def test_mp3_frame_walk_kernel():
     assert mp3_frame_walk(frame(9, 0, 0) + b"\x00\x00\x00\x00") is None
     assert mp3_frame_walk(id3) is None
     assert mp3_frame_walk(b"") is None
+
+
+def test_bmp_pixel_roundtrip_and_png_consistency():
+    import random
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        decode_bmp_pixels,
+        decode_png_pixels,
+        write_bmp,
+        write_png,
+    )
+
+    rng = random.Random(7)
+    for w, h in [(1, 1), (4, 4), (5, 3), (7, 2), (3, 7), (15, 13)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        for td in (False, True):
+            assert decode_bmp_pixels(write_bmp(px, w, h, topdown=td)) \
+                == (w, h, 3, px), (w, h, td)
+        # the cross-format property the gate rides on: identical tensors
+        png = decode_png_pixels(
+            write_png(px, w, h, 3, row_filters=[r % 5 for r in range(h)]))
+        assert png == (w, h, 3, px)
+
+    # negatives: empty, header-only, truncated pixel array, wrong bpp
+    assert decode_bmp_pixels(b"") is None
+    assert decode_bmp_pixels(b"BM" + b"\x00" * 60) is None
+    full = write_bmp(b"\x00" * 12, 2, 2)
+    assert decode_bmp_pixels(full[:-3]) is None
+    bad_bpp = bytearray(full)
+    bad_bpp[28] = 8
+    assert decode_bmp_pixels(bytes(bad_bpp)) is None
