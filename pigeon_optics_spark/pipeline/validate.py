@@ -146,3 +146,60 @@ def tukey_winsorize(df: DataFrame, col: str,
                                           F.col("_lo"))).alias("clamped"),
                     (c < F.col("_lo")).alias("below"),
                     (c > F.col("_hi")).alias("above")))
+
+
+def robots_rules(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse a robots.txt body → [(allow, path_prefix)] for ``agent`` —
+    the crawl-policy half of corpus curation (a web-scale corpus must be
+    able to PROVE each document's path was fetchable under the site's
+    policy).  Implements the load-bearing parts of RFC 9309 grouping:
+
+    - a group is one or more consecutive ``User-agent`` lines followed by
+      its rule lines; rules bind to EVERY agent named above them;
+    - only groups naming ``agent`` (or ``*``) apply — a stricter group
+      for some other bot must not leak in;
+    - directive names are case-insensitive, ``#`` starts a comment,
+      blank lines only end a group once it has rules;
+    - an empty ``Disallow:`` is a no-op (allow-all), not a match-all.
+
+    Decision logic lives in :func:`robots_decision`.
+    """
+    rules: list[tuple[bool, str]] = []
+    agents: list[str] = []
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            if in_rules:
+                agents, in_rules = [], False
+            continue
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                agents, in_rules = [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if val and (agent in agents or "*" in agents):
+                rules.append((key == "allow", val))
+    return rules
+
+
+def robots_decision(path: str, rules: list[tuple[bool, str]]) \
+        -> tuple[bool, int]:
+    """(allowed, matched_rule_len) by the longest-match rule: the most
+    specific (longest) matching prefix decides; an allow wins a length
+    tie; no match ⇒ allowed with length 0."""
+    best = (True, 0)
+    best_len = -1
+    for allow, prefix in rules:
+        if path.startswith(prefix):
+            ln = len(prefix)
+            if ln > best_len or (ln == best_len and allow and not best[0]):
+                best = (allow, ln)
+                best_len = ln
+    return best

@@ -6231,3 +6231,91 @@ FROM geo
 
 register("multimodal_bmp_png_consistency", multimodal_bmp_png_consistency,
          _BMP_PNG_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# robots.txt crawl-policy filter (r5 wave 14): web-corpus curation must
+# PROVE each document's path was fetchable under its site's policy — the
+# compliance sibling of text_domain_blocklist.  Per-source robots bodies
+# are synthesized with the parse traps live (comment lines, mixed-case
+# directives, a stricter BadBot group that must NOT leak into *'s rules,
+# an empty Disallow no-op, and a per-source rule difference: even-
+# numbered sources also disallow /tmp/), parsed by the REAL RFC-9309
+# grouping parser (pipeline.validate.robots_rules) executor-side into a
+# rules DataFrame.  The decision is pure DataFrame algebra at corpus
+# scale: broadcast the tiny rules table, prefix-match, per-doc max on
+# (prefix_len, allow) — longest match wins, allow wins ties (struct
+# ordering reproduces robots_decision exactly) — left join keeps
+# no-match docs allowed.  All four path classes x both source parities
+# are live at every SF by construction.  Oracle is doc_id/source
+# arithmetic, independent of parser and join.
+# --------------------------------------------------------------------------
+
+
+def text_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.validate import robots_rules
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "source")
+            .withColumn("path", F.concat(
+                F.lit("/"),
+                F.element_at(F.array(F.lit("data"), F.lit("private"),
+                                     F.lit("private/pub"), F.lit("tmp")),
+                             (F.col("doc_id") % 4 + 1).cast("int")),
+                F.lit("/d"), F.col("doc_id").cast("string"))))
+
+    def parse(batches):
+        for pdf in batches:
+            rows = {"source": [], "allow": [], "prefix": []}
+            for s in pdf["source"]:
+                n = int(str(s)[3:])
+                txt = ("# crawl policy\n"
+                       "User-Agent: BadBot\nDisallow: /\n\n"
+                       "User-agent: *\n"
+                       "Disallow: /private/\n"
+                       "Allow: /private/pub/\n"
+                       + ("Disallow: /tmp/\n" if n % 2 == 0 else "")
+                       + "Disallow:\n")
+                for allow, prefix in robots_rules(txt):
+                    rows["source"].append(s)
+                    rows["allow"].append(allow)
+                    rows["prefix"].append(prefix)
+            yield pd.DataFrame(rows)
+
+    rules = (docs.select("source").distinct()
+             .mapInPandas(parse, "source string, allow boolean, "
+                                 "prefix string"))
+    matches = (docs.join(F.broadcast(rules), "source")
+               .where(F.col("path").startswith(F.col("prefix")))
+               .groupBy("doc_id")
+               .agg(F.max(F.struct(F.length("prefix").alias("plen"),
+                                   F.col("allow").alias("allow")))
+                    .alias("m")))
+    return (docs.join(matches, "doc_id", "left")
+            .select("doc_id", "source", "path",
+                    F.coalesce(F.col("m.allow"), F.lit(True))
+                    .alias("allowed"),
+                    F.coalesce(F.col("m.plen").cast("long"),
+                               F.lit(0).cast("long")).alias("rule_len")))
+
+
+_ROBOTS_ORACLE = """
+SELECT doc_id, source,
+       '/' || CASE doc_id % 4 WHEN 0 THEN 'data' WHEN 1 THEN 'private'
+              WHEN 2 THEN 'private/pub' ELSE 'tmp' END
+           || '/d' || CAST(doc_id AS VARCHAR) AS path,
+       CASE doc_id % 4
+            WHEN 1 THEN FALSE
+            WHEN 3 THEN CAST(substr(source, 4) AS INT) % 2 = 1
+            ELSE TRUE END AS allowed,
+       CAST(CASE doc_id % 4
+            WHEN 0 THEN 0 WHEN 1 THEN 9 WHEN 2 THEN 13
+            ELSE CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                      THEN 5 ELSE 0 END
+            END AS BIGINT) AS rule_len
+FROM documents
+"""
+
+register("text_robots_filter", text_robots_filter, _ROBOTS_ORACLE)

@@ -252,3 +252,38 @@ def test_tukey_winsorize_k_iqr_tightens(spark):
     wide = tukey_winsorize(df, "x", k_iqr=1.5).where("below OR above").count()
     tight = tukey_winsorize(df, "x", k_iqr=0.25).where("below OR above").count()
     assert tight > wide
+
+
+def test_robots_rules_grouping_and_decision():
+    from pigeon_optics_spark.pipeline.validate import (
+        robots_decision,
+        robots_rules,
+    )
+
+    txt = ("# policy\n"
+           "User-Agent: BadBot\nDisallow: /\n\n"
+           "User-agent: *\n"
+           "DISALLOW: /private/   # inline comment\n"
+           "Allow: /private/pub/\n"
+           "Disallow:\n")
+    rules = robots_rules(txt)
+    # BadBot's match-all must not leak; empty Disallow is a no-op
+    assert rules == [(False, "/private/"), (True, "/private/pub/")]
+    assert robots_decision("/data/x", rules) == (True, 0)
+    assert robots_decision("/private/x", rules) == (False, 9)
+    assert robots_decision("/private/pub/x", rules) == (True, 13)
+
+    # multi-agent group: rules bind to every agent named above them
+    multi = "User-agent: a\nUser-agent: *\nDisallow: /q/\n"
+    assert robots_rules(multi) == [(False, "/q/")]
+    # named-agent selection
+    assert robots_rules(multi, agent="a") == [(False, "/q/")]
+    assert robots_rules("User-agent: a\nDisallow: /q/\n") == []
+
+    # a blank line ends a group only after rules have started
+    spaced = "User-agent: *\n\nDisallow: /r/\n"
+    assert robots_rules(spaced) == [(False, "/r/")]
+
+    # length tie -> allow wins
+    tie = "User-agent: *\nDisallow: /x/\nAllow: /x/\n"
+    assert robots_decision("/x/q", robots_rules(tie)) == (True, 3)
