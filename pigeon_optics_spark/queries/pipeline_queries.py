@@ -6319,3 +6319,109 @@ FROM documents
 """
 
 register("text_robots_filter", text_robots_filter, _ROBOTS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Binary (1-bit) quantization ANN (r5 wave 14): the extreme end of the
+# quantization ladder (binary -> SQ8 -> PQ -> IVF-PQ) — each vector
+# collapses to its 64 SIGN BITS packed into two 32-bit words (the bloom/
+# ahash precedent: DuckDB raises on 1<<63, so shifts stay <= 31) and
+# ranking is Hamming distance via bit_count(xor) — 16 bytes/vector and
+# pure register arithmetic, the memory tier a 100 TB corpus scans FIRST
+# before re-scoring survivors with a wider tier.  The packing fold is
+# MSB-first acc*2+bit (the sequential-fold determinism class; the oracle
+# mirrors it with positional 1-based shifts).  Sign bits are balanced on
+# this corpus (measured ~51% negative), so words are non-degenerate.
+# Top-20 by (hamming, vec_id) — total order, TakeOrdered plan.
+# --------------------------------------------------------------------------
+
+
+def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    w0 = F.expr("aggregate(slice(embedding, 1, 32), 0L,"
+                " (acc, x) -> acc * 2 + IF(x >= 0, 1L, 0L))")
+    w1 = F.expr("aggregate(slice(embedding, 33, 32), 0L,"
+                " (acc, x) -> acc * 2 + IF(x >= 0, 1L, 0L))")
+    words = emb.select("vec_id", w0.alias("w0"), w1.alias("w1"))
+    q = (words.where(F.col("vec_id") == 0)
+         .select(F.col("w0").alias("q0"), F.col("w1").alias("q1")))
+    scored = (words.crossJoin(F.broadcast(q))
+              .select("vec_id", "w0", "w1",
+                      (F.bit_count(F.expr("w0 ^ q0"))
+                       + F.bit_count(F.expr("w1 ^ q1"))).cast("long")
+                      .alias("hamming")))
+    return scored.orderBy("hamming", "vec_id").limit(20)
+
+
+_BINQ_ORACLE = """
+WITH words AS (
+  SELECT vec_id,
+         list_sum(list_transform(embedding[1:32], (x, i) ->
+           CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) << (32 - i)
+                ELSE 0 END)) AS w0,
+         list_sum(list_transform(embedding[33:64], (x, i) ->
+           CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) << (32 - i)
+                ELSE 0 END)) AS w1
+  FROM embeddings
+),
+q AS (SELECT w0 AS q0, w1 AS q1 FROM words WHERE vec_id = 0)
+SELECT vec_id, CAST(w0 AS BIGINT) AS w0, CAST(w1 AS BIGINT) AS w1,
+       CAST(bit_count(xor(CAST(w0 AS BIGINT), CAST(q0 AS BIGINT)))
+            + bit_count(xor(CAST(w1 AS BIGINT), CAST(q1 AS BIGINT)))
+            AS BIGINT) AS hamming
+FROM words, q
+ORDER BY hamming, vec_id
+LIMIT 20
+"""
+
+register("emb_binary_hamming_topk", emb_binary_hamming_topk, _BINQ_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Native Python UDTF under driver evidence (r5 wave 14): §2.10's table-
+# function surface was pytest-only — this runs the registered po_ngrams
+# UDTF in LATERAL position through SQL and aggregates its emissions (per
+# doc: n-gram row count and distinct grams over 5-grams of the first 40
+# chars), so the UDTF's row-expansion contract (positions, boundary
+# count len-n+1, short-text zero rows) is value-hashed.  Docs shorter
+# than 5 chars would vanish from an inner LATERAL — none exist in this
+# corpus, and the 40-char cap bounds emissions per row (the UDTF is
+# row-at-a-time Python: the cap documents its cost tier; the engine's
+# scale path for this shape is the Arrow-batched lens flatMap).
+# Oracle reproduces the expansion with DuckDB range() arithmetic.
+# --------------------------------------------------------------------------
+
+
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..udfs import register_ngrams_udtf
+
+    register_ngrams_udtf(spark)
+    load(spark, sf_dir, "documents").where(F.col("doc_id") < 120) \
+        .select("doc_id", F.substring("text", 1, 40).alias("head")) \
+        .createOrReplaceTempView("po_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, COUNT(*) AS n_grams,
+               COUNT(DISTINCT g.gram) AS n_distinct,
+               CAST(MIN(g.pos) AS BIGINT) AS pos_min,
+               CAST(MAX(g.pos) AS BIGINT) AS pos_max
+        FROM po_udtf_docs d, LATERAL po_ngrams(d.head, 5) g
+        GROUP BY d.doc_id
+    """)
+
+
+_UDTF_ORACLE = """
+WITH heads AS (
+  SELECT doc_id, substring(text, 1, 40) AS head
+  FROM documents WHERE doc_id < 120
+),
+grams AS (
+  SELECT doc_id, r AS pos, substring(head, r + 1, 5) AS gram
+  FROM heads, LATERAL unnest(range(0, GREATEST(strlen(head) - 4, 0))) t(r)
+)
+SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct,
+       CAST(MIN(pos) AS BIGINT) AS pos_min,
+       CAST(MAX(pos) AS BIGINT) AS pos_max
+FROM grams GROUP BY doc_id
+"""
+
+register("q_udtf_ngrams", q_udtf_ngrams, _UDTF_ORACLE)
