@@ -3630,3 +3630,81 @@ GROUP BY 1, 2
 
 register("events_stream_multi_source", events_stream_multi_source,
          _MULTISRC_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# RocksDB state store (r5 wave 14, 21st real streaming run): every other
+# streaming gate runs on the default HDFS-backed state store, which keeps
+# ALL keyed state as JVM heap objects — at production scale (billions of
+# dedup keys) that's an OOM, and the documented production knob is the
+# RocksDB provider (off-heap, spill-to-disk, incremental checkpoint).
+# This run re-executes the doubled-source exact dedup COMPOSED with a
+# windowed aggregation — two stateful operators, two state store
+# families per partition — under RocksDBStateStoreProvider, and must
+# still converge to the batch oracle over the original corpus: state
+# round-tripping through RocksDB serialization must be semantics-
+# invariant.  The provider conf is read per-query at start; it is set
+# before start() and restored after, so the other 20 runs keep their
+# default-provider evidence.  Shuffle partitions scoped to 4 around the
+# run (the stream-stream-join lesson: 32 partitions x 2 stateful ops of
+# local store init dwarf a 10k-row fixture).
+# --------------------------------------------------------------------------
+
+
+def events_stream_rocksdb_state(spark: SparkSession, sf_dir: str) \
+        -> DataFrame:
+    import tempfile
+
+    if sf_dir not in _STREAM_DUP_SRC:
+        d = tempfile.mkdtemp(prefix="po_stream_dup_")
+        ev = load_events(spark, sf_dir)
+        ev.write.mode("overwrite").parquet(d)
+        ev.write.mode("append").parquet(d)
+        _STREAM_DUP_SRC[sf_dir] = d
+    d = _STREAM_DUP_SRC[sf_dir]
+    schema = spark.read.parquet(d).schema
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_rocksdb_{_STREAM_SEQ[0]}"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = ("org.apache.spark.sql.execution.streaming."
+                        "state.HDFSBackedStateStoreProvider")
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = default_provider
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (spark.readStream.schema(schema).parquet(d)
+                  .dropDuplicates(["event_id"])
+                  .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                  .agg(F.count("*").alias("n_events"),
+                       F.expr(dsum("value", "total_value", 8))
+                       .alias("total_value")))
+        q = (stream.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation",
+                     tempfile.mkdtemp(prefix="po_stream_ck_"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev or default_provider)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type",
+        "n_events", "total_value")
+
+
+_ROCKSDB_ORACLE = f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {dsum('value', 'total_value', 8)}
+FROM events GROUP BY 1, 2
+"""
+
+register("events_stream_rocksdb_state", events_stream_rocksdb_state,
+         _ROCKSDB_ORACLE)
