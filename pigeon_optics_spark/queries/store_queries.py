@@ -1338,3 +1338,90 @@ UNION ALL SELECT 'sse', '/datasets/t:a', 2, FALSE
 
 register("reactive_subscribe_feed", reactive_subscribe_feed,
          _SUBSCRIBE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Path percent-escaping end-to-end (r5 wave 14): §2.8's path codec
+# (ref path.js:4-72) was pytest-only — this drives adversarial AUTHOR,
+# NAME, and RECORD ids ('%', ':', unicode, space — and '/' in RECORD ids,
+# which collection names reject at create() (the reference's own rule) — every character
+# class the path grammar must escape) through a real store write, then
+# resolves the collection back through the ENCODED path string via the
+# VFS (decode_path → store lookup), point-checks every 10th record's
+# encoded record path with path_exists (bounded driver probe — a wrong
+# decode raises before any row is emitted), and emits each record's
+# re-encoded path for the value hash.  The oracle constructs the
+# expected escaped form per id class arithmetically ('/'→%2F, '%'→%25,
+# ':'→%3A, 'ï'→%C3%AF, ' '→%20), so both the encode and decode
+# directions are load-bearing.  The per-row encoder is a 4-line
+# mapInPandas — Python is the capability here (a codec), per the repo
+# stance.
+# --------------------------------------------------------------------------
+
+
+def store_path_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..paths import encode_path
+    from ..vfs import path_exists, read_path_df
+
+    author, name = "team α", "set:7"
+    key = (sf_dir, "path_escape")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store.create(author, name)
+        rid = F.concat(
+            F.element_at(F.array(F.lit("a/b-"), F.lit("p%"), F.lit("c:"),
+                                 F.lit("naïve-"), F.lit("d ")),
+                         (F.col("doc_id") % 5 + 1).cast("int")),
+            F.col("doc_id").cast("string"))
+        store.write_entries_df(
+            spark, author, name,
+            load(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+            .select(rid.alias("record_id"),
+                    F.to_json(F.struct("lang")).alias("value")))
+        _STORES[key] = store
+    store = _STORES[key]
+
+    coll_path = "/datasets/team%20%CE%B1:set%3A7"
+    df = read_path_df(spark, store, coll_path)
+
+    # bounded decode probe: every 10th record's ENCODED point path must
+    # resolve; a decode defect fails loudly instead of thinning rows
+    for d in range(0, 301, 10):
+        prefix = ["a/b-", "p%", "c:", "naïve-", "d "][d % 5]
+        p = encode_path("datasets", author, name, f"{prefix}{d}")
+        if not path_exists(store, p):
+            raise AssertionError(f"encoded point path failed to resolve: {p}")
+
+    def enc(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["enc_path"] = [
+                encode_path("datasets", author, name, r)
+                for r in pdf["record_id"]]
+            yield pdf
+
+    rows = df.select("record_id",
+                     F.get_json_object("value", "$.lang").alias("payload"),
+                     "version")
+    return rows.mapInPandas(
+        enc, schema="record_id string, payload string, version long, "
+                    "enc_path string")
+
+
+_PATH_ESCAPE_ORACLE = """
+SELECT CASE doc_id % 5
+         WHEN 0 THEN 'a/b-' WHEN 1 THEN 'p%' WHEN 2 THEN 'c:'
+         WHEN 3 THEN 'naïve-' ELSE 'd ' END
+         || CAST(doc_id AS VARCHAR) AS record_id,
+       lang AS payload, CAST(1 AS BIGINT) AS version,
+       '/datasets/team%20%CE%B1:set%3A7/records/'
+         || CASE doc_id % 5
+              WHEN 0 THEN 'a%2Fb-' WHEN 1 THEN 'p%25' WHEN 2 THEN 'c%3A'
+              WHEN 3 THEN 'na%C3%AFve-' ELSE 'd%20' END
+         || CAST(doc_id AS VARCHAR) AS enc_path
+FROM documents WHERE doc_id <= 300
+"""
+
+register("store_path_escaping", store_path_escaping, _PATH_ESCAPE_ORACLE)
