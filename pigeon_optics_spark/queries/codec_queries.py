@@ -259,3 +259,50 @@ FROM documents WHERE doc_id < 300
 """
 
 register("parquet_schema_evolution", parquet_schema_evolution, _EVOL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# ORC roundtrip (r5 wave 14): the second columnar wire format — training
+# lakes inherit ORC from Hive-era producers, and a Spark-native engine
+# must read it with the same fidelity as parquet.  The gate writes a
+# documents slice (including an ARRAY column and a computed decimal —
+# complex-type and exact-numeric fidelity, not just flat strings) as ORC
+# files, reads them back with spark.read.orc, and hashes the contents
+# against the documents-derived oracle: any encode/decode asymmetry in
+# the format plumbing flips values.  DuckDB cannot read ORC — the oracle
+# derives from the source table, which is the stronger form anyway
+# (independent of the roundtrip under test).
+# --------------------------------------------------------------------------
+
+_ORC_DIRS: dict = {}
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    if sf_dir not in _ORC_DIRS:
+        d = tempfile.mkdtemp(prefix="po_orc_")
+        (load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+         .select("doc_id", "lang",
+                 F.array(F.col("doc_id"), F.col("n_chars")).alias("pair"),
+                 F.col("n_chars").cast("decimal(18,3)").alias("kb_est"))
+         .write.mode("overwrite").orc(d))
+        _ORC_DIRS[sf_dir] = d
+    df = spark.read.orc(_ORC_DIRS[sf_dir])
+    return df.select(
+        "doc_id", "lang",
+        F.element_at("pair", 1).alias("p0"),
+        F.element_at("pair", 2).alias("p1"),
+        F.col("kb_est").cast("string").alias("kb_est"))
+
+
+#: The decimal column is a pure CAST (no division — cross-engine decimal
+#: division is the documented divergence class); the string form pins the
+#: scale surviving the ORC roundtrip ('128.000', not '128').
+_ORC_ORACLE = """
+SELECT doc_id, lang, doc_id AS p0, n_chars AS p1,
+       CAST(n_chars AS DECIMAL(18,3))::VARCHAR AS kb_est
+FROM documents WHERE doc_id < 300
+"""
+
+register("orc_roundtrip", orc_roundtrip, _ORC_ORACLE)

@@ -1425,3 +1425,70 @@ FROM documents WHERE doc_id <= 300
 """
 
 register("store_path_escaping", store_path_escaping, _PATH_ESCAPE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Dataset version DIFF (r5 wave 14): the review primitive time travel
+# buys — "what changed between snapshot A and B" as a full-outer join of
+# two as_of reads on record_id, classified added / deleted / changed /
+# same by null-side and content-HASH comparison (hash rides every read,
+# so changed-detection costs no value parse — the store's own
+# suppression hash does the work).  Fixture: 4-batch history (ingest,
+# odd rewrites, %10==3 tombstones, 50 new +100k ids) diffed between
+# seq 1 and the current state; all four classes are live at every SF by
+# construction, including the overlap class (odd AND %10==3 ⇒ deleted
+# wins — rewritten-then-dropped records must not resurface as changed).
+# Scale shape: two partition-pruned segment reads + ONE shuffle on
+# record_id; the diff never materializes values, only (id, hash).
+# --------------------------------------------------------------------------
+
+
+def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, "vdiff")
+    if key not in _STORES:
+        store = DatasetStore(tempfile.mkdtemp(prefix="po_vdiff_"))
+        store.create("t", "vd")
+        docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+        store.write_entries_df(spark, "t", "vd", docs.select(        # seq 1
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct("lang", "text")).alias("value")))
+        store.write_entries_df(spark, "t", "vd", docs.where(         # seq 2
+            F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            F.to_json(F.struct(
+                "lang", F.concat(F.col("text"), F.lit(" [v2]"))
+                .alias("text"))).alias("value")))
+        store.write_entries("t", "vd", [                             # seq 3
+            (str(row["doc_id"]), None)
+            for row in docs.where(F.col("doc_id") % 10 == 3)
+            .select("doc_id").collect()])
+        store.write_entries_df(spark, "t", "vd", docs.where(         # seq 4
+            F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100_000).cast("string").alias("record_id"),
+            F.to_json(F.struct("lang")).alias("value")))
+        _STORES[key] = store
+    store = _STORES[key]
+    a = store.read_df(spark, "t", "vd", as_of_seq=1) \
+        .select(F.col("record_id").alias("rid"), F.col("hash").alias("ha"))
+    b = store.read_df(spark, "t", "vd") \
+        .select(F.col("record_id").alias("rid"), F.col("hash").alias("hb"))
+    return (a.join(b, "rid", "full_outer")
+            .select(F.col("rid").alias("record_id"),
+                    F.when(F.col("ha").isNull(), "added")
+                    .when(F.col("hb").isNull(), "deleted")
+                    .when(F.col("ha") != F.col("hb"), "changed")
+                    .otherwise("same").alias("status")))
+
+
+_VDIFF_ORACLE = """
+SELECT CAST(doc_id AS VARCHAR) AS record_id,
+       CASE WHEN doc_id % 10 = 3 THEN 'deleted'
+            WHEN doc_id % 2 = 1 THEN 'changed'
+            ELSE 'same' END AS status
+FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT CAST(doc_id + 100000 AS VARCHAR), 'added'
+FROM documents WHERE doc_id < 50
+"""
+
+register("store_version_diff", store_version_diff, _VDIFF_ORACLE)
