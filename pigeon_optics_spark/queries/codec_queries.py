@@ -182,9 +182,14 @@ def json_dirty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("doc_id") < 300)
             .select("doc_id", "lang", "n_chars"))
     did = F.col("doc_id")
+    # COALESCE the payload fields: a future testdata round with NULL
+    # lang/n_chars would null the whole concat (the context-chunks
+    # lesson) — the oracle mirrors the same fallbacks
     good = F.concat(F.lit('{"id": '), did.cast("string"),
-                    F.lit(', "lang": "'), F.col("lang"),
-                    F.lit('", "n": '), F.col("n_chars").cast("string"),
+                    F.lit(', "lang": "'),
+                    F.coalesce(F.col("lang"), F.lit("und")),
+                    F.lit('", "n": '),
+                    F.coalesce(F.col("n_chars"), F.lit(-1)).cast("string"),
                     F.lit('}'))
     truncated = F.concat(F.lit('{"id": '), did.cast("string"),
                          F.lit(', "lang"'))
@@ -205,8 +210,10 @@ def json_dirty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSONL_ORACLE = """
 SELECT doc_id,
        CASE WHEN doc_id % 13 = 0 THEN NULL ELSE doc_id END AS parsed_id,
-       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS parsed_lang,
-       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS parsed_n,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE COALESCE(lang, 'und') END AS parsed_lang,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE COALESCE(n_chars, -1) END AS parsed_n,
        doc_id % 13 = 0 AS is_corrupt
 FROM documents WHERE doc_id < 300
 """

@@ -3586,9 +3586,13 @@ def _ensure_split_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         ev = load_events(spark, sf_dir)
         d1 = tempfile.mkdtemp(prefix="po_stream_even_")
         d2 = tempfile.mkdtemp(prefix="po_stream_odd_")
-        ev.where(F.col("event_id") % 2 == 0).repartition(2) \
+        # null-safe split: a NULL event_id must land in exactly one
+        # source, not vanish from both (testdata is driver-owned and
+        # changes between rounds)
+        par = F.coalesce(F.col("event_id") % 2, F.lit(0))
+        ev.where(par == 0).repartition(2) \
             .write.mode("overwrite").parquet(d1)
-        ev.where(F.col("event_id") % 2 == 1).repartition(2) \
+        ev.where(par == 1).repartition(2) \
             .write.mode("overwrite").parquet(d2)
         _SPLIT_SRC[sf_dir] = (d1, d2)
     return _SPLIT_SRC[sf_dir]
