@@ -313,3 +313,48 @@ FROM documents WHERE doc_id < 300
 """
 
 register("orc_roundtrip", orc_roundtrip, _ORC_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Native XML ingest (r5 wave 14): the reference ships an XML/JsonML codec
+# family (SURVEY §2.1/§2.8) — Spark 4 grew a NATIVE XML source, so the
+# interchange surface gets first-class distributed scan treatment here
+# instead of a driver-side codec only.  The payload plants the five XML
+# metacharacters (< & " ' and a >) mid-string, so entity escaping on
+# write AND unescaping on read are load-bearing — a writer that emits
+# raw '<' produces unparseable rows, a reader that leaves '&amp;' flips
+# the value hash.  Payloads are 'x'-bracketed so whitespace trimming
+# options can't touch the comparison; text is COALESCEd (NULL-testdata
+# lesson).  Oracle reconstructs the exact payload from documents.
+# --------------------------------------------------------------------------
+
+_XML_DIRS: dict = {}
+
+
+def xml_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    if sf_dir not in _XML_DIRS:
+        d = tempfile.mkdtemp(prefix="po_xml_")
+        payload = F.concat(
+            F.lit("x"), F.substring(F.coalesce(F.col("text"), F.lit("")),
+                                    1, 30),
+            F.lit(" <&\"'> "), F.col("doc_id").cast("string"), F.lit("x"))
+        (load(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+         .select("doc_id", "lang", payload.alias("payload"))
+         .write.mode("overwrite").format("xml").option("rowTag", "doc")
+         .save(d))
+        _XML_DIRS[sf_dir] = d
+    return (spark.read.format("xml").option("rowTag", "doc")
+            .load(_XML_DIRS[sf_dir])
+            .select("doc_id", "lang", "payload"))
+
+
+_XML_ORACLE = """
+SELECT doc_id, lang,
+       'x' || substring(COALESCE(text, ''), 1, 30) || ' <&"''> '
+           || CAST(doc_id AS VARCHAR) || 'x' AS payload
+FROM documents WHERE doc_id < 250
+"""
+
+register("xml_native_ingest", xml_native_ingest, _XML_ORACLE)

@@ -3074,3 +3074,29 @@ FROM mixed GROUP BY 1
 """
 
 register("q_collation_lcase", q_collation_lcase, _COLLATION_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# LIMIT/OFFSET pagination (r5 wave 14): the API-surface read every
+# catalog/browse endpoint needs (the reference pages its HTTP record
+# listings) — deterministic because the ORDER BY is a total order
+# (acctbal ties broken by custkey).  Spark supports OFFSET since 3.4;
+# the trap pinned is OFFSET-before-LIMIT application: a wrong engine
+# returns the first 15 rows instead of rows 31..45.  Same SQL text on
+# both engines.
+# --------------------------------------------------------------------------
+
+_LIMIT_OFFSET_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 15 OFFSET 30
+"""
+
+
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_LIMIT_OFFSET_SQL)
+
+
+register("q_limit_offset", q_limit_offset, _LIMIT_OFFSET_SQL)
