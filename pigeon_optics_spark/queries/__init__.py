@@ -152,8 +152,13 @@ _DRIVER_PRIORITY = [
     #   q_map_functions, q_lateral_join, emb_rp_sketch, q_window_frames,
     #   json_dirty_ingest, events_geohash_density,
     #   events_stream_multi_source, parquet_schema_evolution,
-    #   q_group_by_all, multimodal_mp3_meta (+ any later wave-14
-    #   additions — see ROUND_NOTES wave-14 entry).
+    #   q_group_by_all, multimodal_mp3_meta, q_try_functions,
+    #   q_collation_lcase, multimodal_bmp_png_consistency,
+    #   text_robots_filter, emb_binary_hamming_topk, q_udtf_ngrams,
+    #   events_stream_rocksdb_state, store_path_escaping,
+    #   store_version_diff, orc_roundtrip, xml_native_ingest,
+    #   q_limit_offset (+ any later wave-14 additions — see ROUND_NOTES
+    #   wave-14 entry).
 ]
 
 
