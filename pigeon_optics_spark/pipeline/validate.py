@@ -158,22 +158,20 @@ def robots_rules(text: str, agent: str = "*") -> list[tuple[bool, str]]:
       its rule lines; rules bind to EVERY agent named above them;
     - only groups naming ``agent`` (or ``*``) apply — a stricter group
       for some other bot must not leak in;
-    - directive names are case-insensitive, ``#`` starts a comment,
-      blank lines only end a group once it has rules;
+    - directive and agent names are case-insensitive, ``#`` starts a
+      comment; blank lines carry NO semantic meaning (RFC 9309 — a group
+      ends only when a new ``User-agent`` line follows rule lines);
     - an empty ``Disallow:`` is a no-op (allow-all), not a match-all.
 
     Decision logic lives in :func:`robots_decision`.
     """
+    agent = agent.lower()
     rules: list[tuple[bool, str]] = []
     agents: list[str] = []
     in_rules = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
-        if not line:
-            if in_rules:
-                agents, in_rules = [], False
-            continue
-        if ":" not in line:
+        if not line or ":" not in line:
             continue
         key, _, val = line.partition(":")
         key = key.strip().lower()

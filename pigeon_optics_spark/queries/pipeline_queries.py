@@ -6270,7 +6270,13 @@ def text_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {"source": [], "allow": [], "prefix": []}
             for s in pdf["source"]:
-                n = int(str(s)[3:])
+                # digits-only parse: a NULL/odd-shaped source skips its
+                # rules instead of crashing the worker (NULL-testdata
+                # lesson; the decision join degrades to allowed)
+                digits = "".join(c for c in str(s or "") if c.isdigit())
+                if not digits:
+                    continue
+                n = int(digits)
                 txt = ("# crawl policy\n"
                        "User-Agent: BadBot\nDisallow: /\n\n"
                        "User-agent: *\n"
@@ -6416,7 +6422,7 @@ WITH heads AS (
 ),
 grams AS (
   SELECT doc_id, r AS pos, substring(head, r + 1, 5) AS gram
-  FROM heads, LATERAL unnest(range(0, GREATEST(strlen(head) - 4, 0))) t(r)
+  FROM heads, LATERAL unnest(range(0, GREATEST(LENGTH(head) - 4, 0))) t(r)
 )
 SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT gram) AS n_distinct,
        CAST(MIN(pos) AS BIGINT) AS pos_min,

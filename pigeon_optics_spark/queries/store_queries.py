@@ -1386,9 +1386,11 @@ def store_path_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
     coll_path = "/datasets/team%20%CE%B1:set%3A7"
     df = read_path_df(spark, store, coll_path)
 
-    # bounded decode probe: every 10th record's ENCODED point path must
-    # resolve; a decode defect fails loudly instead of thinning rows
-    for d in range(0, 301, 10):
+    # bounded decode probe: every 7th record's ENCODED point path must
+    # resolve (step 7 is coprime with 5, so ALL five escape classes are
+    # probed — a step of 10 would only ever hit class 0); a decode
+    # defect fails loudly instead of thinning rows
+    for d in range(0, 301, 7):
         prefix = ["a/b-", "p%", "c:", "naïve-", "d "][d % 5]
         p = encode_path("datasets", author, name, f"{prefix}{d}")
         if not path_exists(store, p):
@@ -1449,14 +1451,19 @@ def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         store = DatasetStore(tempfile.mkdtemp(prefix="po_vdiff_"))
         store.create("t", "vd")
         docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+        # text COALESCEd on BOTH writes: a NULL text would make the
+        # seq-2 "rewrite" byte-identical to seq 1 (to_json drops null
+        # fields) and flip 'changed' to 'same' (NULL-testdata lesson)
+        txt = F.coalesce(F.col("text"), F.lit(""))
         store.write_entries_df(spark, "t", "vd", docs.select(        # seq 1
             F.col("doc_id").cast("string").alias("record_id"),
-            F.to_json(F.struct("lang", "text")).alias("value")))
+            F.to_json(F.struct(F.col("lang"),
+                               txt.alias("text"))).alias("value")))
         store.write_entries_df(spark, "t", "vd", docs.where(         # seq 2
             F.col("doc_id") % 2 == 1).select(
             F.col("doc_id").cast("string").alias("record_id"),
             F.to_json(F.struct(
-                "lang", F.concat(F.col("text"), F.lit(" [v2]"))
+                F.col("lang"), F.concat(txt, F.lit(" [v2]"))
                 .alias("text"))).alias("value")))
         store.write_entries("t", "vd", [                             # seq 3
             (str(row["doc_id"]), None)

@@ -715,6 +715,7 @@ _BNLJ_WHITELIST = {
     "q11_important_parts",   # 1-row grand-total threshold
     "q_rfm_segments",        # 1-row global stats broadcast
     "text_winsorize",        # 1-row quartile-fence broadcast
+    "emb_binary_hamming_topk",  # 1-row query sign-words broadcast (r5w14)
 }
 
 

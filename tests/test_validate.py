@@ -280,9 +280,16 @@ def test_robots_rules_grouping_and_decision():
     assert robots_rules(multi, agent="a") == [(False, "/q/")]
     assert robots_rules("User-agent: a\nDisallow: /q/\n") == []
 
-    # a blank line ends a group only after rules have started
+    # blank lines carry no semantic meaning (RFC 9309): rules after a
+    # blank line still bind; a group ends only at a UA line after rules
     spaced = "User-agent: *\n\nDisallow: /r/\n"
     assert robots_rules(spaced) == [(False, "/r/")]
+    split_group = "User-agent: *\nDisallow: /a/\n\nDisallow: /b/\n"
+    assert robots_rules(split_group) == [(False, "/a/"), (False, "/b/")]
+
+    # the agent parameter is case-insensitive like the UA values
+    assert robots_rules("User-agent: BadBot\nDisallow: /q/\n",
+                        agent="BadBot") == [(False, "/q/")]
 
     # length tie -> allow wins
     tie = "User-agent: *\nDisallow: /x/\nAllow: /x/\n"
