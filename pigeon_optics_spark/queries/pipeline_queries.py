@@ -6431,3 +6431,69 @@ FROM grams GROUP BY doc_id
 """
 
 register("q_udtf_ngrams", q_udtf_ngrams, _UDTF_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity moments (r5 wave 14b): the graph-STATISTICS
+# family — do high-degree parts co-purchase with high-degree parts?
+# Newman's assortativity is a Pearson correlation over the directed
+# edge list's endpoint degrees; the gate emits its exact BIGINT moment
+# ingredients (Σdu, Σdu·dv, Σdu², edge count, degree extremes — by
+# undirected symmetry the v-moments equal the u-moments), never the
+# float coefficient (q8 num/den discipline; assembly is one driver-side
+# formula).  Shape: the triangle gate's edge build + one degree agg +
+# two broadcast-size joins + a single-row total aggregate — map-side
+# combinable everywhere, no window, no collect.
+# --------------------------------------------------------------------------
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+    pairs = baskets.select(F.explode(
+        ordered_pairs_col(F.col("items"), "u", "v")).alias("p"))
+    edges = (pairs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+             .agg(F.count("*").alias("sup"))
+             .where(F.col("sup") >= 2)
+             .select("u", "v"))
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")) \
+        .unionByName(edges.select(F.col("v").alias("a"),
+                                  F.col("u").alias("b")))
+    deg = und.groupBy("a").agg(F.count("*").alias("d")) \
+        .withColumnRenamed("a", "node")
+    du = deg.withColumnsRenamed({"node": "a", "d": "du"})
+    dv = deg.withColumnsRenamed({"node": "b", "d": "dv"})
+    return (und.join(du, "a").join(dv, "b")
+            .agg(F.count("*").alias("n_dir"),
+                 F.sum("du").alias("s_u"),
+                 F.sum(F.col("du") * F.col("dv")).alias("s_uv"),
+                 F.sum(F.col("du") * F.col("du")).alias("s_u2"),
+                 F.min("du").alias("deg_min"),
+                 F.max("du").alias("deg_max")))
+
+
+_ASSORT_ORACLE = """
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS (SELECT u AS a, v AS b FROM edges
+        UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY 1)
+SELECT COUNT(*) AS n_dir,
+       CAST(SUM(du.d) AS BIGINT) AS s_u,
+       CAST(SUM(du.d * dv.d) AS BIGINT) AS s_uv,
+       CAST(SUM(du.d * du.d) AS BIGINT) AS s_u2,
+       CAST(MIN(du.d) AS BIGINT) AS deg_min,
+       CAST(MAX(du.d) AS BIGINT) AS deg_max
+FROM und
+JOIN deg du ON du.node = und.a
+JOIN deg dv ON dv.node = und.b
+"""
+
+register("graph_degree_assortativity", graph_degree_assortativity,
+         _ASSORT_ORACLE)
