@@ -6497,3 +6497,41 @@ JOIN deg dv ON dv.node = und.b
 
 register("graph_degree_assortativity", graph_degree_assortativity,
          _ASSORT_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Pandas GROUPED_AGG UDF (r5 wave 14b): §2.10's third UDF form under
+# driver evidence (scalar pandas UDFs and UDTFs have gates; the lens
+# fold covers UDAF *capability* — this pins Spark's Arrow grouped-
+# aggregate API itself).  The UDF computes an exact integer second
+# moment on the value grid (python ints — numpy int64 would overflow
+# silently, the pcm lesson; the UDF lives in udfs.py because this
+# module's future-annotations import breaks pandas_udf inference — the
+# documented gotcha, hit live AGAIN this wave), so the oracle is plain
+# SQL arithmetic and
+# any Arrow batching/partial-combine defect in the grouped-agg path
+# flips the hash.
+# --------------------------------------------------------------------------
+
+
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..udfs import count_grouped_udf, sum_sq_grouped_udf
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q"))
+    # both aggregates are pandas UDFs: Spark refuses to mix GROUPED_AGG
+    # pandas UDFs with JVM aggregates in one agg() (hit live)
+    return (li.groupBy("l_returnflag")
+            .agg(sum_sq_grouped_udf("q").alias("sum_q2"),
+                 count_grouped_udf("q").alias("n")))
+
+
+_GROUPED_AGG_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+            AS BIGINT) AS sum_q2,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+register("q_pandas_grouped_agg", q_pandas_grouped_agg, _GROUPED_AGG_ORACLE)

@@ -3100,3 +3100,40 @@ def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("q_limit_offset", q_limit_offset, _LIMIT_OFFSET_SQL)
+
+
+# --------------------------------------------------------------------------
+# Regexp function breadth (r5 wave 14b): regexp_extract_all /
+# regexp_count / regexp_replace / regexp_instr — the pattern-function
+# family beyond the single regexp_replace the normalize gates use.
+# Patterns stay in the engine-portable class (explicit ranges, no \\d,
+# per the Java-vs-RE2 notes in _util.py); DuckDB lacks regexp_count and
+# regexp_instr, so the oracle bridges with len(regexp_extract_all) and
+# strpos(regexp_extract) — same values, different machinery.
+# --------------------------------------------------------------------------
+
+
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql("""
+SELECT c_custkey,
+       array_join(regexp_extract_all(c_name, '[0-9]+', 0), ',') AS nums,
+       CAST(regexp_count(c_name, '0') AS BIGINT) AS zeros,
+       regexp_replace(c_name, '0+', '_') AS squashed,
+       CAST(regexp_instr(c_name, '[1-9]') AS BIGINT) AS first_nz
+FROM customer
+""")
+
+
+_REGEXP_FUNCS_ORACLE = """
+SELECT c_custkey,
+       array_to_string(regexp_extract_all(c_name, '[0-9]+'), ',') AS nums,
+       CAST(len(regexp_extract_all(c_name, '0')) AS BIGINT) AS zeros,
+       regexp_replace(c_name, '0+', '_', 'g') AS squashed,
+       CAST(CASE WHEN regexp_extract(c_name, '[1-9]') = '' THEN 0
+            ELSE strpos(c_name, regexp_extract(c_name, '[1-9]'))
+            END AS BIGINT) AS first_nz
+FROM customer
+"""
+
+register("q_regexp_functions", q_regexp_functions, _REGEXP_FUNCS_ORACLE)

@@ -78,3 +78,22 @@ def nfc_md5_udf(s: pd.Series) -> pd.Series:
     dedup key (see pipeline.text.nfc_md5_col for semantics and the DuckDB
     ``nfc_normalize`` oracle twin)."""
     return s.map(_nfc_md5_one)
+
+
+@F.pandas_udf("long")
+def sum_sq_grouped_udf(v: pd.Series) -> int:
+    """Exact integer second moment for the GROUPED_AGG pandas-UDF gate
+    (q_pandas_grouped_agg).  Lives here because modules with
+    ``from __future__ import annotations`` stringify hints and break
+    pandas_udf's signature inference (the documented gotcha).  Python
+    ints, not numpy int64 — squares would overflow silently (pcm
+    lesson)."""
+    return sum(int(x) * int(x) for x in v)
+
+
+@F.pandas_udf("long")
+def count_grouped_udf(v: pd.Series) -> int:
+    """Row count as a GROUPED_AGG pandas UDF — Spark refuses to mix
+    pandas and JVM aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT,
+    hit live), so the gate's count rides the same Arrow path."""
+    return len(v)
