@@ -3769,3 +3769,84 @@ GROUP BY 1
 """
 
 register("events_time_weighted_avg", events_time_weighted_avg, _TWAP_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Streaming TWAP (r5 wave 14b, 22nd real streaming run): the incremental
+# twin of events_time_weighted_avg — per-user (last_us, last_vg, num,
+# den, n_gaps) state carried across the four FORCED time-quartile
+# micro-batches; the gap that STRADDLES a batch boundary is the
+# falsifiable part (its duration×value term needs the previous batch's
+# last event, so a state-losing engine undercounts num/den).  All-integer
+# state (grid values, whole-second gaps) ⇒ the final state is EXACTLY
+# the batch gate's answer, same oracle.  Single-event users emit
+# n_gaps=0 and are filtered like the batch side's WHERE pus IS NOT NULL.
+# --------------------------------------------------------------------------
+
+
+def events_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = _ensure_quartile_src(spark, sf_dir)
+    schema = spark.read.parquet(d).schema
+
+    def fold(key, pdfs, state: GroupState):
+        last_us, last_vg, num, den, gaps = \
+            state.get if state.exists else (None, None, 0, 0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["ts", "event_id"]))
+            for ts, v in zip(rows["ts"], rows["value"]):
+                us = int(ts.value // 1000)
+                vg = math.floor(float(v) * 1000)
+                if last_us is not None:
+                    dt_s = (us - last_us) // 1_000_000
+                    num += last_vg * dt_s
+                    den += dt_s
+                    gaps += 1
+                last_us, last_vg = us, vg
+        state.update((last_us, last_vg, num, den, gaps))
+        yield pd.DataFrame({"user_id": [key[0]], "twap_num": [num],
+                            "twap_den": [den], "n_gaps": [gaps]})
+
+    _STREAM_SEQ[0] += 1
+    name = f"po_stream_twap_{_STREAM_SEQ[0]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=("user_id long, twap_num long, "
+                              "twap_den long, n_gaps long"),
+            stateStructType=("last_us long, last_vg long, num long, "
+                             "den long, n_gaps long"),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="po_stream_ck_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+    if data_batches < 4:
+        raise AssertionError(
+            f"stream collapsed to {data_batches} data batches; "
+            "expected 4 (one per time-quartile file)")
+    last = F.max(F.struct("n_gaps", "twap_num", "twap_den")).alias("s")
+    return (spark.table(name).groupBy("user_id").agg(last)
+            .where(F.col("s.n_gaps") > 0)
+            .select("user_id", F.col("s.twap_num").alias("twap_num"),
+                    F.col("s.twap_den").alias("twap_den"),
+                    F.col("s.n_gaps").alias("n_gaps")))
+
+
+register("events_stream_twap", events_stream_twap, _TWAP_ORACLE)
