@@ -157,8 +157,10 @@ _DRIVER_PRIORITY = [
     #   text_robots_filter, emb_binary_hamming_topk, q_udtf_ngrams,
     #   events_stream_rocksdb_state, store_path_escaping,
     #   store_version_diff, orc_roundtrip, xml_native_ingest,
-    #   q_limit_offset (+ any later wave-14 additions — see ROUND_NOTES
-    #   wave-14 entry).
+    #   q_limit_offset, events_time_weighted_avg,
+    #   graph_degree_assortativity, q_regexp_functions,
+    #   q_pandas_grouped_agg, events_stream_twap (+ any later wave-14
+    #   additions — see ROUND_NOTES wave-14 entry).
 ]
 
 
