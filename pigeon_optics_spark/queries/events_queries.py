@@ -3850,3 +3850,41 @@ def events_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("events_stream_twap", events_stream_twap, _TWAP_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit (r5 wave 14b): the forensic data-quality
+# family — fabricated or unit-mangled numeric feeds skew the leading-
+# digit distribution, and the audit is a per-(type, digit) census.
+# The digit comes from the STRING of the exact grid INTEGER
+# (floor(v·1000) → BIGINT → first char), never from the double's own
+# decimal repr — double→varchar shortest-repr is a cross-engine
+# divergence class, BIGINT→varchar is exact everywhere.  Zero grid
+# values carry no leading digit and are excluded (counted in the oracle
+# identically via vg > 0).  One scan, one grouped count.
+# --------------------------------------------------------------------------
+
+
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vg"))
+    return (ev.where(F.col("vg") > 0)
+            .groupBy("event_type",
+                     F.substring(F.col("vg").cast("string"), 1, 1)
+                     .alias("digit"))
+            .agg(F.count("*").alias("n")))
+
+
+_BENFORD_ORACLE = """
+WITH g AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vg
+  FROM events
+)
+SELECT event_type, substring(CAST(vg AS VARCHAR), 1, 1) AS digit,
+       COUNT(*) AS n
+FROM g WHERE vg > 0
+GROUP BY 1, 2
+"""
+
+register("events_benford_audit", events_benford_audit, _BENFORD_ORACLE)
