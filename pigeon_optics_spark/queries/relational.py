@@ -3137,3 +3137,44 @@ FROM customer
 """
 
 register("q_regexp_functions", q_regexp_functions, _REGEXP_FUNCS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Null-safe join equality (r5 wave 14b): the other three-valued-logic
+# join trap (q_null_aware_anti covers NOT IN) — an equi-join on `=`
+# silently DROPS null-keyed rows from both sides, while the null-safe
+# operator (Spark `<=>`, DuckDB IS NOT DISTINCT FROM) matches null to
+# null.  Every 11th customer's key is nulled on one side and every 13th
+# order's on the other, so the two join modes differ by a planted,
+# SF-scaled amount; the gate emits both counts plus the null-match count
+# — a dimension join that quietly sheds null-keyed facts is the classic
+# silent row-loss at 100 TB.  Oracle mirrors with IS NOT DISTINCT FROM.
+# --------------------------------------------------------------------------
+
+_NULL_SAFE_BODY = """
+WITH c AS (
+  SELECT CASE WHEN c_custkey %% 11 = 0 THEN NULL ELSE c_custkey END AS ck
+  FROM customer
+),
+o AS (
+  SELECT CASE WHEN o_orderkey %% 13 = 0 THEN NULL ELSE o_custkey END AS ok
+  FROM orders
+)
+SELECT
+  (SELECT COUNT(*) FROM c JOIN o ON c.ck = o.ok) AS n_plain,
+  (SELECT COUNT(*) FROM c JOIN o ON %s) AS n_null_safe,
+  (SELECT COUNT(*) FROM c JOIN o ON %s
+   WHERE c.ck IS NULL) AS n_null_matches
+"""
+
+_NULL_SAFE_SPARK = _NULL_SAFE_BODY % ("c.ck <=> o.ok", "c.ck <=> o.ok")
+_NULL_SAFE_ORACLE = _NULL_SAFE_BODY % (
+    "c.ck IS NOT DISTINCT FROM o.ok", "c.ck IS NOT DISTINCT FROM o.ok")
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_NULL_SAFE_SPARK)
+
+
+register("q_null_safe_join", q_null_safe_join, _NULL_SAFE_ORACLE)
