@@ -8,7 +8,7 @@ import json
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from .values import hash_json_str, list_hash_urls, tagged_to_value
 
@@ -80,18 +80,23 @@ def nfc_md5_udf(s: pd.Series) -> pd.Series:
     return s.map(_nfc_md5_one)
 
 
-@F.pandas_udf("long")
+@F.pandas_udf(LongType())
 def sum_sq_grouped_udf(v: pd.Series) -> int:
     """Exact integer second moment for the GROUPED_AGG pandas-UDF gate
     (q_pandas_grouped_agg).  Lives here because modules with
     ``from __future__ import annotations`` stringify hints and break
-    pandas_udf's signature inference (the documented gotcha).  Python
-    ints, not numpy int64 — squares would overflow silently (pcm
-    lesson)."""
+    pandas_udf's signature inference (the documented gotcha).  The
+    return type is a DataType OBJECT, not the DDL string "long":
+    module-level pandas_udf decorators run when EXECUTORS import this
+    module too, and the DDL-string path calls _parse_ddl, which needs an
+    active session — none exists on an executor, so a string here kills
+    every store/lens executor task repo-wide (hit live: 29 gates + 22
+    tests red).  Python ints, not numpy int64 — squares would overflow
+    silently (pcm lesson)."""
     return sum(int(x) * int(x) for x in v)
 
 
-@F.pandas_udf("long")
+@F.pandas_udf(LongType())
 def count_grouped_udf(v: pd.Series) -> int:
     """Row count as a GROUPED_AGG pandas UDF — Spark refuses to mix
     pandas and JVM aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT,
