@@ -1421,3 +1421,90 @@ def decode_bmp_pixels(data: bytes):
             out[dst + 3 * x + 1] = line[3 * x + 1]
             out[dst + 3 * x + 2] = line[3 * x]
     return w, h, 3, bytes(out)
+
+
+def sniff_tiff_meta(data: bytes) \
+        -> tuple[int, int, int, int, str] | None:
+    """REAL TIFF IFD walk → (width, height, samples_per_pixel, n_pages,
+    endian) or None — the one container format whose BYTE ORDER is
+    declared per file ('II' little / 'MM' big), so every field read is
+    endianness-dispatched: a parser hardcoding one order returns
+    byte-swapped garbage dims for half the corpus.  Walks the IFD chain
+    (12-byte tag entries, SHORT values packed endian-sensitively into
+    the first bytes of the 4-byte value field, next-IFD pointer) and
+    counts pages; dims/samples come from IFD0's tags 256/257/277.
+    Strictness (tar lesson): an IFD offset past the buffer, a truncated
+    entry table, or a missing dimension tag returns None.
+    """
+    if len(data) < 8:
+        return None
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        return None
+    if struct.unpack(e + "H", data[2:4])[0] != 42:
+        return None
+    off = struct.unpack(e + "I", data[4:8])[0]
+    w = h = None
+    samples = 1
+    pages = 0
+    seen = set()
+    while off:
+        if off in seen or off + 2 > len(data):
+            return None  # cycle or offset past the buffer
+        seen.add(off)
+        n = struct.unpack(e + "H", data[off:off + 2])[0]
+        end = off + 2 + n * 12
+        if end + 4 > len(data):
+            return None
+        for i in range(n):
+            base = off + 2 + i * 12
+            tag, typ, cnt = struct.unpack(e + "HHI", data[base:base + 8])
+            if typ == 3:      # SHORT: packed into the value field's head
+                val = struct.unpack(e + "H", data[base + 8:base + 10])[0]
+            elif typ == 4:    # LONG
+                val = struct.unpack(e + "I", data[base + 8:base + 12])[0]
+            else:
+                continue
+            if pages == 0:    # dims come from IFD0
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+                elif tag == 277:
+                    samples = val
+        pages += 1
+        off = struct.unpack(e + "I", data[end:end + 4])[0]
+    if w is None or h is None or pages == 0:
+        return None
+    return w, h, samples, pages, "little" if e == "<" else "big"
+
+
+def write_tiff_meta(w: int, h: int, samples: int = 1, pages: int = 1,
+                    big_endian: bool = False) -> bytes:
+    """Deterministic metadata-only TIFF writer (IFD chain, no strips) —
+    the fixture twin of :func:`sniff_tiff_meta`, emitting either byte
+    order.  Page 1 carries dims as LONG (width) and SHORT (height) so
+    both value-packing rules are exercised in one file."""
+    e = ">" if big_endian else "<"
+
+    def entry(tag, typ, val):
+        head = struct.pack(e + "HHI", tag, typ, 1)
+        if typ == 3:
+            return head + struct.pack(e + "H", val) + b"\x00\x00"
+        return head + struct.pack(e + "I", val)
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42)
+    out += struct.pack(e + "I", 8)
+    off = 8
+    for p in range(pages):
+        ents = [entry(256, 4, w), entry(257, 3, h),
+                entry(259, 3, 1), entry(277, 3, samples)]
+        nxt = off + 2 + len(ents) * 12 + 4
+        out += struct.pack(e + "H", len(ents)) + b"".join(ents)
+        out += struct.pack(e + "I", nxt if p < pages - 1 else 0)
+        off = nxt
+    return bytes(out)

@@ -6535,3 +6535,64 @@ FROM lineitem GROUP BY 1
 """
 
 register("q_pandas_grouped_agg", q_pandas_grouped_agg, _GROUPED_AGG_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# TIFF IFD metadata (r5 wave 14b): the only container whose BYTE ORDER
+# is per-file ('II'/'MM') — the walker dispatches every read on it, and
+# the fixture alternates endianness by doc parity so a one-order parser
+# returns swapped dims for half the corpus (rows red).  Width rides a
+# LONG entry and height a SHORT (endian-sensitive head-packing of the
+# 4-byte value field), multi-page chains by doc_id%3+1 — tag table,
+# value packing, and chain walk all load-bearing.  Oracle is doc_id
+# arithmetic.
+# --------------------------------------------------------------------------
+
+
+def multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..pipeline.multimodal import sniff_tiff_meta, write_tiff_meta
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") <= 250) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "samples", "n_pages", "endian")}
+            for mid in pdf["media_id"]:
+                d = int(mid)
+                t = write_tiff_meta(
+                    d % 2000 + 1, d % 1500 + 1,
+                    samples=3 if d % 4 == 0 else 1,
+                    pages=d % 3 + 1, big_endian=bool(d % 2))
+                parsed = sniff_tiff_meta(t)
+                if parsed is None:
+                    continue
+                w, h, sm, pg, en = parsed
+                out["media_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["samples"].append(sm)
+                out["n_pages"].append(pg)
+                out["endian"].append(en)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, schema=("media_id long, width long, height long, "
+                     "samples long, n_pages long, endian string"))
+
+
+_TIFF_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 2000 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 1500 + 1 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END AS BIGINT)
+         AS samples,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_pages,
+       CASE WHEN doc_id % 2 = 1 THEN 'big' ELSE 'little' END AS endian
+FROM documents WHERE doc_id <= 250
+"""
+
+register("multimodal_tiff_meta", multimodal_tiff_meta, _TIFF_ORACLE)

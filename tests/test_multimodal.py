@@ -883,3 +883,25 @@ def test_bmp_pixel_roundtrip_and_png_consistency():
     bad_bpp = bytearray(full)
     bad_bpp[28] = 8
     assert decode_bmp_pixels(bytes(bad_bpp)) is None
+
+
+def test_tiff_ifd_walk_kernel():
+    from pigeon_optics_spark.pipeline.multimodal import (
+        sniff_tiff_meta,
+        write_tiff_meta,
+    )
+
+    for be in (False, True):
+        for pages in (1, 2, 3):
+            t = write_tiff_meta(800, 600, samples=3, pages=pages,
+                                big_endian=be)
+            assert sniff_tiff_meta(t) == \
+                (800, 600, 3, pages, "big" if be else "little")
+
+    # negatives: empty, bad magic, truncated chain, dangling IFD offset
+    assert sniff_tiff_meta(b"") is None
+    assert sniff_tiff_meta(b"II\x2b\x00\x08\x00\x00\x00") is None
+    assert sniff_tiff_meta(write_tiff_meta(8, 9)[:-6]) is None
+    dangling = bytearray(write_tiff_meta(8, 9))
+    dangling[4:8] = (9999).to_bytes(4, "little")
+    assert sniff_tiff_meta(bytes(dangling)) is None
