@@ -6596,3 +6596,50 @@ FROM documents WHERE doc_id <= 250
 """
 
 register("multimodal_tiff_meta", multimodal_tiff_meta, _TIFF_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# In-cell XPath extraction (r5 wave 14b): querying XML that lives INSIDE
+# a column — the native-Spark sibling of the lens Markup/CSS-selector
+# surface (lens_markup_extract) and the XML complement of
+# events_json_extract.  Per-doc XML is synthesized in-plan (JVM concat;
+# attribute, int element, and a repeated element list all keyed off
+# doc_id arithmetic), then xpath_string / xpath_int / xpath (node list)
+# / @attribute extraction run against it — element text, typed
+# coercion, list cardinality, and attribute axes each hashed.  Oracle
+# reconstructs every extraction from the same arithmetic, independent
+# of any XML machinery.
+# --------------------------------------------------------------------------
+
+
+def events_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    xml = F.concat(
+        F.lit('<doc><t lang="'), F.col("lang"), F.lit('">title-'),
+        F.col("doc_id").cast("string"), F.lit('</t><n>'),
+        (F.col("doc_id") % 97).cast("string"), F.lit("</n>"),
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int")),
+            lambda i: F.concat(F.lit("<v>"), i.cast("string"),
+                               F.lit("</v>")))),
+        F.lit("</doc>"))
+    return (docs.select("doc_id", xml.alias("x"))
+            .select(
+                "doc_id",
+                F.expr("xpath_string(x, '/doc/t')").alias("title"),
+                F.expr("xpath_string(x, '/doc/t/@lang')").alias("lang_attr"),
+                F.expr("xpath_int(x, '/doc/n')").cast("long").alias("n"),
+                F.expr("size(xpath(x, '/doc/v/text()'))").cast("long")
+                .alias("n_v")))
+
+
+_XPATH_ORACLE = """
+SELECT doc_id,
+       'title-' || CAST(doc_id AS VARCHAR) AS title,
+       lang AS lang_attr,
+       CAST(doc_id % 97 AS BIGINT) AS n,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_v
+FROM documents WHERE doc_id < 300
+"""
+
+register("events_xpath_extract", events_xpath_extract, _XPATH_ORACLE)
