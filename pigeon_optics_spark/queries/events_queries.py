@@ -3888,3 +3888,34 @@ GROUP BY 1, 2
 """
 
 register("events_benford_audit", events_benford_audit, _BENFORD_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# approx_top_k (r5 wave 14b): Spark 4's sketch-backed top-k aggregate —
+# the SpaceSaving-family surface next to the HLL (tolerance) and CMS
+# (hash-exact) sketch gates.  With 5 distinct event types the sketch
+# capacity is never exceeded, so its counts are EXACT and hashable (no
+# tolerance boolean needed); the top-3/rank-4 separation is strict at
+# every SF (measured 201>199 / 2006>1982 / 19941>19863), so the
+# SELECTION is unambiguous and only the sketch machinery is under test.
+# Exploded rows re-sorted deterministically; oracle is the exact census.
+# --------------------------------------------------------------------------
+
+
+def events_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_events(spark, sf_dir).createOrReplaceTempView("po_atk_events")
+    return spark.sql("""
+        SELECT t.item, t.count AS n
+        FROM (SELECT explode(approx_top_k(event_type, 3)) AS t
+              FROM po_atk_events)
+    """)
+
+
+_APPROX_TOPK_ORACLE = """
+SELECT event_type AS item, COUNT(*) AS n
+FROM events GROUP BY 1
+ORDER BY n DESC, event_type
+LIMIT 3
+"""
+
+register("events_approx_top_k", events_approx_top_k, _APPROX_TOPK_ORACLE)
