@@ -160,8 +160,9 @@ _DRIVER_PRIORITY = [
     #   q_limit_offset, events_time_weighted_avg,
     #   graph_degree_assortativity, q_regexp_functions,
     #   q_pandas_grouped_agg, events_stream_twap, events_benford_audit,
-    #   q_null_safe_join, multimodal_tiff_meta, events_xpath_extract
-    #   (+ any later wave-14 additions — see ROUND_NOTES wave-14 entry).
+    #   q_null_safe_join, multimodal_tiff_meta, events_xpath_extract,
+    #   events_approx_top_k (+ any later wave-14 additions — see
+    #   ROUND_NOTES wave-14 entry).
 ]
 
 
