@@ -905,3 +905,58 @@ def test_tiff_ifd_walk_kernel():
     dangling = bytearray(write_tiff_meta(8, 9))
     dangling[4:8] = (9999).to_bytes(4, "little")
     assert sniff_tiff_meta(bytes(dangling)) is None
+
+
+def test_byte_walkers_never_raise_on_fuzz():
+    """Crash-safety fuzz for every pure-byte container walker: at 100 TB
+    a parser exception kills the executor task (and with it the job),
+    so the kernel contract is return-None-or-parse, NEVER raise.  Feeds
+    (a) random bytes, (b) truncations of valid files at every small
+    length, (c) single-byte corruptions of valid files."""
+    import random
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        gif_frame_index,
+        mp3_frame_walk,
+        sniff_image_meta,
+        sniff_mp4_meta,
+        sniff_tiff_meta,
+        sniff_wav_meta,
+        sniff_webp_meta,
+        tar_member_index,
+        write_bmp,
+        write_tiff_meta,
+    )
+
+    walkers = [sniff_image_meta, sniff_wav_meta, sniff_webp_meta,
+               sniff_tiff_meta, mp3_frame_walk, sniff_mp4_meta]
+
+    def try_all(b):
+        for w in walkers:
+            w(b)          # must not raise
+        try:
+            gif_frame_index(b)
+        except ValueError:
+            pass          # gif walker documents ValueError on non-GIF
+        try:
+            tar_member_index(b)
+        except ValueError:
+            pass          # tar walker documents loud failure
+
+    rng = random.Random(42)
+    for _ in range(300):
+        try_all(bytes(rng.randrange(256)
+                      for _ in range(rng.randrange(0, 200))))
+
+    valid = [write_tiff_meta(80, 60, pages=2, big_endian=True),
+             write_bmp(b"\x00" * 36, 4, 3)]
+    # seed each walker's own magic so fuzz reaches past the header check
+    valid.append(b"RIFF\x10\x00\x00\x00WEBPVP8 ")
+    valid.append(b"\xff\xfb\x92\x00" + b"\x00" * 40)
+    for v in valid:
+        for cut in range(0, min(len(v), 64)):
+            try_all(v[:cut])
+        for _ in range(100):
+            b = bytearray(v)
+            b[rng.randrange(len(b))] = rng.randrange(256)
+            try_all(bytes(b))
