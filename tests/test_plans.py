@@ -740,3 +740,45 @@ def test_no_unjustified_cartesian_or_bnlj_suite_wide(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in p and name not in _BNLJ_WHITELIST:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_wave14_scale_claims(spark, sf_dir):
+    """Plan pins for the wave-14 docstring claims — each gate's scale
+    story reduced to an assertable physical-plan property."""
+    from pigeon_optics_spark.queries.events_queries import (
+        events_geohash_density,
+        events_time_weighted_avg,
+    )
+    from pigeon_optics_spark.queries.pipeline_queries import (
+        emb_binary_hamming_topk,
+        emb_rp_sketch,
+        text_robots_filter,
+    )
+
+    # geohash: pure JVM bit expressions (zero Python), ONE shuffle (the
+    # groupBy) — a UDF or a second Exchange is the regression
+    p = plan_of(events_geohash_density(spark, sf_dir))
+    assert "Python" not in p and "ArrowEval" not in p
+    assert p.count("Exchange") <= 2  # partial/final agg pair max
+
+    # JL sketch: map-only — no Exchange, no join, sign matrix is a literal
+    p = plan_of(emb_rp_sketch(spark, sf_dir))
+    assert "Exchange" not in p and "Join" not in p
+
+    # binary quantization: broadcast 1-row query + global top-k must plan
+    # TakeOrdered, never a global Sort
+    p = plan_of(emb_binary_hamming_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # the audited 1-row broadcast
+
+    # robots: the rules side must BROADCAST (a shuffle join would move
+    # the corpus against a 60-row policy table).  The final doc-keyed
+    # join-back of per-doc match maxima is corpus-sized on BOTH sides —
+    # sort-merge is the correct plan there, so only the rules join is
+    # pinned broadcast.
+    p = plan_of(text_robots_filter(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+    # TWAP: one window pass over the per-user order, then one grouped agg
+    p = plan_of(events_time_weighted_avg(spark, sf_dir))
+    assert p.count("Window") == 1
