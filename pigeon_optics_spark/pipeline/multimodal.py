@@ -969,6 +969,8 @@ def decode_png_pixels(data: bytes):
         ctype = data[i + 4:i + 8]
         body = data[i + 8:i + 8 + clen]
         if ctype == b"IHDR" and clen >= 13:
+            if len(body) < 13:
+                return None  # truncated inside IHDR (never-raise contract)
             w, h, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
             interlace = body[12]
         elif ctype == b"IDAT":
@@ -1462,6 +1464,12 @@ def sniff_tiff_meta(data: bytes) \
         for i in range(n):
             base = off + 2 + i * 12
             tag, typ, cnt = struct.unpack(e + "HHI", data[base:base + 8])
+            if cnt != 1:
+                # count > 1 stores an OFFSET in the value field (TIFF
+                # spec) — reading it as the value yields garbage dims;
+                # skip, so a malformed-count dimension tag leaves dims
+                # missing and the walk returns None (strictness stance)
+                continue
             if typ == 3:      # SHORT: packed into the value field's head
                 val = struct.unpack(e + "H", data[base + 8:base + 10])[0]
             elif typ == 4:    # LONG

@@ -3144,16 +3144,21 @@ register("q_regexp_functions", q_regexp_functions, _REGEXP_FUNCS_ORACLE)
 # join trap (q_null_aware_anti covers NOT IN) — an equi-join on `=`
 # silently DROPS null-keyed rows from both sides, while the null-safe
 # operator (Spark `<=>`, DuckDB IS NOT DISTINCT FROM) matches null to
-# null.  Every 11th customer's key is nulled on one side and every 13th
-# order's on the other, so the two join modes differ by a planted,
-# SF-scaled amount; the gate emits both counts plus the null-match count
-# — a dimension join that quietly sheds null-keyed facts is the classic
-# silent row-loss at 100 TB.  Oracle mirrors with IS NOT DISTINCT FROM.
+# null.  The customer side plants a BOUNDED null set (every 11th key
+# below 150 — ~13 rows at ANY SF) against an SF-scaled null set on the
+# orders side, so the null-match volume grows LINEARLY: all null
+# matches land on one join key by definition, and an unbounded
+# null×null cross product is the single-key skew bomb (review finding —
+# first cut nulled both sides unboundedly, quadratic in SF).  A
+# production null-safe join at scale either bounds one side like this
+# or routes nulls around the join entirely.  Oracle mirrors with
+# IS NOT DISTINCT FROM.
 # --------------------------------------------------------------------------
 
 _NULL_SAFE_BODY = """
 WITH c AS (
-  SELECT CASE WHEN c_custkey %% 11 = 0 THEN NULL ELSE c_custkey END AS ck
+  SELECT CASE WHEN c_custkey %% 11 = 0 AND c_custkey < 150 THEN NULL
+              ELSE c_custkey END AS ck
   FROM customer
 ),
 o AS (

@@ -916,20 +916,28 @@ def test_byte_walkers_never_raise_on_fuzz():
     import random
 
     from pigeon_optics_spark.pipeline.multimodal import (
+        decode_bmp_pixels,
+        decode_png_pixels,
         gif_frame_index,
         mp3_frame_walk,
+        pcm_frame_energies,
+        png_chunk_integrity,
         sniff_image_meta,
         sniff_mp4_meta,
         sniff_tiff_meta,
         sniff_wav_meta,
         sniff_webp_meta,
         tar_member_index,
+        wav_pcm_stats,
         write_bmp,
+        write_png,
         write_tiff_meta,
     )
 
     walkers = [sniff_image_meta, sniff_wav_meta, sniff_webp_meta,
-               sniff_tiff_meta, mp3_frame_walk, sniff_mp4_meta]
+               sniff_tiff_meta, mp3_frame_walk, sniff_mp4_meta,
+               decode_png_pixels, decode_bmp_pixels, png_chunk_integrity,
+               wav_pcm_stats, pcm_frame_energies]
 
     def try_all(b):
         for w in walkers:
@@ -949,7 +957,9 @@ def test_byte_walkers_never_raise_on_fuzz():
                       for _ in range(rng.randrange(0, 200))))
 
     valid = [write_tiff_meta(80, 60, pages=2, big_endian=True),
-             write_bmp(b"\x00" * 36, 4, 3)]
+             write_bmp(b"\x00" * 36, 4, 3),
+             write_png(b"\x01" * 27, 3, 3,
+                       row_filters=[0, 2, 4])]
     # seed each walker's own magic so fuzz reaches past the header check
     valid.append(b"RIFF\x10\x00\x00\x00WEBPVP8 ")
     valid.append(b"\xff\xfb\x92\x00" + b"\x00" * 40)
