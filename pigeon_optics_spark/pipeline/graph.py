@@ -200,3 +200,37 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
                 .groupBy("node").agg(F.min("dist").alias("dist"))
                 .localCheckpoint())
     return dist
+
+
+def sssp_distances(edges: DataFrame, seeds: DataFrame, max_rounds: int = 3,
+                   src: str = "u", dst: str = "v",
+                   weight: str = "w") -> DataFrame:
+    """Bounded single-source(-set) WEIGHTED shortest paths — Bellman-Ford
+    rounds over an undirected weighted edge list: after round k every
+    node holds the cheapest total weight over paths of ≤ k edges from
+    any seed (nodes beyond the bound are absent — the bfs_distances
+    stance: an unbounded frontier is the whole graph at scale).
+
+    Distinct from :func:`bfs_distances`: relaxation carries dist + w
+    (min-PLUS over integer weights), so the cheapest path can be LONGER
+    in hops than the hop-shortest one.  Same Pregel shape as the other
+    iterative ops — one join + min-agg per round, ``localCheckpoint``
+    per round (the connected-components lesson), only scalars on the
+    driver.  All-integer arithmetic ⇒ bit-reproducible in an
+    iteration-unrolled SQL oracle.
+    """
+    und = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                        F.col(weight).cast("long").alias("w"))
+           .unionAll(edges.select(F.col(dst).alias("a"),
+                                  F.col(src).alias("b"),
+                                  F.col(weight).cast("long").alias("w"))))
+    dist = seeds.select(F.col("node"),
+                        F.lit(0).cast("long").alias("dist")).distinct()
+    for _ in range(max_rounds):
+        relaxed = (dist.join(und, dist["node"] == und["a"])
+                   .select(F.col("b").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    return dist

@@ -6643,3 +6643,69 @@ FROM documents WHERE doc_id < 300
 """
 
 register("events_xpath_extract", events_xpath_extract, _XPATH_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Weighted shortest paths (r5 wave 14b): bounded Bellman-Ford over the
+# co-purchase graph — the WEIGHTED sibling of graph_bfs_distances (7th
+# graph operator family member): relaxation carries dist + w (min-PLUS),
+# so the cheapest route can be longer in hops than the hop-shortest one
+# — the property that makes this a different algorithm, live in the
+# data wherever a 2-edge cheap path beats a 1-edge expensive one.
+# Weights are deterministic integers (1 + (u + v) % 7, shared grammar
+# with the oracle); same seeds as the BFS gate so the two distance
+# fields are directly comparable.  Oracle = iteration-unrolled min-plus
+# rounds (the BFS/kcore unrolling precedent).
+# --------------------------------------------------------------------------
+
+
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.graph import sssp_distances
+
+    li = load(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")))
+    pairs = baskets.select(F.explode(
+        ordered_pairs_col(F.col("items"), "u", "v")).alias("p"))
+    edges = (pairs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+             .agg(F.count("*").alias("sup"))
+             .where(F.col("sup") >= 2)
+             .select("u", "v",
+                     (1 + (F.col("u") + F.col("v")) % 7).alias("w")))
+    nodes = (edges.select(F.col("u").alias("node"))
+             .unionAll(edges.select(F.col("v").alias("node"))).distinct())
+    seeds = nodes.where(F.col("node") % 100 == 0)
+    return sssp_distances(edges, seeds, max_rounds=3)
+
+
+_SSSP_ORACLE = """
+WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         1 + (a.l_partkey + b.l_partkey) % 7 AS w
+  FROM pl a JOIN pl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+und AS (SELECT u AS a, v AS b, w FROM edges
+        UNION ALL SELECT v, u, w FROM edges),
+d0 AS (
+  SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist FROM und
+  WHERE a % 100 = 0
+),
+r1 AS (SELECT e.b AS node, d0.dist + e.w AS dist
+       FROM d0 JOIN und e ON e.a = d0.node),
+d1 AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM
+       (SELECT * FROM d0 UNION ALL SELECT * FROM r1) GROUP BY node),
+r2 AS (SELECT e.b AS node, d1.dist + e.w AS dist
+       FROM d1 JOIN und e ON e.a = d1.node),
+d2 AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM
+       (SELECT * FROM d1 UNION ALL SELECT * FROM r2) GROUP BY node),
+r3 AS (SELECT e.b AS node, d2.dist + e.w AS dist
+       FROM d2 JOIN und e ON e.a = d2.node),
+d3 AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM
+       (SELECT * FROM d2 UNION ALL SELECT * FROM r3) GROUP BY node)
+SELECT node, dist FROM d3
+"""
+
+register("graph_sssp_weighted", graph_sssp_weighted, _SSSP_ORACLE)
