@@ -42,6 +42,7 @@ import contextlib
 import fcntl
 import json
 import os
+import re
 import tempfile
 import time
 import uuid
@@ -119,6 +120,11 @@ def empty_local_df(spark, schema: str):
         f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
         for f in fields)
     return spark.sql(f"SELECT {cols} WHERE 1=0")
+
+
+#: committed segment filenames: seg_<seq>[.<suffix>].parquet (file or
+#: distributed part-dir) — anything else in a collection dir is ignored
+_SEG_NAME_RE = re.compile(r"^seg_(\d+)(?:\.[A-Za-z0-9]+)*\.parquet$")
 
 
 def _validate_name(name: str) -> None:
@@ -293,6 +299,17 @@ class DatasetStore:
 
     # -- current-state resolution (driver-side) -----------------------------
 
+    @staticmethod
+    def _seg_seq(fn: str) -> int | None:
+        """Segment seq from a filename, or None for anything that is not
+        a committed segment (``seg_<seq>[.suffix].parquet``).  The
+        listing-based resolution must TOLERATE stray files — a user's
+        copy-paste, an orphaned artifact — instead of crashing every read
+        of the collection with an int-parse error (found by review: any
+        'data.parquet' dropped into a segment dir killed read_df)."""
+        m = _SEG_NAME_RE.match(fn)
+        return int(m.group(1)) if m else None
+
     def _segments(self, meta: CollectionMeta) -> list[str]:
         """Segment paths in seq order.  A segment is either a single parquet
         file (driver-side writes) or a directory of parquet part-files
@@ -304,10 +321,9 @@ class DatasetStore:
             return []
         segs = []
         for fn in os.listdir(d):
-            if fn.endswith(".parquet") and not fn.startswith("_stage"):
-                seq = int(fn.split("_")[1].split(".")[0])
-                if seq >= meta.base_seq:
-                    segs.append((seq, os.path.join(d, fn)))
+            seq = self._seg_seq(fn)
+            if seq is not None and seq >= meta.base_seq:
+                segs.append((seq, os.path.join(d, fn)))
         return [p for _s, p in sorted(segs)]
 
     def _state(self, meta: CollectionMeta) -> dict[str, dict]:
@@ -428,9 +444,9 @@ class DatasetStore:
         kept: list[tuple[int, bool, str]] = []
         if os.path.isdir(d):
             for fn in sorted(os.listdir(d)):
-                if not fn.startswith("seg_"):
+                seq = self._seg_seq(fn)
+                if seq is None:
                     continue
-                seq = int(fn.split("_")[1].split(".")[0])
                 if seq <= as_of_seq:
                     kept.append((seq, ".base." in fn, os.path.join(d, fn)))
         base = max((s for s, is_b, _p in kept if is_b), default=0)
@@ -513,10 +529,9 @@ class DatasetStore:
         d = self._dir(meta)
         segs = []
         for fn in os.listdir(d) if os.path.isdir(d) else []:
-            if fn.endswith(".parquet") and not fn.startswith("_stage"):
-                seq = int(fn.split("_")[1].split(".")[0])
-                if seq > since_seq:
-                    segs.append(os.path.join(d, fn))
+            seq = self._seg_seq(fn)
+            if seq is not None and seq > since_seq:
+                segs.append(os.path.join(d, fn))
         cols = ["record_id", "value", "hash", "links", "version", "deleted"]
         if not segs:
             return empty_local_df(

@@ -259,3 +259,34 @@ def test_time_travel_read(spark, tmp_path):
     for gone in (4, 5):                    # overwrite..pre-compaction gone
         with pytest.raises(StoreError, match="compacted"):
             state(gone)
+
+
+def test_stray_files_in_segment_dir_are_ignored(spark):
+    """The listing-based segment resolution must tolerate foreign files —
+    a stray 'data.parquet' (no seq in the name) previously crashed every
+    read of the collection with an int-parse error."""
+    import os
+    import tempfile
+
+    from pigeon_optics_spark.store import DatasetStore
+
+    st = DatasetStore(tempfile.mkdtemp(prefix="po_stray_"))
+    st.create("t", "s")
+    st.write_entries("t", "s", [(f"r{i}", {"n": i}) for i in range(5)])
+    d = os.path.join(st.root, "datasets", "t", "s")
+    # find the actual collection dir (layout-independent): the one
+    # holding seg_ files
+    seg_dirs = [root for root, _dirs, files in os.walk(st.root)
+                if any(f.startswith("seg_") for f in files)]
+    assert seg_dirs
+    for sd in seg_dirs:
+        open(os.path.join(sd, "data.parquet"), "wb").write(b"junk")
+        open(os.path.join(sd, "notes.txt"), "w").write("x")
+    st2 = DatasetStore(st.root)  # fresh instance, fresh listing
+    rows = st2.read_df(spark, "t", "s").collect()
+    assert len(rows) == 5
+    assert sorted(r["record_id"] for r in rows) == [f"r{i}" for i in range(5)]
+    # delta + time-travel listings tolerate the strays too
+    assert st2.read_delta_df(spark, "t", "s", 0).count() == 5
+    assert st2.read_df(spark, "t", "s", as_of_seq=1).count() == 5
+    del d
