@@ -57,6 +57,7 @@ still defeat it — trusted-author territory again.)
 from __future__ import annotations
 
 import json
+import re
 import time
 import traceback
 from dataclasses import dataclass
@@ -456,6 +457,10 @@ _EMIT_COLS = ["out_id", "input_idx", "nat_key", "src_rid", "emit_idx", "value"]
 AFFECTED_COLLECT_MAX = 10_000
 
 
+#: committed emission-log segment names (see _write_emit_segment)
+_EMIT_SEG_RE = re.compile(r"^seg_(\d+)\.([A-Za-z0-9]+)\.parquet$")
+
+
 def _emit_dir(store: DatasetStore, author: str, name: str) -> str:
     import os
 
@@ -483,9 +488,13 @@ def _emit_segments(store: DatasetStore, author: str, name: str) -> list[str]:
         return []
     items = []
     for fn in os.listdir(d):
-        if fn.endswith(".parquet") and not fn.startswith("_stage"):
-            bits = fn.split("_")[1].split(".")
-            items.append((int(bits[0]), bits[1] == "base", os.path.join(d, fn)))
+        # committed emission segments only (seg_<seq>.<kind>.parquet) —
+        # a stray file in the dir must not crash the build (the store's
+        # _seg_seq stance, applied to the emission log)
+        m = _EMIT_SEG_RE.match(fn)
+        if m:
+            items.append((int(m.group(1)), m.group(2) == "base",
+                          os.path.join(d, fn)))
     base_seqs = [s for s, b, _p in items if b]
     floor = max(base_seqs) if base_seqs else None
     keep = [(s, p) for s, b, p in sorted(items)
