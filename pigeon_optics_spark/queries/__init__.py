@@ -161,8 +161,9 @@ _DRIVER_PRIORITY = [
     #   graph_degree_assortativity, q_regexp_functions,
     #   q_pandas_grouped_agg, events_stream_twap, events_benford_audit,
     #   q_null_safe_join, multimodal_tiff_meta, events_xpath_extract,
-    #   events_approx_top_k, graph_sssp_weighted (+ any later wave-14
-    #   additions — see ROUND_NOTES wave-14 entry).
+    #   events_approx_top_k, graph_sssp_weighted, text_link_census,
+    #   events_forecast_backtest (+ any later wave-14 additions — see
+    #   ROUND_NOTES wave-14 entry).
 ]
 
 

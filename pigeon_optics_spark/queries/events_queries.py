@@ -3919,3 +3919,71 @@ LIMIT 3
 """
 
 register("events_approx_top_k", events_approx_top_k, _APPROX_TOPK_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Forecast backtest (r5 wave 14b): the model-EVALUATION op the Holt gate
+# lacks — every point's ONE-STEP-AHEAD error |x_i − (l_{i−1}+b_{i−1})|
+# accumulated INSIDE the same fold (walk-forward backtesting: each
+# forecast uses only prior data by construction).  The error accumulates
+# through the identical IEEE sequence on both engines (the Holt fold's
+# state list grows a 4th lane; l_new spelled out inline everywhere, the
+# established discipline), so the summed error is hash-exact — no
+# tolerance needed.  Emits the error SUM and the count (n−1) as the
+# num/den pair (q8 discipline); downstream MAE is one division.
+# --------------------------------------------------------------------------
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("ts", "event_id", "value")))
+               .alias("s")))
+    vals = F.col("s").getField("value")
+    tail = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    init = F.struct(F.element_at(vals, 1).alias("l"),
+                    F.lit(0.0).alias("b"), F.lit(0.0).alias("e"))
+
+    def step(acc, x):
+        l_new = F.lit(0.25) * x + F.lit(0.75) * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (F.lit(0.5) * ((F.lit(0.25) * x
+                            + F.lit(0.75) * (acc["l"] + acc["b"]))
+                           - acc["l"])
+             + F.lit(0.5) * acc["b"]).alias("b"),
+            (acc["e"] + F.abs(x - (acc["l"] + acc["b"]))).alias("e"))
+
+    st = F.aggregate(tail, init, step)
+    return seq.select(
+        "user_id", F.size("s").cast("long").alias("n_events"),
+        st.getField("e").alias("abs_err_sum"),
+        (F.size("s") - 1).cast("long").alias("n_forecasts"))
+
+
+_BACKTEST_ORACLE = """
+WITH seq AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+st AS (
+  SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+         list_reduce(
+           list_transform(vals,
+             x -> [x, x, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]),
+           (acc, e) -> [
+             e[1],
+             0.25 * e[1] + 0.75 * (acc[2] + acc[3]),
+             0.5 * (0.25 * e[1] + 0.75 * (acc[2] + acc[3]) - acc[2])
+                  + 0.5 * acc[3],
+             acc[4] + abs(e[1] - (acc[2] + acc[3]))]) AS f
+  FROM seq
+)
+SELECT user_id, n_events, f[4] AS abs_err_sum,
+       n_events - 1 AS n_forecasts
+FROM st
+"""
+
+register("events_forecast_backtest", events_forecast_backtest,
+         _BACKTEST_ORACLE)

@@ -6709,3 +6709,56 @@ SELECT node, dist FROM d3
 """
 
 register("graph_sssp_weighted", graph_sssp_weighted, _SSSP_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# Outbound-link census (r5 wave 14b): the web graph that PageRank/
+# authority curation consumes is BUILT by extracting hrefs from document
+# text — this gate does that extraction end-to-end: URLs are planted
+# into the text by doc_id arithmetic (0-2 links per doc, host and path
+# both derived), pulled back out with regexp_extract_all (portable
+# pattern class), exploded, host-extracted (parse_url), and rolled into
+# a per-host census (docs linking, total mentions).  Falsifiable at
+# every layer: a greedy pattern that eats the trailing period, a
+# missed second link, or a wrong host parse all change counts.  Oracle
+# rebuilds the census from the planting arithmetic — it never parses.
+# --------------------------------------------------------------------------
+
+
+def text_link_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    n_links = (F.col("doc_id") % 3).cast("int")
+    link = (lambda j: F.concat(
+        F.lit(" see http://h"), ((F.col("doc_id") + j) % 5).cast("string"),
+        F.lit(".example/p"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".")))
+    body = F.concat(
+        F.coalesce(F.substring("text", 1, 20), F.lit("")),
+        F.when(n_links >= 1, link(0)).otherwise(F.lit("")),
+        F.when(n_links >= 2, link(1)).otherwise(F.lit("")))
+    urls = F.expr(
+        r"regexp_extract_all(body, 'http://[a-z0-9.]+/[a-z0-9]+', 0)")
+    return (docs.select("doc_id", body.alias("body"))
+            .select("doc_id", F.explode(urls).alias("url"))
+            .select("doc_id", F.parse_url("url", F.lit("HOST")).alias("host"))
+            .groupBy("host")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_mentions")))
+
+
+#: hosts cycle (doc_id + j) % 5 for j < doc_id % 3; the oracle unrolls
+#: the two possible links per doc and aggregates the same pairs.
+_LINK_CENSUS_ORACLE = """
+WITH links AS (
+  SELECT doc_id, 'h' || CAST((doc_id + 0) % 5 AS VARCHAR) || '.example'
+           AS host
+  FROM documents WHERE doc_id < 400 AND doc_id % 3 >= 1
+  UNION ALL
+  SELECT doc_id, 'h' || CAST((doc_id + 1) % 5 AS VARCHAR) || '.example'
+  FROM documents WHERE doc_id < 400 AND doc_id % 3 >= 2
+)
+SELECT host, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_mentions
+FROM links GROUP BY 1
+"""
+
+register("text_link_census", text_link_census, _LINK_CENSUS_ORACLE)

@@ -60,6 +60,7 @@ SWEEP_QUERIES = [
     # Gini (N² products at 5× corpus), min_by/max_by (perturbed prices
     # move the tie structure the struct order must keep deterministic)
     "events_holt_trend",
+    "events_forecast_backtest",
     "events_linreg_trend",
     "text_gini_diversity",
     "q_minby_maxby",
