@@ -1194,17 +1194,24 @@ def sniff_webp_meta(data: bytes) \
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         return None
+    # the RIFF header declares the payload size (everything after byte 8);
+    # bound the chunk walk at it so trailing garbage is never parsed as
+    # chunks, and refuse a declared size past the buffer (tar strictness)
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    end = 8 + riff_size
+    if end > len(data):
+        return None
     i = 12
     w = h = None
     variant = None
     has_alpha = False
     n_chunks = 0
-    while i + 8 <= len(data):
+    while i + 8 <= end:
         cid = data[i:i + 4]
         clen = struct.unpack("<I", data[i + 4:i + 8])[0]
+        if i + 8 + clen > end:
+            return None  # chunk runs past the RIFF payload (tar lesson)
         body = data[i + 8:i + 8 + clen]
-        if len(body) < clen:
-            return None  # declared size runs past the buffer (tar lesson)
         n_chunks += 1
         if cid == b"VP8 " and w is None and clen >= 10 \
                 and body[3:6] == b"\x9d\x01\x2a":

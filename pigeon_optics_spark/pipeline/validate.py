@@ -156,8 +156,10 @@ def robots_rules(text: str, agent: str = "*") -> list[tuple[bool, str]]:
 
     - a group is one or more consecutive ``User-agent`` lines followed by
       its rule lines; rules bind to EVERY agent named above them;
-    - only groups naming ``agent`` (or ``*``) apply — a stricter group
-      for some other bot must not leak in;
+    - only the MOST SPECIFIC matching groups apply (RFC 9309 §2.2.1):
+      when any group names ``agent`` exactly, the ``*`` groups are
+      ignored; ``*`` groups apply only when no group names the agent —
+      a stricter group for some other bot must never leak in;
     - directive and agent names are case-insensitive, ``#`` starts a
       comment; blank lines carry NO semantic meaning (RFC 9309 — a group
       ends only when a new ``User-agent`` line follows rule lines);
@@ -166,8 +168,10 @@ def robots_rules(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     Decision logic lives in :func:`robots_decision`.
     """
     agent = agent.lower()
-    rules: list[tuple[bool, str]] = []
+    # pass 1: collect every group's (agents, rules) in document order
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     agents: list[str] = []
+    grp_rules: list[tuple[bool, str]] = []
     in_rules = False
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -178,13 +182,19 @@ def robots_rules(text: str, agent: str = "*") -> list[tuple[bool, str]]:
         val = val.strip()
         if key == "user-agent":
             if in_rules:
-                agents, in_rules = [], False
+                groups.append((agents, grp_rules))
+                agents, grp_rules, in_rules = [], [], False
             agents.append(val.lower())
         elif key in ("allow", "disallow"):
             in_rules = True
-            if val and (agent in agents or "*" in agents):
-                rules.append((key == "allow", val))
-    return rules
+            if val:
+                grp_rules.append((key == "allow", val))
+    if agents or grp_rules:
+        groups.append((agents, grp_rules))
+    # pass 2: most-specific-group selection — named groups beat '*' groups
+    named = [g for g in groups if agent in g[0]]
+    chosen = named if named else [g for g in groups if "*" in g[0]]
+    return [rule for _, rls in chosen for rule in rls]
 
 
 def robots_decision(path: str, rules: list[tuple[bool, str]]) \

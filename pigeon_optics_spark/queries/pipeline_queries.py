@@ -5956,10 +5956,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = spark.range(1, 101).select(
         F.lit(80_000_000).cast("long").alias("u"),
         (F.lit(80_000_000) + F.col("id")).cast("long").alias("v"))
-    # 3 consumers (und, anti-join, none lazily shared) — persist +
-    # materialize per the r1 unmaterialized-persist lesson
-    edges = nat.unionByName(star).persist()
-    edges.count()
+    # 3 consumers (und, anti-join, none lazily shared) — eager
+    # localCheckpoint materializes once (the r1 unmaterialized-persist
+    # lesson) and its blocks are context-cleaned when the plan becomes
+    # unreachable, unlike a bare persist() that would pin executor
+    # memory for the rest of the suite run
+    edges = nat.unionByName(star).localCheckpoint(eager=True)
     und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")) \
         .unionByName(edges.select(F.col("v").alias("a"),
                                   F.col("u").alias("b")))
@@ -6614,8 +6616,12 @@ register("multimodal_tiff_meta", multimodal_tiff_meta, _TIFF_ORACLE)
 
 def events_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    # lang COALESCEd with a sentinel mirrored in the oracle: a NULL lang
+    # in a future testdata round would otherwise null the whole concat
+    # (the json_dirty_ingest / text_link_census NULL-testdata guard)
+    lang = F.coalesce(F.col("lang"), F.lit("und"))
     xml = F.concat(
-        F.lit('<doc><t lang="'), F.col("lang"), F.lit('">title-'),
+        F.lit('<doc><t lang="'), lang, F.lit('">title-'),
         F.col("doc_id").cast("string"), F.lit('</t><n>'),
         (F.col("doc_id") % 97).cast("string"), F.lit("</n>"),
         F.concat_ws("", F.transform(
@@ -6636,7 +6642,7 @@ def events_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XPATH_ORACLE = """
 SELECT doc_id,
        'title-' || CAST(doc_id AS VARCHAR) AS title,
-       lang AS lang_attr,
+       COALESCE(lang, 'und') AS lang_attr,
        CAST(doc_id % 97 AS BIGINT) AS n,
        CAST(doc_id % 3 + 1 AS BIGINT) AS n_v
 FROM documents WHERE doc_id < 300

@@ -1347,7 +1347,8 @@ register("reactive_subscribe_feed", reactive_subscribe_feed,
 # which collection names reject at create() (the reference's own rule) — every character
 # class the path grammar must escape) through a real store write, then
 # resolves the collection back through the ENCODED path string via the
-# VFS (decode_path → store lookup), point-checks every 10th record's
+# VFS (decode_path → store lookup), point-checks every 7th record's
+# (7 is coprime with the 5 escape classes, so every class gets probed)
 # encoded record path with path_exists (bounded driver probe — a wrong
 # decode raises before any row is emitted), and emits each record's
 # re-encoded path for the value hash.  The oracle constructs the

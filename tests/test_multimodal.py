@@ -816,6 +816,15 @@ def test_webp_sniff_all_variants():
     assert sniff_webp_meta(riff(chunk(b"META", b"xy"))) is None
     assert sniff_webp_meta(riff(vp8l)[:-3]) is None
 
+    # the RIFF declared size BOUNDS the walk: trailing bytes after the
+    # declared payload are never parsed as chunks (n_chunks stays 1),
+    # and a chunk whose declared length runs past the RIFF payload
+    # (though inside the buffer) refuses
+    padded = riff(vp8l) + chunk(b"META", b"xy")
+    assert sniff_webp_meta(padded) == (100, 50, "lossless", True, 1)
+    overrun = riff(vp8l[:-2]) + b"\x00\x00"  # chunk len > payload end
+    assert sniff_webp_meta(overrun) is None
+
 
 def test_mp3_frame_walk_kernel():
     from pigeon_optics_spark.pipeline.multimodal import mp3_frame_walk

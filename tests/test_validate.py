@@ -291,6 +291,19 @@ def test_robots_rules_grouping_and_decision():
     assert robots_rules("User-agent: BadBot\nDisallow: /q/\n",
                         agent="BadBot") == [(False, "/q/")]
 
+    # RFC 9309 most-specific-group rule: when a group names the agent,
+    # the '*' groups must be IGNORED (not merged in); '*' applies only
+    # when no group names the agent
+    mixed = ("User-agent: a\nDisallow: /a-only/\n\n"
+             "User-agent: *\nDisallow: /everyone/\n")
+    assert robots_rules(mixed, agent="a") == [(False, "/a-only/")]
+    assert robots_rules(mixed, agent="b") == [(False, "/everyone/")]
+    assert robots_rules(mixed) == [(False, "/everyone/")]
+    # an agent named in a MULTI-agent group alongside '*' still gets
+    # that group via the named match (not the '*' fallback)
+    both = "User-agent: a\nUser-agent: *\nDisallow: /q/\n"
+    assert robots_rules(both, agent="a") == [(False, "/q/")]
+
     # length tie -> allow wins
     tie = "User-agent: *\nDisallow: /x/\nAllow: /x/\n"
     assert robots_decision("/x/q", robots_rules(tie)) == (True, 3)

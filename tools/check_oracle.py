@@ -6,6 +6,18 @@ over the same parquet dir, then compares row count, column names, and values
 numeric drift report when exactness fails).
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+        python tools/check_oracle.py [sf_dir] --prefix events_stream,graph
+        python tools/check_oracle.py [sf_dir] --changed [base_ref]
+
+``query ...`` runs the named gates only; ``--prefix a,b`` runs every gate
+whose name starts with one of the comma-separated prefixes (family filter);
+``--changed`` runs the gates whose registering module changed vs git
+``base_ref`` (default HEAD) — the per-wave discipline filter.
+
+Runtime budget (recorded r6): the FULL registry at sf0.01 is ~30-40 min on
+a calm host (~8 s/gate avg, dominated by streaming runs and lens builds);
+a single family via --prefix is usually < 2 min.  Use the filters per-wave
+and save full runs for round start / session close.
 """
 
 from __future__ import annotations
@@ -83,9 +95,51 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _changed_gates(base_ref: str) -> set[str]:
+    """Gates registered in query modules that differ vs ``base_ref`` in git
+    (uncommitted changes count against HEAD)."""
+    import re
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        ["git", "diff", "--name-only", base_ref, "--",
+         "pigeon_optics_spark/queries/"],
+        capture_output=True, text=True, cwd=root).stdout.split()
+    names: set[str] = set()
+    for path in out:
+        full = os.path.join(root, path)
+        if not (path.endswith(".py") and os.path.exists(full)):
+            continue
+        with open(full) as f:
+            names.update(re.findall(r'register\(\s*"([^"]+)"', f.read()))
+    return names
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and not args[0].startswith("--"):
+        sf_dir = args.pop(0)
+    only: set[str] = set()
+    prefixes: tuple[str, ...] = ()
+    i = 0
+    while i < len(args):
+        if args[i] == "--prefix":
+            prefixes = tuple(args[i + 1].split(","))
+            i += 2
+        elif args[i] == "--changed":
+            if i + 1 < len(args) and not args[i + 1].startswith("--"):
+                base, i = args[i + 1], i + 2
+            else:
+                base, i = "HEAD", i + 1
+            changed = _changed_gates(base)
+            if not changed:
+                print("--changed: no query-module diffs — nothing to run")
+                return 0
+            only |= changed
+        else:
+            only.add(args[i])
+            i += 1
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -93,9 +147,13 @@ def main() -> int:
 
     qs = all_queries()
     n_fail = 0
+    n_run = 0
     for name, (fn, oracle) in sorted(qs.items()):
         if only and name not in only:
             continue
+        if prefixes and not name.startswith(prefixes):
+            continue
+        n_run += 1
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
@@ -121,7 +179,8 @@ def main() -> int:
                 print(f"     {p}")
         else:
             print(f"ok   {name}: rows={len(spark_pdf)} [{t1-t0:.1f}s]")
-    print(f"\n{n_fail} failures / {len(qs)} queries")
+    ran = n_run if (only or prefixes) else len(qs)
+    print(f"\n{n_fail} failures / {ran} queries run ({len(qs)} registered)")
     return 1 if n_fail else 0
 
 
