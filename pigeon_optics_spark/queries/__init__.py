@@ -52,118 +52,54 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 #: The 19 gates left outside the window all carry green r4 driver rows, so
 #: after r5 every registry gate has driver evidence from r4 or r5.
 _DRIVER_PRIORITY = [
-    # --- 1. never driver-checked (new in r4, local-only until now) ---
-    "dedup_survivors", "text_gopher_quality", "ann_ivfpq_topk",
-    "corpus_cluster_profile",
-    # --- 2. (emptied in wave 5) Waves 4+5 displaced all 14 r2/r3-history
-    # gates (tfidf, ngram_pairs, simhash, embedding_pairs, chunk_dedup,
-    # contamination, pack_sequences, pii_scrub, pq_codes, exact_documents,
-    # real_image_meta, audio_meta, kmeans_assign, pq_topk) back to
-    # overflow: they keep their r2/r3 green rows, while NEVER-checked
-    # gates take the slots — minimizing no-driver-evidence gates is the
-    # window's objective.  r6 must rotate the displaced 14 back in FIRST
-    # (their rows are the oldest in the registry). ---
-    # --- 3. r4 red row, oracle typing fixed this round ---
-    "events_sessionize",
-    # --- 4. newly oracle-gated this round ---
-    "attachments_gc_sweep",
-    # --- 5. new in r5 ---
-    "multimodal_mp4_meta", "text_exact_k_sample", "text_split_assign",
-    "text_mix_weights", "ann_recall_eval", "text_heavy_hitters",
-    "text_line_dedup", "events_trailing_window", "events_funnel",
-    "events_pivot_counts", "events_retention_cohorts",
-    "store_links_extraction",
-    # --- 6. new in the r5 continuation sessions (never driver-checked) ---
-    "dedup_semantic", "text_corpus_line_dedup", "text_bm25_topk",
-    "text_inverted_index", "events_resample_gapfill", "events_attribution",
-    "text_bpe_pair_counts", "events_transition_matrix",
-    "text_dsir_weights", "events_stream_sessions",
-    "events_throttle_dedup", "dedup_incremental_batch",
-    "corpus_source_overlap", "events_sketch_rollup",
-    "events_stream_stream_join", "text_dup_window_stats",
-    "events_unpivot_metrics", "events_session_conversion",
-    # --- 7. new in the r5 wave-4 session (never driver-checked) ---
-    "emb_kmeans_train", "corpus_source_pagerank", "store_stream_ingest",
-    "text_quality_histogram", "q_small_quantity_revenue",
-    "q_large_volume_orders", "dedup_fuzzy_pairs", "events_mad_outliers",
-    "q_market_basket_pairs",
-    # --- 8. new in the r5 wave-5 session (never driver-checked) ---
-    "events_seasonal_baseline", "q_order_count_distribution",
-    "emb_covariance", "multimodal_tar_shards", "text_context_chunks",
-    # (no fill section this round: sections 1-8 fill the 50-row window
-    # exactly.  EVERY gate in the overflow — q1/q3/q5, the rollup/cube/
-    # setops/scalar/quantile relational gates, all lens gates, minhash
-    # pairs+components+survivor ancestors' r4 rows, store/codec/e2e, the
-    # merged text_profile/text_samples/ann_topk_methods, gif_frames,
-    # stream_dedup, q_approx — carries a green r4 driver row, re-verified
-    # by the full local gate this session; rotate them back in r6.)
+    # ===== r6 rotation window (exactly 50) — VERDICT r5 item 1. =====
+    # Composition: the 20 r6 consolidation packs (each tag-unions 2-6
+    # former never-driver-checked gates, so these 20 slots carry 71
+    # former gates' value-hashed columns), then 30 never-driver-checked
+    # singles chosen one-per-family with SURVEY-§2 parity rows first.
+    # Every gate in the overflow carries a green r2-r5 driver row OR is
+    # in the documented never-checked backlog (ROUND_NOTES "r7 rotation
+    # plan"); the in-session invariant check verifies both properties.
+    # --- consolidation packs (new names, never driver-checked) ---
+    "q_scalar_semantics", "q_window_semantics", "q_query_shape_semantics",
+    "q_setops_join_semantics", "q_quality_audits",
+    "multimodal_container_meta", "multimodal_audio_pcm",
+    "multimodal_image_pixels", "graph_structure_metrics", "graph_distances",
+    "text_corpus_metrics", "text_normalize_repair", "dedup_canonical_forms",
+    "dedup_pair_sketches", "emb_quantized_reps", "events_trend_folds",
+    "events_user_activity", "events_value_distribution",
+    "events_extract_semantics", "store_lifecycle_history",
+    # --- SURVEY §2 parity rows that were pytest/local-only ---
+    "store_cid_import", "store_meta_vfs", "reactive_subscribe_feed",
+    "lens_markup_extract", "lens_error_capture", "store_path_escaping",
+    "q_udtf_ngrams", "q_pandas_grouped_agg",
+    # --- native connector (batch read / pushdown / streaming read) ---
+    "store_datasource_read", "store_datasource_pushdown",
+    "store_stream_source",
+    # --- real Structured Streaming runs (state backends / eviction) ---
+    "events_stream_rocksdb_state", "events_stream_timeout_sessions",
+    "events_stream_multi_source", "events_stream_outer_join",
+    "events_stream_late_drop",
+    # --- TPC-H breadth (the rest keep r7 slots) ---
+    "q2_best_value_supplier", "q7_nation_volume", "q12_priority_lines",
+    "q20_potential_promotion", "q21_sole_late_supplier",
+    # --- source formats ---
+    "orc_roundtrip", "xml_native_ingest", "parquet_schema_evolution",
+    # --- curation / dedup / events singles (one per family) ---
+    "text_robots_filter", "text_quality_classifier",
+    "dedup_bloom_membership", "events_geohash_density",
+    "events_pattern_matches", "events_rate_limit",
+    # ===== end of the 50-slot window =====
     #
-    # r5 wave-6+ EXCEPTION: every gate added after the window filled ships
-    # with local-only evidence this round — every window slot already
-    # holds a NEVER-driver-checked r5 gate, so there is nothing safe to
-    # displace.  The full list (must lead r6's window together with the
-    # 14 r2/r3-history gates — see ROUND_NOTES "r6 rotation plan"):
-    # wave 6: text_span_dedup_removal, text_global_shuffle,
-    #   q_data_quality_report, q_kanonymity_audit;
-    # wave 7: q7_nation_volume, q8_market_share, q10_returned_revenue,
-    #   q14_promo_revenue, q15_top_supplier, q19_disjunctive_revenue,
-    #   q22_idle_balance, text_domain_blocklist, text_winsorize,
-    #   text_quality_classifier, events_ewma_users, events_stream_ewma,
-    #   dedup_prefix_jaccard, events_json_extract, q_grouping_sets;
-    # wave 8: q6_forecast_revenue, q9_product_type_profit,
-    #   q11_important_parts, events_concurrency, emb_pq_recon_error,
-    #   text_ngram_diversity;
-    # wave 9: events_interval_merge, q_status_islands, dedup_split_leakage,
-    #   lens_error_capture, q_year_bitmap, q_ratio_to_report;
-    # wave 10: q12_priority_lines, q16_supplier_counts,
-    #   q21_sole_late_supplier, q_rfm_segments, graph_triangle_count,
-    #   multimodal_srt_cues, text_normalize_clean (+ any later wave-10
-    #   additions — see ROUND_NOTES wave-10 entry);
-    # wave 11: events_cumulative_users, dedup_bloom_membership,
-    #   text_weighted_sample, events_stream_late_drop, dedup_simhash_pairs,
-    #   store_compact_verify, q_salted_join, events_interarrival_quartiles,
-    #   events_stream_dedup_watermark, store_overwrite_verify, q_setops_all,
-    #   emb_mean_pool, graph_bfs_distances, multimodal_wav_pcm_stats,
-    #   text_vocab_ids, dedup_normalized_exact, multimodal_png_integrity
-    #   (+ any later wave-11 additions — see ROUND_NOTES wave-11 entry);
-    # wave 12: multimodal_phash_pairs, multimodal_audio_energy,
-    #   emb_sq8_topk, q20_potential_promotion, q_fd_violations,
-    #   events_stream_static_join, graph_kcore, text_pmi_pairs,
-    #   events_cms_rollup, events_holt_trend, q_rank_semantics,
-    #   events_stream_holt, q_recursive_cte, events_variant_extract,
-    #   events_pattern_matches, events_stream_pattern, dedup_cdc_chunks,
-    #   events_linreg_trend, text_gini_diversity, q_date_functions,
-    #   q_array_functions, dedup_unicode_nfc, q_minby_maxby,
-    #   q_explode_outer, events_stream_outer_join, lens_markup_extract,
-    #   store_meta_vfs, store_cid_import, store_datasource_read,
-    #   events_stream_timeout_sessions, store_stream_source,
-    #   store_datasource_write;
-    # wave 13: store_datasource_pushdown, store_stream_replicate,
-    #   events_rate_limit, events_stream_rate_limit, dedup_url_canonical,
-    #   events_ohlc_bars, text_mojibake,
-    #   store_time_travel, multimodal_image_resize, emb_pca_invariants,
-    #   events_stream_ohlc, multimodal_audio_resample, events_log_histogram,
-    #   events_ab_conversion, pipeline_decision_audit,
-    #   text_compression_quality, csv_dirty_ingest, store_sql_views,
-    #   q_ntile_quartiles, reactive_subscribe_feed (+ any later wave-13
-    #   additions —
-    #   see ROUND_NOTES wave-13 entry);
-    # wave 14: multimodal_webp_meta, graph_link_prediction,
-    #   q_map_functions, q_lateral_join, emb_rp_sketch, q_window_frames,
-    #   json_dirty_ingest, events_geohash_density,
-    #   events_stream_multi_source, parquet_schema_evolution,
-    #   q_group_by_all, multimodal_mp3_meta, q_try_functions,
-    #   q_collation_lcase, multimodal_bmp_png_consistency,
-    #   text_robots_filter, emb_binary_hamming_topk, q_udtf_ngrams,
-    #   events_stream_rocksdb_state, store_path_escaping,
-    #   store_version_diff, orc_roundtrip, xml_native_ingest,
-    #   q_limit_offset, events_time_weighted_avg,
-    #   graph_degree_assortativity, q_regexp_functions,
-    #   q_pandas_grouped_agg, events_stream_twap, events_benford_audit,
-    #   q_null_safe_join, multimodal_tiff_meta, events_xpath_extract,
-    #   events_approx_top_k, graph_sssp_weighted, text_link_census,
-    #   events_forecast_backtest (+ any later wave-14 additions — see
-    #   ROUND_NOTES wave-14 entry).
+    # Never-driver-checked backlog AFTER this window (60 gates — lead
+    # r7's window; the 14 r2/r3-history gates and flagships follow):
+    # singles from waves 6-14 not listed above — enumerate with
+    #   python -c "import json,glob; from pigeon_optics_spark.queries
+    #   import all_queries; rows=set().union(*[json.load(open(f)) for f
+    #   in glob.glob('CORRECTNESS_r0*.json')]);
+    #   print([q for q in all_queries() if q not in rows])"
+    # (kept executable rather than as a hand-maintained list — the r5
+    # hand-lists drifted twice.)
 ]
 
 

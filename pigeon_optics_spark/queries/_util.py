@@ -155,3 +155,77 @@ def ordered_pairs_col(items, a_name: str, b_name: str):
 # ('[ \t\n\x0B\f\r]+') instead of \s.  Pre-wave-10 gates keep their
 # driver-row-pinned \s forms (hash_bucket precedent); new gates use the
 # explicit class.
+
+
+# --------------------------------------------------------------------------
+# r6 gate consolidation: tag-union "pack" gates.  The driver records
+# correctness rows for 50 gates/round, so sibling never-driver-checked
+# gates are merged into one slot — each former gate keeps EVERY one of its
+# value-hashed columns, tagged by a ``part`` column, so no operator-hash
+# coverage is lost (the text_profile / ann_topk_methods precedent extended
+# to heterogeneous schemas).
+#
+# Dtype discipline (the r4 events_sessionize HUGEINT lesson, generalized):
+# NULL-padding a column that exists in only some parts must never create
+# an int-on-one-side / float-on-the-other split between Spark and DuckDB
+# (pandas materializes a nulled int64 as float64; the driver hash sees the
+# split).  So packs coerce EVERY column to one of two types on BOTH sides:
+#   - numerics (int/long/float/double) -> DOUBLE.  int->double is exact
+#     and engine-identical below 2^53; every packed integer column is
+#     audited below that at all SFs.  DECIMAL is REFUSED (the documented
+#     DuckDB decimal->double 1-ulp class) — cast to double in the sub-gate
+#     first, where it is already hash-proven.
+#   - boolean / date -> STRING ('true'/'false', ISO dates — both engines
+#     render identically).  TIMESTAMP is REFUSED (fractional-second
+#     rendering is not audited cross-engine) — format it in the sub-gate.
+# --------------------------------------------------------------------------
+
+_PACK_NUM = ("tinyint", "smallint", "int", "bigint", "float", "double")
+_PACK_STR = ("boolean", "date")
+
+
+def pack_union(parts) -> DataFrame:
+    """[(tag, DataFrame)] -> one tag-union DataFrame with the coercion
+    discipline above; columns missing from a part are NULL-padded by
+    ``unionByName(allowMissingColumns=True)``."""
+    from pyspark.sql import functions as F
+
+    outs = []
+    for tag, df in parts:
+        cols = [F.lit(tag).alias("part")]
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t in _PACK_NUM:
+                cols.append(F.col(f.name).cast("double").alias(f.name))
+            elif t in _PACK_STR:
+                cols.append(F.col(f.name).cast("string").alias(f.name))
+            elif t == "string":
+                cols.append(F.col(f.name))
+            elif t.startswith("string collate"):
+                # collated strings re-cast to the default collation so the
+                # union never silently adopts a part's collation
+                cols.append(F.col(f.name).cast("string").alias(f.name))
+            else:
+                raise TypeError(
+                    f"pack_union: unsupported dtype {t} for column "
+                    f"{f.name!r} in part {tag!r} — coerce in the sub-gate")
+        outs.append(df.select(*cols))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o, allowMissingColumns=True)
+    return out
+
+
+def pack_oracle(parts) -> str:
+    """[(tag, sub_sql, {col: 'DOUBLE'|'VARCHAR'|None})] -> the DuckDB
+    mirror of :func:`pack_union` (UNION ALL BY NAME null-pads missing
+    columns).  The cast map per part is source-literal so the coercion is
+    auditable; tools/gen_pack.py generates it from the sub-oracle types."""
+    selects = []
+    for tag, sql, casts in parts:
+        cols = [f"'{tag}' AS part"] + [
+            f'CAST("{c}" AS {t}) AS "{c}"' if t else f'"{c}"'
+            for c, t in casts.items()]
+        selects.append(
+            "SELECT " + ", ".join(cols) + f" FROM ({sql})")
+    return "\nUNION ALL BY NAME\n".join(selects)

@@ -1204,7 +1204,7 @@ SELECT event_type, bucket, COUNT(*) AS n,
 FROM b GROUP BY event_type, bucket
 """
 
-register("events_log_histogram", events_log_histogram, _LOG_HIST_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -1655,7 +1655,7 @@ SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
 FROM seq
 """
 
-register("events_ewma_users", events_ewma_users, _EWMA_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 _STREAM_EWMA_SRC: dict[str, str] = {}
@@ -1808,7 +1808,7 @@ FROM events
 GROUP BY 1, 2
 """
 
-register("events_json_extract", events_json_extract, _JSON_EXTRACT_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2080,7 +2080,7 @@ SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
 FROM folded
 """
 
-register("events_cusum_alarms", events_cusum_alarms, _CUSUM_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2277,8 +2277,7 @@ SELECT d.day, d.dau,
 FROM dau d LEFT JOIN news n USING (day)
 """
 
-register("events_cumulative_users", events_cumulative_users,
-         _CUM_USERS_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2450,8 +2449,7 @@ FROM gaps WHERE gap_us IS NOT NULL
 GROUP BY event_type
 """
 
-register("events_interarrival_quartiles", events_interarrival_quartiles,
-         _INTERARRIVAL_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2618,7 +2616,7 @@ FROM ex e JOIN days d ON d.day = e.tday
 GROUP BY d.day
 """
 
-register("events_dau_wau_mau", events_dau_wau_mau, _DAU_WAU_MAU_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2921,7 +2919,7 @@ SELECT user_id, n_events, f[2] AS level, f[3] AS trend,
 FROM st
 """
 
-register("events_holt_trend", events_holt_trend, _HOLT_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def events_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3031,7 +3029,7 @@ SELECT event_type, CAST(props::JSON ->> 'k' AS BIGINT) // 20 AS k_band,
 FROM events GROUP BY 1, 2
 """
 
-register("events_variant_extract", events_variant_extract, _VARIANT_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def events_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3248,7 +3246,7 @@ SELECT event_type, n, sx, sy, sxx, sxy,
 FROM agg
 """
 
-register("events_linreg_trend", events_linreg_trend, _LINREG_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3987,3 +3985,105 @@ FROM st
 
 register("events_forecast_backtest", events_forecast_backtest,
          _BACKTEST_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# r6 consolidation packs (VERDICT r5 item 2) — see _util.pack_union for
+# the coercion discipline.  Former gates' functions/oracles stay verbatim
+# above; only registration moves.  DATE columns (user-activity pack) ride
+# the VARCHAR bridge (ISO rendering is engine-identical — the
+# q_date_functions precedent).
+# --------------------------------------------------------------------------
+
+from ._util import pack_oracle, pack_union  # noqa: E402
+from .pipeline_queries import _XPATH_ORACLE  # noqa: E402
+from .pipeline_queries import events_xpath_extract  # noqa: E402
+
+
+def events_trend_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former events_ewma_users / cusum_alarms /
+    holt_trend / linreg_trend — the deterministic trend/smoothing fold
+    family (dyadic EWMA, CUSUM alarms, Holt level+trend, OLS slope
+    rationals), each bit-exact against its sequential-fold oracle."""
+    return pack_union([
+        ("ewma", events_ewma_users(spark, sf_dir)),
+        ("cusum", events_cusum_alarms(spark, sf_dir)),
+        ("holt", events_holt_trend(spark, sf_dir)),
+        ("linreg", events_linreg_trend(spark, sf_dir)),
+    ])
+
+
+_EVENTS_TREND_PACK_ORACLE = pack_oracle([
+    ("ewma", _EWMA_ORACLE, {"user_id": 'DOUBLE', "n_events": 'DOUBLE', "ewma": 'DOUBLE'}),
+    ("cusum", _CUSUM_ORACLE, {"user_id": 'DOUBLE', "n_events": 'DOUBLE', "n_alarms": 'DOUBLE', "final_s": 'DOUBLE'}),
+    ("holt", _HOLT_ORACLE, {"user_id": 'DOUBLE', "n_events": 'DOUBLE', "level": 'DOUBLE', "trend": 'DOUBLE', "forecast_1": 'DOUBLE'}),
+    ("linreg", _LINREG_ORACLE, {"event_type": None, "n": 'DOUBLE', "sx": 'DOUBLE', "sy": 'DOUBLE', "sxx": 'DOUBLE', "sxy": 'DOUBLE', "slope_num": 'DOUBLE', "slope_den": 'DOUBLE', "slope_grid_per_hour": 'DOUBLE'}),
+])
+
+register("events_trend_folds", events_trend_folds,
+         _EVENTS_TREND_PACK_ORACLE)
+
+
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former events_cumulative_users /
+    events_dau_wau_mau — user-activity rollups (new/cumulative users,
+    rolling DAU/WAU/MAU distinct counts) keyed by day."""
+    # Spark-side 'day' is a midnight-truncated TIMESTAMP; the oracle's is
+    # DATE.  Cast to DATE here so both ride the ISO VARCHAR bridge
+    # ('2024-01-05') instead of the refused timestamp rendering.
+    return pack_union([
+        ("cumulative", events_cumulative_users(spark, sf_dir)
+         .withColumn("day", F.col("day").cast("date"))),
+        ("dwm", events_dau_wau_mau(spark, sf_dir)
+         .withColumn("day", F.col("day").cast("date"))),
+    ])
+
+
+_EVENTS_ACTIVITY_PACK_ORACLE = pack_oracle([
+    ("cumulative", _CUM_USERS_ORACLE, {"day": 'VARCHAR', "dau": 'DOUBLE', "new_users": 'DOUBLE', "cum_users": 'DOUBLE'}),
+    ("dwm", _DAU_WAU_MAU_ORACLE, {"day": 'VARCHAR', "dau": 'DOUBLE', "wau": 'DOUBLE', "mau": 'DOUBLE'}),
+])
+
+register("events_user_activity", events_user_activity,
+         _EVENTS_ACTIVITY_PACK_ORACLE)
+
+
+def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former events_log_histogram /
+    events_interarrival_quartiles — value-distribution profiling
+    (power-of-two histogram buckets, exact interarrival quartiles)."""
+    return pack_union([
+        ("loghist", events_log_histogram(spark, sf_dir)),
+        ("interarrival", events_interarrival_quartiles(spark, sf_dir)),
+    ])
+
+
+_EVENTS_DISTRIBUTION_PACK_ORACLE = pack_oracle([
+    ("loghist", _LOG_HIST_ORACLE, {"event_type": None, "bucket": 'DOUBLE', "n": 'DOUBLE', "min_milli": 'DOUBLE', "max_milli": 'DOUBLE', "lo_milli": 'DOUBLE', "hi_milli": 'DOUBLE'}),
+    ("interarrival", _INTERARRIVAL_ORACLE, {"event_type": None, "q25": 'DOUBLE', "q50": 'DOUBLE', "q75": 'DOUBLE', "n_gaps": 'DOUBLE'}),
+])
+
+register("events_value_distribution", events_value_distribution,
+         _EVENTS_DISTRIBUTION_PACK_ORACLE)
+
+
+def events_extract_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former events_json_extract /
+    events_variant_extract / events_xpath_extract — in-cell semi-
+    structured extraction across all three encodings (from_json schema
+    path, Spark 4 VARIANT open-schema path, xpath_* XML axes)."""
+    return pack_union([
+        ("json", events_json_extract(spark, sf_dir)),
+        ("variant", events_variant_extract(spark, sf_dir)),
+        ("xpath", events_xpath_extract(spark, sf_dir)),
+    ])
+
+
+_EVENTS_EXTRACT_PACK_ORACLE = pack_oracle([
+    ("json", _JSON_EXTRACT_ORACLE, {"event_type": None, "k_bucket": 'DOUBLE', "n_events": 'DOUBLE', "total_value": 'DOUBLE', "k_min": 'DOUBLE', "k_max": 'DOUBLE', "k_sum": 'DOUBLE'}),
+    ("variant", _VARIANT_ORACLE, {"event_type": None, "k_band": 'DOUBLE', "n": 'DOUBLE', "sum_k": 'DOUBLE', "min_k": 'DOUBLE', "max_k": 'DOUBLE'}),
+    ("xpath", _XPATH_ORACLE, {"doc_id": 'DOUBLE', "title": None, "lang_attr": None, "n": 'DOUBLE', "n_v": 'DOUBLE'}),
+])
+
+register("events_extract_semantics", events_extract_semantics,
+         _EVENTS_EXTRACT_PACK_ORACLE)

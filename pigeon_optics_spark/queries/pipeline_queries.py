@@ -30,7 +30,7 @@ from ..pipeline.text import (
     words_col,
 )
 from . import register
-from ._util import dsum, load, ordered_pairs_col
+from ._util import dsum, load, ordered_pairs_col, pack_oracle, pack_union
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
 
@@ -3063,8 +3063,7 @@ ver AS (
 SELECT doc_a, doc_b, inter, uni FROM ver WHERE 5 * inter >= 3 * uni
 """
 
-register("dedup_prefix_jaccard", dedup_prefix_jaccard,
-         _PREFIX_JACCARD_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3198,8 +3197,7 @@ SELECT source, n, COUNT(*) AS total_ngrams,
 FROM ex GROUP BY 1, 2
 """
 
-register("text_ngram_diversity", text_ngram_diversity,
-         _NGRAM_DIVERSITY_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3259,7 +3257,7 @@ SELECT c.component_id, COUNT(*) AS n_members,
 FROM comp c JOIN sp s USING (doc_id)
 GROUP BY c.component_id""")
 
-register("dedup_split_leakage", dedup_split_leakage, _SPLIT_LEAKAGE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3315,7 +3313,7 @@ JOIN edges e2 ON e1.v = e2.u
 JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 """
 
-register("graph_triangle_count", graph_triangle_count, _TRIANGLE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3398,7 +3396,7 @@ SELECT doc_id AS media_id,
 FROM cues
 """
 
-register("multimodal_srt_cues", multimodal_srt_cues, _SRT_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3471,7 +3469,7 @@ SELECT doc_id,
 FROM prepped
 """
 
-register("text_normalize_clean", text_normalize_clean, _NORMALIZE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3566,7 +3564,7 @@ SELECT doc_id,
 FROM documents
 """
 
-register("text_readability", text_readability, _READABILITY_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3778,7 +3776,7 @@ FROM ver
 WHERE 5 * inter >= 4 * sz_a OR 5 * inter >= 4 * sz_b
 """
 
-register("dedup_containment", dedup_containment, _CONTAINMENT_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3972,8 +3970,7 @@ FROM truth t
 LEFT JOIN survivors s ON t.id_a = s.id_a AND t.id_b = s.id_b
 """
 
-register("dedup_lsh_recall_eval", dedup_lsh_recall_eval,
-         _LSH_RECALL_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4228,7 +4225,7 @@ WHERE bit_count(xor(('0x' || substr(sa.simhash, 1, 4))::BIGINT,
                     ('0x' || substr(sb.simhash, 13, 4))::BIGINT)) <= 3
 """
 
-register("dedup_simhash_pairs", dedup_simhash_pairs, _SIMHASH_PAIRS_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4275,7 +4272,7 @@ SELECT doc_id, CAST(s.dim AS INT) AS dim,
 FROM ex GROUP BY doc_id, s.dim
 """
 
-register("emb_mean_pool", emb_mean_pool, _MEAN_POOL_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4340,7 +4337,7 @@ d3 AS (SELECT node, MIN(dist) AS dist FROM
 SELECT node, dist FROM d3
 """
 
-register("graph_bfs_distances", graph_bfs_distances, _BFS_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4420,7 +4417,7 @@ alive{r + 1} AS MATERIALIZED (SELECT node FROM deg{r} WHERE core_deg >= 3)""")
               "WHERE core_deg >= 3")
 
 
-register("graph_kcore", graph_kcore, _kcore_oracle())
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4597,7 +4594,7 @@ SELECT p.doc_id, p.n_chunks, p.max_chunk_len,
 FROM per_doc p LEFT JOIN twin_shared b ON p.doc_id = b.doc_id
 """
 
-register("dedup_cdc_chunks", dedup_cdc_chunks, _CDC_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4682,8 +4679,7 @@ SELECT media_id, COUNT(*) AS n_samples,
 FROM v GROUP BY media_id
 """
 
-register("multimodal_wav_pcm_stats", multimodal_wav_pcm_stats,
-         _WAV_PCM_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4818,8 +4814,7 @@ WINDOW w AS (PARTITION BY nk ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
-register("dedup_normalized_exact", dedup_normalized_exact,
-         _NORM_DEDUP_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4901,8 +4896,7 @@ SELECT doc_id AS media_id,
 FROM documents WHERE doc_id <= 300
 """
 
-register("multimodal_png_integrity", multimodal_png_integrity,
-         _PNG_INTEGRITY_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4986,8 +4980,7 @@ SELECT media_id, CAST(MIN(w) AS BIGINT) AS width,
 FROM px GROUP BY media_id
 """
 
-register("multimodal_png_pixel_stats", multimodal_png_pixel_stats,
-         _PNG_PIXEL_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5095,7 +5088,7 @@ FROM hw a JOIN hw b
  AND a.media_id < b.media_id
 """
 
-register("multimodal_phash_pairs", multimodal_phash_pairs, _PHASH_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5197,8 +5190,7 @@ FROM (SELECT media_id, COUNT(*) AS n_frames FROM fr GROUP BY 1) f
 LEFT JOIN seg s ON f.media_id = s.media_id
 """
 
-register("multimodal_audio_energy", multimodal_audio_energy,
-         _AUDIO_ENERGY_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5258,7 +5250,7 @@ SELECT query_id, rank, neighbor_id, score FROM (
   FROM sc) WHERE rank <= 5
 """
 
-register("emb_sq8_topk", emb_sq8_topk, _SQ8_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5307,7 +5299,7 @@ SELECT source, n_docs, n_langs,
 FROM agg
 """
 
-register("text_gini_diversity", text_gini_diversity, _GINI_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5375,7 +5367,7 @@ FROM keyed a JOIN keyed b
   ON a.nfc_md5 = b.nfc_md5 AND a.doc_id < b.doc_id
 """
 
-register("dedup_unicode_nfc", dedup_unicode_nfc, _NFC_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5446,7 +5438,7 @@ SELECT doc_id, canonical,
 FROM canon
 """
 
-register("dedup_url_canonical", dedup_url_canonical, _URL_CANON_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5515,7 +5507,7 @@ SELECT doc_id, CAST(0 AS BIGINT), FALSE, md5(text),
 FROM src
 """
 
-register("text_mojibake", text_mojibake, _MOJIBAKE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5583,7 +5575,7 @@ SELECT media_id, CAST(w AS BIGINT) AS src_w, CAST(16 AS BIGINT) AS src_h,
 FROM thumb
 """
 
-register("multimodal_image_resize", multimodal_image_resize, _RESIZE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5720,8 +5712,7 @@ SELECT media_id, COUNT(*) AS n_out,
 FROM v GROUP BY media_id
 """
 
-register("multimodal_audio_resample", multimodal_audio_resample,
-         _AUDIO_RESAMPLE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5833,8 +5824,7 @@ SELECT doc_id + 97000000,
 FROM documents WHERE doc_id < 200
 """
 
-register("text_compression_quality", text_compression_quality,
-         _COMPRESS_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5914,7 +5904,7 @@ SELECT doc_id AS media_id,
 FROM documents WHERE doc_id <= 300
 """
 
-register("multimodal_webp_meta", multimodal_webp_meta, _WEBP_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -6061,7 +6051,7 @@ FROM q, s, range(16) t(j)
 """
 
 
-register("emb_rp_sketch", emb_rp_sketch, _rp_oracle())
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -6147,7 +6137,7 @@ SELECT doc_id AS media_id, n_frames, CAST(rate AS BIGINT) AS sample_rate,
 FROM t
 """
 
-register("multimodal_mp3_meta", multimodal_mp3_meta, _MP3_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -6382,7 +6372,7 @@ ORDER BY hamming, vec_id
 LIMIT 20
 """
 
-register("emb_binary_hamming_topk", emb_binary_hamming_topk, _BINQ_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -6497,8 +6487,7 @@ JOIN deg du ON du.node = und.a
 JOIN deg dv ON dv.node = und.b
 """
 
-register("graph_degree_assortativity", graph_degree_assortativity,
-         _ASSORT_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -6597,7 +6586,7 @@ SELECT doc_id AS media_id,
 FROM documents WHERE doc_id <= 250
 """
 
-register("multimodal_tiff_meta", multimodal_tiff_meta, _TIFF_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -6648,7 +6637,7 @@ SELECT doc_id,
 FROM documents WHERE doc_id < 300
 """
 
-register("events_xpath_extract", events_xpath_extract, _XPATH_ORACLE)
+# registered via the r6 events_extract_semantics pack (events_queries.py)
 
 
 # --------------------------------------------------------------------------
@@ -6714,7 +6703,7 @@ d3 AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM
 SELECT node, dist FROM d3
 """
 
-register("graph_sssp_weighted", graph_sssp_weighted, _SSSP_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -6768,3 +6757,241 @@ FROM links GROUP BY 1
 """
 
 register("text_link_census", text_link_census, _LINK_CENSUS_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# r6 consolidation packs (VERDICT r5 item 2): sibling never-driver-checked
+# gates merged into tag-union driver slots.  Every former gate's function,
+# fixture, and oracle stays verbatim above (kernel/property tests import
+# them directly); only the registration moves.  Coercion discipline:
+# _util.pack_union / pack_oracle (every packed integer column audited
+# < 2^53 at sf0.1 — max observed 5.9e12 — so the DOUBLE bridge is exact).
+# --------------------------------------------------------------------------
+
+
+def multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former multimodal_webp_meta / mp3_meta /
+    tiff_meta / srt_cues — the container-metadata kernel family (RIFF/WebP
+    variants, MPEG-1 L3 frame chain, TIFF IFD walk, SRT cue grammar), four
+    independent mapInPandas byte-walks tag-unioned into one slot."""
+    return pack_union([
+        ("webp", multimodal_webp_meta(spark, sf_dir)),
+        ("mp3", multimodal_mp3_meta(spark, sf_dir)),
+        ("tiff", multimodal_tiff_meta(spark, sf_dir)),
+        ("srt", multimodal_srt_cues(spark, sf_dir)),
+    ])
+
+
+_CONTAINER_META_PACK_ORACLE = pack_oracle([
+    ("webp", _WEBP_ORACLE, {"media_id": 'DOUBLE', "width": 'DOUBLE', "height": 'DOUBLE', "variant": None, "has_alpha": 'VARCHAR', "n_chunks": 'DOUBLE'}),
+    ("mp3", _MP3_ORACLE, {"media_id": 'DOUBLE', "n_frames": 'DOUBLE', "sample_rate": 'DOUBLE', "duration_ms": 'DOUBLE', "kbps_min": 'DOUBLE', "kbps_max": 'DOUBLE', "is_vbr": 'VARCHAR'}),
+    ("tiff", _TIFF_ORACLE, {"media_id": 'DOUBLE', "width": 'DOUBLE', "height": 'DOUBLE', "samples": 'DOUBLE', "n_pages": 'DOUBLE', "endian": None}),
+    ("srt", _SRT_ORACLE, {"media_id": 'DOUBLE', "cue_index": 'DOUBLE', "start_ms": 'DOUBLE', "end_ms": 'DOUBLE', "n_lines": 'DOUBLE', "n_chars": 'DOUBLE'}),
+])
+
+register("multimodal_container_meta", multimodal_container_meta,
+         _CONTAINER_META_PACK_ORACLE)
+
+
+def multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former multimodal_wav_pcm_stats /
+    audio_energy / audio_resample — the PCM sample-domain family (RIFF
+    decode stats, frame-energy VAD segmentation, decimation resample)."""
+    return pack_union([
+        ("wav", multimodal_wav_pcm_stats(spark, sf_dir)),
+        ("energy", multimodal_audio_energy(spark, sf_dir)),
+        ("resample", multimodal_audio_resample(spark, sf_dir)),
+    ])
+
+
+_AUDIO_PCM_PACK_ORACLE = pack_oracle([
+    ("wav", _WAV_PCM_ORACLE, {"media_id": 'DOUBLE', "n_samples": 'DOUBLE', "sum_amp": 'DOUBLE', "sum_sq": 'DOUBLE', "peak_abs": 'DOUBLE', "n_clipped": 'DOUBLE'}),
+    ("energy", _AUDIO_ENERGY_ORACLE, {"media_id": 'DOUBLE', "n_frames": 'DOUBLE', "n_loud": 'DOUBLE', "n_segments": 'DOUBLE', "max_run": 'DOUBLE'}),
+    ("resample", _AUDIO_RESAMPLE_ORACLE, {"media_id": 'DOUBLE', "n_out": 'DOUBLE', "sum_amp": 'DOUBLE', "sum_sq": 'DOUBLE'}),
+])
+
+register("multimodal_audio_pcm", multimodal_audio_pcm,
+         _AUDIO_PCM_PACK_ORACLE)
+
+
+def multimodal_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former multimodal_png_integrity /
+    png_pixel_stats / image_resize / phash_pairs — the pixel-domain image
+    family over the real PNG decoder (CRC integrity, channel sums,
+    nearest-neighbor thumbnail, aHash near-dup pair join)."""
+    return pack_union([
+        ("integrity", multimodal_png_integrity(spark, sf_dir)),
+        ("pixels", multimodal_png_pixel_stats(spark, sf_dir)),
+        ("resize", multimodal_image_resize(spark, sf_dir)),
+        ("phash", multimodal_phash_pairs(spark, sf_dir)),
+    ])
+
+
+_IMAGE_PIXELS_PACK_ORACLE = pack_oracle([
+    ("integrity", _PNG_INTEGRITY_ORACLE, {"media_id": 'DOUBLE', "n_chunks": 'DOUBLE', "n_bad_crc": 'DOUBLE', "ok": 'VARCHAR'}),
+    ("pixels", _PNG_PIXEL_ORACLE, {"media_id": 'DOUBLE', "width": 'DOUBLE', "height": 'DOUBLE', "sum_r": 'DOUBLE', "sum_g": 'DOUBLE', "sum_b": 'DOUBLE', "wsum": 'DOUBLE'}),
+    ("resize", _RESIZE_ORACLE, {"media_id": 'DOUBLE', "src_w": 'DOUBLE', "src_h": 'DOUBLE', "px_sum": 'DOUBLE', "px00": 'DOUBLE', "px_center": 'DOUBLE'}),
+    ("phash", _PHASH_ORACLE, {"id_a": 'DOUBLE', "id_b": 'DOUBLE', "hash_hi": 'DOUBLE', "hash_lo": 'DOUBLE'}),
+])
+
+register("multimodal_image_pixels", multimodal_image_pixels,
+         _IMAGE_PIXELS_PACK_ORACLE)
+
+
+def graph_structure_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former graph_triangle_count / graph_kcore /
+    graph_degree_assortativity — whole-graph structure statistics
+    (degree-oriented wedge triangles, k-core decomposition, Newman
+    assortativity moment ingredients)."""
+    return pack_union([
+        ("triangles", graph_triangle_count(spark, sf_dir)),
+        ("kcore", graph_kcore(spark, sf_dir)),
+        ("assort", graph_degree_assortativity(spark, sf_dir)),
+    ])
+
+
+_GRAPH_STRUCTURE_PACK_ORACLE = pack_oracle([
+    ("triangles", _TRIANGLE_ORACLE, {"p1": 'DOUBLE', "p2": 'DOUBLE', "p3": 'DOUBLE'}),
+    ("kcore", _kcore_oracle(), {"node": 'DOUBLE', "core_deg": 'DOUBLE'}),
+    ("assort", _ASSORT_ORACLE, {"n_dir": 'DOUBLE', "s_u": 'DOUBLE', "s_uv": 'DOUBLE', "s_u2": 'DOUBLE', "deg_min": 'DOUBLE', "deg_max": 'DOUBLE'}),
+])
+
+register("graph_structure_metrics", graph_structure_metrics,
+         _GRAPH_STRUCTURE_PACK_ORACLE)
+
+
+def graph_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former graph_bfs_distances /
+    graph_sssp_weighted — hop-shortest BFS and min-plus weighted
+    Bellman-Ford over the same seeds, directly comparable per node."""
+    return pack_union([
+        ("bfs", graph_bfs_distances(spark, sf_dir)),
+        ("sssp", graph_sssp_weighted(spark, sf_dir)),
+    ])
+
+
+_GRAPH_DISTANCES_PACK_ORACLE = pack_oracle([
+    ("bfs", _BFS_ORACLE, {"node": 'DOUBLE', "dist": 'DOUBLE'}),
+    ("sssp", _SSSP_ORACLE, {"node": 'DOUBLE', "dist": 'DOUBLE'}),
+])
+
+register("graph_distances", graph_distances, _GRAPH_DISTANCES_PACK_ORACLE)
+
+
+def text_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former text_readability / ngram_diversity /
+    gini_diversity / compression_quality — corpus-statistics metrics
+    (syllable-group readability ingredients, distinct-n diversity,
+    language-mix Gini rationals, compressibility heuristic)."""
+    return pack_union([
+        ("readability", text_readability(spark, sf_dir)),
+        ("ngram", text_ngram_diversity(spark, sf_dir)),
+        ("gini", text_gini_diversity(spark, sf_dir)),
+        ("compress", text_compression_quality(spark, sf_dir)),
+    ])
+
+
+_TEXT_METRICS_PACK_ORACLE = pack_oracle([
+    ("readability", _READABILITY_ORACLE, {"doc_id": 'DOUBLE', "n_words": 'DOUBLE', "n_sentences": 'DOUBLE', "n_syllable_groups": 'DOUBLE'}),
+    ("ngram", _NGRAM_DIVERSITY_ORACLE, {"source": None, "n": 'DOUBLE', "total_ngrams": 'DOUBLE', "distinct_ngrams": 'DOUBLE'}),
+    ("gini", _GINI_ORACLE, {"source": None, "n_docs": 'DOUBLE', "n_langs": 'DOUBLE', "gini_num": 'DOUBLE', "gini_den": 'DOUBLE', "gini": 'DOUBLE'}),
+    ("compress", _COMPRESS_ORACLE, {"doc_id": 'DOUBLE', "n_bytes": 'DOUBLE', "is_highly_compressible": 'VARCHAR'}),
+])
+
+register("text_corpus_metrics", text_corpus_metrics,
+         _TEXT_METRICS_PACK_ORACLE)
+
+
+def text_normalize_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former text_normalize_clean / text_mojibake
+    — normalization and encoding-repair (md5-witnessed cleaned text,
+    UTF-8-as-Latin-1 artifact detection and repair)."""
+    return pack_union([
+        ("normalize", text_normalize_clean(spark, sf_dir)),
+        ("mojibake", text_mojibake(spark, sf_dir)),
+    ])
+
+
+_TEXT_NORMALIZE_PACK_ORACLE = pack_oracle([
+    ("normalize", _NORMALIZE_ORACLE, {"doc_id": 'DOUBLE', "clean_md5": None, "clean_len": 'DOUBLE', "n_spaces": 'DOUBLE'}),
+    ("mojibake", _MOJIBAKE_ORACLE, {"doc_id": 'DOUBLE', "artifact_count": 'DOUBLE', "is_mojibake": 'VARCHAR', "repaired_md5": None, "n_chars": 'DOUBLE'}),
+])
+
+register("text_normalize_repair", text_normalize_repair,
+         _TEXT_NORMALIZE_PACK_ORACLE)
+
+
+def dedup_canonical_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former dedup_normalized_exact /
+    dedup_unicode_nfc / dedup_url_canonical — canonical-equivalence dedup
+    (whitespace/case normalization, NFC normalization twins, URL
+    canonicalization groups)."""
+    return pack_union([
+        ("normalized", dedup_normalized_exact(spark, sf_dir)),
+        ("nfc", dedup_unicode_nfc(spark, sf_dir)),
+        ("url", dedup_url_canonical(spark, sf_dir)),
+    ])
+
+
+_DEDUP_CANONICAL_PACK_ORACLE = pack_oracle([
+    ("normalized", _NORM_DEDUP_ORACLE, {"doc_id": 'DOUBLE', "canon_id": 'DOUBLE', "is_dup": 'VARCHAR', "normalized_only": 'VARCHAR'}),
+    ("nfc", _NFC_ORACLE, {"id_a": 'DOUBLE', "id_b": 'DOUBLE', "raw_equal": 'VARCHAR'}),
+    ("url", _URL_CANON_ORACLE, {"doc_id": 'DOUBLE', "canonical": None, "group_size": 'DOUBLE', "is_survivor": 'VARCHAR'}),
+])
+
+register("dedup_canonical_forms", dedup_canonical_forms,
+         _DEDUP_CANONICAL_PACK_ORACLE)
+
+
+def dedup_pair_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former dedup_simhash_pairs / prefix_jaccard /
+    containment / cdc_chunks / lsh_recall_eval / split_leakage — the
+    bounded candidate-pair generator family (banded SimHash Hamming,
+    PPJoin prefix filter, rare-shingle containment, FastCDC shared
+    chunks, planted-pair LSH recall eval, split-leakage audit).  Every
+    sub-generator keeps its falsifiable cap fixture."""
+    return pack_union([
+        ("simhash", dedup_simhash_pairs(spark, sf_dir)),
+        ("prefix", dedup_prefix_jaccard(spark, sf_dir)),
+        ("contain", dedup_containment(spark, sf_dir)),
+        ("cdc", dedup_cdc_chunks(spark, sf_dir)),
+        ("recall", dedup_lsh_recall_eval(spark, sf_dir)),
+        ("leakage", dedup_split_leakage(spark, sf_dir)),
+    ])
+
+
+_DEDUP_PAIR_SKETCHES_PACK_ORACLE = pack_oracle([
+    ("simhash", _SIMHASH_PAIRS_ORACLE, {"doc_a": 'DOUBLE', "doc_b": 'DOUBLE', "hamming": 'DOUBLE'}),
+    ("prefix", _PREFIX_JACCARD_ORACLE, {"doc_a": 'DOUBLE', "doc_b": 'DOUBLE', "inter": 'DOUBLE', "uni": 'DOUBLE'}),
+    ("contain", _CONTAINMENT_ORACLE, {"doc_a": 'DOUBLE', "doc_b": 'DOUBLE', "inter": 'DOUBLE', "sz_a": 'DOUBLE', "sz_b": 'DOUBLE', "a_in_b": 'VARCHAR', "b_in_a": 'VARCHAR'}),
+    ("cdc", _CDC_ORACLE, {"doc_id": 'DOUBLE', "n_chunks": 'DOUBLE', "max_chunk_len": 'DOUBLE', "n_shared": 'DOUBLE'}),
+    ("recall", _LSH_RECALL_ORACLE, {"id_a": 'DOUBLE', "id_b": 'DOUBLE', "jaccard": 'DOUBLE', "in_lsh": 'VARCHAR'}),
+    ("leakage", _SPLIT_LEAKAGE_ORACLE, {"component_id": 'DOUBLE', "n_members": 'DOUBLE', "n_splits": 'DOUBLE', "first_split": None, "leaky": 'VARCHAR'}),
+])
+
+register("dedup_pair_sketches", dedup_pair_sketches,
+         _DEDUP_PAIR_SKETCHES_PACK_ORACLE)
+
+
+def emb_quantized_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former emb_sq8_topk / binary_hamming_topk /
+    rp_sketch / mean_pool — the training-free quantization/reduction
+    ladder (SQ8 integer ADC scan, 1-bit sign-packed Hamming top-k, JL
+    random projection, token mean-pooling)."""
+    return pack_union([
+        ("sq8", emb_sq8_topk(spark, sf_dir)),
+        ("binq", emb_binary_hamming_topk(spark, sf_dir)),
+        ("rp", emb_rp_sketch(spark, sf_dir)),
+        ("pool", emb_mean_pool(spark, sf_dir)),
+    ])
+
+
+_EMB_QUANTIZED_PACK_ORACLE = pack_oracle([
+    ("sq8", _SQ8_ORACLE, {"query_id": 'DOUBLE', "rank": 'DOUBLE', "neighbor_id": 'DOUBLE', "score": 'DOUBLE'}),
+    ("binq", _BINQ_ORACLE, {"vec_id": 'DOUBLE', "w0": 'DOUBLE', "w1": 'DOUBLE', "hamming": 'DOUBLE'}),
+    ("rp", _rp_oracle(), {"vec_id": 'DOUBLE', "j": 'DOUBLE', "proj": 'DOUBLE'}),
+    ("pool", _MEAN_POOL_ORACLE, {"doc_id": 'DOUBLE', "dim": 'DOUBLE', "s": 'DOUBLE', "n_tokens": 'DOUBLE', "mean_q": 'DOUBLE'}),
+])
+
+register("emb_quantized_reps", emb_quantized_reps,
+         _EMB_QUANTIZED_PACK_ORACLE)

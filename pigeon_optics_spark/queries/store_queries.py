@@ -594,7 +594,7 @@ FROM documents
 WHERE doc_id % 10 != 3
 """
 
-register("store_compact_verify", store_compact_verify, _COMPACT_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def store_overwrite_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,7 +640,7 @@ FROM documents
 WHERE doc_id % 3 = 0
 """
 
-register("store_overwrite_verify", store_overwrite_verify, _OVERWRITE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def store_dedup_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1222,7 +1222,7 @@ SELECT 3, doc_id,
 FROM documents WHERE doc_id < 60 AND doc_id % 10 <> 0
 """
 
-register("store_time_travel", store_time_travel, _TIME_TRAVEL_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def store_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1499,4 +1499,40 @@ SELECT CAST(doc_id + 100000 AS VARCHAR), 'added'
 FROM documents WHERE doc_id < 50
 """
 
-register("store_version_diff", store_version_diff, _VDIFF_ORACLE)
+# registered via the r6 consolidation pack — see end of file
+
+
+# --------------------------------------------------------------------------
+# r6 consolidation pack (VERDICT r5 item 2) — see _util.pack_union for the
+# coercion discipline.  The four segment-lifecycle gates (compaction
+# equivalence, overwrite base-segment, as-of time travel, snapshot diff)
+# each keep their own store fixture and oracle verbatim above; only the
+# registration moves into the pack.
+# --------------------------------------------------------------------------
+
+from ._util import pack_oracle, pack_union  # noqa: E402
+
+
+def store_lifecycle_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6): the former store_compact_verify /
+    store_overwrite_verify / store_time_travel / store_version_diff —
+    the segment-log lifecycle surface (ref: the reference's dataset
+    write/overwrite/export flows, library/models/dataset.js) in one
+    driver slot."""
+    return pack_union([
+        ("compact", store_compact_verify(spark, sf_dir)),
+        ("overwrite", store_overwrite_verify(spark, sf_dir)),
+        ("travel", store_time_travel(spark, sf_dir)),
+        ("diff", store_version_diff(spark, sf_dir)),
+    ])
+
+
+_STORE_LIFECYCLE_PACK_ORACLE = pack_oracle([
+    ("compact", _COMPACT_ORACLE, {"doc_id": 'DOUBLE', "lang": None, "text_len": 'DOUBLE', "version": 'DOUBLE'}),
+    ("overwrite", _OVERWRITE_ORACLE, {"doc_id": 'DOUBLE', "lang": None, "text_len": 'DOUBLE', "version": 'DOUBLE'}),
+    ("travel", _TIME_TRAVEL_ORACLE, {"as_of": 'DOUBLE', "doc_id": 'DOUBLE', "text_len": 'DOUBLE', "version": 'DOUBLE'}),
+    ("diff", _VDIFF_ORACLE, {"record_id": None, "status": None}),
+])
+
+register("store_lifecycle_history", store_lifecycle_history,
+         _STORE_LIFECYCLE_PACK_ORACLE)

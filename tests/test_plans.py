@@ -716,6 +716,7 @@ _BNLJ_WHITELIST = {
     "q_rfm_segments",        # 1-row global stats broadcast
     "text_winsorize",        # 1-row quartile-fence broadcast
     "emb_binary_hamming_topk",  # 1-row query sign-words broadcast (r5w14)
+    "emb_quantized_reps",    # r6 pack: contains the sq8 + binq ADC scans
 }
 
 

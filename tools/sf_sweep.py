@@ -47,23 +47,23 @@ SWEEP_QUERIES = [
     # r5 wave 7: EWMA (sequential double fold — longer per-user chains at
     # scale exercise accumulated rounding), winsorize (interpolated
     # percentile fences at a different n)
-    "events_ewma_users",
+    "events_trend_folds",  # pack: ewma+cusum+holt+linreg (r6 merge)
     "text_winsorize",
     # r5 wave 10: CUSUM (sequential struct fold with a branch — alarm
     # counts are sensitive to any single-ulp drift in the running sum,
     # and longer chains at 5x compound it; also exercises the DuckDB
     # list-accumulator oracle form at scale)
-    "events_cusum_alarms",
+    # cusum: inside events_trend_folds (r6 merge)
     # r5 wave 12: Holt (coupled level/trend double fold — the longest
     # IEEE chains in the suite at 5×), OLS rationals (verifies the
     # documented BIGINT headroom live: 5× rows ⇒ ~25× products),
     # Gini (N² products at 5× corpus), min_by/max_by (perturbed prices
     # move the tie structure the struct order must keep deterministic)
-    "events_holt_trend",
+    # holt: inside events_trend_folds (r6 merge)
     "events_forecast_backtest",
-    "events_linreg_trend",
-    "text_gini_diversity",
-    "q_minby_maxby",
+    # linreg: inside events_trend_folds (r6 merge)
+    "text_corpus_metrics",  # pack incl. gini (r6 merge)
+    "q_query_shape_semantics",  # pack incl. minby (r6 merge)
     # r5 wave 13: OHLC (min_by/max_by over perturbed doubles + decimal
     # volume, both batch and the streaming state-merge twin), PCA
     # invariants (eigensolve + projected-variance tolerance at 5x n),
