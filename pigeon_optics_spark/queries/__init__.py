@@ -91,7 +91,8 @@ _DRIVER_PRIORITY = [
     "events_pattern_matches", "events_rate_limit",
     # ===== end of the 50-slot window =====
     #
-    # Never-driver-checked backlog AFTER this window (60 gates — lead
+    # Never-driver-checked backlog AFTER this window (48 gates after
+    # the tranche-2 packs — lead
     # r7's window; the 14 r2/r3-history gates and flagships follow):
     # singles from waves 6-14 not listed above — enumerate with
     #   python -c "import json,glob; from pigeon_optics_spark.queries

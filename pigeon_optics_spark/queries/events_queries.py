@@ -1289,7 +1289,7 @@ SELECT a, b, c, d,
 FROM cell
 """
 
-register("events_ab_conversion", events_ab_conversion, _AB_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1899,7 +1899,7 @@ SELECT hour,
 FROM c GROUP BY hour
 """
 
-register("events_concurrency", events_concurrency, _CONCURRENCY_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -1981,8 +1981,7 @@ SELECT user_id, COUNT(*) AS n_episodes,
 FROM pe GROUP BY user_id
 """
 
-register("events_interval_merge", events_interval_merge,
-         _INTERVAL_MERGE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2844,7 +2843,7 @@ FROM est e JOIN truth t
   ON e.event_type = t.event_type AND e.user_id = t.user_id
 """
 
-register("events_cms_rollup", events_cms_rollup, _CMS_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3885,7 +3884,7 @@ FROM g WHERE vg > 0
 GROUP BY 1, 2
 """
 
-register("events_benford_audit", events_benford_audit, _BENFORD_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3916,7 +3915,7 @@ ORDER BY n DESC, event_type
 LIMIT 3
 """
 
-register("events_approx_top_k", events_approx_top_k, _APPROX_TOPK_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4087,3 +4086,50 @@ _EVENTS_EXTRACT_PACK_ORACLE = pack_oracle([
 
 register("events_extract_semantics", events_extract_semantics,
          _EVENTS_EXTRACT_PACK_ORACLE)
+
+
+def events_audit_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6 tranche 2): the former events_ab_conversion /
+    benford_audit / approx_top_k / cms_rollup — the analytics-audit
+    family (chi-square contingency rationals, first-digit Benford
+    counts, exact top-k heavy items, count-min-sketch estimates)."""
+    return pack_union([
+        ("ab", events_ab_conversion(spark, sf_dir)),
+        ("benford", events_benford_audit(spark, sf_dir)),
+        ("topk", events_approx_top_k(spark, sf_dir)),
+        ("cms", events_cms_rollup(spark, sf_dir)),
+    ])
+
+
+_EVENTS_AUDIT_PACK_ORACLE = pack_oracle([
+    ("ab", _AB_ORACLE, {"a": 'DOUBLE', "b": 'DOUBLE', "c": 'DOUBLE', "d": 'DOUBLE', "chi2_num": 'DOUBLE', "chi2_den": 'DOUBLE'}),
+    ("benford", _BENFORD_ORACLE, {"event_type": None, "digit": None, "n": 'DOUBLE'}),
+    ("topk", _APPROX_TOPK_ORACLE, {"item": None, "n": 'DOUBLE'}),
+    ("cms", _CMS_ORACLE, {"event_type": None, "user_id": 'DOUBLE', "est_n": 'DOUBLE', "true_n": 'DOUBLE', "collided": 'VARCHAR'}),
+])
+
+register("events_audit_metrics", events_audit_metrics,
+         _EVENTS_AUDIT_PACK_ORACLE)
+
+
+def events_interval_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6 tranche 2): the former events_interval_merge /
+    events_concurrency — the interval-algebra pair (per-user episode
+    dissolve, sweep-line overlap counting).  The concurrency part's hour
+    timestamp rides an explicit STRING bridge: it is hour-truncated
+    (zero fractional seconds), where Spark's and DuckDB's timestamp
+    rendering agree ('yyyy-MM-dd HH:mm:ss') — verified at 3 SFs."""
+    return pack_union([
+        ("merge", events_interval_merge(spark, sf_dir)),
+        ("sweep", events_concurrency(spark, sf_dir)
+         .withColumn("hour", F.col("hour").cast("string"))),
+    ])
+
+
+_EVENTS_INTERVAL_PACK_ORACLE = pack_oracle([
+    ("merge", _INTERVAL_MERGE_ORACLE, {"user_id": 'DOUBLE', "n_episodes": 'DOUBLE', "busy_us": 'DOUBLE', "max_episode_events": 'DOUBLE', "longest_us": 'DOUBLE'}),
+    ("sweep", _CONCURRENCY_ORACLE, {"hour": 'VARCHAR', "max_concurrency": 'DOUBLE', "n_starts": 'DOUBLE'}),
+])
+
+register("events_interval_ops", events_interval_ops,
+         _EVENTS_INTERVAL_PACK_ORACLE)

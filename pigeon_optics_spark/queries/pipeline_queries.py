@@ -2834,7 +2834,7 @@ FROM (SELECT doc_id, md5('r5shuf:' || CAST(doc_id AS VARCHAR)) AS k,
       FROM documents) t
 """
 
-register("text_global_shuffle", text_global_shuffle, _SHUFFLE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2885,7 +2885,7 @@ SELECT doc_id,
 FROM documents
 """
 
-register("text_domain_blocklist", text_domain_blocklist, _BLOCKLIST_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3113,7 +3113,7 @@ FROM errs JOIN embeddings e USING (vec_id)
 GROUP BY e.label
 """
 
-register("emb_pq_recon_error", emb_pq_recon_error, _PQ_RECON_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -4094,7 +4094,7 @@ SELECT doc_id, shard, n_tokens,
 FROM c
 """
 
-register("text_weighted_sample", text_weighted_sample, _PPS_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -5657,7 +5657,7 @@ SELECT invariant, TRUE AS ok,
 FROM names
 """
 
-register("emb_pca_invariants", emb_pca_invariants, _PCA_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -6756,7 +6756,7 @@ SELECT host, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_mentions
 FROM links GROUP BY 1
 """
 
-register("text_link_census", text_link_census, _LINK_CENSUS_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -6995,3 +6995,58 @@ _EMB_QUANTIZED_PACK_ORACLE = pack_oracle([
 
 register("emb_quantized_reps", emb_quantized_reps,
          _EMB_QUANTIZED_PACK_ORACLE)
+
+
+def emb_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6 tranche 2): the former emb_pca_invariants /
+    emb_pq_recon_error — the embedding-quality eval family (PCA
+    eigenvalue/orthogonality invariants, PQ reconstruction error)."""
+    return pack_union([
+        ("pca", emb_pca_invariants(spark, sf_dir)),
+        ("pqerr", emb_pq_recon_error(spark, sf_dir)),
+    ])
+
+
+_EMB_EVAL_PACK_ORACLE = pack_oracle([
+    ("pca", _PCA_ORACLE, {"invariant": None, "ok": 'VARCHAR', "n": 'DOUBLE'}),
+    ("pqerr", _PQ_RECON_ORACLE, {"label": 'DOUBLE', "n_vecs": 'DOUBLE', "err_grid_sum": 'DOUBLE', "min_err2": 'DOUBLE', "max_err2": 'DOUBLE'}),
+])
+
+register("emb_eval_metrics", emb_eval_metrics, _EMB_EVAL_PACK_ORACLE)
+
+
+def text_web_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6 tranche 2): the former text_domain_blocklist /
+    text_link_census — the URL/host curation family (canonicalization +
+    broadcast blocklist decisions, outbound-link host census)."""
+    return pack_union([
+        ("blocklist", text_domain_blocklist(spark, sf_dir)),
+        ("census", text_link_census(spark, sf_dir)),
+    ])
+
+
+_TEXT_WEB_CENSUS_PACK_ORACLE = pack_oracle([
+    ("blocklist", _BLOCKLIST_ORACLE, {"doc_id": 'DOUBLE', "canon_url": None, "host": None, "blocked": 'VARCHAR'}),
+    ("census", _LINK_CENSUS_ORACLE, {"host": None, "n_docs": 'DOUBLE', "n_mentions": 'DOUBLE'}),
+])
+
+register("text_web_census", text_web_census, _TEXT_WEB_CENSUS_PACK_ORACLE)
+
+
+def text_sample_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6 tranche 2): the former text_global_shuffle /
+    text_weighted_sample — the corpus-ordering family (deterministic
+    global shuffle shards, probability-proportional-to-size sampling)."""
+    return pack_union([
+        ("shuffle", text_global_shuffle(spark, sf_dir)),
+        ("weighted", text_weighted_sample(spark, sf_dir)),
+    ])
+
+
+_TEXT_SAMPLE_SHUFFLE_PACK_ORACLE = pack_oracle([
+    ("shuffle", _SHUFFLE_ORACLE, {"doc_id": 'DOUBLE', "shard": 'DOUBLE', "pos": 'DOUBLE'}),
+    ("weighted", _PPS_ORACLE, {"doc_id": 'DOUBLE', "shard": 'DOUBLE', "n_tokens": 'DOUBLE', "n_hits": 'DOUBLE', "selected": 'VARCHAR'}),
+])
+
+register("text_sample_shuffle", text_sample_shuffle,
+         _TEXT_SAMPLE_SHUFFLE_PACK_ORACLE)

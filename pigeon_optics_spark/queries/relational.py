@@ -1761,7 +1761,7 @@ SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_customers,
 FROM per_cust GROUP BY 1, 2
 """
 
-register("q_year_bitmap", q_year_bitmap, _YEAR_BITMAP_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -1810,7 +1810,7 @@ SELECT c_nationkey, c_custkey,
 FROM per_cust
 """
 
-register("q_ratio_to_report", q_ratio_to_report, _RATIO_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2055,7 +2055,7 @@ SELECT r_score, f_score, m_score,
 FROM scored GROUP BY 1, 2, 3
 """
 
-register("q_rfm_segments", q_rfm_segments, _RFM_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2184,7 +2184,7 @@ SELECT l_returnflag, yr, mo,
 FROM monthly
 """
 
-register("q_mom_revenue_change", q_mom_revenue_change, _MOM_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2554,7 +2554,7 @@ WITH RECURSIVE anc AS (
 SELECT start, node AS ancestor, depth FROM anc
 """
 
-register("q_recursive_cte", q_recursive_cte, _RECURSIVE_CTE_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -2902,7 +2902,7 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
-register("q_lateral_join", q_lateral_join, _LATERAL_SQL)
+# registered via the r6 consolidation pack — see end of file
 
 
 # --------------------------------------------------------------------------
@@ -3313,3 +3313,46 @@ _Q_QUALITY_AUDITS_ORACLE = pack_oracle([
 ])
 
 register("q_quality_audits", q_quality_audits, _Q_QUALITY_AUDITS_ORACLE)
+
+
+def q_customer_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6 tranche 2): the former q_mom_revenue_change /
+    q_ratio_to_report / q_year_bitmap / q_rfm_segments — the customer-
+    analytics window/bitmap family (month-over-month lag, share-of-group
+    windows, BIT_OR/AND year bitmaps, RFM scoring)."""
+    return pack_union([
+        ("mom", q_mom_revenue_change(spark, sf_dir)),
+        ("ratio", q_ratio_to_report(spark, sf_dir)),
+        ("bitmap", q_year_bitmap(spark, sf_dir)),
+        ("rfm", q_rfm_segments(spark, sf_dir)),
+    ])
+
+
+_Q_CUSTOMER_ANALYTICS_ORACLE = pack_oracle([
+    ("mom", _MOM_ORACLE, {"l_returnflag": None, "yr": 'DOUBLE', "mo": 'DOUBLE', "revenue": 'DOUBLE', "prev_revenue": 'DOUBLE', "n_items": 'DOUBLE'}),
+    ("ratio", _RATIO_ORACLE, {"c_nationkey": 'DOUBLE', "c_custkey": 'DOUBLE', "cust_revenue": 'DOUBLE', "nation_revenue": 'DOUBLE'}),
+    ("bitmap", _YEAR_BITMAP_ORACLE, {"c_nationkey": 'DOUBLE', "c_mktsegment": None, "n_customers": 'DOUBLE', "any_years_mask": 'DOUBLE', "all_years_mask": 'DOUBLE', "coverage_sum": 'DOUBLE'}),
+    ("rfm", _RFM_ORACLE, {"r_score": 'DOUBLE', "f_score": 'DOUBLE', "m_score": 'DOUBLE', "n_customers": 'DOUBLE', "segment_spend": 'DOUBLE'}),
+])
+
+register("q_customer_analytics", q_customer_analytics,
+         _Q_CUSTOMER_ANALYTICS_ORACLE)
+
+
+def q_correlated_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6 tranche 2): the former q_lateral_join /
+    q_recursive_cte — correlated/iterative query shapes (per-outer-row
+    LATERAL top-k, WITH RECURSIVE transitive closure)."""
+    return pack_union([
+        ("lateral", q_lateral_join(spark, sf_dir)),
+        ("recursive", q_recursive_cte(spark, sf_dir)),
+    ])
+
+
+_Q_CORRELATED_SHAPES_ORACLE = pack_oracle([
+    ("lateral", _LATERAL_SQL, {"n_name": None, "c_name": None, "c_acctbal": 'DOUBLE'}),
+    ("recursive", _RECURSIVE_CTE_ORACLE, {"start": 'DOUBLE', "ancestor": 'DOUBLE', "depth": 'DOUBLE'}),
+])
+
+register("q_correlated_shapes", q_correlated_shapes,
+         _Q_CORRELATED_SHAPES_ORACLE)

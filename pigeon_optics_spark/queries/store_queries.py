@@ -695,7 +695,7 @@ SELECT c.canon_id AS doc_id, CAST(1 AS BIGINT) AS version
 FROM canon c
 """
 
-register("store_dedup_writeback", store_dedup_writeback, _DEDUP_WB_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def store_meta_vfs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,7 +1279,7 @@ FROM documents WHERE doc_id < 60
 GROUP BY 1, 2
 """
 
-register("store_sql_views", store_sql_views, _SQL_VIEWS_ORACLE)
+# registered via the r6 consolidation pack — see end of file
 
 
 def reactive_subscribe_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1536,3 +1536,23 @@ _STORE_LIFECYCLE_PACK_ORACLE = pack_oracle([
 
 register("store_lifecycle_history", store_lifecycle_history,
          _STORE_LIFECYCLE_PACK_ORACLE)
+
+
+def store_catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged gate (r6 tranche 2): the former store_sql_views /
+    store_dedup_writeback — the catalog/SQL-surface pair (collections
+    registered as Spark SQL views with collision-safe names, dedup
+    decisions written back through the store's suppression path)."""
+    return pack_union([
+        ("views", store_sql_views(spark, sf_dir)),
+        ("writeback", store_dedup_writeback(spark, sf_dir)),
+    ])
+
+
+_STORE_CATALOG_PACK_ORACLE = pack_oracle([
+    ("views", _SQL_VIEWS_ORACLE, {"lang": None, "coll": None, "n": 'DOUBLE', "id_sum": 'DOUBLE', "max_version": 'DOUBLE'}),
+    ("writeback", _DEDUP_WB_ORACLE, {"doc_id": 'DOUBLE', "version": 'DOUBLE'}),
+])
+
+register("store_catalog_views", store_catalog_views,
+         _STORE_CATALOG_PACK_ORACLE)

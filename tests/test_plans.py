@@ -714,6 +714,7 @@ _BNLJ_WHITELIST = {
     "q22_idle_balance",      # 1-row global average threshold
     "q11_important_parts",   # 1-row grand-total threshold
     "q_rfm_segments",        # 1-row global stats broadcast
+    "q_customer_analytics",  # r6 pack: contains the rfm global-stats scan
     "text_winsorize",        # 1-row quartile-fence broadcast
     "emb_binary_hamming_topk",  # 1-row query sign-words broadcast (r5w14)
     "emb_quantized_reps",    # r6 pack: contains the sq8 + binq ADC scans

@@ -71,7 +71,7 @@ SWEEP_QUERIES = [
     # over 5x-longer per-user chains)
     "events_ohlc_bars",
     "events_stream_ohlc",
-    "emb_pca_invariants",
+    "emb_eval_metrics",  # pack incl. pca invariants (r6 merge)
     "events_rate_limit",
 ]
 
