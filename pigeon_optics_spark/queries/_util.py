@@ -192,6 +192,10 @@ def pack_union(parts) -> DataFrame:
 
     outs = []
     for tag, df in parts:
+        if "part" in df.columns:
+            raise ValueError(
+                f"pack_union: part {tag!r} already has a 'part' column — "
+                "rename it in the sub-gate")
         cols = [F.lit(tag).alias("part")]
         for f in df.schema.fields:
             t = f.dataType.simpleString()
