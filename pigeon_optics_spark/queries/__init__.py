@@ -83,12 +83,17 @@ _DRIVER_PRIORITY = [
     # --- TPC-H breadth (the rest keep r7 slots) ---
     "q2_best_value_supplier", "q7_nation_volume", "q12_priority_lines",
     "q20_potential_promotion", "q21_sole_late_supplier",
-    # --- source formats ---
-    "orc_roundtrip", "xml_native_ingest", "parquet_schema_evolution",
-    # --- curation / dedup / events singles (one per family) ---
-    "text_robots_filter", "text_quality_classifier",
-    "dedup_bloom_membership", "events_geohash_density",
-    "events_pattern_matches", "events_rate_limit",
+    # --- source formats (csv/json/xml/schema-evolution lead r7) ---
+    "orc_roundtrip",
+    # --- tranche-2 consolidation packs (each 2-4 operator surfaces —
+    # they displace single-operator slots; the displaced singles
+    # (xml_native_ingest, parquet_schema_evolution, text_robots_filter,
+    # text_quality_classifier, dedup_bloom_membership,
+    # events_geohash_density, events_pattern_matches, events_rate_limit)
+    # lead the r7 window) ---
+    "events_audit_metrics", "events_interval_ops", "emb_eval_metrics",
+    "text_web_census", "text_sample_shuffle", "q_customer_analytics",
+    "q_correlated_shapes", "store_catalog_views",
     # ===== end of the 50-slot window =====
     #
     # Never-driver-checked backlog AFTER this window (48 gates after
