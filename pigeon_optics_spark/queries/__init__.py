@@ -35,22 +35,13 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 #: for exactly the FIRST 50 registered queries, so registration order decides
 #: which gates get driver-side evidence.  Queries named here are emitted
 #: first, in this order; everything else follows in registration order.
-#: r4 policy: the 21 queries the r2/r3 driver never checked (events, store,
-#: codec, bigram LM, end-to-end) plus this round's new/merged gates lead;
-#: gates with two rounds of green driver history absorb the overflow.
-#: Rotate this list in later rounds so every gate accumulates driver rows.
-#: r5 rotation (VERDICT r4 item 2).  Window composition:
-#:   1. the 4 gates introduced in r4 that have NEVER had a driver row;
-#:   2. the 14 r4-overflow gates whose last driver rows are r2/r3;
-#:   3. events_sessionize — r4's one red row (oracle HUGEINT typing, fixed
-#:      this round) — must re-green;
-#:   4. attachments_gc_sweep — newly oracle-gated this round (was the
-#:      registry's last no_oracle row);
-#:   5. gates NEW in r5 (add names here as they are registered — unlisted
-#:      gates land after position 50 and get no driver row);
-#:   6. fill to 50 with r4-green gates (flagship/heavy first).
-#: The 19 gates left outside the window all carry green r4 driver rows, so
-#: after r5 every registry gate has driver evidence from r4 or r5.
+#: Rotate this list every round so every gate accumulates driver rows.
+#: Evidence state entering r6: 112 gates carry green r2-r5 driver rows;
+#: after the r6 consolidation (71 + 20 gates merged into 28 packs) the
+#: registry is 210 with a 48-gate never-driver-checked backlog OUTSIDE
+#: this window — enumerate it with the snippet at the end of this list
+#: (hand-maintained lists drifted twice in r5; the executable form is
+#: the source of truth).  ROUND_NOTES "r7 rotation plan" orders it.
 _DRIVER_PRIORITY = [
     # ===== r6 rotation window (exactly 50) — VERDICT r5 item 1. =====
     # Composition: the 20 r6 consolidation packs (each tag-unions 2-6

@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 #: global; a reused name would read a previous run's rows)
 _SEQ = [0]
 
-#: (sf_dir, cache_key) -> source directory, built once per process
+#: cache key -> source directory, built once per process.  The key is
+#: whatever the caller passes as ``cache_key`` (plus builder parameters):
+#: it MUST include every input that changes the DataFrame's contents —
+#: in gate code that means the sf_dir, e.g. ``("my_gate", sf_dir)``.  A
+#: key without the sf_dir would silently replay the first SF's source
+#: against a later SF's oracle in any multi-SF process.
 _SRC_CACHE: dict[tuple, str] = {}
 
 
@@ -47,20 +52,38 @@ def unique_name(prefix: str) -> str:
     return f"{prefix}_{_SEQ[0]}"
 
 
-def sliced_source(spark: SparkSession, df: DataFrame, order_col,
-                  n_slices: int = 4, cache_key: tuple | None = None) -> str:
+def sliced_source(df: DataFrame, order_col, n_slices: int = 4,
+                  cache_key: tuple | None = None) -> str:
     """Write ``df`` as ``n_slices`` sequential single-file appends sliced
     by quantiles of ``order_col`` (a numeric Column expression), so a
     ``maxFilesPerTrigger=1`` stream replays them as ordered micro-batches.
     Returns the source directory.  ``cache_key`` reuses a directory for
-    repeated gate runs in one process (keyed fixtures are deterministic).
+    repeated gate runs in one process — it must include the sf_dir (see
+    ``_SRC_CACHE``).
+
+    Refuses loudly instead of degrading silently: NULLs in ``order_col``
+    would fall out of every slice predicate (the NULL-testdata class),
+    and tied quantile cuts would produce an empty slice that later trips
+    the collapse guard on a healthy run.
     """
-    if cache_key is not None and cache_key in _SRC_CACHE:
-        return _SRC_CACHE[cache_key]
-    d = tempfile.mkdtemp(prefix="po_stream_src_")
+    if cache_key is not None and (cache_key, n_slices) in _SRC_CACHE:
+        return _SRC_CACHE[(cache_key, n_slices)]
     probs = [i / n_slices for i in range(1, n_slices)]
-    cuts = df.agg(F.percentile(order_col, F.lit(probs)).alias("p")) \
-        .first()["p"]
+    agg = df.agg(
+        F.percentile(order_col, F.lit(probs)).alias("p"),
+        F.sum(F.when(order_col.isNull(), 1).otherwise(0)).alias("nn"),
+    ).first()
+    cuts, n_null = agg["p"], agg["nn"]
+    if n_null:
+        raise ValueError(
+            f"sliced_source: order_col has {n_null} NULLs — they would "
+            "vanish from every slice; filter or coalesce them first")
+    if len(set(cuts)) != len(cuts):
+        raise ValueError(
+            f"sliced_source: tied quantile cuts {cuts} — order_col is too "
+            f"discrete for n_slices={n_slices}; an empty slice would "
+            "falsely trip the collapse guard")
+    d = tempfile.mkdtemp(prefix="po_stream_src_")
     lo = None
     for i in range(n_slices):
         cond = None
@@ -73,21 +96,21 @@ def sliced_source(spark: SparkSession, df: DataFrame, order_col,
         sl = df.where(cond) if cond is not None else df
         sl.coalesce(1).write.mode("append").parquet(d)
     if cache_key is not None:
-        _SRC_CACHE[cache_key] = d
+        _SRC_CACHE[(cache_key, n_slices)] = d
     return d
 
 
-def doubled_source(spark: SparkSession, df: DataFrame,
-                   cache_key: tuple | None = None) -> str:
+def doubled_source(df: DataFrame, cache_key: tuple | None = None) -> str:
     """Write ``df`` twice (two appends) — the at-least-once delivery
-    fixture for dedup/idempotence gates."""
-    if cache_key is not None and cache_key in _SRC_CACHE:
-        return _SRC_CACHE[cache_key]
+    fixture for dedup/idempotence gates.  ``cache_key`` must include the
+    sf_dir (see ``_SRC_CACHE``)."""
+    if cache_key is not None and ("dbl", cache_key) in _SRC_CACHE:
+        return _SRC_CACHE[("dbl", cache_key)]
     d = tempfile.mkdtemp(prefix="po_stream_dbl_")
     for _ in range(2):
         df.coalesce(1).write.mode("append").parquet(d)
     if cache_key is not None:
-        _SRC_CACHE[cache_key] = d
+        _SRC_CACHE[("dbl", cache_key)] = d
     return d
 
 
@@ -128,6 +151,13 @@ def run_to_memory(stream_df: DataFrame, *, prefix: str, output_mode: str,
     query).  ``min_data_batches`` is the number of non-empty micro-batches
     the source construction PROMISES — fewer means the forced batching
     degenerated and the gate must fail, not green."""
+    if min_data_batches > 90:
+        # recentProgress retains only the last
+        # spark.sql.streaming.numRecentProgressUpdates entries (default
+        # 100) — a guard above that would falsely flag healthy runs
+        raise ValueError(
+            "min_data_batches > 90 cannot be verified via recentProgress; "
+            "use fewer/larger source files or a StreamingQueryListener")
     name = unique_name(prefix)
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode)

@@ -29,7 +29,7 @@ def rows_df(spark):
 def test_sliced_source_forces_ordered_batches_with_state(spark, rows_df):
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    src = sliced_source(spark, rows_df, F.col("seq"), n_slices=4)
+    src = sliced_source(rows_df, F.col("seq"), n_slices=4)
     files = [f for f in __import__("os").listdir(src)
              if f.endswith(".parquet")]
     assert len(files) == 4
@@ -63,7 +63,7 @@ def test_sliced_source_forces_ordered_batches_with_state(spark, rows_df):
 
 
 def test_doubled_source_dedup(spark, rows_df):
-    src = doubled_source(spark, rows_df.select("user_id", "seq"))
+    src = doubled_source(rows_df.select("user_id", "seq"))
     with scoped_shuffle_partitions(spark, 4):
         stream = read_file_stream(spark, src).dropDuplicates(["seq"])
         name, _ = run_to_memory(stream, prefix="po_harness_dedup",
@@ -72,7 +72,7 @@ def test_doubled_source_dedup(spark, rows_df):
 
 
 def test_collapse_guard_fails_loudly(spark, rows_df):
-    src = sliced_source(spark, rows_df, F.col("seq"), n_slices=4)
+    src = sliced_source(rows_df, F.col("seq"), n_slices=4)
     with scoped_shuffle_partitions(spark, 4):
         # read ALL files per trigger -> one data batch -> the guard must
         # raise, never green a degenerate run
@@ -84,6 +84,6 @@ def test_collapse_guard_fails_loudly(spark, rows_df):
 
 
 def test_sliced_source_cache_key_reuses_dir(spark, rows_df):
-    a = sliced_source(spark, rows_df, F.col("seq"), cache_key=("t", 1))
-    b = sliced_source(spark, rows_df, F.col("seq"), cache_key=("t", 1))
+    a = sliced_source(rows_df, F.col("seq"), cache_key=("t", 1))
+    b = sliced_source(rows_df, F.col("seq"), cache_key=("t", 1))
     assert a == b

@@ -95,20 +95,39 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
-def _changed_gates(base_ref: str) -> set[str]:
+def _changed_gates(base_ref: str) -> set[str] | None:
     """Gates registered in query modules that differ vs ``base_ref`` in git
-    (uncommitted changes count against HEAD)."""
+    (uncommitted changes count against HEAD).  Returns ``None`` to mean
+    "run EVERYTHING": a shared module (_util / _streaming_util) changed,
+    so every gate is potentially affected.  Caveat (documented): the map
+    is register()-call-per-file — a gate whose function lives in module A
+    but whose (pack) registration lives in module B is attributed to B's
+    gates only; run the pack by name when editing cross-module parts."""
     import re
     import subprocess
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = subprocess.run(
+    proc = subprocess.run(
         ["git", "diff", "--name-only", base_ref, "--",
-         "pigeon_optics_spark/queries/"],
-        capture_output=True, text=True, cwd=root).stdout.split()
+         "pigeon_optics_spark/"],
+        capture_output=True, text=True, cwd=root)
+    if proc.returncode != 0:
+        raise SystemExit(
+            f"--changed: git diff failed for ref {base_ref!r}: "
+            f"{proc.stderr.strip()}")
+    files = proc.stdout.split()
     names: set[str] = set()
-    for path in out:
+    for path in files:
+        base = os.path.basename(path)
+        if not path.endswith(".py"):
+            continue
+        if not path.startswith("pigeon_optics_spark/queries/"):
+            # engine module changed — gates depending on it aren't
+            # file-mappable; run everything
+            return None
+        if base in ("_util.py", "_streaming_util.py", "__init__.py"):
+            return None  # shared infrastructure: every gate is suspect
         full = os.path.join(root, path)
-        if not (path.endswith(".py") and os.path.exists(full)):
+        if not os.path.exists(full):
             continue
         with open(full) as f:
             names.update(re.findall(r'register\(\s*"([^"]+)"', f.read()))
@@ -133,10 +152,15 @@ def main() -> int:
             else:
                 base, i = "HEAD", i + 1
             changed = _changed_gates(base)
-            if not changed:
+            if changed is None:
+                print("--changed: shared engine/infra module changed — "
+                      "running the FULL registry")
+                # leave `only`/`prefixes` as-is; an empty filter = all
+            elif not changed:
                 print("--changed: no query-module diffs — nothing to run")
                 return 0
-            only |= changed
+            else:
+                only |= changed
         else:
             only.add(args[i])
             i += 1
@@ -149,9 +173,10 @@ def main() -> int:
     n_fail = 0
     n_run = 0
     for name, (fn, oracle) in sorted(qs.items()):
-        if only and name not in only:
-            continue
-        if prefixes and not name.startswith(prefixes):
+        # explicit names and --prefix UNION (an explicitly named gate
+        # always runs, whether or not it matches the prefix filter)
+        if (only or prefixes) and not (
+                name in only or (prefixes and name.startswith(prefixes))):
             continue
         n_run += 1
         t0 = time.time()

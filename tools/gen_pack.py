@@ -36,6 +36,23 @@ def coerce(duck_type: str) -> str | None:
     raise TypeError(f"unsupported duck type {t} — bridge in the sub-gate")
 
 
+def _oracle_var(gate: str) -> str:
+    """The actual oracle variable name from the gate's register() line in
+    the query modules (the repo convention is abbreviated _X_ORACLE names,
+    so guessing from the gate name would print NameErrors)."""
+    import glob
+    import re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pat = re.compile(
+        r'register\(\s*"%s",\s*%s,\s*([^)\s]+)\s*\)' % (gate, gate))
+    for path in glob.glob(os.path.join(
+            root, "pigeon_optics_spark/queries/*.py")):
+        m = pat.search(open(path).read())
+        if m:
+            return m.group(1)
+    return f"<oracle var for {gate} — register() line not found>"
+
+
 def main() -> int:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     pack = sys.argv[1]
@@ -61,7 +78,7 @@ def main() -> int:
             casts[col] = c
         body = ", ".join(f'"{c}": {t!r}' if t else f'"{c}": None'
                          for c, t in casts.items())
-        print(f'    ("{tag}", _{gate.upper()}_SQL, {{{body}}}),')
+        print(f'    ("{tag}", {_oracle_var(gate)}, {{{body}}}),')
     return 0
 
 
