@@ -93,7 +93,7 @@ _DRIVER_PRIORITY = [
     # singles from waves 6-14 not listed above — enumerate with
     #   python -c "import json,glob; from pigeon_optics_spark.queries
     #   import all_queries; rows=set().union(*[json.load(open(f)) for f
-    #   in glob.glob('CORRECTNESS_r0*.json')]);
+    #   in glob.glob('CORRECTNESS_r*.json')]);
     #   print([q for q in all_queries() if q not in rows])"
     # (kept executable rather than as a hand-maintained list — the r5
     # hand-lists drifted twice.)
