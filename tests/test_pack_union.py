@@ -56,3 +56,20 @@ def test_pack_oracle_mirrors_union_by_name():
     assert pdf["flag"].tolist()[0] == "true"   # DuckDB bool->varchar
     assert pdf["d"].tolist()[1] == "2024-01-05"
     assert pdf["d"].isna().tolist() == [True, False]  # NULL-padded
+
+
+def test_driver_window_invariants():
+    """The driver records rows for the FIRST 50 registered gates: the
+    priority list must be exactly 50 unique names, every one present in
+    the registry, and all_queries() must emit them first in order."""
+    from pigeon_optics_spark.queries import _DRIVER_PRIORITY, all_queries
+
+    assert len(_DRIVER_PRIORITY) == 50
+    assert len(set(_DRIVER_PRIORITY)) == 50
+    qs = all_queries()
+    missing = [n for n in _DRIVER_PRIORITY if n not in qs]
+    assert not missing, missing
+    assert list(qs)[:50] == _DRIVER_PRIORITY
+    # every registered gate is oracle-paired (the zero-no_oracle stance)
+    rows_only = [n for n, (_f, o) in qs.items() if o is None]
+    assert not rows_only, rows_only

@@ -14,10 +14,11 @@ whose name starts with one of the comma-separated prefixes (family filter);
 ``--changed`` runs the gates whose registering module changed vs git
 ``base_ref`` (default HEAD) — the per-wave discipline filter.
 
-Runtime budget (recorded r6): the FULL registry at sf0.01 is ~30-40 min on
-a calm host (~8 s/gate avg, dominated by streaming runs and lens builds);
-a single family via --prefix is usually < 2 min.  Use the filters per-wave
-and save full runs for round start / session close.
+Runtime budget (recorded r6): the FULL registry (210 gates) at sf0.01 is
+~300 s of pure query time — ~10-15 min wall on a calm host, 30-40 min when
+competing with another Spark session; a single family via --prefix is
+usually < 2 min.  Use the filters per-wave and save full runs for round
+start / session close.
 """
 
 from __future__ import annotations
