@@ -415,8 +415,11 @@ def sample_frames(df: DataFrame, binary_col: str = "data",
     as the one genuinely env-bound kernel (needs ffmpeg/PyAV)."""
     if not fake:
         raise NotImplementedError(
-            "real frame extraction for general video needs ffmpeg/PyAV (not "
-            "in this container); use enumerate_gif_frames for GIFs, or pass "
+            "real frame extraction for INTER-FRAME-CODED video (h264/vp9/"
+            "mp4/webm) needs ffmpeg/PyAV (not in this container).  Real "
+            "decode paths that DO exist: decode_avi_frames (uncompressed "
+            "RIFF/AVI — full pixel frames, r6), enumerate_gif_frames "
+            "(GIF), decode_png_pixels/decode_bmp_pixels (stills).  Pass "
             "fake=True for the deterministic byte-window stub")
 
     import pandas as pd
@@ -1523,3 +1526,139 @@ def write_tiff_meta(w: int, h: int, samples: int = 1, pages: int = 1,
         out += struct.pack(e + "I", nxt if p < pages - 1 else 0)
         off = nxt
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# AVI (RIFF) video: the realizable slice of general video-frame
+# extraction.  Uncompressed streams ('DIB ' / biCompression=0) store each
+# frame as a raw bottom-up BGR stride-padded pixel array — exactly the
+# BMP pixel grammar minus the file header — so REAL frame decode needs no
+# codec library.  Inter-frame codecs (h264/vp9/...) remain the
+# env-bound slice (ffmpeg/PyAV not in this container); the kernel
+# REFUSES compressed chunks loudly instead of faking them.
+# --------------------------------------------------------------------------
+
+
+def avi_meta(data: bytes):
+    """RIFF/AVI header walk → (width, height, n_frames, us_per_frame) or
+    None.  Strictness: declared sizes bound every walk (the WebP/tar
+    rule); a truncated LIST or an avih shorter than its fixed 56 bytes
+    refuses."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    end = 8 + riff_size
+    if end > len(data):
+        return None
+    i = 12
+    while i + 8 <= end:
+        cid = data[i:i + 4]
+        clen = struct.unpack("<I", data[i + 4:i + 8])[0]
+        if i + 8 + clen > end:
+            return None
+        if cid == b"LIST" and clen >= 4 \
+                and data[i + 8:i + 12] == b"hdrl":
+            j = i + 12
+            hdrl_end = i + 8 + clen
+            while j + 8 <= hdrl_end:
+                sid = data[j:j + 4]
+                slen = struct.unpack("<I", data[j + 4:j + 8])[0]
+                if j + 8 + slen > hdrl_end:
+                    return None
+                if sid == b"avih":
+                    if slen < 56:
+                        return None
+                    f = struct.unpack("<14I", data[j + 8:j + 64])
+                    return f[8], f[9], f[4], f[0]  # w, h, frames, us/frame
+                j += 8 + slen + (slen % 2)
+            return None
+        i += 8 + clen + (clen % 2)
+    return None
+
+
+def _dib_to_rgb(pix: bytes, w: int, h: int) -> bytes:
+    """Bottom-up BGR stride-padded DIB pixel array → top-down row-major
+    RGB bytes (the decode_bmp_pixels / decode_png_pixels layout)."""
+    stride = w * 3
+    pad = (-stride) % 4
+    if len(pix) < h * (stride + pad):
+        raise ValueError(
+            f"avi: frame pixel array truncated — need {h * (stride + pad)}"
+            f" bytes, have {len(pix)}")
+    out = bytearray(h * stride)
+    for i in range(h):
+        base = (h - 1 - i) * (stride + pad)
+        line = pix[base:base + stride]
+        dst = i * stride
+        for x in range(w):
+            out[dst + 3 * x] = line[3 * x + 2]
+            out[dst + 3 * x + 1] = line[3 * x + 1]
+            out[dst + 3 * x + 2] = line[3 * x]
+    return bytes(out)
+
+
+def decode_avi_frames(data: bytes, every_k: int = 1):
+    """REAL frame extraction from an uncompressed AVI: yields
+    ``(frame_no, width, height, rgb_bytes)`` for every ``every_k``-th
+    frame of the movi list.  ``'00db'`` (uncompressed DIB) chunks decode
+    via :func:`_dib_to_rgb`; a ``'00dc'`` (compressed) chunk RAISES —
+    codec decode is the documented env-bound slice, and pretending
+    otherwise would be a fake kernel."""
+    meta = avi_meta(data)
+    if meta is None:
+        raise ValueError("avi: not a parseable RIFF/AVI container")
+    w, h, _n, _us = meta
+    end = 8 + struct.unpack("<I", data[4:8])[0]
+    i = 12
+    frame_no = 0
+    while i + 8 <= end:
+        cid = data[i:i + 4]
+        clen = struct.unpack("<I", data[i + 4:i + 8])[0]
+        if i + 8 + clen > end:
+            raise ValueError(f"avi: chunk at {i} runs past RIFF payload")
+        if cid == b"LIST" and clen >= 4 and data[i + 8:i + 12] == b"movi":
+            j = i + 12
+            movi_end = i + 8 + clen
+            while j + 8 <= movi_end:
+                sid = data[j:j + 4]
+                slen = struct.unpack("<I", data[j + 4:j + 8])[0]
+                if j + 8 + slen > movi_end:
+                    raise ValueError(
+                        f"avi: movi chunk at {j} runs past the list")
+                if sid[2:4] == b"dc":
+                    raise ValueError(
+                        "avi: compressed stream ('..dc' chunk) — codec "
+                        "decode needs ffmpeg/PyAV (env-bound slice)")
+                if sid[2:4] == b"db":
+                    if frame_no % every_k == 0:
+                        yield (frame_no, w, h,
+                               _dib_to_rgb(data[j + 8:j + 8 + slen], w, h))
+                    frame_no += 1
+                j += 8 + slen + (slen % 2)
+        i += 8 + clen + (clen % 2)
+
+
+def build_avi(w: int, h: int, frames: list[bytes],
+              us_per_frame: int = 40000) -> bytes:
+    """Deterministic uncompressed-AVI writer (the tar-writer precedent:
+    both directions of the container grammar under test).  ``frames`` are
+    bottom-up BGR stride-padded DIB pixel arrays."""
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return (cid + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) % 2 else b""))
+
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, w, h,
+        0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0,
+                       0, 1, 25, 0, len(frames), 0, 0xFFFFFFFF, 0,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(frames[0]) if frames else 0, 0, 0, 0, 0)
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh)
+                 + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(b"LIST", b"movi"
+                 + b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -71,9 +71,13 @@ _DRIVER_PRIORITY = [
     "events_stream_rocksdb_state", "events_stream_timeout_sessions",
     "events_stream_multi_source", "events_stream_outer_join",
     "events_stream_late_drop",
-    # --- TPC-H breadth (the rest keep r7 slots) ---
-    "q2_best_value_supplier", "q7_nation_volume", "q12_priority_lines",
+    # --- TPC-H breadth (q2 + the rest keep r7 slots) ---
+    "q7_nation_volume", "q12_priority_lines",
     "q20_potential_promotion", "q21_sole_late_supplier",
+    # --- NEW in r6 (ships with its driver row): real uncompressed-AVI
+    # frame extraction — closes the realizable slice of the last
+    # env-bound stub ---
+    "multimodal_video_frames",
     # --- source formats (orc/csv/json/xml/schema-evolution lead r7;
     # avro_ingest is NEW in r6 — it closes the documented Avro gap and
     # ships with its driver row per the introduce-with-evidence rule) ---

@@ -925,6 +925,9 @@ def test_byte_walkers_never_raise_on_fuzz():
     import random
 
     from pigeon_optics_spark.pipeline.multimodal import (
+        avi_meta,
+        build_avi,
+        decode_avi_frames,
         decode_bmp_pixels,
         decode_png_pixels,
         gif_frame_index,
@@ -946,7 +949,7 @@ def test_byte_walkers_never_raise_on_fuzz():
     walkers = [sniff_image_meta, sniff_wav_meta, sniff_webp_meta,
                sniff_tiff_meta, mp3_frame_walk, sniff_mp4_meta,
                decode_png_pixels, decode_bmp_pixels, png_chunk_integrity,
-               wav_pcm_stats, pcm_frame_energies]
+               wav_pcm_stats, pcm_frame_energies, avi_meta]
 
     def try_all(b):
         for w in walkers:
@@ -959,6 +962,10 @@ def test_byte_walkers_never_raise_on_fuzz():
             tar_member_index(b)
         except ValueError:
             pass          # tar walker documents loud failure
+        try:
+            list(decode_avi_frames(b))
+        except ValueError:
+            pass          # avi decoder documents loud failure
 
     rng = random.Random(42)
     for _ in range(300):
@@ -971,6 +978,7 @@ def test_byte_walkers_never_raise_on_fuzz():
                        row_filters=[0, 2, 4])]
     # seed each walker's own magic so fuzz reaches past the header check
     valid.append(b"RIFF\x10\x00\x00\x00WEBPVP8 ")
+    valid.append(build_avi(3, 2, [b"\x00" * 12] * 2))
     valid.append(b"\xff\xfb\x92\x00" + b"\x00" * 40)
     for v in valid:
         for cut in range(0, min(len(v), 64)):
@@ -979,3 +987,57 @@ def test_byte_walkers_never_raise_on_fuzz():
             b = bytearray(v)
             b[rng.randrange(len(b))] = rng.randrange(256)
             try_all(bytes(b))
+
+
+def test_avi_kernel_roundtrip_and_strictness():
+    """Uncompressed-AVI frame extraction: build_avi → decode_avi_frames
+    recovers exact pixels top-down RGB (orientation is load-bearing: a
+    row-order bug flips y and changes the first pixel), sampling takes
+    every k-th frame, and the strictness negatives refuse loudly."""
+    import struct as _struct
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        avi_meta,
+        build_avi,
+        decode_avi_frames,
+    )
+
+    w, h = 9, 4  # stride 27 → pad 1: the stride-pad rule is live
+    stride, pad = w * 3, (-(w * 3)) % 4
+
+    def dib(f):
+        out = bytearray()
+        for sy in range(h):            # stored bottom-up
+            y = h - 1 - sy
+            for x in range(w):
+                base = 7 * 17 + f * 5 + y * 7 + x * 3
+                out += bytes([(base * 11 + 2) % 256,
+                              (base * 5 + 1) % 256, base % 256])  # BGR
+            out += b"\x00" * pad
+        return bytes(out)
+
+    avi = build_avi(w, h, [dib(f) for f in range(5)])
+    assert avi_meta(avi) == (w, h, 5, 40000)
+
+    frames = list(decode_avi_frames(avi, every_k=2))
+    assert [f[0] for f in frames] == [0, 2, 4]
+    for fno, fw, fh, rgb in frames:
+        assert (fw, fh, len(rgb)) == (w, h, w * h * 3)
+        for y in (0, h - 1):
+            for x in (0, w - 1):
+                base = 7 * 17 + fno * 5 + y * 7 + x * 3
+                off = (y * w + x) * 3
+                assert rgb[off:off + 3] == bytes(
+                    [base % 256, (base * 5 + 1) % 256,
+                     (base * 11 + 2) % 256])
+
+    # negatives: truncated frame payload, compressed chunk, bad magic
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="truncated|runs past|parseable"):
+        list(decode_avi_frames(avi[:-10]))
+    compressed = avi.replace(b"00db", b"00dc")
+    with _pytest.raises(ValueError, match="compressed"):
+        list(decode_avi_frames(compressed))
+    assert avi_meta(b"RIFF\x04\x00\x00\x00WAVE") is None
+    with _pytest.raises(ValueError, match="parseable"):
+        list(decode_avi_frames(b"garbage"))
