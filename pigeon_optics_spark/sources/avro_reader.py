@@ -154,7 +154,10 @@ def avro_file_records(data: bytes):
         if buf.take(16) != sync:
             raise ValueError("avro: block sync marker mismatch")
         if codec == "deflate":
-            payload = zlib.decompress(payload, -15)  # raw DEFLATE
+            try:
+                payload = zlib.decompress(payload, -15)  # raw DEFLATE
+            except zlib.error as e:
+                raise ValueError(f"avro: corrupt deflate block: {e}") from e
         pbuf = _Buf(payload)
         for _ in range(n):
             records.append(read_datum(schema, pbuf))
