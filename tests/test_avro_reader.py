@@ -143,3 +143,40 @@ def test_unsupported_codec_refuses():
 def test_varint_guard():
     with pytest.raises(ValueError, match="varint"):
         read_datum("long", _Buf(b"\xff" * 11))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_H_ROW = st.fixed_dictionaries({
+    "id": st.integers(-2**62, 2**62),
+    "small": st.integers(-2**31, 2**31 - 1),
+    "flag": st.booleans(),
+    "f": st.floats(allow_nan=False, allow_infinity=False, width=32),
+    "d": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "s": st.text(max_size=12),
+    "b": st.binary(max_size=12),
+    "maybe": st.one_of(st.none(), st.text(max_size=6)),
+    "tags": st.lists(st.text(max_size=4), max_size=5),
+    "kv": st.dictionaries(st.text(min_size=1, max_size=4),
+                          st.integers(-2**40, 2**40), max_size=4),
+    "color": st.sampled_from(["RED", "GREEN", "BLUE"]),
+    "fx": st.binary(min_size=4, max_size=4),
+})
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(_H_ROW, min_size=1, max_size=5),
+       deflate=st.booleans())
+def test_property_roundtrip_random_values(spark, rows, deflate):
+    """Random values of every supported type through the AUTHORITATIVE
+    JVM writer must decode exactly (both codecs)."""
+    data = _jvm_write(spark, "deflate" if deflate else "null", rows)
+    _schema, _codec, records = avro_file_records(data)
+    assert len(records) == len(rows)
+    for want, got in zip(rows, records):
+        for k in ("id", "small", "flag", "d", "s", "b", "maybe",
+                  "tags", "kv", "color", "fx"):
+            assert got[k] == want[k], k
+        assert got["f"] == struct.unpack("<f", struct.pack(
+            "<f", want["f"]))[0]

@@ -1041,3 +1041,43 @@ def test_avi_kernel_roundtrip_and_strictness():
     assert avi_meta(b"RIFF\x04\x00\x00\x00WAVE") is None
     with _pytest.raises(ValueError, match="parseable"):
         list(decode_avi_frames(b"garbage"))
+
+
+def test_avi_property_roundtrip():
+    """Random geometry/frame-count AVI roundtrip: every pixel of every
+    frame decodes exactly across stride pads 0-3 and both tiny and
+    wide geometries."""
+    import random
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        avi_meta,
+        build_avi,
+        decode_avi_frames,
+    )
+
+    rng = random.Random(7)
+    for _ in range(12):
+        w = rng.randrange(1, 15)
+        h = rng.randrange(1, 10)
+        n = rng.randrange(1, 6)
+        pad = (-(w * 3)) % 4
+        pixels = [[rng.randrange(256) for _ in range(w * h * 3)]
+                  for _ in range(n)]
+
+        def dib(f):
+            out = bytearray()
+            for sy in range(h):
+                y = h - 1 - sy
+                for x in range(w):
+                    off = (y * w + x) * 3
+                    r, g, b = pixels[f][off:off + 3]
+                    out += bytes([b, g, r])
+                out += b"\x00" * pad
+            return bytes(out)
+
+        avi = build_avi(w, h, [dib(f) for f in range(n)])
+        assert avi_meta(avi) == (w, h, n, 40000)
+        frames = list(decode_avi_frames(avi))
+        assert len(frames) == n
+        for fno, fw, fh, rgb in frames:
+            assert list(rgb) == pixels[fno]
