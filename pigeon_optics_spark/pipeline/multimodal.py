@@ -1418,21 +1418,13 @@ def decode_bmp_pixels(data: bytes):
         return None
     topdown = hh < 0
     h = abs(hh)
-    stride = w * 3
-    pad = (-stride) % 4
-    if len(data) < pixel_offset + h * (stride + pad):
-        return None  # declared geometry runs past the buffer
-    out = bytearray(h * stride)
-    for i in range(h):
-        src_row = i if topdown else h - 1 - i
-        base = pixel_offset + src_row * (stride + pad)
-        line = data[base:base + stride]
-        dst = i * stride
-        for x in range(w):
-            out[dst + 3 * x] = line[3 * x + 2]
-            out[dst + 3 * x + 1] = line[3 * x + 1]
-            out[dst + 3 * x + 2] = line[3 * x]
-    return w, h, 3, bytes(out)
+    # shared DIB row transform (also the AVI frame path — see
+    # _bgr_rows_to_rgb); None when the declared geometry runs past the
+    # buffer
+    out = _bgr_rows_to_rgb(data, w, h, pixel_offset, topdown)
+    if out is None:
+        return None
+    return w, h, 3, out
 
 
 def sniff_tiff_meta(data: bytes) \
@@ -1576,66 +1568,98 @@ def avi_meta(data: bytes):
     return None
 
 
-def _dib_to_rgb(pix: bytes, w: int, h: int) -> bytes:
-    """Bottom-up BGR stride-padded DIB pixel array → top-down row-major
-    RGB bytes (the decode_bmp_pixels / decode_png_pixels layout)."""
+def _bgr_rows_to_rgb(data: bytes, w: int, h: int, offset: int,
+                     topdown: bool):
+    """Shared DIB pixel transform: BGR stride-padded rows at ``offset``
+    (bottom-up unless ``topdown``) → top-down row-major RGB bytes, or
+    ``None`` when the declared geometry runs past the buffer.  One
+    implementation serves both :func:`decode_bmp_pixels` and the AVI
+    frame decoder (a BGR/stride fix must never need applying twice);
+    strided slice assignment replaces the per-pixel Python loop (3 slice
+    ops per row instead of 3·w interpreter steps — this runs per frame
+    inside executors)."""
     stride = w * 3
     pad = (-stride) % 4
-    if len(pix) < h * (stride + pad):
-        raise ValueError(
-            f"avi: frame pixel array truncated — need {h * (stride + pad)}"
-            f" bytes, have {len(pix)}")
+    if len(data) < offset + h * (stride + pad):
+        return None
     out = bytearray(h * stride)
     for i in range(h):
-        base = (h - 1 - i) * (stride + pad)
-        line = pix[base:base + stride]
+        src_row = i if topdown else h - 1 - i
+        base = offset + src_row * (stride + pad)
+        line = data[base:base + stride]
         dst = i * stride
-        for x in range(w):
-            out[dst + 3 * x] = line[3 * x + 2]
-            out[dst + 3 * x + 1] = line[3 * x + 1]
-            out[dst + 3 * x + 2] = line[3 * x]
+        out[dst:dst + stride:3] = line[2::3]
+        out[dst + 1:dst + stride:3] = line[1::3]
+        out[dst + 2:dst + stride:3] = line[0::3]
     return bytes(out)
 
 
 def decode_avi_frames(data: bytes, every_k: int = 1):
-    """REAL frame extraction from an uncompressed AVI: yields
+    """REAL frame extraction from an uncompressed AVI: returns a LIST of
     ``(frame_no, width, height, rgb_bytes)`` for every ``every_k``-th
-    frame of the movi list.  ``'00db'`` (uncompressed DIB) chunks decode
-    via :func:`_dib_to_rgb`; a ``'00dc'`` (compressed) chunk RAISES —
-    codec decode is the documented env-bound slice, and pretending
-    otherwise would be a fake kernel."""
+    stream-0 video frame (eager, so a malformed container raises HERE,
+    not at some distant first iteration).  ``'00db'`` (uncompressed DIB)
+    chunks decode via :func:`_bgr_rows_to_rgb`; ``'rec '`` grouping
+    LISTs inside movi are recursed into (VirtualDub-style interleaving).
+
+    Loud refusals (the strictness stance): a ``'..dc'`` COMPRESSED chunk
+    (codec decode is the documented env-bound slice), a second video
+    stream (``'01db'`` — its geometry lives in a strl this kernel does
+    not track), a truncated frame/chunk, and a decoded frame count that
+    disagrees with the avih-declared total (a cleanly-truncated movi
+    must never return silently fewer frames)."""
     meta = avi_meta(data)
     if meta is None:
         raise ValueError("avi: not a parseable RIFF/AVI container")
-    w, h, _n, _us = meta
+    w, h, declared_n, _us = meta
+    frames: list = []
+    frame_no = 0
+
+    def walk_chunks(j: int, chunk_end: int) -> None:
+        nonlocal frame_no
+        while j + 8 <= chunk_end:
+            sid = data[j:j + 4]
+            slen = struct.unpack("<I", data[j + 4:j + 8])[0]
+            if j + 8 + slen > chunk_end:
+                raise ValueError(
+                    f"avi: movi chunk at {j} runs past the list")
+            if sid == b"LIST" and slen >= 4 \
+                    and data[j + 8:j + 12] == b"rec ":
+                walk_chunks(j + 12, j + 8 + slen)
+            elif sid[2:4] in (b"db", b"dc"):
+                if sid[:2] != b"00":
+                    raise ValueError(
+                        f"avi: stream {sid[:2]!r} video chunk — only the "
+                        "single-video-stream layout is supported")
+                if sid[2:4] == b"dc":
+                    raise ValueError(
+                        "avi: compressed stream ('..dc' chunk) — codec "
+                        "decode needs ffmpeg/PyAV (env-bound slice)")
+                if frame_no % every_k == 0:
+                    rgb = _bgr_rows_to_rgb(
+                        data[j + 8:j + 8 + slen], w, h, 0, topdown=False)
+                    if rgb is None:
+                        raise ValueError(
+                            f"avi: frame {frame_no} pixel array truncated")
+                    frames.append((frame_no, w, h, rgb))
+                frame_no += 1
+            j += 8 + slen + (slen % 2)
+
     end = 8 + struct.unpack("<I", data[4:8])[0]
     i = 12
-    frame_no = 0
     while i + 8 <= end:
         cid = data[i:i + 4]
         clen = struct.unpack("<I", data[i + 4:i + 8])[0]
         if i + 8 + clen > end:
             raise ValueError(f"avi: chunk at {i} runs past RIFF payload")
         if cid == b"LIST" and clen >= 4 and data[i + 8:i + 12] == b"movi":
-            j = i + 12
-            movi_end = i + 8 + clen
-            while j + 8 <= movi_end:
-                sid = data[j:j + 4]
-                slen = struct.unpack("<I", data[j + 4:j + 8])[0]
-                if j + 8 + slen > movi_end:
-                    raise ValueError(
-                        f"avi: movi chunk at {j} runs past the list")
-                if sid[2:4] == b"dc":
-                    raise ValueError(
-                        "avi: compressed stream ('..dc' chunk) — codec "
-                        "decode needs ffmpeg/PyAV (env-bound slice)")
-                if sid[2:4] == b"db":
-                    if frame_no % every_k == 0:
-                        yield (frame_no, w, h,
-                               _dib_to_rgb(data[j + 8:j + 8 + slen], w, h))
-                    frame_no += 1
-                j += 8 + slen + (slen % 2)
+            walk_chunks(i + 12, i + 8 + clen)
         i += 8 + clen + (clen % 2)
+    if frame_no != declared_n:
+        raise ValueError(
+            f"avi: decoded {frame_no} frames but avih declares "
+            f"{declared_n} — truncated or padded movi list")
+    return frames
 
 
 def build_avi(w: int, h: int, frames: list[bytes],

@@ -396,6 +396,8 @@ def _ensure_avro_fixture(spark: SparkSession, sf_dir: str) -> tuple:
     (union null branch live) else 'l'+str(i%5); score = i/8 (dyadic —
     exactly representable, engine-identical); tags = ['t0'..] of length
     i%4 (empty-array branch live)."""
+    import atexit
+    import shutil
     import tempfile
 
     if sf_dir in _AVRO_DIRS:
@@ -404,6 +406,7 @@ def _ensure_avro_fixture(spark: SparkSession, sf_dir: str) -> tuple:
     jvm = spark._jvm
     schema = jvm.org.apache.avro.Schema.Parser().parse(_AVRO_SCHEMA_JSON)
     d = tempfile.mkdtemp(prefix="po_avro_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     for k, start in enumerate(range(0, n, 50)):
         writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
         dfw = jvm.org.apache.avro.file.DataFileWriter(writer)

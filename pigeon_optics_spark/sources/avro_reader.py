@@ -38,6 +38,10 @@ class _Buf:
         self.pos = pos
 
     def take(self, n: int) -> bytes:
+        if n < 0:
+            # a negative declared size would REWIND the cursor — with a
+            # crafted 2-byte tail that re-reads the sync marker forever
+            raise ValueError(f"avro: negative size {n} at {self.pos}")
         if self.pos + n > len(self.data):
             raise ValueError(
                 f"avro: truncated — need {n} bytes at offset {self.pos}, "
@@ -60,7 +64,9 @@ def _read_long(buf: _Buf) -> int:
         if not b & 0x80:
             break
         shift += 7
-        if shift > 70:
+        if shift > 63:
+            # the 10th byte reads at shift 63; a continuation bit on it
+            # would demand an 11th byte — over the spec's 10-byte cap
             raise ValueError("avro: varint longer than 10 bytes")
     return (acc >> 1) ^ -(acc & 1)
 
@@ -134,6 +140,34 @@ def read_datum(schema, buf: _Buf):
     raise ValueError(f"avro: unsupported schema {schema!r}")
 
 
+def _resolve_names(schema, names: dict):
+    """Replace bare named-type REFERENCES (the writer serializes the
+    second use of a record/enum/fixed as just its name string) with the
+    registered definition, walking the tree once up front so read_datum
+    never sees an unresolved name."""
+    if isinstance(schema, list):
+        return [_resolve_names(s, names) for s in schema]
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "enum", "fixed"):
+            names[schema["name"]] = schema
+            if t == "record":
+                schema["fields"] = [
+                    {**f, "type": _resolve_names(f["type"], names)}
+                    for f in schema["fields"]]
+            return schema
+        if t == "array":
+            schema["items"] = _resolve_names(schema["items"], names)
+            return schema
+        if t == "map":
+            schema["values"] = _resolve_names(schema["values"], names)
+            return schema
+        return schema
+    if isinstance(schema, str) and schema in names:
+        return names[schema]
+    return schema
+
+
 def avro_file_records(data: bytes):
     """Decode a whole OCF: returns ``(schema_dict, codec, records)``."""
     buf = _Buf(data)
@@ -141,7 +175,10 @@ def avro_file_records(data: bytes):
         raise ValueError("avro: bad magic (not an Object Container File)")
     meta = dict(_read_blocks(
         buf, lambda: (_read_bytes(buf).decode("utf-8"), _read_bytes(buf))))
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    if "avro.schema" not in meta:
+        raise ValueError("avro: file metadata lacks avro.schema")
+    schema = _resolve_names(
+        json.loads(meta["avro.schema"].decode("utf-8")), {})
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: unsupported codec {codec!r}")

@@ -39,7 +39,9 @@ def _jvm_write(spark, codec: str, rows: list[dict]) -> bytes:
     dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
     if codec == "deflate":
         dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(5))
-    path = tempfile.mktemp(suffix=".avro")
+    fd, path = tempfile.mkstemp(suffix=".avro")
+    import os
+    os.close(fd)
     dfw.create(schema, jvm.java.io.File(path))
     enum_schema = schema.getField("color").schema()
     fixed_schema = schema.getField("fx").schema()
@@ -67,7 +69,10 @@ def _jvm_write(spark, codec: str, rows: list[dict]) -> bytes:
                 .Fixed(fixed_schema, bytearray(r["fx"])))
         dfw.append(rec)
     dfw.close()
-    return open(path, "rb").read()
+    try:
+        return open(path, "rb").read()
+    finally:
+        os.unlink(path)
 
 
 _ROWS = [
@@ -180,3 +185,66 @@ def test_property_roundtrip_random_values(spark, rows, deflate):
             assert got[k] == want[k], k
         assert got["f"] == struct.unpack("<f", struct.pack(
             "<f", want["f"]))[0]
+
+
+def test_negative_block_size_terminates(spark):
+    """A crafted tail (count 0, NEGATIVE zigzag block size) must raise,
+    not rewind the cursor into an infinite re-read of the sync marker."""
+    data = _jvm_write(spark, "null", _ROWS[:1])
+    with pytest.raises(ValueError, match="negative size"):
+        avro_file_records(data + b"\x00\x23")
+
+
+def test_named_type_reference_resolves(spark):
+    """The writer serializes the SECOND use of a named type as a bare
+    name string — the reader must resolve it."""
+    jvm = spark._jvm
+    sch = ('{"type":"record","name":"R","fields":['
+           '{"name":"a","type":{"type":"fixed","name":"F4","size":4}},'
+           '{"name":"b","type":"F4"}]}')
+    schema = jvm.org.apache.avro.Schema.Parser().parse(sch)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    fd, path = tempfile.mkstemp(suffix=".avro")
+    import os
+    os.close(fd)
+    dfw.create(schema, jvm.java.io.File(path))
+    fx = schema.getField("a").schema()
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("a", jvm.org.apache.avro.generic.GenericData
+            .Fixed(fx, bytearray(b"AAAA")))
+    rec.put("b", jvm.org.apache.avro.generic.GenericData
+            .Fixed(fx, bytearray(b"BBBB")))
+    dfw.append(rec)
+    dfw.close()
+    try:
+        _s, _c, records = avro_file_records(open(path, "rb").read())
+    finally:
+        os.unlink(path)
+    assert records == [{"a": b"AAAA", "b": b"BBBB"}]
+
+
+def test_missing_schema_key_is_value_error():
+    def zz(n):
+        n = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+    blob = b"Obj\x01" + zz(0) + b"S" * 16
+    with pytest.raises(ValueError, match="avro.schema"):
+        avro_file_records(blob)
+
+
+def test_varint_ten_byte_cap():
+    # exactly 10 bytes (9 continuations + terminator) is legal...
+    v = read_datum("long", _Buf(b"\xff" * 9 + b"\x01"))
+    assert isinstance(v, int)
+    # ...but a continuation bit on the 10th byte demands an 11th: refuse
+    with pytest.raises(ValueError, match="varint"):
+        read_datum("long", _Buf(b"\xff" * 10 + b"\x01"))

@@ -1081,3 +1081,47 @@ def test_avi_property_roundtrip():
         assert len(frames) == n
         for fno, fw, fh, rgb in frames:
             assert list(rgb) == pixels[fno]
+
+
+def test_avi_rec_lists_multistream_and_frame_count():
+    """'rec ' grouping LISTs recurse; a second video stream refuses; a
+    frame count disagreeing with avih refuses (silently-short class)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from pigeon_optics_spark.pipeline.multimodal import (
+        build_avi,
+        decode_avi_frames,
+    )
+
+    def chunk(cid, payload):
+        return (cid + _struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) % 2 else b""))
+
+    w, h = 4, 2
+    dib = bytes(range(w * h * 3))  # stride 12, pad 0
+    base = build_avi(w, h, [dib, dib])
+
+    # rewrap the two movi frames inside a 'rec ' LIST
+    plain_movi = chunk(b"LIST", b"movi" + chunk(b"00db", dib)
+                       + chunk(b"00db", dib))
+    rec_movi = chunk(b"LIST", b"movi" + chunk(
+        b"LIST", b"rec " + chunk(b"00db", dib) + chunk(b"00db", dib)))
+    assert plain_movi in base
+    grouped = base.replace(plain_movi, rec_movi)
+    # RIFF size changed: rebuild the header length field
+    grouped = b"RIFF" + _struct.pack("<I", len(grouped) - 8) + grouped[8:]
+    assert [f[0] for f in decode_avi_frames(grouped)] == [0, 1]
+
+    # second video stream refuses
+    second = base.replace(b"00db", b"01db", 1)
+    with _pytest.raises(ValueError, match="stream"):
+        decode_avi_frames(second)
+
+    # avih declares 2 frames; drop one movi frame cleanly -> refuse
+    short_movi = chunk(b"LIST", b"movi" + chunk(b"00db", dib))
+    short = base.replace(plain_movi, short_movi)
+    short = b"RIFF" + _struct.pack("<I", len(short) - 8) + short[8:]
+    with _pytest.raises(ValueError, match="declares"):
+        decode_avi_frames(short)
