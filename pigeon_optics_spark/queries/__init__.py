@@ -43,63 +43,50 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 #: (hand-maintained lists drifted twice in r5; the executable form is
 #: the source of truth).  ROUND_NOTES "r7 rotation plan" orders it.
 _DRIVER_PRIORITY = [
-    # ===== r6 rotation window (exactly 50) — VERDICT r5 item 1. =====
-    # Composition: the 20 r6 consolidation packs (each tag-unions 2-6
-    # former never-driver-checked gates, so these 20 slots carry 71
-    # former gates' value-hashed columns), then 30 never-driver-checked
-    # singles chosen one-per-family with SURVEY-§2 parity rows first.
-    # Every gate in the overflow carries a green r2-r5 driver row OR is
-    # in the documented never-checked backlog (ROUND_NOTES "r7 rotation
-    # plan"); the in-session invariant check verifies both properties.
-    # --- consolidation packs (new names, never driver-checked) ---
-    "q_scalar_semantics", "q_window_semantics", "q_query_shape_semantics",
-    "q_setops_join_semantics", "q_quality_audits",
-    "multimodal_container_meta", "multimodal_audio_pcm",
-    "multimodal_image_pixels", "graph_structure_metrics", "graph_distances",
-    "text_corpus_metrics", "text_normalize_repair", "dedup_canonical_forms",
-    "dedup_pair_sketches", "emb_quantized_reps", "events_trend_folds",
-    "events_user_activity", "events_value_distribution",
-    "events_extract_semantics", "store_lifecycle_history",
-    # --- SURVEY §2 parity rows that were pytest/local-only ---
-    "store_cid_import", "store_meta_vfs", "reactive_subscribe_feed",
-    "lens_markup_extract", "lens_error_capture", "store_path_escaping",
-    "q_udtf_ngrams", "q_pandas_grouped_agg",
-    # --- native connector (batch read / pushdown / streaming read) ---
-    "store_datasource_read", "store_datasource_pushdown",
-    "store_stream_source",
-    # --- real Structured Streaming runs (state backends / eviction) ---
-    "events_stream_rocksdb_state", "events_stream_timeout_sessions",
-    "events_stream_multi_source", "events_stream_outer_join",
-    "events_stream_late_drop",
-    # --- TPC-H breadth (q2 + the rest keep r7 slots) ---
-    "q7_nation_volume", "q12_priority_lines",
-    "q20_potential_promotion", "q21_sole_late_supplier",
-    # --- NEW in r6 (ships with its driver row): real uncompressed-AVI
-    # frame extraction — closes the realizable slice of the last
-    # env-bound stub ---
-    "multimodal_video_frames",
-    # --- source formats (orc/csv/json/xml/schema-evolution lead r7;
-    # avro_ingest is NEW in r6 — it closes the documented Avro gap and
-    # ships with its driver row per the introduce-with-evidence rule) ---
-    "avro_ingest",
-    # --- tranche-2 consolidation packs (each 2-4 operator surfaces —
-    # they displace single-operator slots; the displaced singles
-    # (xml_native_ingest, parquet_schema_evolution, text_robots_filter,
-    # text_quality_classifier, dedup_bloom_membership,
-    # events_geohash_density, events_pattern_matches, events_rate_limit)
-    # lead the r7 window) ---
-    "events_audit_metrics", "events_interval_ops", "emb_eval_metrics",
-    "text_web_census", "text_sample_shuffle", "q_customer_analytics",
-    "q_correlated_shapes", "store_catalog_views",
+    # ===== r7 rotation window (exactly 50) — VERDICT r6 item 1. =====
+    # This is the FINAL never-driver-checked backlog: after this window
+    # every gate in the 212-gate registry has at least one driver row.
+    # The list was computed executably (see the snippet below) and
+    # matches ROUND_NOTES "r7 window — the EXACT 50 names" verbatim;
+    # the in-session invariant test verifies count/uniqueness/registry
+    # membership and that all_queries() emits these first.
+    # --- displaced-from-r6 singles (introduce-with-evidence debts) ---
+    "xml_native_ingest", "parquet_schema_evolution", "text_robots_filter",
+    "text_quality_classifier", "dedup_bloom_membership",
+    "events_geohash_density", "events_pattern_matches", "events_rate_limit",
+    "q2_best_value_supplier", "orc_roundtrip",
+    # --- real Structured Streaming runs (shared-harness twins) ---
+    "events_stream_ewma", "events_stream_holt", "events_stream_ohlc",
+    "events_stream_twap", "events_stream_cusum", "events_stream_pattern",
+    "events_stream_rate_limit", "events_stream_static_join",
+    "events_stream_dedup_watermark",
+    # --- TPC-H breadth (the remaining 9 singles) ---
+    "q6_forecast_revenue", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_revenue", "q11_important_parts", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_counts", "q19_disjunctive_revenue",
+    "q22_idle_balance",
+    # --- dirty-ingest pair + connector write half ---
+    "csv_dirty_ingest", "json_dirty_ingest",
+    "store_datasource_write", "store_stream_replicate",
+    # --- events batch singles ---
+    "events_feature_snapshot", "events_forecast_backtest",
+    "events_ohlc_bars", "events_time_weighted_avg", "events_windowed_funnel",
+    # --- text / dedup / graph / emb / pipeline singles ---
+    "text_pmi_pairs", "text_span_dedup_removal", "text_vocab_ids",
+    "text_winsorize", "corpus_curation_report", "graph_link_prediction",
+    "emb_maxsim_colbert", "pipeline_decision_audit",
+    # --- query-shape singles ---
+    "q_salted_join", "q_status_islands", "q_zorder_curve",
+    "multimodal_bmp_png_consistency",
     # ===== end of the 50-slot window =====
     #
-    # Never-driver-checked backlog AFTER this window (48 gates after
-    # the tranche-2 packs — lead
-    # r7's window; the 14 r2/r3-history gates and flagships follow):
-    # singles from waves 6-14 not listed above — enumerate with
+    # Never-driver-checked backlog AFTER this window: EMPTY (this window
+    # retires it).  r8 refreshes the oldest rows instead — the 14
+    # r2/r3-history gates + flagships (ROUND_NOTES "r8 refresh plan").
+    # Enumerate evidence state executably (the source of truth):
     #   python -c "import json,glob; from pigeon_optics_spark.queries
-    #   import all_queries; rows=set().union(*[json.load(open(f)) for f
-    #   in glob.glob('CORRECTNESS_r*.json')]);
+    #   import all_queries; rows=set().union(*[set(json.load(open(f)))
+    #   for f in glob.glob('CORRECTNESS_r*.json')]);
     #   print([q for q in all_queries() if q not in rows])"
     # (kept executable rather than as a hand-maintained list — the r5
     # hand-lists drifted twice.)

@@ -47,6 +47,17 @@ _SEQ = [0]
 _SRC_CACHE: dict[tuple, str] = {}
 
 
+def _tracked_mkdtemp(prefix: str) -> str:
+    """mkdtemp + atexit removal, matching the avro fixture's discipline —
+    cached source dirs otherwise accumulate in /tmp across suite runs."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def unique_name(prefix: str) -> str:
     _SEQ[0] += 1
     return f"{prefix}_{_SEQ[0]}"
@@ -83,7 +94,7 @@ def sliced_source(df: DataFrame, order_col, n_slices: int = 4,
             f"sliced_source: tied quantile cuts {cuts} — order_col is too "
             f"discrete for n_slices={n_slices}; an empty slice would "
             "falsely trip the collapse guard")
-    d = tempfile.mkdtemp(prefix="po_stream_src_")
+    d = _tracked_mkdtemp("po_stream_src_")
     lo = None
     for i in range(n_slices):
         cond = None
@@ -106,7 +117,7 @@ def doubled_source(df: DataFrame, cache_key: tuple | None = None) -> str:
     sf_dir (see ``_SRC_CACHE``)."""
     if cache_key is not None and ("dbl", cache_key) in _SRC_CACHE:
         return _SRC_CACHE[("dbl", cache_key)]
-    d = tempfile.mkdtemp(prefix="po_stream_dbl_")
+    d = _tracked_mkdtemp("po_stream_dbl_")
     for _ in range(2):
         df.coalesce(1).write.mode("append").parquet(d)
     if cache_key is not None:
@@ -162,7 +173,7 @@ def run_to_memory(stream_df: DataFrame, *, prefix: str, output_mode: str,
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode)
          .option("checkpointLocation",
-                 checkpoint or tempfile.mkdtemp(prefix="po_stream_ck_"))
+                 checkpoint or _tracked_mkdtemp("po_stream_ck_"))
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()

@@ -191,6 +191,7 @@ def pack_union(parts) -> DataFrame:
     from pyspark.sql import functions as F
 
     outs = []
+    seen: dict[str, tuple[str, str]] = {}  # col -> (coerced type, first tag)
     for tag, df in parts:
         if "part" in df.columns:
             raise ValueError(
@@ -200,19 +201,35 @@ def pack_union(parts) -> DataFrame:
         for f in df.schema.fields:
             t = f.dataType.simpleString()
             if t in _PACK_NUM:
+                coerced = "double"
                 cols.append(F.col(f.name).cast("double").alias(f.name))
             elif t in _PACK_STR:
+                coerced = "string"
                 cols.append(F.col(f.name).cast("string").alias(f.name))
             elif t == "string":
+                coerced = "string"
                 cols.append(F.col(f.name))
             elif t.startswith("string collate"):
                 # collated strings re-cast to the default collation so the
                 # union never silently adopts a part's collation
+                coerced = "string"
                 cols.append(F.col(f.name).cast("string").alias(f.name))
             else:
                 raise TypeError(
                     f"pack_union: unsupported dtype {t} for column "
                     f"{f.name!r} in part {tag!r} — coerce in the sub-gate")
+            # cross-part CONFLICT rule (mirrors tools/gen_pack.py): the
+            # same column name coercing to string in one part and double
+            # in another would make unionByName / UNION ALL BY NAME each
+            # silently re-coerce with engine-specific double rendering —
+            # a guaranteed hash split.  Refuse at runtime, not only in
+            # the offline codegen.
+            prev = seen.setdefault(f.name, (coerced, tag))
+            if prev[0] != coerced:
+                raise TypeError(
+                    f"pack_union: column {f.name!r} coerces to {coerced} "
+                    f"in part {tag!r} but to {prev[0]} in part "
+                    f"{prev[1]!r} — rename one in its sub-gate")
         outs.append(df.select(*cols))
     out = outs[0]
     for o in outs[1:]:

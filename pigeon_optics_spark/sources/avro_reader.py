@@ -60,6 +60,11 @@ def _read_long(buf: _Buf) -> int:
     acc = 0
     while True:
         b = buf.take(1)[0]
+        if shift == 63 and b & 0x7E:
+            # the 10th byte sits at shift 63: only its LOW bit fits in
+            # 64 bits — any higher payload bit silently yields an
+            # integer beyond int64 range, which the JVM reader rejects
+            raise ValueError("avro: varint overflows 64 bits")
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             break
@@ -78,6 +83,16 @@ def _read_bytes(buf: _Buf) -> bytes:
     return buf.take(n)
 
 
+#: Per-block cap on items whose datum encoding is ZERO bytes wide (an
+#: all-``null`` array, an empty record, ``fixed`` of size 0).  Items that
+#: consume at least one byte are bounded by the input itself (``take``
+#: raises on truncation), but a zero-width item with a crafted count like
+#: 2**40 would loop forever appending — the executor-hang class.  Real
+#: zero-width collections carry no information; 64k is far beyond any
+#: legitimate file.
+_ZERO_WIDTH_ITEM_CAP = 65536
+
+
 def _read_blocks(buf: _Buf, read_item):
     """Array/map block encoding: series of counts (negative count =>
     abs(count) items preceded by a byte size), terminated by 0."""
@@ -89,7 +104,16 @@ def _read_blocks(buf: _Buf, read_item):
         if n < 0:
             _read_long(buf)  # block byte size — present, unused
             n = -n
-        for _ in range(n):
+        before = buf.pos
+        items.append(read_item())
+        if buf.pos == before and n > _ZERO_WIDTH_ITEM_CAP:
+            # zero-width is schema-static (every item of this block
+            # decodes identically from zero bytes), so one probe item
+            # proves the whole block can't be bounded by input bytes
+            raise ValueError(
+                f"avro: zero-width item block count {n} exceeds cap "
+                f"{_ZERO_WIDTH_ITEM_CAP}")
+        for _ in range(n - 1):
             items.append(read_item())
 
 
@@ -140,31 +164,48 @@ def read_datum(schema, buf: _Buf):
     raise ValueError(f"avro: unsupported schema {schema!r}")
 
 
-def _resolve_names(schema, names: dict):
-    """Replace bare named-type REFERENCES (the writer serializes the
-    second use of a record/enum/fixed as just its name string) with the
-    registered definition, walking the tree once up front so read_datum
-    never sees an unresolved name."""
+def _resolve_names(schema, names: dict, ns: str | None = None):
+    """Replace named-type REFERENCES (the writer serializes the second
+    use of a record/enum/fixed as just a name string) with the registered
+    definition, walking the tree once up front so read_datum never sees
+    an unresolved name.
+
+    Names follow the Avro spec: a definition registers under its FULLNAME
+    (``namespace`` attribute + '.' + name; a dotted ``name`` IS the
+    fullname; with neither, the enclosing definition's namespace is
+    inherited).  A reference resolves first as a fullname, then relative
+    to the current namespace — so a JVM-written OCF using namespaced
+    schemas (the common real-world shape) round-trips."""
     if isinstance(schema, list):
-        return [_resolve_names(s, names) for s in schema]
+        return [_resolve_names(s, names, ns) for s in schema]
     if isinstance(schema, dict):
         t = schema.get("type")
         if t in ("record", "enum", "fixed"):
-            names[schema["name"]] = schema
+            name = schema["name"]
+            if "." in name:
+                this_ns, simple = name.rsplit(".", 1)
+            else:
+                this_ns = schema.get("namespace", ns)
+                simple = name
+            full = f"{this_ns}.{simple}" if this_ns else simple
+            names[full] = schema
             if t == "record":
                 schema["fields"] = [
-                    {**f, "type": _resolve_names(f["type"], names)}
+                    {**f, "type": _resolve_names(f["type"], names, this_ns)}
                     for f in schema["fields"]]
             return schema
         if t == "array":
-            schema["items"] = _resolve_names(schema["items"], names)
+            schema["items"] = _resolve_names(schema["items"], names, ns)
             return schema
         if t == "map":
-            schema["values"] = _resolve_names(schema["values"], names)
+            schema["values"] = _resolve_names(schema["values"], names, ns)
             return schema
         return schema
-    if isinstance(schema, str) and schema in names:
-        return names[schema]
+    if isinstance(schema, str):
+        if schema in names:  # fullname (or null-namespace simple name)
+            return names[schema]
+        if ns and f"{ns}.{schema}" in names:  # relative to current ns
+            return names[f"{ns}.{schema}"]
     return schema
 
 

@@ -248,3 +248,92 @@ def test_varint_ten_byte_cap():
     # ...but a continuation bit on the 10th byte demands an 11th: refuse
     with pytest.raises(ValueError, match="varint"):
         read_datum("long", _Buf(b"\xff" * 10 + b"\x01"))
+
+
+def test_varint_64bit_overflow_refused():
+    """A 10th byte with any payload bit above bit 0 encodes an integer
+    beyond int64 range — the JVM reader rejects it; so must we."""
+    with pytest.raises(ValueError, match="overflows 64 bits"):
+        read_datum("long", _Buf(b"\xff" * 9 + b"\x7f"))
+    # the int64 boundary itself stays legal: zigzag(2**64-1) = -2**63
+    assert read_datum("long", _Buf(b"\xff" * 9 + b"\x01")) == -(2**63)
+
+
+def _zz(n: int) -> bytes:
+    n = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def test_zero_width_item_block_count_bounded():
+    """A crafted block count like 2**40 over a ZERO-byte-wide item type
+    (array of null) would loop forever appending — the executor-hang
+    class.  The reader must refuse, not hang."""
+    arr_of_null = {"type": "array", "items": "null"}
+    with pytest.raises(ValueError, match="zero-width"):
+        read_datum(arr_of_null, _Buf(_zz(2**40) + _zz(0)))
+    # ...while a sane zero-width block still decodes
+    got = read_datum(arr_of_null, _Buf(_zz(3) + _zz(0)))
+    assert got == [None, None, None]
+    # byte-consuming items are bounded by the input itself: a huge count
+    # over longs dies on truncation, never a hang
+    arr_of_long = {"type": "array", "items": "long"}
+    with pytest.raises(ValueError, match="truncated"):
+        read_datum(arr_of_long, _Buf(_zz(2**40) + _zz(1) * 4))
+
+
+def test_namespaced_schema_roundtrip(spark):
+    """Avro named-type references in namespaced schemas serialize as
+    FULLNAMES (e.g. "com.example.F4") — the common real-world shape; the
+    reader must register definitions under their fullname (honoring
+    enclosing-record namespace inheritance) and resolve both fullname
+    and relative references."""
+    jvm = spark._jvm
+    sch = ('{"type":"record","name":"Rec","namespace":"com.example",'
+           '"fields":['
+           '{"name":"a","type":{"type":"fixed","name":"F4","size":4}},'
+           '{"name":"b","type":"com.example.F4"},'
+           '{"name":"c","type":"F4"},'
+           '{"name":"child","type":{"type":"record","name":"Child",'
+           '"fields":[{"name":"x","type":"F4"}]}},'
+           '{"name":"child2","type":"Child"}]}')
+    schema = jvm.org.apache.avro.Schema.Parser().parse(sch)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    fd, path = tempfile.mkstemp(suffix=".avro")
+    import os
+    os.close(fd)
+    dfw.create(schema, jvm.java.io.File(path))
+    fx = schema.getField("a").schema()
+    child_schema = schema.getField("child").schema()
+
+    def _fixed(b):
+        return jvm.org.apache.avro.generic.GenericData.Fixed(
+            fx, bytearray(b))
+
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("a", _fixed(b"AAAA"))
+    rec.put("b", _fixed(b"BBBB"))
+    rec.put("c", _fixed(b"CCCC"))
+    ch = jvm.org.apache.avro.generic.GenericData.Record(child_schema)
+    ch.put("x", _fixed(b"XXXX"))
+    rec.put("child", ch)
+    ch2 = jvm.org.apache.avro.generic.GenericData.Record(child_schema)
+    ch2.put("x", _fixed(b"YYYY"))
+    rec.put("child2", ch2)
+    dfw.append(rec)
+    dfw.close()
+    try:
+        _s, _c, records = avro_file_records(open(path, "rb").read())
+    finally:
+        os.unlink(path)
+    assert records == [{"a": b"AAAA", "b": b"BBBB", "c": b"CCCC",
+                        "child": {"x": b"XXXX"},
+                        "child2": {"x": b"YYYY"}}]

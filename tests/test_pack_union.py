@@ -37,6 +37,22 @@ def test_decimal_and_timestamp_refused(spark):
         pack_union([("t", ts)])
 
 
+def test_cross_part_type_conflict_refused(spark):
+    """The same column name coercing to string in one part and double in
+    another would make both engines silently re-coerce (with
+    engine-specific double rendering) — a guaranteed hash split.  The
+    runtime path must refuse, mirroring tools/gen_pack.py's CONFLICT
+    rule."""
+    a = spark.range(1).select(F.lit("x").alias("v"))       # -> string
+    b = spark.range(1).select(F.col("id").alias("v"))      # -> double
+    with pytest.raises(TypeError, match="conflicts|coerces"):
+        pack_union([("a", a), ("b", b)])
+    # same-type across parts stays fine
+    c = spark.range(1).select(F.col("id").cast("int").alias("v"))
+    out = pack_union([("b", b), ("c", c)])
+    assert dict(out.dtypes)["v"] == "double"
+
+
 def test_part_column_collision_refused(spark):
     df = spark.range(1).select(F.lit("x").alias("part"))
     with pytest.raises(ValueError, match="'part' column"):

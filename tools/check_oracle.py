@@ -115,7 +115,7 @@ def _changed_gates(base_ref: str) -> set[str] | None:
         raise SystemExit(
             f"--changed: git diff failed for ref {base_ref!r}: "
             f"{proc.stderr.strip()}")
-    files = proc.stdout.split()
+    files = proc.stdout.splitlines()  # not .split(): paths may have spaces
     names: set[str] = set()
     for path in files:
         base = os.path.basename(path)
@@ -142,6 +142,7 @@ def main() -> int:
         sf_dir = args.pop(0)
     only: set[str] = set()
     prefixes: tuple[str, ...] = ()
+    infra_changed = False
     i = 0
     while i < len(args):
         if args[i] == "--prefix":
@@ -154,9 +155,7 @@ def main() -> int:
                 base, i = "HEAD", i + 1
             changed = _changed_gates(base)
             if changed is None:
-                print("--changed: shared engine/infra module changed — "
-                      "running the FULL registry")
-                # leave `only`/`prefixes` as-is; an empty filter = all
+                infra_changed = True
             elif not changed:
                 print("--changed: no query-module diffs — nothing to run")
                 return 0
@@ -165,6 +164,15 @@ def main() -> int:
         else:
             only.add(args[i])
             i += 1
+    if infra_changed:
+        # shared infra changed: every gate is suspect, so drop explicit
+        # names / --prefix filters too (AFTER the parse loop, so names
+        # given on either side of --changed can't re-narrow the run) —
+        # otherwise the printed claim would be wrong when flags combine
+        only.clear()
+        prefixes = ()
+        print("--changed: shared engine/infra module changed — running "
+              "the FULL registry (explicit name/--prefix filters cleared)")
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
