@@ -289,6 +289,68 @@ def test_zero_width_item_block_count_bounded():
         read_datum(arr_of_long, _Buf(_zz(2**40) + _zz(1) * 4))
 
 
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_property_namespaced_schema_shapes(spark, data):
+    """Random namespace placement (root attr / dotted name / inherited /
+    absent) with a reused named type referenced by fullname or relative
+    name — parsed and serialized by the AUTHORITATIVE JVM parser, so the
+    reader's fullname registration/resolution is fuzzed against whatever
+    normal form the JVM actually writes into OCF metadata."""
+    ns_style = data.draw(st.sampled_from(
+        ["attr", "dotted", "none"]), label="ns_style")
+    ref_style = data.draw(st.sampled_from(
+        ["full", "relative"]), label="ref_style")
+    deep = data.draw(st.booleans(), label="reuse_inside_child")
+    ns = "org.test.fuzz"
+    if ns_style == "attr":
+        rec_name = '"name":"Rec","namespace":"%s"' % ns
+    elif ns_style == "dotted":
+        rec_name = '"name":"%s.Rec"' % ns
+    else:
+        rec_name = '"name":"Rec"'
+        ns = ""
+    ref = f"{ns}.F8" if (ref_style == "full" and ns) else "F8"
+    reuse_field = '{"name":"b","type":"%s"}' % ref
+    if deep:
+        reuse_field = ('{"name":"b","type":{"type":"record","name":"Kid",'
+                       '"fields":[{"name":"x","type":"%s"}]}}' % ref)
+    sch = ('{"type":"record",%s,"fields":['
+           '{"name":"a","type":{"type":"fixed","name":"F8","size":8}},'
+           '%s]}' % (rec_name, reuse_field))
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(sch)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    fd, path = tempfile.mkstemp(suffix=".avro")
+    import os
+    os.close(fd)
+    dfw.create(schema, jvm.java.io.File(path))
+    fx = schema.getField("a").schema()
+
+    def _fixed(b):
+        return jvm.org.apache.avro.generic.GenericData.Fixed(
+            fx, bytearray(b))
+
+    rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+    rec.put("a", _fixed(b"AAAAAAAA"))
+    if deep:
+        kid_schema = schema.getField("b").schema()
+        kid = jvm.org.apache.avro.generic.GenericData.Record(kid_schema)
+        kid.put("x", _fixed(b"XXXXXXXX"))
+        rec.put("b", kid)
+    else:
+        rec.put("b", _fixed(b"BBBBBBBB"))
+    dfw.append(rec)
+    dfw.close()
+    try:
+        _s, _c, records = avro_file_records(open(path, "rb").read())
+    finally:
+        os.unlink(path)
+    want_b = {"x": b"XXXXXXXX"} if deep else b"BBBBBBBB"
+    assert records == [{"a": b"AAAAAAAA", "b": want_b}]
+
+
 def test_namespaced_schema_roundtrip(spark):
     """Avro named-type references in namespaced schemas serialize as
     FULLNAMES (e.g. "com.example.F4") — the common real-world shape; the
