@@ -236,9 +236,21 @@ def avro_file_records(data: bytes):
                 payload = zlib.decompress(payload, -15)  # raw DEFLATE
             except zlib.error as e:
                 raise ValueError(f"avro: corrupt deflate block: {e}") from e
+        if n < 0:
+            raise ValueError(f"avro: negative block record count {n}")
         pbuf = _Buf(payload)
-        for _ in range(n):
+        if n:
+            # same zero-width hang class as _read_blocks: a top-level
+            # schema of "null" (or an empty record) decodes from zero
+            # bytes, so a crafted block count like 2^40 would loop
+            # forever here — probe one datum, then bound
             records.append(read_datum(schema, pbuf))
+            if pbuf.pos == 0 and n > _ZERO_WIDTH_ITEM_CAP:
+                raise ValueError(
+                    f"avro: zero-width datum block count {n} exceeds cap "
+                    f"{_ZERO_WIDTH_ITEM_CAP}")
+            for _ in range(n - 1):
+                records.append(read_datum(schema, pbuf))
         if not pbuf.at_end():
             raise ValueError(
                 f"avro: {len(payload) - pbuf.pos} undecoded bytes left in "

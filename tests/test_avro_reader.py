@@ -351,6 +351,37 @@ def test_property_namespaced_schema_shapes(spark, data):
     assert records == [{"a": b"AAAAAAAA", "b": want_b}]
 
 
+def _ocf(schema_json: str, blocks: list[bytes]) -> bytes:
+    """Hand-build a minimal OCF (null codec) around pre-encoded blocks of
+    (count, size, payload) triples for crafted-input tests."""
+    def bs(b):
+        return _zz(len(b)) + b
+    meta = (_zz(2)
+            + bs(b"avro.schema") + bs(schema_json.encode())
+            + bs(b"avro.codec") + bs(b"null")
+            + _zz(0))
+    sync = b"S" * 16
+    out = b"Obj\x01" + meta + sync
+    for count, payload in blocks:
+        out += _zz(count) + _zz(len(payload)) + payload + sync
+    return out
+
+
+def test_zero_width_file_block_count_bounded():
+    """The TOP-LEVEL block record loop has the same hang class as array
+    blocks: schema "null" decodes from zero bytes, so a crafted block
+    count of 2^40 over an empty payload must raise, not loop forever."""
+    from pigeon_optics_spark.sources.avro_reader import avro_file_records
+    with pytest.raises(ValueError, match="zero-width"):
+        avro_file_records(_ocf('"null"', [(2**40, b"")]))
+    # a sane zero-width block still decodes
+    _s, _c, recs = avro_file_records(_ocf('"null"', [(3, b"")]))
+    assert recs == [None, None, None]
+    # a NEGATIVE block record count is a loud error, not silently empty
+    with pytest.raises(ValueError, match="negative block record count"):
+        avro_file_records(_ocf('"null"', [(-2, b"")]))
+
+
 def test_namespaced_schema_roundtrip(spark):
     """Avro named-type references in namespaced schemas serialize as
     FULLNAMES (e.g. "com.example.F4") — the common real-world shape; the
