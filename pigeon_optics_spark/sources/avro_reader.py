@@ -202,10 +202,14 @@ def _resolve_names(schema, names: dict, ns: str | None = None):
             return schema
         return schema
     if isinstance(schema, str):
-        if schema in names:  # fullname (or null-namespace simple name)
-            return names[schema]
-        if ns and f"{ns}.{schema}" in names:  # relative to current ns
+        # JVM resolution order: an undotted reference binds to the
+        # CURRENT namespace first (so a same-simple-name type in the
+        # null namespace can't shadow it), then the bare name; a dotted
+        # reference is a fullname and hits the registry directly
+        if "." not in schema and ns and f"{ns}.{schema}" in names:
             return names[f"{ns}.{schema}"]
+        if schema in names:
+            return names[schema]
     return schema
 
 

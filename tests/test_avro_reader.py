@@ -382,6 +382,22 @@ def test_zero_width_file_block_count_bounded():
         avro_file_records(_ocf('"null"', [(-2, b"")]))
 
 
+def test_undotted_ref_binds_current_namespace_first():
+    """JVM resolution order: an undotted reference inside namespace `ns`
+    binds to `ns.F4`, even when a DIFFERENT type named `F4` exists in the
+    null namespace.  Binding to the wrong one here reads the wrong byte
+    width — silent corruption, not an error."""
+    from pigeon_optics_spark.sources.avro_reader import avro_file_records
+    sch = ('[{"type":"fixed","name":"F4","size":2},'
+           '{"type":"record","name":"ns.Rec","fields":['
+           '{"name":"a","type":{"type":"fixed","name":"F4","size":4}},'
+           '{"name":"b","type":"F4"}]}]')
+    # one datum: union branch 1 (Rec), a=4 bytes, b=4 bytes
+    payload = b"\x02" + b"AAAA" + b"BBBB"
+    _s, _c, recs = avro_file_records(_ocf(sch, [(1, payload)]))
+    assert recs == [{"a": b"AAAA", "b": b"BBBB"}]
+
+
 def test_namespaced_schema_roundtrip(spark):
     """Avro named-type references in namespaced schemas serialize as
     FULLNAMES (e.g. "com.example.F4") — the common real-world shape; the
