@@ -222,8 +222,14 @@ def avro_file_records(data: bytes):
         buf, lambda: (_read_bytes(buf).decode("utf-8"), _read_bytes(buf))))
     if "avro.schema" not in meta:
         raise ValueError("avro: file metadata lacks avro.schema")
-    schema = _resolve_names(
-        json.loads(meta["avro.schema"].decode("utf-8")), {})
+    try:
+        schema = _resolve_names(
+            json.loads(meta["avro.schema"].decode("utf-8")), {})
+    except (KeyError, TypeError, AttributeError) as e:
+        # parseable-JSON-but-malformed schema (a record without "fields",
+        # a non-dict where a definition belongs): same loud-ValueError
+        # contract as every other byte error, not a stray KeyError
+        raise ValueError(f"avro: malformed schema: {e!r}") from e
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
@@ -248,13 +254,19 @@ def avro_file_records(data: bytes):
             # schema of "null" (or an empty record) decodes from zero
             # bytes, so a crafted block count like 2^40 would loop
             # forever here — probe one datum, then bound
-            records.append(read_datum(schema, pbuf))
-            if pbuf.pos == 0 and n > _ZERO_WIDTH_ITEM_CAP:
-                raise ValueError(
-                    f"avro: zero-width datum block count {n} exceeds cap "
-                    f"{_ZERO_WIDTH_ITEM_CAP}")
-            for _ in range(n - 1):
+            try:
                 records.append(read_datum(schema, pbuf))
+                if pbuf.pos == 0 and n > _ZERO_WIDTH_ITEM_CAP:
+                    raise ValueError(
+                        f"avro: zero-width datum block count {n} exceeds "
+                        f"cap {_ZERO_WIDTH_ITEM_CAP}")
+                for _ in range(n - 1):
+                    records.append(read_datum(schema, pbuf))
+            except (KeyError, TypeError, AttributeError) as e:
+                # an enum without "symbols", a fixed without (or with a
+                # non-int) "size": malformed input, same ValueError
+                # contract as truncation
+                raise ValueError(f"avro: malformed schema: {e!r}") from e
         if not pbuf.at_end():
             raise ValueError(
                 f"avro: {len(payload) - pbuf.pos} undecoded bytes left in "

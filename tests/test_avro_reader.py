@@ -224,6 +224,62 @@ def test_named_type_reference_resolves(spark):
     assert records == [{"a": b"AAAA", "b": b"BBBB"}]
 
 
+def test_crash_safety_fuzz_only_value_error():
+    """The multimodal byte-walkers' crash-safety fuzz, applied to the
+    avro kernel with its loud-failure contract: on ANY input the reader
+    either returns or raises ValueError — never KeyError / TypeError /
+    struct.error / a hang.  Feeds (a) random bytes, (b) truncations of a
+    valid file at every length, (c) single-byte corruptions."""
+    import random
+
+    sch = ('{"type":"record","name":"T","fields":['
+           '{"name":"i","type":"long"},'
+           '{"name":"s","type":"string"},'
+           '{"name":"u","type":["null","double"]},'
+           '{"name":"e","type":{"type":"enum","name":"E",'
+           '"symbols":["A","B"]}},'
+           '{"name":"x","type":{"type":"fixed","name":"X","size":2}},'
+           '{"name":"a","type":{"type":"array","items":"int"}}]}')
+    payload = (_zz(7) + _zz(2) + b"hi" + _zz(1) +
+               struct.pack("<d", 1.5) + _zz(0) + b"XY" +
+               _zz(2) + _zz(3) + _zz(-4) + _zz(0))
+    valid = _ocf(sch, [(1, payload)])
+    assert avro_file_records(valid)[2] == [
+        {"i": 7, "s": "hi", "u": 1.5, "e": "A", "x": b"XY", "a": [3, -4]}]
+
+    def try_one(b):
+        try:
+            avro_file_records(b)
+        except ValueError:
+            pass  # the documented loud-failure contract
+
+    rng = random.Random(42)
+    for _ in range(300):
+        try_one(bytes(rng.randrange(256)
+                      for _ in range(rng.randrange(0, 200))))
+    for cut in range(len(valid)):
+        try_one(valid[:cut])
+    for _ in range(500):
+        b = bytearray(valid)
+        b[rng.randrange(len(b))] = rng.randrange(256)
+        try_one(bytes(b))
+
+
+@pytest.mark.parametrize("sch,blocks", [
+    ('{"type":"record","name":"T"}', [(1, b"")]),             # no fields
+    ('{"type":"enum","name":"E"}', [(1, b"\x00")]),           # no symbols
+    ('{"type":"fixed","name":"X"}', [(1, b"AB")]),            # no size
+    ('{"type":"fixed","name":"X","size":"2"}', [(1, b"AB")]),  # str size
+    ('{"type":"array"}', [(1, b"\x00")]),                     # no items
+    ('5', [(1, b"")]),                                        # non-schema
+])
+def test_malformed_schema_is_value_error(sch, blocks):
+    """Parseable-JSON-but-malformed schemas must honor the loud
+    ValueError contract — not escape as KeyError/TypeError."""
+    with pytest.raises(ValueError):
+        avro_file_records(_ocf(sch, blocks))
+
+
 def test_missing_schema_key_is_value_error():
     def zz(n):
         n = (n << 1) ^ (n >> 63)
