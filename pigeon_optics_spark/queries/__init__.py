@@ -60,7 +60,7 @@ _DRIVER_PRIORITY = [
     "events_stream_twap", "events_stream_cusum", "events_stream_pattern",
     "events_stream_rate_limit", "events_stream_static_join",
     "events_stream_dedup_watermark",
-    # --- TPC-H breadth (the remaining 9 singles) ---
+    # --- TPC-H breadth (the remaining 10 singles) ---
     "q6_forecast_revenue", "q8_market_share", "q9_product_type_profit",
     "q10_returned_revenue", "q11_important_parts", "q14_promo_revenue",
     "q15_top_supplier", "q16_supplier_counts", "q19_disjunctive_revenue",

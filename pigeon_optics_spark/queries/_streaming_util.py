@@ -29,10 +29,10 @@ The pattern it packages (evolved across the 22 existing runs):
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ._util import tracked_mkdtemp as _tracked_mkdtemp
 
 #: process-wide query-name sequence (memory sink tables are per-session
 #: global; a reused name would read a previous run's rows)
@@ -45,17 +45,6 @@ _SEQ = [0]
 #: key without the sf_dir would silently replay the first SF's source
 #: against a later SF's oracle in any multi-SF process.
 _SRC_CACHE: dict[tuple, str] = {}
-
-
-def _tracked_mkdtemp(prefix: str) -> str:
-    """mkdtemp + atexit removal, matching the avro fixture's discipline —
-    cached source dirs otherwise accumulate in /tmp across suite runs."""
-    import atexit
-    import shutil
-
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
 
 
 def unique_name(prefix: str) -> str:

@@ -61,6 +61,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+def tracked_mkdtemp(prefix: str) -> str:
+    """mkdtemp + atexit removal — the fixture-dir discipline.  Cached
+    fixture/source/checkpoint dirs otherwise accumulate in /tmp across
+    suite and gate runs (one per prefix per process)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def dsum(expr: str, alias: str, scale: int = 4) -> str:
     """Order-independent floating-point SUM (identical in Spark & DuckDB).
 

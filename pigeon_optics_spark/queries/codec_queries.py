@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import load
+from ._util import load, tracked_mkdtemp
 
 TRANSCODE_SCHEMA = "doc_id long, lang string, text string, n_bytes_cbor long"
 
@@ -106,7 +106,6 @@ def csv_dirty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import csv
     import os
-    import tempfile
 
     key = (sf_dir, "csv")
     if key not in _CSV_DIRS:
@@ -114,7 +113,7 @@ def csv_dirty_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .where(F.col("doc_id") < 100)
                 .select("doc_id", "lang", "text")
                 .orderBy("doc_id").collect())
-        d = tempfile.mkdtemp(prefix="po_csv_")
+        d = tracked_mkdtemp("po_csv_")
         path = os.path.join(d, "docs.csv")
         with open(path, "w", newline="", encoding="utf-8") as f:
             w = csv.writer(f)
@@ -239,11 +238,10 @@ _EVOL_DIRS: dict = {}
 
 def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     if sf_dir not in _EVOL_DIRS:
         docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-        d = tempfile.mkdtemp(prefix="po_evolve_")
+        d = tracked_mkdtemp("po_evolve_")
         # generation A: two columns
         (docs.where(F.col("doc_id") < 150)
          .select("doc_id", "lang")
@@ -285,10 +283,8 @@ _ORC_DIRS: dict = {}
 
 
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     if sf_dir not in _ORC_DIRS:
-        d = tempfile.mkdtemp(prefix="po_orc_")
+        d = tracked_mkdtemp("po_orc_")
         (load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
          .select("doc_id", "lang",
                  F.array(F.col("doc_id"), F.col("n_chars")).alias("pair"),
@@ -332,10 +328,8 @@ _XML_DIRS: dict = {}
 
 
 def xml_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     if sf_dir not in _XML_DIRS:
-        d = tempfile.mkdtemp(prefix="po_xml_")
+        d = tracked_mkdtemp("po_xml_")
         payload = F.concat(
             F.lit("x"), F.substring(F.coalesce(F.col("text"), F.lit("")),
                                     1, 30),
@@ -396,17 +390,12 @@ def _ensure_avro_fixture(spark: SparkSession, sf_dir: str) -> tuple:
     (union null branch live) else 'l'+str(i%5); score = i/8 (dyadic —
     exactly representable, engine-identical); tags = ['t0'..] of length
     i%4 (empty-array branch live)."""
-    import atexit
-    import shutil
-    import tempfile
-
     if sf_dir in _AVRO_DIRS:
         return _AVRO_DIRS[sf_dir]
     n = min(300, load(spark, sf_dir, "documents").count())
     jvm = spark._jvm
     schema = jvm.org.apache.avro.Schema.Parser().parse(_AVRO_SCHEMA_JSON)
-    d = tempfile.mkdtemp(prefix="po_avro_")
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    d = tracked_mkdtemp("po_avro_")
     for k, start in enumerate(range(0, n, 50)):
         writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
         dfw = jvm.org.apache.avro.file.DataFileWriter(writer)

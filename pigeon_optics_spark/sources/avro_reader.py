@@ -97,6 +97,7 @@ def _read_blocks(buf: _Buf, read_item):
     """Array/map block encoding: series of counts (negative count =>
     abs(count) items preceded by a byte size), terminated by 0."""
     items = []
+    zero_width = 0
     while True:
         n = _read_long(buf)
         if n == 0:
@@ -106,29 +107,45 @@ def _read_blocks(buf: _Buf, read_item):
             n = -n
         before = buf.pos
         items.append(read_item())
-        if buf.pos == before and n > _ZERO_WIDTH_ITEM_CAP:
+        if buf.pos == before:
             # zero-width is schema-static (every item of this block
             # decodes identically from zero bytes), so one probe item
-            # proves the whole block can't be bounded by input bytes
-            raise ValueError(
-                f"avro: zero-width item block count {n} exceeds cap "
-                f"{_ZERO_WIDTH_ITEM_CAP}")
+            # proves this block can't be bounded by input bytes.  The
+            # cap is CUMULATIVE across blocks: many small counts (3
+            # bytes each) amplify exactly like one big one
+            zero_width += n
+            if zero_width > _ZERO_WIDTH_ITEM_CAP:
+                raise ValueError(
+                    f"avro: {zero_width} zero-width items across blocks "
+                    f"exceed cap {_ZERO_WIDTH_ITEM_CAP}")
         for _ in range(n - 1):
             items.append(read_item())
 
 
-def read_datum(schema, buf: _Buf):
+#: Maximum datum nesting.  Avro legally permits RECURSIVE named types
+#: (a record referencing itself through a union), so a few hundred
+#: crafted bytes can nest arbitrarily deep — unbounded recursion dies
+#: with RecursionError, outside the loud-ValueError contract.  200
+#: levels is far beyond any legitimate payload.
+_MAX_DATUM_DEPTH = 200
+
+
+def read_datum(schema, buf: _Buf, depth: int = 0):
     """Decode one datum per ``schema`` (the parsed-JSON form: str for
     primitives/named refs, dict for complex, list for unions)."""
+    if depth > _MAX_DATUM_DEPTH:
+        raise ValueError(
+            f"avro: datum nested deeper than {_MAX_DATUM_DEPTH} "
+            "(recursive-schema bomb)")
     if isinstance(schema, list):  # union: zigzag branch index first
         idx = _read_long(buf)
         if not 0 <= idx < len(schema):
             raise ValueError(f"avro: union branch {idx} of {len(schema)}")
-        return read_datum(schema[idx], buf)
+        return read_datum(schema[idx], buf, depth + 1)
     if isinstance(schema, dict):
         t = schema["type"]
         if t == "record":
-            return {f["name"]: read_datum(f["type"], buf)
+            return {f["name"]: read_datum(f["type"], buf, depth + 1)
                     for f in schema["fields"]}
         if t == "enum":
             idx = _read_long(buf)
@@ -140,12 +157,13 @@ def read_datum(schema, buf: _Buf):
             return buf.take(schema["size"])
         if t == "array":
             item = schema["items"]
-            return _read_blocks(buf, lambda: read_datum(item, buf))
+            return _read_blocks(
+                buf, lambda: read_datum(item, buf, depth + 1))
         if t == "map":
             val = schema["values"]
             return dict(_read_blocks(
                 buf, lambda: (_read_bytes(buf).decode("utf-8"),
-                              read_datum(val, buf))))
+                              read_datum(val, buf, depth + 1))))
         schema = t  # {"type": "long"} primitive wrapper form
     if schema == "null":
         return None
@@ -225,16 +243,18 @@ def avro_file_records(data: bytes):
     try:
         schema = _resolve_names(
             json.loads(meta["avro.schema"].decode("utf-8")), {})
-    except (KeyError, TypeError, AttributeError) as e:
+    except (KeyError, TypeError, AttributeError, RecursionError) as e:
         # parseable-JSON-but-malformed schema (a record without "fields",
-        # a non-dict where a definition belongs): same loud-ValueError
-        # contract as every other byte error, not a stray KeyError
+        # a non-dict where a definition belongs, a nesting bomb blowing
+        # the json/resolve recursion): same loud-ValueError contract as
+        # every other byte error, not a stray KeyError/RecursionError
         raise ValueError(f"avro: malformed schema: {e!r}") from e
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     sync = buf.take(16)
     records = []
+    zero_width = 0
     while not buf.at_end():
         n = _read_long(buf)
         size = _read_long(buf)
@@ -256,13 +276,20 @@ def avro_file_records(data: bytes):
             # forever here — probe one datum, then bound
             try:
                 records.append(read_datum(schema, pbuf))
-                if pbuf.pos == 0 and n > _ZERO_WIDTH_ITEM_CAP:
-                    raise ValueError(
-                        f"avro: zero-width datum block count {n} exceeds "
-                        f"cap {_ZERO_WIDTH_ITEM_CAP}")
+                if pbuf.pos == 0:
+                    # cumulative across the FILE's blocks, like
+                    # _read_blocks: many small zero-width counts amplify
+                    # exactly like one big one
+                    zero_width += n
+                    if zero_width > _ZERO_WIDTH_ITEM_CAP:
+                        raise ValueError(
+                            f"avro: {zero_width} zero-width datums "
+                            f"across blocks exceed cap "
+                            f"{_ZERO_WIDTH_ITEM_CAP}")
                 for _ in range(n - 1):
                     records.append(read_datum(schema, pbuf))
-            except (KeyError, TypeError, AttributeError) as e:
+            except (KeyError, TypeError, AttributeError,
+                    RecursionError) as e:
                 # an enum without "symbols", a fixed without (or with a
                 # non-int) "size": malformed input, same ValueError
                 # contract as truncation

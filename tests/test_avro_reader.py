@@ -438,6 +438,37 @@ def test_zero_width_file_block_count_bounded():
         avro_file_records(_ocf('"null"', [(-2, b"")]))
 
 
+def test_zero_width_cap_is_cumulative_across_blocks():
+    """Many small zero-width block counts amplify exactly like one big
+    one (each count header is ~3 bytes), so the cap must be cumulative —
+    a per-block cap is bypassed by repetition."""
+    from pigeon_optics_spark.sources.avro_reader import avro_file_records
+    # array datum: two blocks of 65536 nulls each -> cumulative 131072
+    arr = {"type": "array", "items": "null"}
+    two_blocks = _zz(65536) + _zz(65536) + _zz(0)
+    with pytest.raises(ValueError, match="zero-width"):
+        read_datum(arr, _Buf(two_blocks))
+    # file level: two OCF blocks of 65536 zero-width datums each
+    with pytest.raises(ValueError, match="zero-width"):
+        avro_file_records(_ocf('"null"', [(65536, b""), (65536, b"")]))
+
+
+def test_recursive_schema_depth_bounded():
+    """Avro legally permits recursive named types; ~250 crafted bytes of
+    nested union-branch-1 previously died with RecursionError — outside
+    the loud-ValueError contract.  The datum decoder is depth-bounded."""
+    from pigeon_optics_spark.sources.avro_reader import avro_file_records
+    sch = ('{"type":"record","name":"N","fields":['
+           '{"name":"x","type":["null","N"]}]}')
+    # 300 levels of branch-1 nesting, then branch-0 (null) terminates
+    payload = b"\x02" * 300 + b"\x00"
+    with pytest.raises(ValueError, match="nested deeper"):
+        avro_file_records(_ocf(sch, [(1, payload)]))
+    # a sane recursive datum (3 levels) still decodes
+    _s, _c, recs = avro_file_records(_ocf(sch, [(1, b"\x02\x02\x00")]))
+    assert recs == [{"x": {"x": {"x": None}}}]
+
+
 def test_undotted_ref_binds_current_namespace_first():
     """JVM resolution order: an undotted reference inside namespace `ns`
     binds to `ns.F4`, even when a DIFFERENT type named `F4` exists in the

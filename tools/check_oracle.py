@@ -140,9 +140,11 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     if args and not args[0].startswith("--"):
         sf_dir = args.pop(0)
-    only: set[str] = set()
+    explicit: set[str] = set()
     prefixes: tuple[str, ...] = ()
+    changed_given = False
     infra_changed = False
+    changed_names: set[str] = set()
     i = 0
     while i < len(args):
         if args[i] == "--prefix":
@@ -153,26 +155,32 @@ def main() -> int:
                 base, i = args[i + 1], i + 2
             else:
                 base, i = "HEAD", i + 1
+            changed_given = True
             changed = _changed_gates(base)
             if changed is None:
                 infra_changed = True
-            elif not changed:
-                print("--changed: no query-module diffs — nothing to run")
-                return 0
             else:
-                only |= changed
+                changed_names |= changed
         else:
-            only.add(args[i])
+            explicit.add(args[i])
             i += 1
+    # combine the three filter sources AFTER the parse loop, so flag
+    # order can never change the result
     if infra_changed:
-        # shared infra changed: every gate is suspect, so drop explicit
-        # names / --prefix filters too (AFTER the parse loop, so names
-        # given on either side of --changed can't re-narrow the run) —
-        # otherwise the printed claim would be wrong when flags combine
-        only.clear()
+        # shared infra changed: every gate is suspect — drop explicit
+        # names / --prefix filters and say so
+        explicit.clear()
         prefixes = ()
+        changed_names.clear()
         print("--changed: shared engine/infra module changed — running "
               "the FULL registry (explicit name/--prefix filters cleared)")
+    elif changed_given and not changed_names:
+        print("--changed: no query-module diffs")
+        if not explicit and not prefixes:
+            print("nothing to run")
+            return 0
+        # explicitly requested names / prefixes still run
+    only = explicit | changed_names
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
