@@ -11,7 +11,6 @@ oracle-checkable, not just unit-tested.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,7 +19,7 @@ from ..lens import build_lens, create_lens
 from ..store import DatasetStore
 from ..values import natural_sort_col_expr
 from . import register
-from ._util import load
+from ._util import load, tracked_mkdtemp
 
 _STORES: dict[tuple[str, str], DatasetStore] = {}
 
@@ -32,6 +31,31 @@ def _docs_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _v2_resend(docs: DataFrame, *, odd_only: bool = False) -> DataFrame:
+    """The shared '[v2] rewrite' projection (previously copy-pasted at
+    six sites): odd doc_ids get ``text + ' [v2]'``; with
+    ``odd_only=False`` the evens resend IDENTICAL content as suppression
+    witnesses.  ``text`` is COALESCEd on the rewrite side — a NULL text
+    would make ``concat`` yield NULL, ``to_json`` drop the field, and the
+    'rewrite' suppress back to version 1 while every oracle asserts
+    version 2 (the NULL-testdata lesson; see store_version_diff, which
+    pioneered the guard).  Current testdata has zero NULL texts, so this
+    changes no bytes today — it is a shield against driver-regenerated
+    data (the r4 lesson)."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    bumped = F.concat(txt, F.lit(" [v2]"))
+    if odd_only:
+        docs = docs.where(F.col("doc_id") % 2 == 1)
+        new_text = bumped
+    else:
+        new_text = F.when(F.col("doc_id") % 2 == 1, bumped).otherwise(
+            F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.to_json(F.struct(F.col("lang"), new_text.alias("text")))
+        .alias("value"))
+
+
 def _store_scan(spark: SparkSession, sf_dir: str) -> DatasetStore:
     """documents ingested once, then half the records rewritten: even doc_ids
     with IDENTICAL content (suppressed), odd doc_ids with changed content
@@ -40,18 +64,11 @@ def _store_scan(spark: SparkSession, sf_dir: str) -> DatasetStore:
     key = (sf_dir, "scan")
     if key in _STORES:
         return _STORES[key]
-    store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+    store = DatasetStore(tracked_mkdtemp("po_storeq_"))
     store.create("t", "docs")
     src = _docs_src(spark, sf_dir)
     store.write_entries_df(spark, "t", "docs", src)          # version 1
-    resend = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("record_id"),
-        F.to_json(F.struct(
-            "lang",
-            F.when(F.col("doc_id") % 2 == 1,
-                   F.concat(F.col("text"), F.lit(" [v2]")))
-            .otherwise(F.col("text")).alias("text"))).alias("value"),
-    )
+    resend = _v2_resend(load(spark, sf_dir, "documents"))
     store.write_entries_df(spark, "t", "docs", resend)       # version 2
     _STORES[key] = store
     return store
@@ -146,7 +163,7 @@ def store_readpath_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (sf_dir, "readpath")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store = DatasetStore(tracked_mkdtemp("po_storeq_"))
         store.create("t", "rp_docs")
         store.write_entries_df(spark, "t", "rp_docs",
                                load(spark, sf_dir, "documents")
@@ -200,15 +217,20 @@ def store_export_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _store_scan(spark, sf_dir)  # even ids v1, odd ids v2
     payload = export_collection_bytes(store, "t", "docs", "jsonl", at=2)
     rows = []
+    # filter during envelope iteration — buffering every record's row
+    # before the cutoff filter was O(collection) driver memory for a
+    # 401-row check (the export BYTES are whole-collection by the
+    # operator's own contract; the row list need not be)
     for line in payload.decode("utf-8").splitlines():
         if not line.strip():
             continue
         env = _json.loads(line)
+        if int(env["id"]) > 400:
+            continue
         rows.append((int(env["id"]), env["version"], "data" in env,
                      (env.get("data") or {}).get("lang")))
     return spark.createDataFrame(
-        rows, "doc_id long, version long, has_data boolean, lang string"
-    ).where(F.col("doc_id") <= 400)
+        rows, "doc_id long, version long, has_data boolean, lang string")
 
 
 _EXPORT_AT_ORACLE = """
@@ -233,7 +255,7 @@ def codec_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (sf_dir, "zip")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store = DatasetStore(tracked_mkdtemp("po_storeq_"))
         store.create("t", "zdocs")
         store.write_entries_df(spark, "t", "zdocs",
                                load(spark, sf_dir, "documents")
@@ -270,7 +292,7 @@ def reactive_dag_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (sf_dir, "reactive")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store = DatasetStore(tracked_mkdtemp("po_storeq_"))
         store.create("t", "ro")
         store.write_entries_df(spark, "t", "ro",
                                load(spark, sf_dir, "orders")
@@ -318,7 +340,7 @@ def lens_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     union, so the gate proves incremental == full recompute."""
     key = (sf_dir, "inc")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store = DatasetStore(tracked_mkdtemp("po_storeq_"))
         store.create("t", "orders")
         # bounded slice: the gate proves incremental == full recompute — the
         # property is size-independent, and the driver's 50-query budget is
@@ -384,9 +406,9 @@ def attachments_gc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (sf_dir, "gc")
     if key not in _STORES:
-        att_root = tempfile.mkdtemp(prefix="po_gc_blobs_")
+        att_root = tracked_mkdtemp("po_gc_blobs_")
         att = AttachmentStore(att_root)
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_gc_store_"),
+        store = DatasetStore(tracked_mkdtemp("po_gc_store_"),
                              attachment_checker=att.checker())
         store.create("t", "docs")
         doc_ids = [r["doc_id"] for r in
@@ -440,7 +462,7 @@ def store_links_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (sf_dir, "links")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_links_"))
+        store = DatasetStore(tracked_mkdtemp("po_links_"))
         store.create("t", "docs")
         doc_ids = [r["doc_id"] for r in
                    load(spark, sf_dir, "documents").select("doc_id")
@@ -479,9 +501,6 @@ WHERE doc_id % 3 = 0
 register("store_links_extraction", store_links_extraction, _LINKS_ORACLE)
 
 
-_STREAM_INGEST_STORES: dict[str, DatasetStore] = {}
-
-
 def store_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming INGEST into the storage engine — the 6th real Structured
     Streaming run, and the one that composes streaming with the store: a
@@ -503,14 +522,12 @@ def store_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each micro-batch write is the same distributed
     hash+suppress+append job as batch ingest (no driver materialization);
     state growth is the store itself, not executor memory."""
-    import tempfile as _tf
-
-    if sf_dir not in _STREAM_INGEST_STORES:
-        src_dir = _tf.mkdtemp(prefix="po_stream_ingest_src_")
+    if (sf_dir, "stream_ingest") not in _STORES:
+        src_dir = tracked_mkdtemp("po_stream_ingest_src_")
         docs = _docs_src(spark, sf_dir)
         docs.write.mode("overwrite").parquet(src_dir)
         docs.write.mode("append").parquet(src_dir)  # duplicate delivery
-        store = DatasetStore(_tf.mkdtemp(prefix="po_stream_ingest_"))
+        store = DatasetStore(tracked_mkdtemp("po_stream_ingest_"))
         store.create("t", "stream")
         schema = spark.read.parquet(src_dir).schema
 
@@ -521,12 +538,12 @@ def store_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (spark.readStream.schema(schema).parquet(src_dir)
              .writeStream.foreachBatch(_ingest)
              .option("checkpointLocation",
-                     _tf.mkdtemp(prefix="po_stream_ingest_ck_"))
+                     tracked_mkdtemp("po_stream_ingest_ck_"))
              .trigger(availableNow=True)
              .start())
         q.awaitTermination()
-        _STREAM_INGEST_STORES[sf_dir] = store
-    store = _STREAM_INGEST_STORES[sf_dir]
+        _STORES[(sf_dir, "stream_ingest")] = store
+    store = _STORES[(sf_dir, "stream_ingest")]
     df = store.read_df(spark, "t", "stream")
     parsed = F.from_json("value", "struct<lang:string,text:string>")
     return df.select(
@@ -558,17 +575,11 @@ def store_compact_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     write path uses — distributed read, one range-sorted rewrite."""
     key = (sf_dir, "compact")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_storec_"))
+        store = DatasetStore(tracked_mkdtemp("po_storec_"))
         store.create("t", "docs")
         store.write_entries_df(spark, "t", "docs",
                                _docs_src(spark, sf_dir))       # v1 all
-        resend = load(spark, sf_dir, "documents").select(
-            F.col("doc_id").alias("record_id"),
-            F.to_json(F.struct(
-                "lang",
-                F.when(F.col("doc_id") % 2 == 1,
-                       F.concat(F.col("text"), F.lit(" [v2]")))
-                .otherwise(F.col("text")).alias("text"))).alias("value"))
+        resend = _v2_resend(load(spark, sf_dir, "documents"))
         store.write_entries_df(spark, "t", "docs", resend)     # v2 odds
         dels = [(str(r["doc_id"]), None) for r in
                 load(spark, sf_dir, "documents")
@@ -609,7 +620,7 @@ def store_overwrite_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     version 2."""
     key = (sf_dir, "overwrite")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeo_"))
+        store = DatasetStore(tracked_mkdtemp("po_storeo_"))
         store.create("t", "docs")
         store.write_entries_df(spark, "t", "docs",
                                _docs_src(spark, sf_dir))       # v1 all
@@ -656,7 +667,7 @@ def store_dedup_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     every SF regardless of natural duplication."""
     key = (sf_dir, "dedup_wb")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_storewb_"))
+        store = DatasetStore(tracked_mkdtemp("po_storewb_"))
         store.create("t", "docs")
         docs = load(spark, sf_dir, "documents")
         plant = docs.where(F.col("doc_id") < 8).select(
@@ -714,7 +725,7 @@ def store_meta_vfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (sf_dir, "vfs")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_storevfs_"))
+        store = DatasetStore(tracked_mkdtemp("po_storevfs_"))
         langs = [r["lang"] for r in load(spark, sf_dir, "documents")
                  .select("lang").distinct().collect()]
         for lang in langs:
@@ -777,8 +788,8 @@ def store_cid_import(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (sf_dir, "cid")
     if key not in _STORES:
-        blobs = AttachmentStore(tempfile.mkdtemp(prefix="po_cidblob_"))
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_cidstore_"),
+        blobs = AttachmentStore(tracked_mkdtemp("po_cidblob_"))
+        store = DatasetStore(tracked_mkdtemp("po_cidstore_"),
                              attachment_checker=blobs.checker())
         store.create("t", "uploads")
         docs = (load(spark, sf_dir, "documents")
@@ -860,8 +871,6 @@ def store_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction), tombstones included — the reference's SSE change
     feed (§2.9) as first-class Spark streaming.
     """
-    import tempfile
-
     from ..sources.pigeon_datasource import PigeonDataSource
 
     key = (sf_dir, "streamsrc")
@@ -870,14 +879,14 @@ def store_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.dataSource.register(PigeonDataSource)
         except Exception:
             pass
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_streamsrc_"))
+        store = DatasetStore(tracked_mkdtemp("po_streamsrc_"))
         store.create("t", "feed")
         docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
         store.write_entries_df(spark, "t", "feed", docs.select(
             F.col("doc_id").cast("string").alias("record_id"),
             F.to_json(F.struct("lang", "text")).alias("value")))
-        ck = tempfile.mkdtemp(prefix="po_streamsrc_ck_")
-        out_dir = tempfile.mkdtemp(prefix="po_streamsrc_out_")
+        ck = tracked_mkdtemp("po_streamsrc_ck_")
+        out_dir = tracked_mkdtemp("po_streamsrc_out_")
 
         def run_once() -> None:
             # parquet sink, not memory: the memory sink refuses checkpoint
@@ -900,12 +909,8 @@ def store_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         r1 = spark.read.parquet(out_dir)
         n1 = r1.count()
         s1max = r1.agg(F.max("seq")).first()[0]
-        store.write_entries_df(spark, "t", "feed", docs.where(
-            F.col("doc_id") % 2 == 1).select(
-            F.col("doc_id").cast("string").alias("record_id"),
-            F.to_json(F.struct(
-                "lang", F.concat(F.col("text"), F.lit(" [v2]"))
-                .alias("text"))).alias("value")))
+        store.write_entries_df(spark, "t", "feed",
+                               _v2_resend(docs, odd_only=True))
         store.write_entries("t", "feed", [
             (str(row["doc_id"]), None)
             for row in docs.where(F.col("doc_id") % 10 == 0)
@@ -960,7 +965,7 @@ def store_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.dataSource.register(PigeonDataSource)
         except Exception:
             pass
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_dswrite_"))
+        store = DatasetStore(tracked_mkdtemp("po_dswrite_"))
         store.create("t", "w")
         docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
 
@@ -973,13 +978,7 @@ def store_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         write(docs.select(
             F.col("doc_id").cast("string").alias("record_id"),
             F.to_json(F.struct("lang", "text")).alias("value")))
-        write(docs.select(
-            F.col("doc_id").cast("string").alias("record_id"),
-            F.to_json(F.struct(
-                "lang",
-                F.when(F.col("doc_id") % 2 == 1,
-                       F.concat(F.col("text"), F.lit(" [v2]")))
-                .otherwise(F.col("text")).alias("text"))).alias("value")))
+        write(_v2_resend(docs))
         _STORES[key] = store
     df = _STORES[key].read_df(spark, "t", "w")
     parsed = F.from_json("value", "struct<lang:string,text:string>")
@@ -1082,8 +1081,6 @@ def store_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and unchanged records re-sent by nothing stay at B-version 1 by
     suppression.
     """
-    import tempfile as _tf
-
     from ..sources.pigeon_datasource import PigeonDataSource
 
     key = (sf_dir, "streamrepl")
@@ -1092,15 +1089,15 @@ def store_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.dataSource.register(PigeonDataSource)
         except Exception:
             pass
-        leader = DatasetStore(_tf.mkdtemp(prefix="po_repl_a_"))
+        leader = DatasetStore(tracked_mkdtemp("po_repl_a_"))
         leader.create("t", "feed")
-        follower = DatasetStore(_tf.mkdtemp(prefix="po_repl_b_"))
+        follower = DatasetStore(tracked_mkdtemp("po_repl_b_"))
         follower.create("t", "copy")
         docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
         leader.write_entries_df(spark, "t", "feed", docs.select(
             F.col("doc_id").cast("string").alias("record_id"),
             F.to_json(F.struct("lang", "text")).alias("value")))
-        ck = _tf.mkdtemp(prefix="po_repl_ck_")
+        ck = tracked_mkdtemp("po_repl_ck_")
 
         def replicate() -> None:
             q = (spark.readStream.format("pigeon_optics")
@@ -1121,12 +1118,8 @@ def store_stream_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         replicate()                                   # run 1: initial state
         if follower.read_df(spark, "t", "copy").count() != docs.count():
             raise AssertionError("run-1 replication incomplete")
-        leader.write_entries_df(spark, "t", "feed", docs.where(
-            F.col("doc_id") % 2 == 1).select(
-            F.col("doc_id").cast("string").alias("record_id"),
-            F.to_json(F.struct(
-                "lang", F.concat(F.col("text"), F.lit(" [v2]"))
-                .alias("text"))).alias("value")))
+        leader.write_entries_df(spark, "t", "feed",
+                                _v2_resend(docs, odd_only=True))
         leader.write_entries("t", "feed", [
             (str(row["doc_id"]), None)
             for row in docs.where(F.col("doc_id") % 5 == 0)
@@ -1174,18 +1167,14 @@ def store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = (sf_dir, "timetravel")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_tt_"))
+        store = DatasetStore(tracked_mkdtemp("po_tt_"))
         store.create("t", "hist")
         docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
         store.write_entries_df(spark, "t", "hist", docs.select(      # seq 1
             F.col("doc_id").cast("string").alias("record_id"),
             F.to_json(F.struct("lang", "text")).alias("value")))
-        store.write_entries_df(spark, "t", "hist", docs.where(       # seq 2
-            F.col("doc_id") % 2 == 1).select(
-            F.col("doc_id").cast("string").alias("record_id"),
-            F.to_json(F.struct(
-                "lang", F.concat(F.col("text"), F.lit(" [v2]"))
-                .alias("text"))).alias("value")))
+        store.write_entries_df(spark, "t", "hist",                   # seq 2
+                               _v2_resend(docs, odd_only=True))
         store.write_entries("t", "hist", [                           # seq 3
             (str(row["doc_id"]), None)
             for row in docs.where(F.col("doc_id") % 10 == 0)
@@ -1238,7 +1227,7 @@ def store_sql_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = (sf_dir, "sqlviews")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_sqlv_"))
+        store = DatasetStore(tracked_mkdtemp("po_sqlv_"))
         store.create("t", "alpha")
         store.create("t", "beta")
         docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
@@ -1299,7 +1288,7 @@ def reactive_subscribe_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (sf_dir, "subscribe")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_sub_"))
+        store = DatasetStore(tracked_mkdtemp("po_sub_"))
         store.create("t", "a")
         store.create("t", "b")
         docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
@@ -1308,13 +1297,7 @@ def reactive_subscribe_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("lang", "text")).alias("value"))
         store.write_entries_df(spark, "t", "a", src)            # a v1
         store.write_entries_df(spark, "t", "b", src)            # b v1
-        store.write_entries_df(spark, "t", "a", docs.select(    # a v2
-            F.col("doc_id").cast("string").alias("record_id"),
-            F.to_json(F.struct(
-                "lang",
-                F.when(F.col("doc_id") % 2 == 1,
-                       F.concat(F.col("text"), F.lit(" [v2]")))
-                .otherwise(F.col("text")).alias("text"))).alias("value")))
+        store.write_entries_df(spark, "t", "a", _v2_resend(docs))  # a v2
         store.write_entries_df(spark, "t", "a", src.limit(0))   # empty: no-op
         _STORES[key] = store
     store = _STORES[key]
@@ -1369,7 +1352,7 @@ def store_path_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
     author, name = "team α", "set:7"
     key = (sf_dir, "path_escape")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_storeq_"))
+        store = DatasetStore(tracked_mkdtemp("po_storeq_"))
         store.create(author, name)
         rid = F.concat(
             F.element_at(F.array(F.lit("a/b-"), F.lit("p%"), F.lit("c:"),
@@ -1387,11 +1370,17 @@ def store_path_escaping(spark: SparkSession, sf_dir: str) -> DataFrame:
     coll_path = "/datasets/team%20%CE%B1:set%3A7"
     df = read_path_df(spark, store, coll_path)
 
-    # bounded decode probe: every 7th record's ENCODED point path must
-    # resolve (step 7 is coprime with 5, so ALL five escape classes are
-    # probed — a step of 10 would only ever hit class 0); a decode
-    # defect fails loudly instead of thinning rows
-    for d in range(0, 301, 7):
+    # bounded decode probe: every 7th INGESTED record's ENCODED point
+    # path must resolve (step 7 is coprime with 5, so ALL five escape
+    # classes are probed — a step of 10 would only ever hit class 0); a
+    # decode defect fails loudly instead of thinning rows.  Probe ids
+    # come from the actual fixture (not assumed-contiguous 0..300 —
+    # sparse driver testdata would crash the assumption, the same
+    # defensive rule as attachments_gc_sweep / store_links_extraction)
+    doc_ids = sorted(
+        r["doc_id"] for r in load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300).select("doc_id").collect())
+    for d in doc_ids[::7]:
         prefix = ["a/b-", "p%", "c:", "naïve-", "d "][d % 5]
         p = encode_path("datasets", author, name, f"{prefix}{d}")
         if not path_exists(store, p):
@@ -1449,7 +1438,7 @@ register("store_path_escaping", store_path_escaping, _PATH_ESCAPE_ORACLE)
 def store_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "vdiff")
     if key not in _STORES:
-        store = DatasetStore(tempfile.mkdtemp(prefix="po_vdiff_"))
+        store = DatasetStore(tracked_mkdtemp("po_vdiff_"))
         store.create("t", "vd")
         docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
         # text COALESCEd on BOTH writes: a NULL text would make the

@@ -79,11 +79,25 @@ class PigeonDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema) -> "PigeonSegmentReader":
+        if self.options.get("feed") == "changes":
+            # batch CDF read must match the FEED_SCHEMA that schema()
+            # declared for this option — a resolved-set reader here would
+            # crash with a 5-vs-7 column arity mismatch
+            return PigeonFeedReader(self.options)
         if self.options.get("pushdown") == "true":
             return PigeonPushdownReader(self.options)
         return PigeonSegmentReader(self.options)
 
     def simpleStreamReader(self, schema) -> "PigeonStreamReader":
+        if self.options.get("feed") != "changes":
+            # schema() returned the 5-column resolved-set SCHEMA, but the
+            # stream reader emits 7-column feed rows — and a stream of
+            # the RESOLVED set has no incremental semantics to offer.
+            # Refuse loudly instead of crashing with an arity mismatch.
+            raise ValueError(
+                "pigeon_optics streaming requires option('feed', "
+                "'changes'): the stream source tails the change log; "
+                "the resolved record set is a batch read")
         return PigeonStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "PigeonWriter":
@@ -123,10 +137,10 @@ class PigeonSegmentReader(DataSourceReader):
             table = pq.read_table(path, columns=[
                 "record_id", "value", "hash", "links", "version",
                 "seq", "deleted"], filters=pq_filter)
+            # one segment path = one seq (store._segments contract), so
+            # cross-segment ordering comes from the driver-resolved path
+            # list alone; part files within a segment need no ordering
             rows = table.to_pylist()
-            # distributed segments hold one seq but unordered part files;
-            # order rows by seq for the multi-seq-per-dir safety margin
-            rows.sort(key=lambda r: r["seq"])
             for row in rows:
                 rid = row["record_id"]
                 if zlib.crc32(rid.encode("utf-8")) % partition.n \
@@ -184,12 +198,40 @@ class PigeonPushdownReader(PigeonSegmentReader):
                 for b in buckets]
 
 
-def _seq_of(path: str) -> int:
-    """Segment seq from the filename — the same parse rule as
-    store._segments (``*_<seq>.parquet``)."""
+class PigeonFeedReader(PigeonSegmentReader):
+    """Batch read of the RAW change feed (``option("feed", "changes")``):
+    every log row including tombstones, in the 7-column FEED_SCHEMA —
+    the batch twin of the streaming source, same shape as
+    ``store.read_delta_df`` from the beginning of the retained log.
+    record_id pushdown is a resolution-time optimization and does not
+    apply to the raw log surface."""
+
+    def read(self, partition: _Bucket):
+        import pyarrow.parquet as pq
+
+        for path in partition.segments:      # seq order (driver-resolved)
+            for row in pq.read_table(path, columns=[
+                    "record_id", "value", "hash", "links", "version",
+                    "seq", "deleted"]).to_pylist():
+                rid = row["record_id"]
+                if zlib.crc32(rid.encode("utf-8")) % partition.n \
+                        != partition.idx:
+                    continue
+                yield (rid, row["value"], row["hash"],
+                       list(row["links"] or []), row["version"],
+                       row["seq"], row["deleted"])
+
+
+def _seq_of(path: str) -> int | None:
+    """Segment seq from the path, via the engine's own canonical parse
+    (``store.DatasetStore._seg_seq``) — a second ad-hoc parse here would
+    silently desynchronize the stream offsets from the store's segment
+    rule if the naming ever changed.  None for non-segment names."""
     import os
 
-    return int(os.path.basename(path).split("_")[1].split(".")[0])
+    from ..store import DatasetStore
+
+    return DatasetStore._seg_seq(os.path.basename(path.rstrip("/")))
 
 
 class PigeonStreamReader(SimpleDataSourceStreamReader):
@@ -215,8 +257,21 @@ class PigeonStreamReader(SimpleDataSourceStreamReader):
         store = DatasetStore(o["root"])
         meta = store._meta(o.get("source", "datasets"),  # noqa: SLF001
                            o["author"], o["name"])
+        if -1 < seq < meta.base_seq:
+            # same guard as store.read_delta_df (store.py:525): a
+            # compaction/overwrite dropped the segments between this
+            # checkpoint offset and base_seq — their tombstones are
+            # unrecoverable, so silently resuming would leave a follower
+            # keeping deleted records forever.  A FRESH stream (offset
+            # -1) is fine: replaying the base segment bootstraps the
+            # full state into an empty follower.
+            raise ValueError(
+                f"pigeon_optics stream: checkpoint offset {seq} predates "
+                f"base_seq {meta.base_seq} (compaction/overwrite dropped "
+                "the in-between segments and their tombstones); "
+                "re-bootstrap the follower with a fresh checkpoint")
         return sorted((s, p) for p in store._segments(meta)  # noqa: SLF001
-                      if (s := _seq_of(p)) > seq)
+                      if (s := _seq_of(p)) is not None and s > seq)
 
     @staticmethod
     def _rows_of(path: str):

@@ -300,3 +300,91 @@ def test_staged_write_abort_cleans_staging(tmp_path):
     assert os.path.isdir(w._stage)
     w.abort([])
     assert not os.path.isdir(w._stage)
+
+
+def test_batch_feed_read_is_raw_log_with_tombstones(spark, tmp_path):
+    """Batch read with option feed=changes must return the 7-column
+    FEED_SCHEMA raw log (every seq, tombstones included) — previously
+    reader() ignored the option and crashed with a 5-vs-7 column arity
+    mismatch against the schema() branch."""
+    from pigeon_optics_spark.sources.pigeon_datasource import (
+        PigeonDataSource,
+    )
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    store.write_entries("a", "c", [("r1", {"v": 1}), ("r2", {"v": 2})])
+    store.write_entries("a", "c", [("r1", {"v": 10})])
+    store.delete_record("a", "c", "r2")
+
+    try:
+        spark.dataSource.register(PigeonDataSource)
+    except Exception:
+        pass
+    feed = (spark.read.format("pigeon_optics")
+            .option("root", store.root)
+            .option("author", "a").option("name", "c")
+            .option("feed", "changes")
+            .load())
+    assert set(feed.columns) == {"record_id", "value", "hash", "links",
+                                 "version", "seq", "deleted"}
+    rows = feed.collect()
+    assert len(rows) == 4                       # every log row, no resolution
+    assert sum(1 for r in rows if r["deleted"]) == 1
+    # the exact raw log: seq 1 holds both inserts, seq 2 the update,
+    # seq 3 the tombstone (seqs are 1-based; read_delta_df(since=0) is
+    # the engine twin but the explicit set also pins the numbering)
+    got = {(r["record_id"], r["seq"], r["deleted"]) for r in rows}
+    assert got == {("r1", 1, False), ("r2", 1, False),
+                   ("r1", 2, False), ("r2", 3, True)}
+
+
+def test_stream_reader_requires_feed_option():
+    """A stream without feed=changes would emit 7-column rows against the
+    5-column resolved-set schema — refuse loudly at reader construction."""
+    import pytest
+
+    from pigeon_optics_spark.sources.pigeon_datasource import (
+        PigeonDataSource,
+    )
+
+    ds = PigeonDataSource({"root": "/nonexistent", "author": "a",
+                           "name": "c"})
+    with pytest.raises(ValueError, match="feed"):
+        ds.simpleStreamReader(None)
+
+
+def test_stream_reader_compaction_guard(tmp_path):
+    """A checkpointed offset that predates base_seq must raise (the
+    dropped segments' tombstones are unrecoverable — same rule as
+    store.read_delta_df), while a FRESH stream (offset -1) bootstraps
+    from the base segment."""
+    import pytest
+
+    from pigeon_optics_spark.sources.pigeon_datasource import (
+        PigeonStreamReader,
+    )
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    store.write_entries("a", "c", [("r1", {"v": 1}), ("r2", {"v": 2})])
+    store.write_entries("a", "c", [("r2", None)])      # tombstone
+    store.write_entries("a", "c", [("r3", {"v": 3})])
+    store.compact("a", "c")
+
+    rdr = PigeonStreamReader({"root": store.root, "author": "a",
+                              "name": "c"})
+    # resuming from inside the compacted-away range: loud refusal
+    with pytest.raises(ValueError, match="base_seq"):
+        rdr.read({"seq": 0})
+    with pytest.raises(ValueError, match="base_seq"):
+        list(rdr.readBetweenOffsets({"seq": 0}, {"seq": 99}))
+    # fresh bootstrap: full state from the base segment, no tombstones
+    rows, off = rdr.read(rdr.initialOffset())
+    rows = list(rows)
+    assert {r[0] for r in rows} == {"r1", "r3"}
+    assert not any(r[6] for r in rows)
+    # and the post-bootstrap offset tails normally
+    store.write_entries("a", "c", [("r4", {"v": 4})])
+    inc, _ = rdr.read(off)
+    assert [r[0] for r in list(inc)] == ["r4"]
