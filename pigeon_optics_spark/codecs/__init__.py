@@ -46,6 +46,36 @@ from .jsonml import (
 __all__ = ["Codec", "codec_for", "CODECS", "is_jsonml"]
 
 
+def _bound_decode(fn):
+    """Wrap a byte-decode entry point so a nesting bomb that blows the
+    interpreter stack in a THIRD-PARTY parser (json.loads, yaml) surfaces
+    as the ValueError contract every caller handles — the hand-written
+    kernels (cbor/msgpack/json5/avro) carry their own explicit depth
+    caps, this is the belt for the parsers we don't control."""
+    def wrapped(data):
+        try:
+            return fn(data)
+        except RecursionError as e:
+            raise ValueError(
+                f"decode: input nested too deeply for the parser: {e}"
+            ) from e
+    return wrapped
+
+
+def _bound_decode_iter(fn):
+    """_bound_decode for LAZY decode entry points: generators raise
+    during iteration, not at call time, so the guard must live inside
+    the consuming loop."""
+    def wrapped(data):
+        try:
+            yield from fn(data)
+        except RecursionError as e:
+            raise ValueError(
+                f"decode: input nested too deeply for the parser: {e}"
+            ) from e
+    return wrapped
+
+
 class Codec:
     """One wire format.  All byte-level; text formats use UTF-8."""
 
@@ -62,13 +92,13 @@ class Codec:
         self.extensions = extensions
         self.media_types = media_types
         self.encode = encode
-        self.decode = decode
+        self.decode = _bound_decode(decode)
         self.encode_iterable = encode_iterable
-        self.decode_iterable = decode_iterable
+        self.decode_iterable = _bound_decode_iter(decode_iterable)
         self.encode_entries = encode_entries or (
             lambda entries: encode_iterable(list(entries)))
-        self.decode_entries = decode_entries or (
-            lambda data: iter(decode_iterable(data)))
+        self.decode_entries = _bound_decode_iter(decode_entries) \
+            if decode_entries else self.decode_iterable
         self.binary = binary
 
     def __repr__(self):

@@ -175,7 +175,17 @@ def _read_arg(r: _Reader, info: int) -> int | None:
     raise CBORError(f"bad additional info {info}")
 
 
-def _decode(r: _Reader) -> Any:
+#: maximum container nesting — a 3 KB bomb of nested single-element
+#: arrays otherwise dies with RecursionError, outside the CBORError
+#: (ValueError) contract every caller handles (the avro kernel lesson).
+#: Each level costs ~2 interpreter frames (call + listcomp), so the cap
+#: must sit well under CPython's 1000-frame default
+_MAX_DEPTH = 256
+
+
+def _decode(r: _Reader, depth: int = 0) -> Any:
+    if depth > _MAX_DEPTH:
+        raise CBORError(f"nesting deeper than {_MAX_DEPTH}")
     ib = r.byte()
     major, info = ib >> 5, ib & 0x1F
     if major == 0:
@@ -190,7 +200,7 @@ def _decode(r: _Reader) -> Any:
                 if r.buf[r.pos] == 0xFF:
                     r.pos += 1
                     break
-                chunks.append(_decode(r))
+                chunks.append(_decode(r, depth + 1))
             joined = b"".join(c if isinstance(c, bytes) else c.encode() for c in chunks)
             return joined if major == 2 else joined.decode("utf-8")
         b = r.take(n)
@@ -200,25 +210,25 @@ def _decode(r: _Reader) -> Any:
         if n is None:
             items = []
             while r.buf[r.pos] != 0xFF:
-                items.append(_decode(r))
+                items.append(_decode(r, depth + 1))
             r.pos += 1
             return items
-        return [_decode(r) for _ in range(n)]
+        return [_decode(r, depth + 1) for _ in range(n)]
     if major == 5:
         n = _read_arg(r, info)
         pairs = []
         if n is None:
             while r.buf[r.pos] != 0xFF:
-                pairs.append((_decode(r), _decode(r)))
+                pairs.append((_decode(r, depth + 1), _decode(r, depth + 1)))
             r.pos += 1
         else:
-            pairs = [(_decode(r), _decode(r)) for _ in range(n)]
+            pairs = [(_decode(r, depth + 1), _decode(r, depth + 1)) for _ in range(n)]
         if all(isinstance(k, str) for k, _ in pairs):
             return dict(pairs)
         return PMap(pairs)  # non-string keys: surface as Map
     if major == 6:
         tag = _read_arg(r, info)
-        inner = _decode(r)
+        inner = _decode(r, depth + 1)
         if tag == TAG_DATE_EPOCH:
             return _dt.datetime.fromtimestamp(float(inner), tz=_dt.timezone.utc)
         if tag == TAG_POS_BIGNUM:

@@ -27,9 +27,15 @@ class JSON5Error(ValueError):
 
 
 class _Parser:
+    #: maximum container nesting — a few-KB '[[[[...' bomb otherwise
+    #: dies with RecursionError, outside the JSON5Error (ValueError)
+    #: contract (the codec-kernel lesson; each level costs ~2 frames)
+    MAX_DEPTH = 256
+
     def __init__(self, text: str):
         self.s = text
         self.i = 0
+        self.depth = 0
 
     def err(self, msg: str) -> JSON5Error:
         return JSON5Error(f"{msg} at offset {self.i}")
@@ -57,10 +63,14 @@ class _Parser:
     def value(self) -> Any:
         self.ws()
         c = self.peek()
-        if c == "{":
-            return self.obj()
-        if c == "[":
-            return self.arr()
+        if c in "{[":
+            self.depth += 1
+            if self.depth > self.MAX_DEPTH:
+                raise self.err(f"nesting deeper than {self.MAX_DEPTH}")
+            try:
+                return self.obj() if c == "{" else self.arr()
+            finally:
+                self.depth -= 1
         if c in "\"'":
             return self.string(c)
         for lit, v in (("true", True), ("false", False), ("null", None)):

@@ -46,16 +46,25 @@ def is_jsonml(v: Any) -> bool:
     or JsonML (ref pigeonmark-utils isPigeonMark).  The tag-name check
     matters: ``['0']`` is a plain one-element array, not markup — treating
     arbitrary strings as tags would emit unparseable XML like ``<0/>``."""
-    if not (isinstance(v, list) and v and isinstance(v[0], str)
-            and _TAG_RE.match(v[0])):
-        return False
-    rest = v[1:]
-    if rest and isinstance(rest[0], dict):
-        if not all(isinstance(k, str) and _NAME_RE.match(k) and isinstance(x, str)
-                   for k, x in rest[0].items()):
+    # iterative walk (explicit stack): a deep hostile tree must yield a
+    # BOOLEAN (or the serializer's loud XMLError), never a RecursionError
+    stack = [v]
+    while stack:
+        node = stack.pop()
+        if not (isinstance(node, list) and node and isinstance(node[0], str)
+                and _TAG_RE.match(node[0])):
             return False
-        rest = rest[1:]
-    return all(isinstance(c, str) or is_jsonml(c) for c in rest)
+        rest = node[1:]
+        if rest and isinstance(rest[0], dict):
+            if not all(isinstance(k, str) and _NAME_RE.match(k)
+                       and isinstance(x, str)
+                       for k, x in rest[0].items()):
+                return False
+            rest = rest[1:]
+        for c in rest:
+            if not isinstance(c, str):
+                stack.append(c)
+    return True
 
 
 # --------------------------------------------------------------------------
@@ -74,7 +83,16 @@ def _esc_attr(s: str) -> str:
             .replace("\n", "&#10;").replace("\r", "&#13;"))
 
 
-def _node_to_xml(node: Any, out: list[str]) -> None:
+#: maximum JsonML nesting the serializers will walk — a deep hostile
+#: value (e.g. from decoded foreign data) otherwise dies with
+#: RecursionError, outside the XMLError (ValueError) contract (the
+#: codec-kernel lesson; each level costs ~1-2 interpreter frames)
+_MAX_DEPTH = 256
+
+
+def _node_to_xml(node: Any, out: list[str], depth: int = 0) -> None:
+    if depth > _MAX_DEPTH:
+        raise XMLError(f"JsonML nested deeper than {_MAX_DEPTH}")
     if isinstance(node, str):
         out.append(_esc_text(node))
         return
@@ -88,7 +106,7 @@ def _node_to_xml(node: Any, out: list[str]) -> None:
         rest = rest[1:]
     if tag == "#document":
         for c in rest:
-            _node_to_xml(c, out)
+            _node_to_xml(c, out, depth + 1)
         return
     if tag == "#comment":
         out.append(f"<!--{''.join(str(c) for c in rest)}-->")
@@ -102,7 +120,7 @@ def _node_to_xml(node: Any, out: list[str]) -> None:
     if rest:
         out.append(">")
         for c in rest:
-            _node_to_xml(c, out)
+            _node_to_xml(c, out, depth + 1)
         out.append(f"</{tag}>")
     else:
         out.append("/>")
@@ -276,7 +294,9 @@ VOID_ELEMENTS = frozenset(
 RAW_TEXT_ELEMENTS = frozenset(("script", "style"))
 
 
-def _node_to_html(node: Any, out: list[str]) -> None:
+def _node_to_html(node: Any, out: list[str], depth: int = 0) -> None:
+    if depth > _MAX_DEPTH:
+        raise XMLError(f"JsonML nested deeper than {_MAX_DEPTH}")
     if isinstance(node, str):
         out.append(_esc_text(node))
         return
@@ -289,7 +309,7 @@ def _node_to_html(node: Any, out: list[str]) -> None:
     if tag == "#document":
         out.append("<!DOCTYPE html>")
         for c in rest:
-            _node_to_html(c, out)
+            _node_to_html(c, out, depth + 1)
         return
     if tag == "#comment":
         out.append(f"<!--{''.join(str(c) for c in rest)}-->")
@@ -305,7 +325,7 @@ def _node_to_html(node: Any, out: list[str]) -> None:
             out.append(str(c))  # raw text, unescaped
     else:
         for c in rest:
-            _node_to_html(c, out)
+            _node_to_html(c, out, depth + 1)
     out.append(f"</{tag}>")
 
 

@@ -195,7 +195,26 @@ class _Reader:
         return self.take(1)[0]
 
 
-def _decode_ext(code: int, payload: bytes) -> Any:
+#: maximum container nesting — a few-KB bomb of nested single-element
+#: arrays (or depth-resetting nested ext containers) otherwise dies with
+#: RecursionError, outside the MsgpackError (ValueError) contract (the
+#: avro kernel lesson).  Each level costs ~2 interpreter frames, so the
+#: cap must sit well under CPython's 1000-frame default.
+_MAX_DEPTH = 256
+
+
+def _decode_nested(payload: bytes, depth: int) -> Any:
+    """decode() twin that PRESERVES the nesting depth across ext-payload
+    boundaries — calling the public decode() here would reset the depth
+    counter and reopen the bomb through nested Set/Map/URL exts."""
+    r = _Reader(bytes(payload))
+    v = _decode(r, depth)
+    if r.pos != len(r.buf):
+        raise MsgpackError(f"trailing bytes after msgpack item at {r.pos}")
+    return v
+
+
+def _decode_ext(code: int, payload: bytes, depth: int = 0) -> Any:
     if code >= 0x80:
         code -= 0x100  # signed ext code
     if code == EXT_TIMESTAMP:
@@ -208,12 +227,12 @@ def _decode_ext(code: int, payload: bytes) -> Any:
             nsec, sec = struct.unpack(">Iq", payload)
         return _dt.datetime.fromtimestamp(sec + nsec / 1e9, tz=_dt.timezone.utc)
     if code == EXT_SET:
-        return PSet(decode(payload))
+        return PSet(_decode_nested(payload, depth + 1))
     if code == EXT_MAP:
-        inner = decode(payload)
+        inner = _decode_nested(payload, depth + 1)
         return PMap(inner.entries if isinstance(inner, PMap) else inner.items())
     if code == EXT_URL:
-        return URLValue(decode(payload))
+        return URLValue(_decode_nested(payload, depth + 1))
     if code == EXT_BIGINT:
         return int.from_bytes(payload, "big", signed=True)
     if code == EXT_UNDEFINED:
@@ -221,16 +240,18 @@ def _decode_ext(code: int, payload: bytes) -> Any:
     raise MsgpackError(f"unknown ext type {code}")
 
 
-def _decode(r: _Reader) -> Any:
+def _decode(r: _Reader, depth: int = 0) -> Any:
+    if depth > _MAX_DEPTH:
+        raise MsgpackError(f"nesting deeper than {_MAX_DEPTH}")
     b = r.byte()
     if b < 0x80:
         return b
     if b >= 0xE0:
         return b - 0x100
     if 0x80 <= b < 0x90:
-        return _finish_map(r, b & 0x0F)
+        return _finish_map(r, b & 0x0F, depth)
     if 0x90 <= b < 0xA0:
-        return [_decode(r) for _ in range(b & 0x0F)]
+        return [_decode(r, depth + 1) for _ in range(b & 0x0F)]
     if 0xA0 <= b < 0xC0:
         return r.take(b & 0x1F).decode("utf-8")
     if b == 0xC0:
@@ -250,7 +271,7 @@ def _decode(r: _Reader) -> Any:
              struct.unpack(">H", r.take(2))[0] if b == 0xC8 else
              struct.unpack(">I", r.take(4))[0])
         code = r.byte()
-        return _decode_ext(code, r.take(n))
+        return _decode_ext(code, r.take(n), depth)
     if b == 0xCA:
         return struct.unpack(">f", r.take(4))[0]
     if b == 0xCB:
@@ -274,7 +295,7 @@ def _decode(r: _Reader) -> Any:
     if b in (0xD4, 0xD5, 0xD6, 0xD7, 0xD8):
         n = {0xD4: 1, 0xD5: 2, 0xD6: 4, 0xD7: 8, 0xD8: 16}[b]
         code = r.byte()
-        return _decode_ext(code, r.take(n))
+        return _decode_ext(code, r.take(n), depth)
     if b == 0xD9:
         return r.take(r.byte()).decode("utf-8")
     if b == 0xDA:
@@ -282,18 +303,18 @@ def _decode(r: _Reader) -> Any:
     if b == 0xDB:
         return r.take(struct.unpack(">I", r.take(4))[0]).decode("utf-8")
     if b == 0xDC:
-        return [_decode(r) for _ in range(struct.unpack(">H", r.take(2))[0])]
+        return [_decode(r, depth + 1) for _ in range(struct.unpack(">H", r.take(2))[0])]
     if b == 0xDD:
-        return [_decode(r) for _ in range(struct.unpack(">I", r.take(4))[0])]
+        return [_decode(r, depth + 1) for _ in range(struct.unpack(">I", r.take(4))[0])]
     if b == 0xDE:
-        return _finish_map(r, struct.unpack(">H", r.take(2))[0])
+        return _finish_map(r, struct.unpack(">H", r.take(2))[0], depth)
     if b == 0xDF:
-        return _finish_map(r, struct.unpack(">I", r.take(4))[0])
+        return _finish_map(r, struct.unpack(">I", r.take(4))[0], depth)
     raise MsgpackError(f"bad msgpack byte 0x{b:02x}")
 
 
-def _finish_map(r: _Reader, n: int) -> Any:
-    pairs = [(_decode(r), _decode(r)) for _ in range(n)]
+def _finish_map(r: _Reader, n: int, depth: int = 0) -> Any:
+    pairs = [(_decode(r, depth + 1), _decode(r, depth + 1)) for _ in range(n)]
     if all(isinstance(k, str) for k, _ in pairs):
         return dict(pairs)
     return PMap(pairs)

@@ -236,3 +236,78 @@ def test_js_literal_pretty_printer():
     assert '"odd key"' in out                     # non-identifier key quoted
     assert to_js_literal([]) == "[]" and to_js_literal({}) == "{}"
     assert to_js_literal(Undefined) == "undefined"
+
+
+# ---------------------------------------------------------------------------
+# nesting-bomb crash safety (the avro-kernel lesson applied to every codec):
+# a few KB of nested containers must surface as the ValueError contract,
+# never RecursionError (an executor-task-killing class at scale)
+# ---------------------------------------------------------------------------
+
+
+def test_cbor_nesting_bomb_is_value_error():
+    from pigeon_optics_spark.codecs import cbor
+
+    with pytest.raises(cbor.CBORError, match="nesting"):
+        cbor.decode(b"\x81" * 3000 + b"\x00")
+    # sane depth still decodes
+    assert cbor.decode(b"\x81" * 50 + b"\x00") is not None
+
+
+def test_msgpack_nesting_bomb_is_value_error():
+    import struct
+
+    from pigeon_optics_spark.codecs import msgpack
+
+    with pytest.raises(msgpack.MsgpackError, match="nesting"):
+        msgpack.decode(b"\x91" * 3000 + b"\x00")
+    # the ext-container path must NOT reset the depth budget: nested
+    # ext-Set envelopes (code 72) bombed via the recursive decode() call
+    b = b"\x90"
+    for _ in range(1500):
+        if len(b) < 256:
+            b = b"\xc7" + bytes([len(b)]) + bytes([72]) + b
+        else:
+            b = b"\xc8" + struct.pack(">H", len(b)) + bytes([72]) + b
+    with pytest.raises(msgpack.MsgpackError, match="nesting"):
+        msgpack.decode(b)
+    assert msgpack.decode(b"\x91" * 50 + b"\x00") is not None
+
+
+def test_json5_nesting_bomb_is_value_error():
+    from pigeon_optics_spark.codecs import json5
+
+    with pytest.raises(json5.JSON5Error, match="nesting"):
+        json5.loads("[" * 3000 + "]" * 3000)
+    assert json5.loads("[" * 50 + "]" * 50) is not None
+
+
+def test_json_codec_nesting_bomb_is_value_error():
+    """json.loads (third-party surface) RecursionErrors on deep input —
+    the Codec dispatch wraps it to the ValueError contract, including the
+    LAZY decode_iterable path (generators raise during iteration)."""
+    from pigeon_optics_spark.codecs import codec_for
+
+    bomb = ("[" * 3000 + "]" * 3000).encode()
+    j = codec_for("json")
+    with pytest.raises(ValueError, match="nested too deeply"):
+        j.decode(bomb)
+    with pytest.raises(ValueError, match="nested too deeply"):
+        list(j.decode_iterable(bomb))
+
+
+def test_jsonml_serializer_depth_bounded():
+    """Deep JsonML values (e.g. from decoded foreign data) must raise
+    XMLError from the serializers, and is_jsonml must stay a pure
+    boolean predicate at ANY depth (iterative walk)."""
+    from pigeon_optics_spark.codecs import jsonml
+
+    deep = ["a"]
+    for _ in range(5000):
+        deep = ["a", deep]
+    assert jsonml.is_jsonml(deep)        # deep but VALID: no crash
+    assert not jsonml.is_jsonml(["a", [0]])
+    with pytest.raises(jsonml.XMLError, match="nested deeper"):
+        jsonml.jsonml_to_xml(deep)
+    with pytest.raises(jsonml.XMLError, match="nested deeper"):
+        jsonml.jsonml_to_html(deep)
