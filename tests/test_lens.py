@@ -533,3 +533,41 @@ class TestTimeoutIsCpuBudget:
                      "r"), {"x": 1})
         assert not outputs
         assert errors and errors[0]["type"] == "TimeoutError"
+
+
+class TestUnserializableOutputs:
+    def test_deep_or_unserializable_emit_is_captured_per_record(
+            self, spark, store):
+        """Output SERIALIZATION runs outside harness.run's per-record
+        capture — an emit whose value blows value_to_tagged (a nesting
+        bomb) or json (a type with no tagged form) must surface as a
+        captured per-record error, not kill the whole mapInPandas task;
+        healthy records in the same build keep their outputs."""
+        store.create("system", "bomb-ds")
+        store.write_entries("system", "bomb-ds", [
+            ("good", {"tags": ["ok"]}),
+            ("bomb", {"deep": True}),
+        ])
+        code = (
+            "if data.get('deep'):\n"
+            "    v = []\n"
+            "    for _ in range(5000):\n"
+            "        v = [v]\n"
+            "    output('bad', v)\n"
+            "else:\n"
+            "    output('good-key', data['tags'][0])\n"
+        )
+        create_lens(store, "system", "bomb-lens",
+                    inputs=["/datasets/system:bomb-ds"], code=code)
+        stats = build_lens(spark, store, "system", "bomb-lens")
+        assert stats["mapped"] == 2
+        got = {r["id"]: r["value"] for r in
+               store.iterate("system", "bomb-lens", source="lenses",
+                             fast_read=True)}
+        assert got == {"good-key": "ok"}  # healthy record survived
+        # and the bomb record carries a captured error
+        rows = {r["input_path"]: r for r in
+                lens_logs(spark, store, "system", "bomb-lens").collect()}
+        bad = rows["/datasets/system:bomb-ds/records/bomb"]
+        assert bad["errors"] and any(
+            "unserializable" in e["message"] for e in bad["errors"]), bad
