@@ -146,6 +146,11 @@ def xml_to_jsonml(text: str | bytes) -> Any:
     stack: list[tuple[list[Any], int]] = []
 
     def start(tag, attr_list):
+        if len(stack) >= _MAX_DEPTH:
+            # same cap as every other codec's decode: a deep hostile
+            # document would otherwise produce a value that blows
+            # object_hash / value_to_tagged downstream at store ingest
+            raise XMLError(f"XML nested deeper than {_MAX_DEPTH}")
         attrs = {attr_list[i]: attr_list[i + 1] for i in range(0, len(attr_list), 2)}
         node: list[Any] = [tag, attrs] if attrs else [tag]
         (stack[-1][0] if stack else root_children).append(node)
@@ -346,6 +351,9 @@ class _HTMLToJsonML(html.parser.HTMLParser):
         return self.stack[-1][0] if self.stack else self.root_children
 
     def handle_starttag(self, tag, attrs):
+        if len(self.stack) >= _MAX_DEPTH:
+            # same cap as every other codec's decode (see xml_to_jsonml)
+            raise XMLError(f"HTML nested deeper than {_MAX_DEPTH}")
         node: list[Any] = [tag]
         if attrs:
             node.append({k: (v if v is not None else "") for k, v in attrs})

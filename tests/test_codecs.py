@@ -296,6 +296,21 @@ def test_json_codec_nesting_bomb_is_value_error():
         list(j.decode_iterable(bomb))
 
 
+def test_xml_html_decode_depth_bounded():
+    """A ~15 KB hostile XML/HTML file previously decoded into a
+    5000-deep JsonML value that blew object_hash / value_to_tagged
+    downstream at store ingest — the decode boundary now caps nesting
+    like every other codec."""
+    from pigeon_optics_spark.codecs import jsonml
+
+    bomb = "<a>" * 5000 + "</a>" * 5000
+    with pytest.raises(jsonml.XMLError, match="nested deeper"):
+        jsonml.xml_to_jsonml(bomb)
+    with pytest.raises(jsonml.XMLError, match="nested deeper"):
+        jsonml.html_to_jsonml(bomb)
+    assert jsonml.xml_to_jsonml("<a>" * 200 + "</a>" * 200) is not None
+
+
 def test_jsonml_serializer_depth_bounded():
     """Deep JsonML values (e.g. from decoded foreign data) must raise
     XMLError from the serializers, and is_jsonml must stay a pure
