@@ -334,6 +334,12 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     FLOOR before the int cast matters: Spark's double→int cast truncates
     while DuckDB's rounds half-even — floor makes both engines agree.
+
+    Coverage contract (review note): a document with ZERO tokens (empty,
+    NULL, or punctuation-only text) produces no explode rows and is
+    ABSENT from the output — there is no meaningful 0-token signature.
+    Callers that need one-row-per-input coverage must left-join back to
+    the corpus and treat the NULL signature explicitly.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -566,6 +572,14 @@ def strict_rate_limit(df: DataFrame, gap_us: int = 300_000_000,
             raise TypeError(
                 f"strict_rate_limit: {ts_col!r} must be a timestamp "
                 f"column, got dtype {pdf[ts_col].dtype}")
+        if pdf[ts_col].isna().any():
+            # NaT passes the dtype guard but casts to int64 MIN, and the
+            # gap subtraction then WRAPS numpy int64 — the null row gets
+            # an arbitrary keep flag and corrupts last_kept for the rest
+            # of the group.  Refuse loudly (the NULL-testdata class).
+            raise ValueError(
+                f"strict_rate_limit: {ts_col!r} contains NULL/NaT "
+                "timestamps — filter or coalesce them first")
         ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
         keep = []
         last_kept = None
@@ -609,9 +623,15 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
                          max_bucket_size: int = 64) -> DataFrame:
     """EXACT-threshold set-similarity self-join via prefix filtering — the
     AllPairs/PPJoin family (Bayardo et al. 2007; Xiao et al. 2008): every
-    pair with word-trigram-set Jaccard >= num/den is found, with NO
-    approximation (MinHash-LSH's complement: probabilistic recall there,
-    exact here, at the cost of verifying every candidate).
+    pair with word-trigram-set Jaccard >= num/den whose docs share at
+    least one prefix shingle in a bucket under ``max_bucket_size`` is
+    found exactly (MinHash-LSH's complement: probabilistic recall there,
+    exact verification here).  The UNCONDITIONAL exactness guarantee
+    holds only with ``max_bucket_size=None``: the default cap trades the
+    template-cluster pathology (one shingle shared by >64 near-identical
+    docs floods the candidate join) for bounded worst-case cost, exactly
+    like the minhash band-bucket cap — pass None when completeness
+    matters more than the bound.
 
     Algorithm:
       1. one global document-frequency pass orders each doc's shingles
@@ -727,6 +747,9 @@ def bloom_probe(df: DataFrame, key_col: str, words: DataFrame, m_bits: int,
     The words table broadcasts (it is m/32 rows — always small relative to
     the probe side); each salt contributes one broadcast left join plus a
     mask test, and an absent word row means the bit is unset (coalesce 0).
+    A NULL key hashes to NULL, which must yield ``False`` (never seen) —
+    a NULL flag would vanish from BOTH ``where(flag)`` and
+    ``where(~flag)`` branches of an ingest split (review finding).
     """
     out = df
     tests = []
@@ -739,8 +762,10 @@ def bloom_probe(df: DataFrame, key_col: str, words: DataFrame, m_bits: int,
                      F.expr(f"_bp{i} div 32") == F.col(f"_bw{i}"), "left"))
         tests.append(
             F.coalesce(F.col(f"_bm{i}"), F.lit(0)).bitwiseAND(
-                F.expr(f"shiftleft(CAST(1 AS BIGINT),"
-                       f" CAST(_bp{i} % 32 AS INT))")) != 0)
+                F.coalesce(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT),"
+                           f" CAST(_bp{i} % 32 AS INT))"),
+                    F.lit(0))) != 0)
     cond = tests[0]
     for t in tests[1:]:
         cond = cond & t

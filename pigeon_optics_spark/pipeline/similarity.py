@@ -116,26 +116,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     probes its n_probe best cells and broadcasts into the cell equi-join;
     exact cosine only inside probed cells.  Ties in centroid scores break
     toward the larger cid (max-struct semantics, mirrored in the oracle)."""
-    cents = corpus.orderBy(c_id).limit(n_centroids) \
-        .select(c_id, c_vec).collect()
-    cent_lit = F.array(*[
-        F.struct(
-            F.lit(j).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in row[c_vec]]).alias("cv"),
-        )
-        for j, row in enumerate(cents)
-    ])
-
-    def scored(vec) -> Column:
-        v = F.col(vec) if isinstance(vec, str) else vec
-        return F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                (dot_col(v, c["cv"]) / (norm_col(v) * norm_col(c["cv"])))
-                .alias("cos"),
-                c["cid"].alias("cid"),
-            ),
-        )
+    scored = _centroid_scored(corpus, n_centroids, c_id, c_vec)
 
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
@@ -218,18 +199,9 @@ def kmeans_assign(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
         for j, row in enumerate(cents)
     ])
 
-    def d2(a, b) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b,
-                       lambda x, y: (x.cast("double") - y.cast("double"))
-                       * (x.cast("double") - y.cast("double"))),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     best = F.array_min(F.transform(
         cent_lit,
-        lambda c: F.struct(d2(F.col(vec_col), c["cv"]).alias("d2"),
+        lambda c: F.struct(_d2_col(F.col(vec_col), c["cv"]).alias("d2"),
                            c["cid"].alias("cid")),
     ))
     return emb.select(
@@ -250,6 +222,36 @@ def _pq_codebook(emb: DataFrame, m: int, k: int, dim_sub: int,
          for row in rows]
         for s in range(m)
     ]
+
+
+def _centroid_scored(corpus: DataFrame, n_centroids: int,
+                     id_col: str, vec_col: str):
+    """Deterministic IVF coarse quantizer shared by ivf_topk / ivfpq_topk
+    (one definition so a tie-break or casting tweak can never desync cell
+    assignment between the two): smallest-n ids as centroid literals, and
+    the cosine scorer closure over them."""
+    cents = corpus.orderBy(id_col).limit(n_centroids) \
+        .select(id_col, vec_col).collect()
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(j).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in row[vec_col]]).alias("cv"),
+        )
+        for j, row in enumerate(cents)
+    ])
+
+    def scored(vec) -> Column:
+        v = F.col(vec) if isinstance(vec, str) else vec
+        return F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (dot_col(v, c["cv"]) / (norm_col(v) * norm_col(c["cv"])))
+                .alias("cos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    return scored
 
 
 def _d2_col(a, b) -> Column:
@@ -319,6 +321,13 @@ def _pq_cb_lit(emb, m: int, k: int, id_col: str, vec_col: str):
     element_at).  One definition for all four PQ call sites — dim % m
     truncation behavior changes HERE or nowhere.  → (dim_sub, cb_lit)."""
     dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        # a truncated m*dim_sub reconstruction compared against the FULL
+        # query vector NULL-pads the zip_with fold — every ADC distance
+        # goes NULL and the top-k window returns arbitrary ties.  FAISS
+        # imposes the same precondition; refuse loudly (review finding).
+        raise ValueError(
+            f"PQ requires dim divisible by m (dim={dim}, m={m})")
     dim_sub = dim // m
     cb = _pq_codebook(emb, m, k, dim_sub, id_col, vec_col)
     cb_lit = F.array(*[
@@ -362,7 +371,12 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, m: int = 8, k: int = 16,
     cells for the scan-pruning tier.
     """
     dim_sub, cb_lit = _pq_cb_lit(corpus, m, k, id_col, vec_col)
-    coded = pq_encode(corpus, m, k, id_col, vec_col)
+    # reuse THIS call's codebook literal — calling pq_encode here would
+    # probe the dimension and train the identical codebook a second time
+    # (two extra driver-side jobs per query, review finding)
+    coded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _pq_codes_col(cb_lit, vec_col, m, k, dim_sub).alias("codes"))
     decoded = coded.select(
         F.col("vec_id").alias("neighbor_id"),
         F.flatten(F.transform(
@@ -432,17 +446,23 @@ def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """Asymmetric top-k over SQ8 codes: the corpus side keeps only its
     scalar-quantized codes (:func:`sq8_encode`), queries keep the full
     ``grid`` lattice — the SQ analogue of PQ's ADC.  The score is the exact
-    BIGINT inner product ⟨query-lattice, corpus-codes⟩ (codes ≤ 255,
-    lattice ≤ grid·|x|, 64 dims → far under 2^63), so ranking is integer-
-    deterministic and the DuckDB oracle reproduces it bit-for-bit; a
-    production deployment would de-affine scores with the stored (mn, rng)
-    — a per-row epilogue that doesn't change the machinery.
+    BIGINT weighted inner product ``Σ_d qg_d · code_d · rng_d`` — the
+    de-affined inner product up to a per-query additive constant
+    (``Σ qg_d·mn_d·255``, constant within each query's ranking window)
+    and the positive factor 255, so the top-k ORDER equals ranking by the
+    true dequantized inner product.  Ranking by the RAW code dot product
+    would silently reweight every dimension by ``255/rng_d``, letting a
+    narrow-range noise dimension dominate wide signal dimensions (review
+    finding).  Magnitudes: |qg|≤grid·|x|, code≤255, rng≤2·grid → per-term
+    ≲5·10¹⁰, 64 dims ≲4·10¹² — far under 2^63, integer-deterministic, and
+    the DuckDB oracle reproduces it bit-for-bit.
 
     → (query_id, rank, neighbor_id, score).  Plan: bounded query side
     broadcast into the code scan (the pq_topk/ADC whitelist class), one
     window top-k.  At 100 TB the corpus scan reads 1-byte codes instead of
     float vectors — a 4× IO tier with none of PQ's codebook training."""
-    codes, _mn, _rng = sq8_encode(corpus, grid, id_col, vec_col)
+    codes, _mn, rng = sq8_encode(corpus, grid, id_col, vec_col)
+    rng_lit = F.array(*[F.lit(v) for v in rng])
     qgrid = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(
@@ -453,7 +473,9 @@ def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              .join(F.broadcast(qgrid),
                    F.col("neighbor_id") != F.col("query_id"))
              .withColumn("score", F.aggregate(
-                 F.zip_with("codes", "qg", lambda c, q: c * q),
+                 F.transform(
+                     F.zip_with("codes", "qg", lambda c, q: c * q),
+                     lambda x, i: x * F.element_at(rng_lit, i + 1)),
                  F.lit(0).cast("long"), lambda acc, v: acc + v)))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("neighbor_id"))
@@ -481,26 +503,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
     ``n_probe/n_centroids`` of a corpus scan over 8-byte codes instead of
     full vectors — the memory/IO tiering that makes ANN feasible at 100 TB.
     """
-    cents = corpus.orderBy(id_col).limit(n_centroids) \
-        .select(id_col, vec_col).collect()
-    cent_lit = F.array(*[
-        F.struct(
-            F.lit(j).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in row[vec_col]]).alias("cv"),
-        )
-        for j, row in enumerate(cents)
-    ])
-
-    def scored(vec) -> Column:
-        v = F.col(vec) if isinstance(vec, str) else vec
-        return F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                (dot_col(v, c["cv"]) / (norm_col(v) * norm_col(c["cv"])))
-                .alias("cos"),
-                c["cid"].alias("cid"),
-            ),
-        )
+    scored = _centroid_scored(corpus, n_centroids, id_col, vec_col)
 
     dim_sub, cb_lit = _pq_cb_lit(corpus, m, k, id_col, vec_col)
     # ONE map-only corpus pass computes the cell AND the PQ codes (the two
@@ -616,6 +619,21 @@ def kmeans_train(emb: DataFrame, k: int = 8, iters: int = 2,
             )).collect()
             # Python int/int true division == SQL double(s)/double(cnt):
             # both are the correctly-rounded IEEE quotient of exact inputs
+            # — PROVIDED the big-int sum is double-exact.  Past 2^53,
+            # Python divides the exact integer (correctly rounded once)
+            # while SQL first rounds s to double, then divides: the two
+            # can differ in the last ulp and boundary assignments drift
+            # (review finding).  The guard costs nothing (sums are
+            # already driver-side) and |s| ≤ rows·quant·|x| only nears
+            # 2^53 at ~10^12 rows per cell.
+            for row in sums:
+                for i in range(dim):
+                    if abs(row[f"s{i}"]) >= (1 << 53):
+                        raise ValueError(
+                            "kmeans_train: per-cell component sum "
+                            f"{row[f's{i}']} exceeds 2^53 — the "
+                            "cross-engine bit-identity contract breaks; "
+                            "lower quant or shard the corpus")
             new = {row["centroid"]: [row[f"s{i}"] / row["cnt"]
                                      for i in range(dim)]
                    for row in sums}

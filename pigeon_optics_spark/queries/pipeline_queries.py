@@ -2994,7 +2994,9 @@ register("text_quality_classifier", text_quality_classifier,
 
 # --------------------------------------------------------------------------
 # PPJoin-family exact-threshold similarity join (pipeline.dedup.
-# prefix_jaccard_pairs): EVERY word-trigram-set pair with Jaccard >= 3/5,
+# prefix_jaccard_pairs): every word-trigram-set pair with Jaccard >= 3/5
+# whose docs share a prefix shingle in an under-cap bucket (exactness is
+# unconditional only with max_bucket_size=None — see the docstring),
 # found by prefix filtering + integer cross-multiplication verify — the
 # exact complement of the probabilistic MinHash-LSH gate.  25 matching
 # pairs from 165 candidates at sf0.01 (prefix filter prunes 97.6% of the
@@ -5233,12 +5235,16 @@ dims AS (
   FROM e2 GROUP BY i
 ),
 codes AS (
-  SELECT e2.vec_id, e2.i, (e2.v - d.mn) * 255 // d.rng AS code
+  -- rng rides along: the score is the RANGE-WEIGHTED integer inner
+  -- product (de-affined ranking up to a per-query constant), mirroring
+  -- sq8_topk's review fix — the raw code dot product reweights dims
+  SELECT e2.vec_id, e2.i, (e2.v - d.mn) * 255 // d.rng AS code,
+         d.rng AS rng
   FROM e2 JOIN dims d ON e2.i = d.i
 ),
 sc AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(SUM(q.v * c.code) AS BIGINT) AS score
+         CAST(SUM(q.v * c.code * c.rng) AS BIGINT) AS score
   FROM e2 q JOIN codes c ON q.i = c.i AND c.vec_id != q.vec_id
   WHERE q.vec_id < 20
   GROUP BY 1, 2

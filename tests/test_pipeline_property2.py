@@ -590,10 +590,15 @@ def test_sq8_encode_and_topk_match_python_replica(spark):
     got = [(r["query_id"], r["rank"], r["neighbor_id"], r["score"])
            for r in sq8_topk(emb.where("vec_id < 3"), emb, k=4, grid=grid)
            .collect()]
+    # the score is the RANGE-WEIGHTED integer inner product
+    # Σ_d qg_d·code_d·rng_d (de-affined ranking up to a per-query
+    # constant) — ranking by the raw code dot product would reweight
+    # every dimension by 255/rng_d (review fix)
     want = []
     for q in range(3):
         scored = sorted(
-            ((sum(gq * c for gq, c in zip(g[q], codes[v])), v)
+            ((sum(gq * c * r_ for gq, c, r_ in
+                  zip(g[q], codes[v], rr)), v)
              for v in g if v != q),
             key=lambda t: (-t[0], t[1]))[:4]
         want += [(q, i + 1, v, s) for i, (s, v) in enumerate(scored)]
