@@ -174,6 +174,22 @@ class URLValue:
 # JSON form survives engines that parse numbers as doubles.
 _SAFE_INT = 1 << 53
 
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _dt_to_ms(value: "_dt.datetime") -> int:
+    """Exact epoch-milliseconds (JS ``Date.getTime`` semantics).  The old
+    ``int(value.timestamp() * 1000)`` lost a millisecond once the epoch
+    seconds crossed 2^31 (float64 has 53 significand bits; seconds×1000
+    with sub-ms fractions lands between representable doubles and the
+    truncating int() picks the wrong side — found by a property fuzz at
+    2038-02-01T00:00:00.444Z).  Integer timedelta division is exact; the
+    tagged→value direction mirrors it, so Date values round-trip
+    hash-stably at ANY year."""
+    if value.tzinfo is None:
+        value = value.replace(tzinfo=_dt.timezone.utc)
+    return (value - _EPOCH_UTC) // _dt.timedelta(milliseconds=1)
+
 _TAG_KEYS = frozenset(("type", "data"))
 
 
@@ -197,13 +213,10 @@ def value_to_tagged(value: Any) -> Any:
     if isinstance(value, (bytes, bytearray, memoryview)):
         return {"type": "Buffer", "data": base64.b64encode(bytes(value)).decode("ascii")}
     if isinstance(value, _dt.datetime):
-        ms = int(value.timestamp() * 1000) if value.tzinfo else int(
-            value.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000
-        )
-        return {"type": "Date", "data": ms}
+        return {"type": "Date", "data": _dt_to_ms(value)}
     if isinstance(value, _dt.date):
         dt = _dt.datetime(value.year, value.month, value.day, tzinfo=_dt.timezone.utc)
-        return {"type": "Date", "data": int(dt.timestamp() * 1000)}
+        return {"type": "Date", "data": _dt_to_ms(dt)}
     if isinstance(value, URLValue):
         return {"type": "URL", "data": value.href}
     if isinstance(value, PSet):
@@ -247,7 +260,9 @@ def tagged_to_value(tagged: Any) -> Any:
             if t == "Buffer":
                 return base64.b64decode(d)
             if t == "Date":
-                return _dt.datetime.fromtimestamp(d / 1000.0, tz=_dt.timezone.utc)
+                # exact: timedelta carries integer ms; fromtimestamp(d/1000.0)
+                # loses a millisecond past 2^31 seconds (float53 runs out)
+                return _EPOCH_UTC + _dt.timedelta(milliseconds=d)
             if t == "URL":
                 return URLValue(d)
             if t == "Set":

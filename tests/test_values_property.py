@@ -145,3 +145,29 @@ def test_merge_into_agrees_with_pure_fold(vs):
 def test_number_fold_is_sum(xs):
     got = fold(list(xs))
     assert math.isclose(got, sum(xs), rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_date_ms_exact_past_2031_seconds():
+    """Regression (found by the fuzz): int(timestamp()*1000) lost a
+    millisecond once epoch seconds crossed 2^31 — float64 runs out of
+    significand for seconds*1000 with sub-ms fractions.  Conversions are
+    now exact integer timedelta math in BOTH directions."""
+    import datetime as dt
+    import json
+
+    from pigeon_optics_spark.values import (
+        hash_json_str,
+        object_hash,
+        tagged_to_value,
+        value_to_tagged,
+    )
+
+    v = dt.datetime(2038, 2, 1, 0, 0, 0, 444000, tzinfo=dt.timezone.utc)
+    t = value_to_tagged(v)
+    assert t == {"type": "Date", "data": 2148595200444}
+    assert tagged_to_value(t) == v
+    assert hash_json_str(json.dumps(t)) == object_hash(v)
+    # exact at any year, including pre-epoch negatives
+    for ms in (-2208988800000, -999, -1, 0, 1, 253402300799999):
+        assert value_to_tagged(tagged_to_value(
+            {"type": "Date", "data": ms}))["data"] == ms
