@@ -311,26 +311,36 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
                                      recordID=rid)
                     outputs, logs, errors = harness.run(pinfo, data)
                     nat_key = natural_pad(rid)
-                    out_items = []
-                    for i, oid, v in outputs:
-                        # serialization runs OUTSIDE harness.run's
-                        # per-record capture, so an unserializable emit
-                        # (a function object, a nesting bomb blowing
-                        # value_to_tagged's stack) must become a CAPTURED
-                        # per-record error like any other user-code
-                        # failure — not kill the whole mapInPandas task
-                        try:
-                            out_items.append(
-                                {"i": i, "k": oid,
-                                 "v": dumps(value_to_tagged(v),
-                                            ensure_ascii=False)})
-                        except (TypeError, ValueError, RecursionError) as e:
-                            errors.append({
-                                "type": type(e).__name__,
-                                "message": ("unserializable lens output "
-                                            f"{oid!r}: {e}"),
-                                "line": None,
-                            })
+                    # serialization runs OUTSIDE harness.run's per-record
+                    # capture, so an unserializable emit (a function
+                    # object, a nesting bomb blowing value_to_tagged's
+                    # stack) must become a CAPTURED per-record error —
+                    # not kill the whole mapInPandas task.  The happy
+                    # path stays the plain comprehension (this loop runs
+                    # once per mapped record — the build's hot path);
+                    # only a failing record pays the per-item retry.
+                    try:
+                        out_items = [
+                            {"i": i, "k": oid,
+                             "v": dumps(value_to_tagged(v),
+                                        ensure_ascii=False)}
+                            for i, oid, v in outputs]
+                    except (TypeError, ValueError, RecursionError):
+                        out_items = []
+                        for i, oid, v in outputs:
+                            try:
+                                out_items.append(
+                                    {"i": i, "k": oid,
+                                     "v": dumps(value_to_tagged(v),
+                                                ensure_ascii=False)})
+                            except (TypeError, ValueError,
+                                    RecursionError) as e:
+                                errors.append({
+                                    "type": type(e).__name__,
+                                    "message": ("unserializable lens "
+                                                f"output {oid!r}: {e}"),
+                                    "line": None,
+                                })
                     outputs_json = dumps(out_items, ensure_ascii=False)
                     logs_json = dumps(logs, ensure_ascii=False)
                     errors_json = dumps(errors, ensure_ascii=False)
