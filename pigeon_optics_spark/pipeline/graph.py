@@ -56,11 +56,19 @@ def pagerank(edges: DataFrame, iters: int = 3,
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))).distinct().localCheckpoint()
     n = nodes.count()
+    if n == 0:
+        # 'SCALE div (n*100)' below would be a Python ZeroDivisionError —
+        # refuse with the actual problem named (review finding)
+        raise ValueError("pagerank: empty edge list (no nodes)")
     base = (SCALE * (100 - damping_pct)) // (n * 100)
     r0 = SCALE // n
 
     outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
-    pe = (e.join(outw, "src")
+    # tw == 0 (a src whose edges ALL have weight 0) would DIVIDE_BY_ZERO
+    # under ANSI mode mid-job; such a node sends no rank anywhere — treat
+    # it as dangling (its mass leaks, the documented rule) by dropping
+    # its zero-proportion edges up front
+    pe = (e.join(outw, "src").where(F.col("tw") > 0)
           .select("src", "dst",
                   F.expr(f"(w * {PSCALE}) div tw").alias("p"))
           .localCheckpoint())
@@ -193,7 +201,12 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
     dist = seeds.select(F.col("node"),
                         F.lit(0).cast("long").alias("dist")).distinct()
     for h in range(1, max_hops + 1):
-        frontier = (dist.join(und, dist["node"] == und["a"])
+        # expand only the PREVIOUS round's level: nodes settled earlier
+        # already contributed their neighbors, so re-joining the whole
+        # accumulated set each round costs O(Σ settled degree) per round
+        # for identical results (review finding)
+        level = dist.where(F.col("dist") == h - 1)
+        frontier = (level.join(und, level["node"] == und["a"])
                     .select(F.col("b").alias("node"),
                             F.lit(h).cast("long").alias("dist")))
         dist = (dist.unionByName(frontier)
@@ -226,11 +239,25 @@ def sssp_distances(edges: DataFrame, seeds: DataFrame, max_rounds: int = 3,
                                   F.col(weight).cast("long").alias("w"))))
     dist = seeds.select(F.col("node"),
                         F.lit(0).cast("long").alias("dist")).distinct()
+    frontier = dist
     for _ in range(max_rounds):
-        relaxed = (dist.join(und, dist["node"] == und["a"])
+        # relax only from nodes whose dist IMPROVED last round (the
+        # Bellman-Ford changed-set optimization): an unchanged node's
+        # outgoing relaxations were already applied with the same dist,
+        # so the fixpoint is identical and per-round cost tracks the
+        # frontier degree, not Σ settled degree (review finding)
+        relaxed = (frontier.join(und, frontier["node"] == und["a"])
                    .select(F.col("b").alias("node"),
                            (F.col("dist") + F.col("w")).alias("dist")))
-        dist = (dist.unionByName(relaxed)
-                .groupBy("node").agg(F.min("dist").alias("dist"))
-                .localCheckpoint())
+        new_dist = (dist.unionByName(relaxed)
+                    .groupBy("node").agg(F.min("dist").alias("dist"))
+                    .localCheckpoint())
+        frontier = (new_dist
+                    .join(dist.withColumnRenamed("dist", "_prev"),
+                          "node", "left")
+                    .where(F.col("_prev").isNull()
+                           | (F.col("dist") < F.col("_prev")))
+                    .select("node", "dist")
+                    .localCheckpoint())
+        dist = new_dist
     return dist

@@ -34,6 +34,10 @@ def morton_key(cols: list[Column | str], bits: int = 10) -> Column:
     n = len(cols)
     if not cols:
         raise ValueError("morton_key needs at least one column")
+    if bits < 1:
+        # bits=0 emits NO shift/mask terms -> a constant-zero key, which
+        # silently degrades zorder_repartition to one unsorted partition
+        raise ValueError(f"morton_key: bits must be >= 1, got {bits}")
     if bits * n > 63:
         # JVM shiftleft masks the shift amount mod 64: lanes >= 64 would
         # silently alias back onto low bits and collide distinct inputs
@@ -61,9 +65,13 @@ def zorder_repartition(df: DataFrame, cols: list[str], bits: int = 10,
     stats are tight on every constituent column.  The key column is
     dropped before return; layout is a write-time concern, not schema.
     """
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError(
+            f"zorder_repartition: num_partitions must be >= 1, "
+            f"got {num_partitions}")
     key = morton_key([F.col(c) for c in cols], bits=bits).alias("__zkey")
     with_key = df.withColumn("__zkey", key)
     parted = (with_key.repartitionByRange(num_partitions, "__zkey")
-              if num_partitions else
+              if num_partitions is not None else
               with_key.repartitionByRange("__zkey"))
     return parted.sortWithinPartitions("__zkey").drop("__zkey")

@@ -382,15 +382,21 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     incorporates the stratum and each stratum gets its own rate; strata not
     in ``rates`` fall back to ``default_rate``.  Still a pure filter: no
     shuffle, partition-invariant, reproducible on any engine.
+
+    A NULL stratum COALESCEs to '' for both the hash and the rate lookup
+    — previously the NULL poisoned concat/md5 and the row vanished from
+    the sample regardless of default_rate, silently biasing the mix
+    (review finding).
     """
+    stratum = F.coalesce(F.col(stratum_col).cast("string"), F.lit(""))
     bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(stratum_col),
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), stratum,
                                    F.lit(":"),
                                    F.col(key_col).cast("string"))), 1, 15),
         16, 10).cast("long")
     thresh = F.lit(int(default_rate * (1 << 60)))
-    for stratum, rate in sorted(rates.items()):
-        thresh = F.when(F.col(stratum_col) == stratum,
+    for name, rate in sorted(rates.items()):
+        thresh = F.when(stratum == name,
                         F.lit(int(rate * (1 << 60)))).otherwise(thresh)
     return df.where(bucket < thresh)
 
@@ -1088,9 +1094,12 @@ def normalize_url(url) -> "Column":
         .otherwise(F.split(query, "&")),
         lambda p: (p != "") & ~p.rlike(TRACKING))
     sorted_q = F.array_join(F.array_sort(params), "&")
-    # trailing slash off non-root paths
-    norm_path = F.when(path.rlike("^/.+/$"),
-                       F.regexp_replace(path, "/$", "")).otherwise(path)
+    # trailing slash off non-root paths; EMPTY path unifies with '/'
+    # ('http://x' and 'http://x/' are the same resource, RFC 3986 §6.2.3
+    # — the two most common homepage spellings must dedup together)
+    norm_path = F.when(path == "", F.lit("/")) \
+        .when(path.rlike("^/.+/$"),
+              F.regexp_replace(path, "/$", "")).otherwise(path)
     base = F.concat(scheme, F.lit("://"), host, norm_path)
     return F.when(c.isNull(), F.lit(None).cast("string")) \
         .when(scheme == "", c) \
@@ -1145,6 +1154,11 @@ def pps_systematic_sample(df: DataFrame, step: int,
     """
     from pyspark.sql import Window
 
+    if step < 1:
+        # step=0 is a DIVIDE_BY_ZERO mid-job under ANSI mode; negative
+        # steps yield garbage selections — the context_chunks refusal rule
+        raise ValueError(f"pps_systematic_sample: step must be >= 1, "
+                         f"got {step}")
     toks = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)))
     base = df.select(
@@ -1228,9 +1242,9 @@ def compression_ratio_df(df: DataFrame, text_col: str = "text",
             out = {"doc_id": [], "n_bytes": [], "comp_bytes": [],
                    "ratio_millis": []}
             for did, t in zip(pdf[id_col], pdf[text_col]):
-                if t is None:
-                    continue
-                raw = str(t).encode("utf-8")
+                # row-preserving like the sibling operators: a NULL text
+                # is an empty document, never a silently-vanished row
+                raw = b"" if t is None else str(t).encode("utf-8")
                 comp = _z.compress(raw, level)
                 out["doc_id"].append(int(did))
                 out["n_bytes"].append(len(raw))

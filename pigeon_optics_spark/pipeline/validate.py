@@ -32,15 +32,19 @@ def check_constraints(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     """
     if not checks:
         raise ValueError("no constraints given")
+    # user-supplied check names appear ONLY as string literals — aliasing
+    # the aggregates by name and reading them back through F.col() broke
+    # on dotted names (parsed as struct access) and collided with the
+    # internal _n_rows alias (review finding)
     aggs = [F.count("*").alias("_n_rows")]
-    for name, pred in checks.items():
+    for i, (_name, pred) in enumerate(checks.items()):
         aggs.append(F.sum(F.when(pred, 0).otherwise(1))
-                    .cast("long").alias(name))
+                    .cast("long").alias(f"_c{i}"))
     row = df.agg(*aggs)
     pairs = F.array(*[
         F.struct(F.lit(name).alias("check_name"),
-                 F.coalesce(F.col(name), F.lit(0)).alias("violations"))
-        for name in checks])
+                 F.coalesce(F.col(f"_c{i}"), F.lit(0)).alias("violations"))
+        for i, name in enumerate(checks)])
     return (row.select(F.col("_n_rows").cast("long").alias("n_rows"),
                        F.explode(pairs).alias("p"))
             .select(F.col("p.check_name").alias("check_name"),
@@ -133,8 +137,8 @@ def tukey_winsorize(df: DataFrame, col: str,
     cross join — no global sort, no window.  At 100 TB swap
     percentile -> approx_percentile and the plan is unchanged.
     """
-    q = df.agg(F.expr(f"percentile({col}, 0.25)").alias("_q25"),
-               F.expr(f"percentile({col}, 0.75)").alias("_q75"))
+    q = df.agg(F.percentile(F.col(col), F.lit(0.25)).alias("_q25"),
+               F.percentile(F.col(col), F.lit(0.75)).alias("_q75"))
     iqr = F.col("_q75") - F.col("_q25")
     fences = q.select((F.col("_q25") - k_iqr * iqr).alias("_lo"),
                       (F.col("_q75") + k_iqr * iqr).alias("_hi"))
@@ -185,9 +189,15 @@ def robots_rules(text: str, agent: str = "*") -> list[tuple[bool, str]]:
                 groups.append((agents, grp_rules))
                 agents, grp_rules, in_rules = [], [], False
             agents.append(val.lower())
-        elif key in ("allow", "disallow"):
+        else:
+            # ANY other rule line — allow/disallow but also crawl-delay
+            # etc. — ends the group's user-agent accumulation run (RFC
+            # 9309 grammar).  Treating unknown directives as transparent
+            # merged UNRELATED agents into one group: 'User-agent: a /
+            # Crawl-delay: 10 / User-agent: b / Disallow: /' must NOT
+            # block agent a (review finding).
             in_rules = True
-            if val:
+            if key in ("allow", "disallow") and val:
                 grp_rules.append((key == "allow", val))
     if agents or grp_rules:
         groups.append((agents, grp_rules))

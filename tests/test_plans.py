@@ -784,3 +784,55 @@ def test_wave14_scale_claims(spark, sf_dir):
     # TWAP: one window pass over the per-user order, then one grouped agg
     p = plan_of(events_time_weighted_avg(spark, sf_dir))
     assert p.count("Window") == 1
+
+
+def test_morton_key_and_zorder_param_validation(spark):
+    """bits=0 silently produced a constant-zero key (one unsorted
+    partition instead of a Z-curve layout); num_partitions=0 was treated
+    as 'unspecified'.  Both now refuse loudly (review finding)."""
+    import pytest
+
+    from pigeon_optics_spark.pipeline.layout import (
+        morton_key,
+        zorder_repartition,
+    )
+
+    with pytest.raises(ValueError, match="bits"):
+        morton_key(["a", "b"], bits=0)
+    df = spark.range(4).selectExpr("id AS a", "id AS b")
+    with pytest.raises(ValueError, match="num_partitions"):
+        zorder_repartition(df, ["a", "b"], num_partitions=0)
+
+
+def test_graph_guards_and_frontier_equivalence(spark):
+    """pagerank refuses an empty edge list and treats zero-out-weight
+    sources as dangling instead of DIVIDE_BY_ZERO under ANSI; the
+    BFS/SSSP frontier optimization must not change results."""
+    import pytest
+
+    from pigeon_optics_spark.pipeline.graph import (
+        bfs_distances,
+        pagerank,
+        sssp_distances,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long, weight long")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty)
+    # src 1 has ONLY zero-weight edges: dangling, not a crash
+    e = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 5), (3, 2, 5)], "src long, dst long, weight long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iters=2).collect()}
+    assert set(ranks) == {1, 2, 3}
+
+    # line graph 0-1-2-3-4 with weights: frontier-optimized results equal
+    # the brute expectation
+    edges = spark.createDataFrame(
+        [(i, i + 1, i + 1) for i in range(4)], "u long, v long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    bfs = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, seeds, max_hops=3).collect()}
+    assert bfs == {0: 0, 1: 1, 2: 2, 3: 3}
+    sp = {r["node"]: r["dist"]
+          for r in sssp_distances(edges, seeds, max_rounds=4).collect()}
+    assert sp == {0: 0, 1: 1, 2: 3, 3: 6, 4: 10}

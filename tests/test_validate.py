@@ -307,3 +307,50 @@ def test_robots_rules_grouping_and_decision():
     # length tie -> allow wins
     tie = "User-agent: *\nDisallow: /x/\nAllow: /x/\n"
     assert robots_decision("/x/q", robots_rules(tie)) == (True, 3)
+
+
+def test_robots_unknown_directive_ends_agent_run():
+    """RFC 9309: any rule line (incl. Crawl-delay) ends a group's
+    user-agent accumulation — previously 'beta' merged into alpha's
+    group and alpha was wrongly treated as fully blocked."""
+    from pigeon_optics_spark.pipeline.validate import (
+        robots_decision,
+        robots_rules,
+    )
+
+    txt = ("User-agent: alpha\n"
+           "Crawl-delay: 10\n"
+           "User-agent: beta\n"
+           "Disallow: /\n")
+    assert robots_rules(txt, agent="alpha") == []         # throttled only
+    assert robots_rules(txt, agent="beta") == [(False, "/")]
+    assert robots_decision("/x", robots_rules(txt, "alpha"))[0] is True
+    assert robots_decision("/x", robots_rules(txt, "beta"))[0] is False
+    # consecutive agent lines without intervening rules still group
+    txt2 = "User-agent: a\nUser-agent: b\nDisallow: /p\n"
+    assert robots_rules(txt2, "a") == [(False, "/p")]
+    assert robots_rules(txt2, "b") == [(False, "/p")]
+
+
+def test_check_constraints_awkward_names(spark):
+    """Dotted / internal-colliding check names must work — they are
+    report labels, never column references."""
+    from pigeon_optics_spark.pipeline.validate import check_constraints
+
+    df = spark.createDataFrame([(1,), (-2,)], "price long")
+    out = {r["check_name"]: (r["violations"], r["n_rows"]) for r in
+           check_constraints(df, {
+               "price.positive": F.col("price") > 0,
+               "_n_rows": F.col("price").isNotNull(),
+           }).collect()}
+    assert out["price.positive"] == (1, 2)
+    assert out["_n_rows"] == (0, 2)
+
+
+def test_tukey_winsorize_awkward_column_name(spark):
+    from pigeon_optics_spark.pipeline.validate import tukey_winsorize
+
+    df = spark.createDataFrame([(i,) for i in range(20)] + [(1000,)],
+                               ["my col"])
+    out = tukey_winsorize(df, "my col")
+    assert out.where(F.col("above")).count() == 1
