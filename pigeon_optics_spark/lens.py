@@ -909,6 +909,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     delta = cache_entries.unionByName(gone)
     pre_segs = store._segments(cache_meta)  # noqa: SLF001 — pre-write log
     store.write_entries_df(spark, author, _cache_name(name), delta,
+                           assume_unique_ids=True,
                            source=_CACHE_SOURCE, precanonical=True,
                            no_links=True)
     _trace("cache_write")
@@ -954,7 +955,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         reduced = reduce_outputs(emits, presorted=_segment_foldable(seg_path))
         stats_meta = store.write_entries_df(spark, author, name, reduced,
                                             source="lenses", overwrite=True,
-                                            precanonical=True)
+                                            precanonical=True,
+                                            assume_unique_ids=True)
     else:
         if n_fresh > 0:
             num_parts = max(1, min(256, n_fresh // 20_000 + 1))
@@ -1026,9 +1028,11 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
                 "out_id", "left_anti"
             ).select(F.col("out_id").alias("record_id"),
                      F.lit(None).cast("string").alias("value"))
+            # reduced is keyed by the fold's out_id groupBy; deletes are
+            # an anti-join against it — unique by construction
             stats_meta = store.write_entries_df(
                 spark, author, name, reduced.unionByName(deletes),
-                source="lenses", precanonical=True)
+                source="lenses", precanonical=True, assume_unique_ids=True)
             _trace("output_write")
             reduced.unpersist()
         affected.unpersist()

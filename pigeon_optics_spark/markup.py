@@ -107,22 +107,26 @@ def _parse_selector(selector: str) -> list[list[tuple[str, _Simple]]]:
 
 
 def _walk(node: Any) -> Iterator[Any]:
-    if isinstance(node, list) and node and isinstance(node[0], str):
-        yield node
-        for c in _children(node):
-            yield from _walk(c)
+    # iterative pre-order (explicit stack): a deeply nested JsonML value
+    # must never blow the recursion limit inside the lens sandbox (the
+    # codec nesting-bomb discipline applied here — review finding)
+    stack = [node]
+    while stack:
+        cur = stack.pop()
+        if isinstance(cur, list) and cur and isinstance(cur[0], str):
+            yield cur
+            stack.extend(reversed(_children(cur)))
 
 
 def _match_chain(node: Any, chain: list[tuple[str, _Simple]],
-                 root: Any) -> bool:
-    """Does ``node`` match the full selector chain (right-to-left walk using
-    parent links computed on demand)?"""
+                 parents: dict[int, Any]) -> bool:
+    """Does ``node`` match the full selector chain (right-to-left walk
+    using the caller's parent map)?"""
     comb, last = chain[-1]
     if not last.matches(node):
         return False
     if len(chain) == 1:
         return True
-    parents = _parent_map(root)
     return _match_rest(node, chain[:-1], comb, parents)
 
 
@@ -144,28 +148,32 @@ def _match_rest(node: Any, chain: list[tuple[str, _Simple]], comb: str,
 
 def _parent_map(root: Any) -> dict[int, Any]:
     parents: dict[int, Any] = {}
-
-    def rec(node):
-        for c in _children(node):
-            if isinstance(c, list):
-                parents[id(c)] = node
-                rec(c)
-
     if isinstance(root, list):
-        rec(root)
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            for c in _children(node):
+                if isinstance(c, list):
+                    parents[id(c)] = node
+                    stack.append(c)
     return parents
 
 
 def select(root: Any, selector: str) -> list:
     """All elements in document order matching the CSS selector."""
     groups = _parse_selector(selector)
+    # ONE parent map per call (lazy — only multi-step chains need it):
+    # rebuilding the full O(n) map inside _match_chain for every matching
+    # candidate made multi-step selectors O(n^2) (review finding)
+    parents = (_parent_map(root)
+               if any(len(chain) > 1 for chain in groups) else {})
     out = []
     seen: set[int] = set()
     for node in _walk(root):
         if id(node) in seen:
             continue
         for chain in groups:
-            if chain and _match_chain(node, chain, root):
+            if chain and _match_chain(node, chain, parents):
                 out.append(node)
                 seen.add(id(node))
                 break
@@ -182,7 +190,15 @@ def _text_of(node: Any) -> str:
         return node
     if not isinstance(node, list):
         return ""
-    return "".join(_text_of(c) for c in _children(node))
+    parts: list[str] = []
+    stack = [node]
+    while stack:
+        cur = stack.pop()
+        if isinstance(cur, str):
+            parts.append(cur)
+        elif isinstance(cur, list):
+            stack.extend(reversed(_children(cur)))
+    return "".join(parts)
 
 
 class _Get:

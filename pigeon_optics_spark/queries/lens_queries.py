@@ -53,7 +53,10 @@ def _ensure(spark: SparkSession, sf_dir: str, dataset: str, lens: str,
         return store
     if not store.exists("tpch", dataset):
         store.create("tpch", dataset)
-        store.write_entries_df(spark, "tpch", dataset, src_df)
+        # fixture batches are keyed by the table's primary key — unique
+        # by construction, skip the write's dup-detection aggregation
+        store.write_entries_df(spark, "tpch", dataset, src_df,
+                               assume_unique_ids=True)
     create_lens(store, "tpch", lens, inputs=[f"/datasets/tpch:{dataset}"], code=code)
     build_lens(spark, store, "tpch", lens)
     _BUILT.add(key)

@@ -158,7 +158,11 @@ register("store_natural_order", store_natural_order, _NAT_ORACLE)
 def store_readpath_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readPath over a path LIST (SURVEY §2.1/§2.3 multi-input union): two
     datasets + a duplicate path (skipped first-seen-wins, ref
-    read-path.js:22-25, lens.js:127-133) resolved through the real VFS."""
+    read-path.js:22-25, lens.js:127-133 — the dedup key is the EQUAL
+    PATH, so a record-level path overlapping an already-read collection
+    still resolves, exactly like the reference's per-path reads; the
+    r7 review fixed the old collection-keyed dedup that silently dropped
+    distinct record paths) resolved through the real VFS."""
     from ..vfs import read_path_df
 
     key = (sf_dir, "readpath")
@@ -181,8 +185,8 @@ def store_readpath_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_path_df(spark, store, [
         "/datasets/t:rp_docs",
         "/datasets/t:rp_parts",
-        "/datasets/t:rp_docs",            # duplicate — must be skipped
-        "/datasets/t:rp_parts/records/7"  # duplicate collection — skipped too
+        "/datasets/t:rp_docs",            # duplicate path — must be skipped
+        "/datasets/t:rp_parts/records/7"  # DISTINCT path: record 7 again
     ])
     return df.select(
         "collection",
@@ -200,6 +204,11 @@ FROM documents WHERE doc_id <= 300
 UNION ALL
 SELECT '/datasets/t:rp_parts', p_partkey, p_brand, 1
 FROM part WHERE p_partkey <= 200
+UNION ALL
+-- the record-level path overlapping the collection: delivered again,
+-- the reference's equal-path dedup semantics
+SELECT '/datasets/t:rp_parts', p_partkey, p_brand, 1
+FROM part WHERE p_partkey = 7
 """
 
 register("store_readpath_union", store_readpath_union, _READPATH_ORACLE)

@@ -43,6 +43,7 @@ import fcntl
 import json
 import os
 import re
+import shutil
 import tempfile
 import time
 import uuid
@@ -261,8 +262,6 @@ class DatasetStore:
         return record_id in self._state_meta(self._catalog[key])
 
     def delete_collection(self, author: str, name: str, *, source: str = "datasets") -> None:
-        import shutil
-
         with self._txn(source, author, name), self._catalog_lock:
             meta = self._meta(source, author, name)
             shutil.rmtree(self._dir(meta), ignore_errors=True)
@@ -427,6 +426,13 @@ class DatasetStore:
                 out = {"id": rid, "version": rec["version"],
                        "hash": rec["hash"], "links": rec["links"]}
                 if fast_read:
+                    if rid not in vals:
+                        # _read_values re-lists segments live, so a
+                        # concurrent writer (the multi-process setup _txn
+                        # supports) may have tombstoned this record after
+                        # the _state_meta snapshot — skip it instead of a
+                        # KeyError mid-iteration (review finding)
+                        continue
                     out["value"] = tagged_to_value(json.loads(vals[rid]))
                 yield out
 
@@ -570,11 +576,13 @@ class DatasetStore:
     def write_entries_df(self, spark, author: str, name: str, df, *,
                          source: str = "datasets", overwrite: bool = False,
                          precanonical: bool = False,
-                         no_links: bool = False) -> CollectionMeta:
+                         no_links: bool = False,
+                         assume_unique_ids: bool = False) -> CollectionMeta:
         with self._txn(source, author, name):
             return self._write_entries_df_impl(
                 spark, author, name, df, source=source, overwrite=overwrite,
-                precanonical=precanonical, no_links=no_links)
+                precanonical=precanonical, no_links=no_links,
+                assume_unique_ids=assume_unique_ids)
 
     def compact_df(self, spark, author: str, name: str, *,
                    source: str = "datasets") -> None:
@@ -666,7 +674,8 @@ class DatasetStore:
                                source: str = "datasets",
                                overwrite: bool = False,
                                precanonical: bool = False,
-                               no_links: bool = False) -> CollectionMeta:
+                               no_links: bool = False,
+                               assume_unique_ids: bool = False) -> CollectionMeta:
         """Distributed batch write: ``df`` has columns (record_id, value)
         with ``value`` in tagged-JSON form.
 
@@ -684,8 +693,6 @@ class DatasetStore:
         convention drift against driver-side ``write_entries``.
         """
         import glob as _glob
-        import shutil
-
         from pyspark.sql import functions as F
 
         from .udfs import hash_value_udf, links_udf
@@ -703,6 +710,33 @@ class DatasetStore:
         # passing a numeric key column doesn't write a drifted segment schema
         # (driver-side iterate/export would then crash on natural-sort)
         df = df.withColumn("record_id", F.col("record_id").cast("string"))
+        # batch-contract validation — the write_entries parity rules,
+        # previously driver-path-only (review finding).  Null/empty/
+        # oversize ids break natural-sort and the path surface: checked
+        # PER ROW riding the existing jobs (raise_error, zero extra
+        # stages).  Duplicate ids in ONE batch give two rows the same
+        # seq, so latest-wins picks a NONDETERMINISTIC winner: that check
+        # needs an aggregation of its own, so callers whose batches are
+        # unique BY CONSTRUCTION (a groupBy/distinct immediately
+        # upstream — the lens engine's writes, fixture ingests keyed by a
+        # primary key) may pass ``assume_unique_ids=True`` to skip it —
+        # the precanonical/no_links class of internal fast-path flags.
+        df = df.withColumn("record_id", F.when(
+            F.col("record_id").isNull()
+            | (F.length("record_id") < 1)
+            | (F.length("record_id") > MAX_RECORD_ID_LEN),
+            F.raise_error(F.concat(
+                F.lit("invalid record id (null/empty/oversize): "),
+                F.coalesce(F.col("record_id"), F.lit("<null>")))),
+        ).otherwise(F.col("record_id")))
+        if not assume_unique_ids:
+            chk = df.agg(
+                F.count("*").alias("n"),
+                F.count_distinct("record_id").alias("nd")).first()
+            if chk["nd"] < chk["n"]:
+                raise StoreError(
+                    f"duplicate record ids in batch "
+                    f"({chk['n'] - chk['nd']} extra rows)")
         # canonical-hash + link extraction are CPU-bound Python (Arrow
         # batches); inherit-the-scan partitioning routinely under-parallelizes
         # them (AQE's IO-sized coalesce can leave a 600k-row batch on 1-2
@@ -858,8 +892,12 @@ class DatasetStore:
             "ts": time.time(),
         }
         fn = os.path.join(self.root, "changes", f"{time.time_ns()}_{uuid.uuid4().hex[:8]}.json")
-        with open(fn, "w", encoding="utf-8") as f:
+        # write-then-rename: a subscriber polling the directory must never
+        # observe a partially-written event file (review finding — the
+        # attachment-store commit discipline applied to the feed)
+        with open(fn + ".tmp", "w", encoding="utf-8") as f:
             json.dump(evt, f)
+        os.replace(fn + ".tmp", fn)
 
     # -- maintenance --------------------------------------------------------
 
@@ -870,8 +908,6 @@ class DatasetStore:
         version bump, no change event).  Keeps the latest-wins resolution at
         O(1) segments; on a cluster this is OPTIMIZE."""
         import glob as _glob
-        import shutil
-
         from pyspark.sql import functions as F
 
         meta = self._meta(source, author, name)
@@ -930,7 +966,13 @@ class DatasetStore:
         meta.base_seq = seq
         self._save_catalog()
         for p in old:
-            os.remove(p)
+            # distributed writes commit segments as DIRECTORIES
+            # (write_entries_df, os.replace of the staged dir) — a bare
+            # os.remove raised IsADirectoryError mid-cleanup and orphaned
+            # the rest (review finding; _compact_df_impl already handles
+            # both shapes)
+            (shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p)
+             else os.remove(p))
 
     # -- SQL catalog surface --------------------------------------------------
 
@@ -944,14 +986,27 @@ class DatasetStore:
         resolve latest-wins state AT QUERY TIME relative to this
         instance's catalog snapshot (call :meth:`refresh` first to see
         other writers).  Returns the view names registered."""
+        import hashlib as _hashlib
         import re as _re
 
+        pairs = [(author, name)
+                 for author in self.list_authors(source=source)
+                 for name in self.list_names(author, source=source)]
+        base = {pn: _re.sub(r"[^A-Za-z0-9_]", "_",
+                            f"{prefix}_{pn[0]}_{pn[1]}") for pn in pairs}
+        counts: dict[str, int] = {}
+        for v in base.values():
+            counts[v] = counts.get(v, 0) + 1
         names = []
-        for author in self.list_authors(source=source):
-            for name in self.list_names(author, source=source):
-                view = _re.sub(r"[^A-Za-z0-9_]", "_",
-                               f"{prefix}_{author}_{name}")
-                self.read_df(spark, author, name,
-                             source=source).createOrReplaceTempView(view)
-                names.append(view)
+        for (author, name), view in base.items():
+            if counts[view] > 1:
+                # sanitized collisions ('my-set' vs 'my_set', author/name
+                # splits) ALL get a deterministic hash suffix — never a
+                # silent wrong-table binding (the vfs.register_sql_views
+                # rule, previously missing here — review finding)
+                raw = f"{source}/{author}/{name}"
+                view = f"{view}_{_hashlib.md5(raw.encode()).hexdigest()[:6]}"
+            self.read_df(spark, author, name,
+                         source=source).createOrReplaceTempView(view)
+            names.append(view)
         return names

@@ -32,7 +32,7 @@ import time
 from typing import Callable, Iterator
 
 from .lens import build_lens
-from .paths import decode_path
+from .paths import decode_path, encode_path
 from .store import DatasetStore
 
 CHANGE_SCHEMA = ("path string, source string, author string, name string, "
@@ -75,6 +75,10 @@ def subscribe(store: DatasetStore, *, collection_path: str | None = None,
     n = 0
     if collection_path is not None:
         dp = decode_path(collection_path)
+        # filter on the CANONICAL path: events carry encode_path output,
+        # so matching the caller's raw string would hang forever on any
+        # name needing percent-encoding (review finding)
+        collection_path = dp.collection_path
         meta = store.get_meta(dp.author, dp.name, source=dp.source)
         yield {"path": dp.collection_path, "source": dp.source,
                "author": dp.author, "name": dp.name,
@@ -84,14 +88,17 @@ def subscribe(store: DatasetStore, *, collection_path: str | None = None,
     d = changes_dir(store)
     while True:
         for fn in sorted(os.listdir(d)):
-            if fn in seen:
+            if fn in seen or fn.endswith(".tmp"):
                 continue
-            seen.add(fn)
             try:
                 with open(os.path.join(d, fn), encoding="utf-8") as f:
                     evt = json.load(f)
             except (OSError, json.JSONDecodeError):
+                # do NOT mark seen: a file caught mid-write (or a listing
+                # race) retries next poll instead of dropping the event
+                # forever (review finding)
                 continue
+            seen.add(fn)
             if evt.get("ts", 0.0) <= after_ts:
                 continue
             if collection_path is not None and evt.get("path") != collection_path:
@@ -111,7 +118,7 @@ def boot_broadcast(store: DatasetStore) -> list[dict]:
     events = []
     for meta in store._catalog.values():  # noqa: SLF001 — engine-internal
         events.append({
-            "path": f"/{meta.source}/{meta.author}:{meta.name}",
+            "path": encode_path(meta.source, meta.author, meta.name),
             "source": meta.source, "author": meta.author, "name": meta.name,
             "version": meta.version, "ts": time.time(),
         })
@@ -163,7 +170,11 @@ def rebuild_affected(spark, store: DatasetStore, changed_paths: list[str],
             stats = build_lens(spark, store, author, name)
             built.append({"lens": f"{author}:{name}", **stats})
             if stats["records_changed"]:
-                frontier.append(f"/lenses/{author}:{name}")
+                # canonical form — lens_input_map keys are
+                # decode_path(...).collection_path, so a raw f-string
+                # misses the dict for any name needing percent-encoding
+                # and the cascade silently stops (review finding)
+                frontier.append(encode_path("lenses", author, name))
     return built
 
 

@@ -108,16 +108,22 @@ def _one_path_df(spark, store: DatasetStore, dp: DataPath):
 
 def read_path_df(spark, store: DatasetStore, path: str | list[str]):
     """Resolve a data path (or list) to one DataFrame with provenance
-    columns; duplicate collection paths are skipped first-seen-wins
-    (ref read-path.js:22-25 flattens path lists; lens.js:127-133 dedups)."""
+    columns; duplicate paths are skipped first-seen-wins
+    (ref read-path.js:22-25 flattens path lists; lens.js:127-133 dedups
+    EQUAL paths).  The dedup key includes the record selector — keying on
+    the collection alone silently dropped a second record-level path into
+    the same collection (review finding).  Overlapping selections (a
+    record path plus its whole collection) deliver overlapping rows,
+    matching the reference's per-path reads."""
     paths = [path] if isinstance(path, str) else list(path)
-    seen: set[str] = set()
+    seen: set[tuple[str, str | None]] = set()
     dfs = []
     for p in paths:
         dp = decode_path(p)
-        if dp.collection_path in seen:
+        key = (dp.collection_path, dp.record_id)
+        if key in seen:
             continue
-        seen.add(dp.collection_path)
+        seen.add(key)
         dfs.append(_one_path_df(spark, store, dp))
     if not dfs:
         raise ValueError("no paths given")

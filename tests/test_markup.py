@@ -70,3 +70,20 @@ def test_markup_available_in_lens_code():
     assert errors == []
     assert [(oid, v) for _i, oid, v in outputs] == [
         ("first bold text", 1), ("second", 1)]
+
+
+def test_markup_walkers_handle_deep_trees():
+    """Iterative walkers: a deeply nested JsonML value must not blow the
+    recursion limit inside the lens sandbox (the codec nesting-bomb
+    discipline; review finding)."""
+    from pigeon_optics_spark.markup import Markup, select
+
+    deep = ["leaf", "x"]
+    for _ in range(5000):
+        deep = ["a", deep]
+    found = select(deep, "leaf")
+    assert len(found) == 1 and found[0] == ["leaf", "x"]
+    assert Markup.get.text(deep) == "x"
+    # multi-step chain over the deep tree (parent map path)
+    assert len(select(deep, "a leaf")) == 1
+    assert len(select(deep, "a > leaf")) == 1

@@ -388,3 +388,65 @@ def test_stream_reader_compaction_guard(tmp_path):
     store.write_entries("a", "c", [("r4", {"v": 4})])
     inc, _ = rdr.read(off)
     assert [r[0] for r in list(inc)] == ["r4"]
+
+
+def test_read_path_df_dedup_keeps_distinct_record_paths(spark, tmp_path):
+    """Two record-level paths into the SAME collection must both resolve
+    — the old collection-keyed dedup silently dropped the second."""
+    from pigeon_optics_spark.vfs import read_path_df
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    store.write_entries("a", "c", [("x", {"v": 1}), ("y", {"v": 2}),
+                                   ("z", {"v": 3})])
+    got = {r["record_id"] for r in read_path_df(
+        spark, store,
+        ["/datasets/a:c/records/x", "/datasets/a:c/records/y"]).collect()}
+    assert got == {"x", "y"}
+    # identical paths still dedup first-seen-wins
+    got2 = [r["record_id"] for r in read_path_df(
+        spark, store,
+        ["/datasets/a:c/records/x", "/datasets/a:c/records/x"]).collect()]
+    assert got2 == ["x"]
+
+
+def test_write_entries_df_batch_contract(spark, tmp_path):
+    """write_entries_df mirrors write_entries' batch rules: duplicate ids
+    in one batch (nondeterministic latest-wins) and null ids refuse."""
+    import pytest
+
+    from pigeon_optics_spark.store import StoreError
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    dup = spark.createDataFrame(
+        [("k", '{"v":1}'), ("k", '{"v":2}')], "record_id string, value string")
+    with pytest.raises(StoreError, match="duplicate"):
+        store.write_entries_df(spark, "a", "c", dup)
+    # null/empty ids fail via the per-row raise_error riding the write
+    # job (the maxRecordSize-guard pattern) — a Spark-side exception
+    # whose message names the problem
+    bad = spark.createDataFrame(
+        [(None, '{"v":1}')], "record_id string, value string")
+    with pytest.raises(Exception, match="invalid record id"):
+        store.write_entries_df(spark, "a", "c", bad)
+    # assume_unique_ids skips only the DUP aggregation, not the id rules
+    with pytest.raises(Exception, match="invalid record id"):
+        store.write_entries_df(spark, "a", "c", bad,
+                               assume_unique_ids=True)
+
+
+def test_driver_compact_handles_directory_segments(spark, tmp_path):
+    """Driver-side compact() on a collection whose segments are
+    DIRECTORIES (distributed writes) previously died with
+    IsADirectoryError mid-cleanup."""
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    df = spark.createDataFrame(
+        [(str(i), '{"v":%d}' % i) for i in range(10)],
+        "record_id string, value string")
+    store.write_entries_df(spark, "a", "c", df)
+    store.write_entries("a", "c", [("5", None)])      # tombstone
+    store.compact("a", "c")
+    got = {r["id"] for r in store.iterate("a", "c")}
+    assert got == {str(i) for i in range(10)} - {"5"}
