@@ -195,14 +195,23 @@ def _decode(r: _Reader, depth: int = 0) -> Any:
     if major == 2 or major == 3:
         n = _read_arg(r, info)
         if n is None:  # indefinite-length string: concat chunks
+            # RFC 8949 §3.2.3: every chunk must be a definite-length
+            # string of the SAME major type — anything else is malformed.
+            want = bytes if major == 2 else str
             chunks = []
             while True:
                 if r.buf[r.pos] == 0xFF:
                     r.pos += 1
                     break
-                chunks.append(_decode(r, depth + 1))
-            joined = b"".join(c if isinstance(c, bytes) else c.encode() for c in chunks)
-            return joined if major == 2 else joined.decode("utf-8")
+                c = _decode(r, depth + 1)
+                if type(c) is not want:
+                    raise CBORError(
+                        f"indefinite-length string chunk is "
+                        f"{type(c).__name__}, expected {want.__name__}")
+                chunks.append(c)
+            if major == 2:
+                return b"".join(chunks)
+            return "".join(chunks)
         b = r.take(n)
         return b if major == 2 else b.decode("utf-8")
     if major == 4:

@@ -524,7 +524,7 @@ def heavy_hitters(df: DataFrame, min_doc_frac: float = 0.2,
     words = df.select(F.col(id_col), F.explode(toks).alias("word"))
     counts = words.groupBy("word").agg(F.count("*").alias("doc_freq"))
     totals = (df.agg(F.count("*").alias("n_docs"))
-              .crossJoin(words.agg(F.count("*").alias("n_adds"))))
+              .crossJoin(F.broadcast(words.agg(F.count("*").alias("n_adds")))))
     return (counts.crossJoin(F.broadcast(totals))
             .where(F.col("doc_freq")
                    >= F.lit(min_doc_frac) * F.col("n_docs"))

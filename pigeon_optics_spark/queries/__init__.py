@@ -43,53 +43,52 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 #: (hand-maintained lists drifted twice in r5; the executable form is
 #: the source of truth).  ROUND_NOTES "r7 rotation plan" orders it.
 _DRIVER_PRIORITY = [
-    # ===== r7 rotation window (exactly 50) — VERDICT r6 item 1. =====
-    # This is the FINAL never-driver-checked backlog: after this window
-    # every gate in the 212-gate registry has at least one driver row.
-    # The list was computed executably (see the snippet below) and
-    # matches ROUND_NOTES "r7 window — the EXACT 50 names" verbatim;
-    # the in-session invariant test verifies count/uniqueness/registry
+    # ===== r8 refresh window (exactly 50) — VERDICT r7 item 1. =====
+    # The never-checked backlog is retired (every gate has >=1 green
+    # driver row); from r8 on the window refreshes the OLDEST rows.
+    # Computed executably at r8 start from CORRECTNESS_r*.json ∩ the
+    # live registry (histogram r3×14 r4×48 r5×50 r6×50 r7×50) and
+    # matches ROUND_NOTES "r8 refresh plan" name-for-name.  The
+    # in-session invariant test verifies count/uniqueness/registry
     # membership and that all_queries() emits these first.
-    # --- displaced-from-r6 singles (introduce-with-evidence debts) ---
-    "xml_native_ingest", "parquet_schema_evolution", "text_robots_filter",
-    "text_quality_classifier", "dedup_bloom_membership",
-    "events_geohash_density", "events_pattern_matches", "events_rate_limit",
-    "q2_best_value_supplier", "orc_roundtrip",
-    # --- real Structured Streaming runs (shared-harness twins) ---
-    "events_stream_ewma", "events_stream_holt", "events_stream_ohlc",
-    "events_stream_twap", "events_stream_cusum", "events_stream_pattern",
-    "events_stream_rate_limit", "events_stream_static_join",
-    "events_stream_dedup_watermark",
-    # --- TPC-H breadth (the remaining 10 singles) ---
-    "q6_forecast_revenue", "q8_market_share", "q9_product_type_profit",
-    "q10_returned_revenue", "q11_important_parts", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_counts", "q19_disjunctive_revenue",
-    "q22_idle_balance",
-    # --- dirty-ingest pair + connector write half ---
-    "csv_dirty_ingest", "json_dirty_ingest",
-    "store_datasource_write", "store_stream_replicate",
-    # --- events batch singles ---
-    "events_feature_snapshot", "events_forecast_backtest",
-    "events_ohlc_bars", "events_time_weighted_avg", "events_windowed_funnel",
-    # --- text / dedup / graph / emb / pipeline singles ---
-    "text_pmi_pairs", "text_span_dedup_removal", "text_vocab_ids",
-    "text_winsorize", "corpus_curation_report", "graph_link_prediction",
-    "emb_maxsim_colbert", "pipeline_decision_audit",
-    # --- query-shape singles ---
-    "q_salted_join", "q_status_islands", "q_zorder_curve",
-    "multimodal_bmp_png_consistency",
+    # --- the 14 gates whose newest row is r3 ---
+    "dedup_embedding_pairs", "dedup_exact_documents", "dedup_ngram_pairs",
+    "dedup_simhash_signatures", "emb_kmeans_assign", "emb_pq_codes",
+    "emb_pq_topk", "multimodal_audio_meta", "multimodal_real_image_meta",
+    "text_chunk_dedup", "text_contamination", "text_pack_sequences",
+    "text_pii_scrub", "text_tfidf_top_terms",
+    # --- r4-history flagships first (VERDICT r7 item 1 order) ---
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "lens_sum_qty_by_partkey", "lens_invert_part_types",
+    "lens_incremental_rebuild", "dedup_minhash_pairs",
+    "dedup_minhash_components", "ann_topk_methods", "pipeline_end_to_end",
+    # --- remaining r4-history gates, alphabetical (first 26 of 38) ---
+    "asof_join_events_orders", "codec_transcode_roundtrip",
+    "codec_zip_manifest", "events_range_join", "events_sliding_windows",
+    "events_stream_dedup", "events_stream_stateful", "events_stream_tumbling",
+    "events_topk_per_type", "events_tumbling_counts",
+    "lens_count_orders_by_status", "lens_object_merge_stats",
+    "multimodal_gif_frames", "q_approx_aggregates", "q_cube_volumes",
+    "q_distinct_suppliers_per_flag", "q_event_zscores", "q_exact_quantiles",
+    "q_export_at_filter", "q_full_outer_join", "q_moving_average",
+    "q_orderpriority_checker", "q_point_lookup_documents", "q_rollup_returns",
+    "q_scalar_functions", "q_segment_setops",
     # ===== end of the 50-slot window =====
     #
-    # Never-driver-checked backlog AFTER this window: EMPTY (this window
-    # retires it).  r8 refreshes the oldest rows instead — the 14
-    # r2/r3-history gates + flagships (ROUND_NOTES "r8 refresh plan").
-    # Enumerate evidence state executably (the source of truth):
-    #   python -c "import json,glob; from pigeon_optics_spark.queries
-    #   import all_queries; rows=set().union(*[set(json.load(open(f)))
-    #   for f in glob.glob('CORRECTNESS_r*.json')]);
-    #   print([q for q in all_queries() if q not in rows])"
-    # (kept executable rather than as a hand-maintained list — the r5
-    # hand-lists drifted twice.)
+    # The 12 remaining r4-history gates lead the r9 window (ROUND_NOTES
+    # "r9 refresh plan"): q_semi_anti_joins, q_top3_customers_per_nation,
+    # reactive_dag_cascade, store_delta_read, store_export_at,
+    # store_natural_order, store_point_lookup, store_readpath_union,
+    # store_scan_documents, text_bigram_lm, text_profile, text_samples.
+    # Recompute staleness executably each round (the source of truth —
+    # hand-lists drifted twice in r5):
+    #   python -c "import json,glob,re; from pigeon_optics_spark.queries
+    #   import all_queries; latest={};
+    #   [latest.update({k:int(re.search(r'r(\\d+)',f).group(1)) for k in
+    #   json.load(open(f))}) for f in
+    #   sorted(glob.glob('CORRECTNESS_r*.json'))];
+    #   print(sorted((r,k) for k,r in latest.items()
+    #   if k in all_queries())[:50])"
 ]
 
 

@@ -715,12 +715,21 @@ class DatasetStore:
         # oversize ids break natural-sort and the path surface: checked
         # PER ROW riding the existing jobs (raise_error, zero extra
         # stages).  Duplicate ids in ONE batch give two rows the same
-        # seq, so latest-wins picks a NONDETERMINISTIC winner: that check
-        # needs an aggregation of its own, so callers whose batches are
-        # unique BY CONSTRUCTION (a groupBy/distinct immediately
-        # upstream — the lens engine's writes, fixture ingests keyed by a
-        # primary key) may pass ``assume_unique_ids=True`` to skip it —
-        # the precanonical/no_links class of internal fast-path flags.
+        # seq, so latest-wins picks a NONDETERMINISTIC winner: that
+        # class is checked AFTER the write job, on the STAGED segment
+        # parquet (one column-pruned scan of materialized data) rather
+        # than by re-evaluating the — possibly expensive, uncached —
+        # upstream lineage a second time; the segment only commits
+        # (rename + version bump + change event) once the check passes.
+        # Checking post-suppression is also the precise contract: dup
+        # ids whose extra rows were all hash-suppressed leave at most
+        # one row at this seq, so the stored outcome is deterministic.
+        # Callers whose batches are unique BY CONSTRUCTION (a groupBy /
+        # distinct immediately upstream — the lens engine's writes,
+        # fixture ingests keyed by a primary key) may pass
+        # ``assume_unique_ids=True`` to skip the scan entirely — only
+        # safe under that by-construction guarantee, like the
+        # precanonical/no_links class of internal fast-path flags.
         df = df.withColumn("record_id", F.when(
             F.col("record_id").isNull()
             | (F.length("record_id") < 1)
@@ -729,14 +738,6 @@ class DatasetStore:
                 F.lit("invalid record id (null/empty/oversize): "),
                 F.coalesce(F.col("record_id"), F.lit("<null>")))),
         ).otherwise(F.col("record_id")))
-        if not assume_unique_ids:
-            chk = df.agg(
-                F.count("*").alias("n"),
-                F.count_distinct("record_id").alias("nd")).first()
-            if chk["nd"] < chk["n"]:
-                raise StoreError(
-                    f"duplicate record ids in batch "
-                    f"({chk['n'] - chk['nd']} extra rows)")
         # canonical-hash + link extraction are CPU-bound Python (Arrow
         # batches); inherit-the-scan partitioning routinely under-parallelizes
         # them (AQE's IO-sized coalesce can leave a 600k-row batch on 1-2
@@ -841,6 +842,20 @@ class DatasetStore:
                     max_version = max([max_version or 0] + vals.to_pylist())
                     break
 
+        if not assume_unique_ids and n_rows > 1:
+            # duplicate-id gate on the MATERIALIZED staged rows (see the
+            # batch-contract note above): column-pruned scan, no upstream
+            # re-evaluation, abort-before-commit so nothing is visible
+            chk = spark.read.parquet(stage).agg(
+                F.count("*").alias("n"),
+                F.count_distinct("record_id").alias("nd")).first()
+            if chk["nd"] < chk["n"]:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise StoreError(
+                    f"duplicate record ids in batch "
+                    f"({chk['n'] - chk['nd']} extra rows)")
+            _trace("dup_check")
+
         new_rows = max_version is not None and max_version >= next_version
         changed = (new_rows or n_dropped > 0) if overwrite else n_rows > 0
         if not changed:
@@ -891,13 +906,27 @@ class DatasetStore:
             "version": meta.version,
             "ts": time.time(),
         }
-        fn = os.path.join(self.root, "changes", f"{time.time_ns()}_{uuid.uuid4().hex[:8]}.json")
+        changes_dir = os.path.join(self.root, "changes")
+        fn = os.path.join(changes_dir, f"{time.time_ns()}_{uuid.uuid4().hex[:8]}.json")
         # write-then-rename: a subscriber polling the directory must never
         # observe a partially-written event file (review finding — the
         # attachment-store commit discipline applied to the feed)
         with open(fn + ".tmp", "w", encoding="utf-8") as f:
             json.dump(evt, f)
         os.replace(fn + ".tmp", fn)
+        # sweep orphans: a crash between open and os.replace leaves a
+        # .tmp behind forever (subscribers skip them but never delete).
+        # Anything older than a minute cannot belong to an in-flight emit
+        # — the write above is microseconds — so it is crash debris.
+        now = time.time()
+        for other in os.listdir(changes_dir):
+            if other.endswith(".tmp"):
+                p = os.path.join(changes_dir, other)
+                try:
+                    if now - os.path.getmtime(p) > 60:
+                        os.remove(p)
+                except OSError:
+                    pass  # concurrent emitter already swept it
 
     # -- maintenance --------------------------------------------------------
 

@@ -326,3 +326,21 @@ def test_jsonml_serializer_depth_bounded():
         jsonml.jsonml_to_xml(deep)
     with pytest.raises(jsonml.XMLError, match="nested deeper"):
         jsonml.jsonml_to_html(deep)
+
+
+def test_cbor_indefinite_string_rejects_foreign_chunk():
+    """RFC 8949 §3.2.3: indefinite-length string chunks must be
+    definite-length strings of the SAME major type.  A crafted stream
+    embedding e.g. an int chunk previously hit ``c.encode()`` and raised
+    AttributeError, escaping the CBORError contract (ADVICE r8)."""
+    from pigeon_optics_spark.codecs import cbor
+
+    # 0x7f = indefinite text string, 0x01 = unsigned int chunk, 0xff = break
+    with pytest.raises(cbor.CBORError, match="chunk"):
+        cbor.decode(b"\x7f\x01\xff")
+    # 0x5f = indefinite byte string with a text-string chunk (0x61 'a')
+    with pytest.raises(cbor.CBORError, match="chunk"):
+        cbor.decode(b"\x5f\x61a\xff")
+    # well-formed streams still concatenate
+    assert cbor.decode(b"\x7f\x61a\x61b\xff") == "ab"
+    assert cbor.decode(b"\x5f\x41a\x41b\xff") == b"ab"

@@ -450,3 +450,69 @@ def test_driver_compact_handles_directory_segments(spark, tmp_path):
     store.compact("a", "c")
     got = {r["id"] for r in store.iterate("a", "c")}
     assert got == {str(i) for i in range(10)} - {"5"}
+
+
+def test_dup_check_post_write_aborts_before_commit(spark, tmp_path):
+    """The duplicate-id gate runs on the STAGED parquet (ADVICE r8 — no
+    second evaluation of the upstream lineage) and aborts BEFORE the
+    segment commits: no version bump, no stray stage dir, no change
+    event."""
+    import os
+
+    import pytest
+
+    from pigeon_optics_spark.store import StoreError
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    changes = os.path.join(str(tmp_path / "ds"), "changes")
+    feed_before = sorted(f for f in os.listdir(changes) if f.endswith(".json"))
+    ver_before = store.get_meta("a", "c").version
+    dup = spark.createDataFrame(
+        [("k", '{"v":1}'), ("k", '{"v":2}'), ("j", '{"v":3}')],
+        "record_id string, value string")
+    with pytest.raises(StoreError, match="duplicate"):
+        store.write_entries_df(spark, "a", "c", dup)
+    assert store.get_meta("a", "c").version == ver_before
+    coll_dir = store._dir(store._meta("datasets", "a", "c"))
+    assert not [d for d in os.listdir(coll_dir) if d.startswith("_stage_")]
+    assert list(store.iterate("a", "c")) == []
+    # events feed saw nothing from the aborted batch
+    feed_after = sorted(f for f in os.listdir(changes) if f.endswith(".json"))
+    assert feed_after == feed_before
+
+
+def test_dup_check_ignores_fully_suppressed_duplicates(spark, tmp_path):
+    """Post-suppression semantics: duplicate ids whose extra copies are
+    all hash-suppressed leave at most one staged row at this seq, so the
+    stored outcome is deterministic and the batch is accepted."""
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    store.write_entries("a", "c", [("k", {"v": 1})])
+    # one copy identical to current (suppressed), one new value (written)
+    from pigeon_optics_spark.values import canonical_json
+    cur = canonical_json({"v": 1})
+    dup = spark.createDataFrame(
+        [("k", cur), ("k", '{"v":2}')], "record_id string, value string")
+    store.write_entries_df(spark, "a", "c", dup)
+    assert store.read("a", "c", "k") == {"v": 2}
+
+
+def test_change_feed_sweeps_stale_tmp_orphans(tmp_path):
+    """A crash between open and os.replace leaves a .tmp in changes/;
+    the next emit sweeps orphans older than a minute but leaves fresh
+    ones (a concurrent emitter mid-write) alone (ADVICE r8)."""
+    import os
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    changes = os.path.join(str(tmp_path / "ds"), "changes")
+    stale = os.path.join(changes, "111_dead.json.tmp")
+    fresh = os.path.join(changes, "222_live.json.tmp")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{")
+    os.utime(stale, (1.0, 1.0))          # ancient mtime → crash debris
+    store.create("a", "c")
+    store.write_entries("a", "c", [("k", {"v": 1})])   # emits a change event
+    left = {f for f in os.listdir(changes) if f.endswith(".tmp")}
+    assert left == {"222_live.json.tmp"}
