@@ -516,3 +516,30 @@ def test_change_feed_sweeps_stale_tmp_orphans(tmp_path):
     store.write_entries("a", "c", [("k", {"v": 1})])   # emits a change event
     left = {f for f in os.listdir(changes) if f.endswith(".tmp")}
     assert left == {"222_live.json.tmp"}
+
+
+def test_batch_write_evaluates_lineage_once(spark, tmp_path):
+    """The dup-id guard must not re-evaluate the input DataFrame's
+    upstream lineage (ADVICE r8: the pre-write count/count_distinct
+    aggregation ran the whole — possibly expensive — plan a second
+    time).  A counting UDF in the record_id derivation proves the plan
+    runs exactly once per row even WITH the dup check enabled."""
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def tag_id(v):
+        acc.add(1)
+        return str(v)
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    base = spark.range(64).select(
+        tag_id("id").alias("record_id"),
+        F.concat(F.lit('{"v":'), F.col("id").cast("string"), F.lit("}"))
+        .alias("value"))
+    store.write_entries_df(spark, "a", "c", base)   # dup check ON
+    assert acc.value == 64, (
+        f"lineage evaluated {acc.value / 64:.1f}x (expected once)")
+    assert len(list(store.iterate("a", "c"))) == 64
