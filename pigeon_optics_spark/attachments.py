@@ -60,9 +60,16 @@ class AttachmentStore:
         path = self._path(h)
         if not os.path.exists(path):  # content-addressed: idempotent
             fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-            with os.fdopen(fd, "wb") as f:
-                f.write(data)
-            os.replace(tmp, path)  # write-then-rename, ref attachments.js:38-43
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, path)  # write-then-rename, attachments.js:38-43
+            except Exception:
+                # mirror add_stream's cleanup: a failed write (disk full)
+                # must not leave a spool orphan behind
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                raise
         return self.url(h, mime=mime)
 
     def add_stream(self, stream: BinaryIO, *, mime: str | None = None,
@@ -201,13 +208,38 @@ class AttachmentStore:
         return orphans.select("hash").mapInPandas(
             _delete, "hash string, deleted boolean")
 
+    def sweep_spool_orphans(self, *, max_age_seconds: float = 3600.0) -> int:
+        """Remove ``.tmp`` spool files older than ``max_age_seconds`` — the
+        crash-debris sweep (a process dying between mkstemp and os.replace
+        leaves its spool behind forever; listings/GC skip .tmp but nothing
+        else deletes them — the change-feed orphan class).  The age bound
+        keeps a CONCURRENT writer's in-flight spool safe.  Returns the
+        number removed."""
+        import time
+
+        now = time.time()
+        removed = 0
+        for entry in os.listdir(self.root):
+            if not entry.endswith(".tmp"):
+                continue
+            p = os.path.join(self.root, entry)
+            try:
+                if now - os.path.getmtime(p) > max_age_seconds:
+                    os.remove(p)
+                    removed += 1
+            except OSError:
+                pass  # a concurrent sweep/replace already handled it
+        return removed
+
     def gc(self, spark, store, *, grace_seconds: float = 0.0) -> list[str]:
         """Delete unreferenced blobs; returns the deleted hashes, sorted.
 
         Small-store convenience wrapper: runs :meth:`gc_df` (deletes still
         happen executor-side) and collects the per-blob outcomes — bounded
         by the orphan count, fine for a local store, not the 100 TB path
-        (use :meth:`gc_df` and sink the result there)."""
+        (use :meth:`gc_df` and sink the result there).  Also sweeps stale
+        ``.tmp`` spool orphans (GC is the store's maintenance pass)."""
+        self.sweep_spool_orphans()
         return sorted(r["hash"] for r in self.gc_df(
             spark, store, grace_seconds=grace_seconds).collect() if r["deleted"])
 

@@ -136,6 +136,23 @@ def export_collection_stream(store, author: str, name: str,
                                       source=source, at=at)
 
 
+def _zip_entry_name(record_id: str, ext: str) -> str:
+    """``records/{id}{ext}`` with the zip-slip class refused loudly: a
+    record id is an arbitrary store key (the path layer percent-escapes
+    them, but ids like ``../x`` are perfectly writable), and putting one
+    raw into an archive entry makes extraction tools write OUTSIDE the
+    target directory.  Absolute paths, drive-letter prefixes, and ``..``
+    segments (under either separator) raise instead of silently
+    rewriting — a renamed entry could no longer round-trip as the id."""
+    segs = record_id.replace("\\", "/").split("/")
+    if record_id.startswith(("/", "\\")) or ".." in segs \
+            or (len(record_id) > 1 and record_id[1] == ":"):
+        raise ValueError(
+            f"record id {record_id!r} cannot be a zip entry name "
+            "(path traversal)")
+    return f"records/{record_id}{ext}"
+
+
 def export_zip_archive(store, author: str, name: str,
                        media_type_or_ext: str = "json", *,
                        source: str = "datasets",
@@ -148,7 +165,8 @@ def export_zip_archive(store, author: str, name: str,
     seen_hashes: set[str] = set()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         for rec in store.iterate(author, name, source=source, fast_read=True):
-            zf.writestr(f"records/{rec['id']}{ext}", codec.encode(rec["value"]))
+            zf.writestr(_zip_entry_name(rec["id"], ext),
+                        codec.encode(rec["value"]))
             if attachments is not None:
                 for url in rec["links"]:
                     m = HASH_URL_RE.match(url)

@@ -195,3 +195,74 @@ def test_export_distributed_jsonl(spark, store, tmp_path):
     entries = list(CODECS["jsonl"].decode_entries(whole))
     assert {e["id"] for e in entries} == {f"r{i}" for i in range(50)}
     assert all(e["data"] == {"i": int(e["id"][1:])} for e in entries)
+
+
+def test_spool_orphan_sweep_and_add_cleanup(tmp_path):
+    """r8 hardening: (a) stale .tmp spool files (crash debris between
+    mkstemp and os.replace) are swept by gc's maintenance pass while a
+    fresh concurrent spool survives; (b) a failed add() write cleans up
+    its own spool instead of leaking it."""
+    import os
+
+    from pigeon_optics_spark.attachments import AttachmentStore
+
+    att = AttachmentStore(str(tmp_path / "blobs"))
+    stale = os.path.join(att.root, "dead123.tmp")
+    fresh = os.path.join(att.root, "live456.tmp")
+    for p in (stale, fresh):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+    os.utime(stale, (1.0, 1.0))
+    removed = att.sweep_spool_orphans()
+    assert removed == 1
+    left = {e for e in os.listdir(att.root) if e.endswith(".tmp")}
+    assert left == {"live456.tmp"}
+
+    # add() cleanup: force the replace to fail by making root read-only
+    # is platform-fragile; instead simulate a write failure via a
+    # monkeypatched os.replace
+    import pigeon_optics_spark.attachments as mod
+    orig = mod.os.replace
+    try:
+        def boom(*a, **k):
+            raise OSError("simulated replace failure")
+        mod.os.replace = boom
+        try:
+            att.add(b"new blob bytes")
+        except OSError:
+            pass
+        else:
+            raise AssertionError("expected simulated failure")
+    finally:
+        mod.os.replace = orig
+    tmps = {e for e in os.listdir(att.root) if e.endswith(".tmp")}
+    assert tmps == {"live456.tmp"}, f"spool leaked: {tmps}"
+
+
+def test_zip_export_refuses_traversal_record_ids(tmp_path):
+    """r8 hardening: a record id with '..' segments, an absolute prefix,
+    or a drive-letter prefix must refuse zip export loudly (zip-slip —
+    extraction tools would write outside the target dir); benign nested
+    ids ('a/b') still export as folder entries."""
+    import zipfile as _zf
+    from io import BytesIO
+
+    import pytest
+
+    from pigeon_optics_spark.sources.files import export_zip_archive
+    from pigeon_optics_spark.store import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "d")
+    store.write_entries("a", "d", [("ok", {"v": 1}), ("a/b", {"v": 2})])
+    blob = export_zip_archive(store, "a", "d", "json")
+    names = set(_zf.ZipFile(BytesIO(blob)).namelist())
+    assert names == {"records/ok.json", "records/a/b.json"}
+
+    for bad in ("../evil", "x/../../evil", "/abs", "\\abs",
+                "c:evil", "a\\..\\b"):
+        store2 = DatasetStore(str(tmp_path / f"ds_{abs(hash(bad))}"))
+        store2.create("a", "d")
+        store2.write_entries("a", "d", [(bad, {"v": 1})])
+        with pytest.raises(ValueError, match="traversal"):
+            export_zip_archive(store2, "a", "d", "json")
