@@ -222,9 +222,16 @@ class DatasetStore:
         with self._catalog_lock:
             data = {k: vars(m) for k, m in self._catalog.items()}
             fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                json.dump(data, f)
-            os.replace(tmp, self._catalog_path)
+            try:
+                with os.fdopen(fd, "w", encoding="utf-8") as f:
+                    json.dump(data, f)
+                os.replace(tmp, self._catalog_path)
+            except Exception:
+                # a failed dump/replace must not leave its spool behind
+                # (the attachment/change-feed crash-debris class)
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                raise
 
     def _meta(self, source: str, author: str, name: str) -> CollectionMeta:
         key = f"{source}/{author}/{name}"
@@ -587,6 +594,7 @@ class DatasetStore:
     def compact_df(self, spark, author: str, name: str, *,
                    source: str = "datasets") -> None:
         with self._txn(source, author, name):
+            self._sweep_stale_stages(self._meta(source, author, name))
             return self._compact_df_impl(spark, author, name, source=source)
 
     def _write_entries_impl(self, author: str, name: str,
@@ -970,10 +978,38 @@ class DatasetStore:
                 (shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p)
                  else os.remove(p))
 
+    def _sweep_stale_stages(self, meta: "CollectionMeta", *,
+                            max_age_seconds: float = 3600.0) -> int:
+        """Remove ``_stage_*`` directories older than ``max_age_seconds``
+        from the collection dir — crash debris from a distributed write
+        that died between the stage write and the commit rename (the
+        spool-orphan class, but directory-sized: each one holds a whole
+        batch's parquet).  Segment listing ignores them, so without this
+        sweep they accumulate forever.  The age bound keeps a concurrent
+        writer's in-flight stage safe; compaction (the maintenance pass)
+        calls this."""
+        import time
+
+        d = self._dir(meta)
+        now = time.time()
+        removed = 0
+        for entry in os.listdir(d):
+            if not entry.startswith("_stage_"):
+                continue
+            p = os.path.join(d, entry)
+            try:
+                if now - os.path.getmtime(p) > max_age_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed += 1
+            except OSError:
+                pass  # concurrent sweep/commit already handled it
+        return removed
+
     def compact(self, author: str, name: str, *, source: str = "datasets") -> None:
         """Fold the segment log into one base segment (keeps resolution O(1)
         segments; on a cluster this is OPTIMIZE/auto-compaction)."""
         with self._txn(source, author, name):
+            self._sweep_stale_stages(self._meta(source, author, name))
             self._compact_impl(author, name, source=source)
 
     def _compact_impl(self, author: str, name: str, *,

@@ -290,3 +290,31 @@ def test_stray_files_in_segment_dir_are_ignored(spark):
     assert st2.read_delta_df(spark, "t", "s", 0).count() == 5
     assert st2.read_df(spark, "t", "s", as_of_seq=1).count() == 5
     del d
+
+
+def test_compact_sweeps_stale_stage_dirs(tmp_path):
+    """r8 hardening: _stage_* directories orphaned by a crashed
+    distributed write are swept by compaction (age-bounded so a
+    concurrent writer's fresh stage survives)."""
+    import os
+
+    from pigeon_optics_spark.store import DatasetStore
+
+    store = DatasetStore(str(tmp_path / "ds"))
+    store.create("a", "c")
+    store.write_entries("a", "c", [("r1", {"v": 1}), ("r2", {"v": 2})])
+    store.write_entries("a", "c", [("r1", {"v": 9})])
+    coll = store._dir(store._meta("datasets", "a", "c"))
+    stale = os.path.join(coll, "_stage_deadbeef")
+    fresh = os.path.join(coll, "_stage_live")
+    for d in (stale, fresh):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as f:
+            f.write(b"junk")
+    os.utime(stale, (1.0, 1.0))
+    store.compact("a", "c")
+    left = {e for e in os.listdir(coll) if e.startswith("_stage_")}
+    assert left == {"_stage_live"}
+    got = {r["id"]: r["value"] for r in store.iterate("a", "c",
+                                                      fast_read=True)}
+    assert got == {"r1": {"v": 9}, "r2": {"v": 2}}
