@@ -158,6 +158,15 @@ class _Reader:
     def byte(self) -> int:
         return self.take(1)[0]
 
+    def peek(self) -> int:
+        # bounds-checked peek: a truncated stream inside an
+        # indefinite-length container must raise CBORError, not the
+        # IndexError a raw buf[pos] gives (the contract every caller
+        # handles is CBORError/ValueError)
+        if self.pos >= len(self.buf):
+            raise CBORError("truncated CBOR")
+        return self.buf[self.pos]
+
 
 def _read_arg(r: _Reader, info: int) -> int | None:
     if info < 24:
@@ -189,9 +198,15 @@ def _decode(r: _Reader, depth: int = 0) -> Any:
     ib = r.byte()
     major, info = ib >> 5, ib & 0x1F
     if major == 0:
-        return _read_arg(r, info)
+        n = _read_arg(r, info)
+        if n is None:  # 0x1f: "indefinite-length integer" is malformed
+            raise CBORError("indefinite length on an integer (major 0)")
+        return n
     if major == 1:
-        return -1 - _read_arg(r, info)
+        n = _read_arg(r, info)
+        if n is None:  # 0x3f would otherwise escape as TypeError (-1 - None)
+            raise CBORError("indefinite length on an integer (major 1)")
+        return -1 - n
     if major == 2 or major == 3:
         n = _read_arg(r, info)
         if n is None:  # indefinite-length string: concat chunks
@@ -200,9 +215,18 @@ def _decode(r: _Reader, depth: int = 0) -> Any:
             want = bytes if major == 2 else str
             chunks = []
             while True:
-                if r.buf[r.pos] == 0xFF:
+                head = r.peek()
+                if head == 0xFF:
                     r.pos += 1
                     break
+                # chunks must be DEFINITE-length strings of the same
+                # major type (RFC 8949 §3.2.3) — enforce on the header so
+                # a nested indefinite chunk (also malformed) is rejected
+                # too, not just foreign-type chunks
+                if (head >> 5) != major or (head & 0x1F) == 31:
+                    raise CBORError(
+                        f"indefinite-length string chunk has header "
+                        f"0x{head:02x}, expected definite major {major}")
                 c = _decode(r, depth + 1)
                 if type(c) is not want:
                     raise CBORError(
@@ -218,7 +242,7 @@ def _decode(r: _Reader, depth: int = 0) -> Any:
         n = _read_arg(r, info)
         if n is None:
             items = []
-            while r.buf[r.pos] != 0xFF:
+            while r.peek() != 0xFF:
                 items.append(_decode(r, depth + 1))
             r.pos += 1
             return items
@@ -227,7 +251,7 @@ def _decode(r: _Reader, depth: int = 0) -> Any:
         n = _read_arg(r, info)
         pairs = []
         if n is None:
-            while r.buf[r.pos] != 0xFF:
+            while r.peek() != 0xFF:
                 pairs.append((_decode(r, depth + 1), _decode(r, depth + 1)))
             r.pos += 1
         else:
@@ -237,21 +261,45 @@ def _decode(r: _Reader, depth: int = 0) -> Any:
         return PMap(pairs)  # non-string keys: surface as Map
     if major == 6:
         tag = _read_arg(r, info)
+        if tag is None:  # 0xdf: indefinite-length tag number is malformed
+            raise CBORError("indefinite length on a tag (major 6)")
         inner = _decode(r, depth + 1)
+        # each known tag requires a specific payload shape — a crafted
+        # stream with the wrong one must raise CBORError, not escape as
+        # TypeError/OverflowError from the conversion (same contract
+        # class as the indefinite-string chunk check above)
         if tag == TAG_DATE_EPOCH:
-            return _dt.datetime.fromtimestamp(float(inner), tz=_dt.timezone.utc)
-        if tag == TAG_POS_BIGNUM:
-            return int.from_bytes(inner, "big")
-        if tag == TAG_NEG_BIGNUM:
-            return -1 - int.from_bytes(inner, "big")
+            if type(inner) not in (int, float) or isinstance(inner, bool):
+                raise CBORError(
+                    f"tag 1 (epoch date) payload is {type(inner).__name__}")
+            try:
+                return _dt.datetime.fromtimestamp(
+                    float(inner), tz=_dt.timezone.utc)
+            except (OverflowError, OSError, ValueError):
+                raise CBORError(f"tag 1 epoch out of range: {inner!r}")
+        if tag == TAG_POS_BIGNUM or tag == TAG_NEG_BIGNUM:
+            if type(inner) is not bytes:
+                raise CBORError(
+                    f"tag {tag} (bignum) payload is {type(inner).__name__}")
+            n = int.from_bytes(inner, "big")
+            return n if tag == TAG_POS_BIGNUM else -1 - n
         if tag == TAG_URI:
+            if type(inner) is not str:
+                raise CBORError(
+                    f"tag 32 (URI) payload is {type(inner).__name__}")
             return URLValue(inner)
         if tag == TAG_SET:
+            if type(inner) is not list:
+                raise CBORError(
+                    f"tag 258 (set) payload is {type(inner).__name__}")
             return PSet(inner)
         if tag == TAG_MAP:
             if isinstance(inner, PMap):
                 return inner
-            return PMap(inner.items() if isinstance(inner, dict) else inner)
+            if not isinstance(inner, dict):
+                raise CBORError(
+                    f"tag 259 (map) payload is {type(inner).__name__}")
+            return PMap(inner.items())
         return inner  # unknown tag: unwrap
     if major == 7:
         if info == 20:

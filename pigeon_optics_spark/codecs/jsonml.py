@@ -73,7 +73,12 @@ def is_jsonml(v: Any) -> bool:
 
 
 def _esc_text(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # \r must ride as a character reference: XML end-of-line normalization
+    # folds a literal CR (or CRLF) in text content to LF on PARSE, so raw
+    # CR would silently change the value on round-trip (fuzz finding —
+    # the attribute escaper already guarded this)
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("\r", "&#13;"))
 
 
 def _esc_attr(s: str) -> str:
@@ -192,6 +197,24 @@ def xml_to_jsonml(text: str | bytes) -> Any:
 # --------------------------------------------------------------------------
 
 
+#: characters XML 1.0 cannot carry AT ALL (not even as character
+#: references): C0 controls except \t\n\r, surrogates, U+FFFE/U+FFFF.
+#: A string containing one rides as hex-encoded UTF-8 (surrogatepass) in
+#: an ``encoding="hex"`` element — emitting it raw produced XML that
+#: expat refuses to re-parse (found by the arbitrary-roundtrip fuzz on
+#: the dict key '\\x08'), silently breaking round-trip + content hash.
+_XML_ILLEGAL_RE = _re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+
+
+def _hex_str(s: str) -> str:
+    return s.encode("utf-8", "surrogatepass").hex()
+
+
+def _unhex_str(text: str) -> str:
+    return bytes.fromhex(text).decode("utf-8", "surrogatepass")
+
+
 def value_to_arbitrary_jsonml(v: Any) -> Any:
     if v is None:
         return ["null"]
@@ -204,14 +227,22 @@ def value_to_arbitrary_jsonml(v: Any) -> Any:
     if isinstance(v, float):
         return ["number", repr(v)]
     if isinstance(v, str):
+        if _XML_ILLEGAL_RE.search(v):
+            return ["string", {"encoding": "hex"}, _hex_str(v)]
         return ["string", v] if v else ["string"]
     if isinstance(v, (bytes, bytearray, memoryview)):
         return ["buffer", bytes(v).hex()] if v else ["buffer"]
     if isinstance(v, _dt.datetime):
-        ms = int((v.timestamp() if v.tzinfo
-                  else v.replace(tzinfo=_dt.timezone.utc).timestamp()) * 1000)
-        return ["date", str(ms)]
+        # exact integer epoch-ms via the shared conversion — the local
+        # float path (timestamp()*1000) loses a millisecond past 2^31
+        # epoch seconds, so an XML round-trip would CHANGE the value (and
+        # its content hash) while every other codec round-trips exactly
+        # (the values._dt_to_ms lesson, applied to this encoder too)
+        from ..values import _dt_to_ms
+        return ["date", str(_dt_to_ms(v))]
     if isinstance(v, URLValue):
+        if _XML_ILLEGAL_RE.search(v.href):
+            return ["url", {"encoding": "hex"}, _hex_str(v.href)]
         return ["url", v.href]
     if isinstance(v, (list, tuple)):
         return ["array", *[value_to_arbitrary_jsonml(x) for x in v]]
@@ -222,8 +253,12 @@ def value_to_arbitrary_jsonml(v: Any) -> Any:
         return ["map", *[["entry", value_to_arbitrary_jsonml(k),
                           value_to_arbitrary_jsonml(x)] for k, x in v.entries]]
     if isinstance(v, dict):
-        return ["object", *[["prop", {"name": k}, value_to_arbitrary_jsonml(x)]
-                            for k, x in v.items()]]
+        return ["object", *[
+            ["prop",
+             ({"name-hex": _hex_str(k)} if _XML_ILLEGAL_RE.search(k)
+              else {"name": k}),
+             value_to_arbitrary_jsonml(x)]
+            for k, x in v.items()]]
     raise XMLError(f"cannot encode {type(v)!r} as arbitrary XML")
 
 
@@ -256,12 +291,23 @@ def arbitrary_jsonml_to_value(node: Any) -> Any:
     if tag == "number":
         return int(text) if text.lstrip("+-").isdigit() else float(text)
     if tag == "string":
+        if _attrs(node).get("encoding") == "hex":
+            return _unhex_str(text)
         return text
     if tag == "buffer":
         return bytes.fromhex(text)
     if tag == "date":
-        return _dt.datetime.fromtimestamp(int(text) / 1000.0, tz=_dt.timezone.utc)
+        # exact ms (timedelta, not /1000.0 float) + bounded: a crafted
+        # <date> with an astronomical epoch must raise XMLError, not
+        # OverflowError (the crafted-input contract every codec holds)
+        try:
+            return _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) \
+                + _dt.timedelta(milliseconds=int(text))
+        except OverflowError:
+            raise XMLError(f"date epoch ms out of range: {text!r}")
     if tag == "url":
+        if _attrs(node).get("encoding") == "hex":
+            return URLValue(_unhex_str(text))
         return URLValue(text)
     if tag == "array":
         return [arbitrary_jsonml_to_value(c) for c in kids if not isinstance(c, str)]
@@ -273,6 +319,11 @@ def arbitrary_jsonml_to_value(node: Any) -> Any:
             if isinstance(entry, str):
                 continue
             ek = [c for c in _children(entry) if not isinstance(c, str)]
+            if len(ek) < 2:
+                # crafted <map><entry/></map> previously escaped as
+                # IndexError; the entry element needs key + value children
+                raise XMLError(
+                    f"map entry needs 2 element children, got {len(ek)}")
             pairs.append((arbitrary_jsonml_to_value(ek[0]),
                           arbitrary_jsonml_to_value(ek[1])))
         return PMap(pairs)
@@ -281,7 +332,9 @@ def arbitrary_jsonml_to_value(node: Any) -> Any:
         for prop in kids:
             if isinstance(prop, str):
                 continue
-            name = _attrs(prop).get("name", "")
+            pa = _attrs(prop)
+            name = (_unhex_str(pa["name-hex"]) if "name-hex" in pa
+                    else pa.get("name", ""))
             pv = [c for c in _children(prop) if not isinstance(c, str)]
             out[name] = arbitrary_jsonml_to_value(pv[0]) if pv else "".join(
                 c for c in _children(prop) if isinstance(c, str))
@@ -305,6 +358,10 @@ def _node_to_html(node: Any, out: list[str], depth: int = 0) -> None:
     if isinstance(node, str):
         out.append(_esc_text(node))
         return
+    if not (isinstance(node, list) and node and isinstance(node[0], str)):
+        # mirror the XML serializer's contract: a non-node (int, dict,
+        # malformed list) raises XMLError, not TypeError from node[0]
+        raise XMLError(f"not a JsonML node: {node!r}")
     tag = node[0]
     rest = node[1:]
     attrs: dict[str, str] = {}
@@ -383,8 +440,14 @@ class _HTMLToJsonML(html.parser.HTMLParser):
 
 def html_to_jsonml(text: str | bytes) -> Any:
     p = _HTMLToJsonML()
-    p.feed(text if isinstance(text, str) else text.decode("utf-8"))
-    p.close()
+    try:
+        p.feed(text if isinstance(text, str) else text.decode("utf-8"))
+        p.close()
+    except AssertionError as e:
+        # stdlib _markupbase raises bare AssertionError on malformed
+        # markup declarations ('<![;' — found by the codec fuzz); keep
+        # the decoder's ValueError contract
+        raise XMLError(f"HTML parse error: {e}") from e
     kids = p.root_children
     if len(kids) == 1:
         return kids[0]

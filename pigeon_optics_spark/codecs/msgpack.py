@@ -218,21 +218,46 @@ def _decode_ext(code: int, payload: bytes, depth: int = 0) -> Any:
     if code >= 0x80:
         code -= 0x100  # signed ext code
     if code == EXT_TIMESTAMP:
+        # spec timestamp ext is EXACTLY 4/8/12 bytes; anything else must
+        # raise MsgpackError, not struct.error (which is NOT a ValueError)
         if len(payload) == 4:
             sec, nsec = struct.unpack(">I", payload)[0], 0
         elif len(payload) == 8:
             d = struct.unpack(">Q", payload)[0]
             nsec, sec = d >> 34, d & 0x3FFFFFFFF
-        else:
+        elif len(payload) == 12:
             nsec, sec = struct.unpack(">Iq", payload)
-        return _dt.datetime.fromtimestamp(sec + nsec / 1e9, tz=_dt.timezone.utc)
+        else:
+            raise MsgpackError(
+                f"timestamp ext payload is {len(payload)} bytes "
+                "(spec allows 4/8/12)")
+        try:
+            return _dt.datetime.fromtimestamp(
+                sec + nsec / 1e9, tz=_dt.timezone.utc)
+        except (OverflowError, OSError, ValueError):
+            # int64 seconds reach ±9e18 — far outside datetime's range;
+            # keep the crafted-input contract (MsgpackError, not OS/Overflow)
+            raise MsgpackError(f"timestamp ext out of range: {sec}")
     if code == EXT_SET:
-        return PSet(_decode_nested(payload, depth + 1))
+        inner = _decode_nested(payload, depth + 1)
+        if type(inner) is not list:
+            raise MsgpackError(
+                f"ext {EXT_SET} (set) payload is {type(inner).__name__}")
+        return PSet(inner)
     if code == EXT_MAP:
         inner = _decode_nested(payload, depth + 1)
-        return PMap(inner.entries if isinstance(inner, PMap) else inner.items())
+        if isinstance(inner, PMap):
+            return PMap(inner.entries)
+        if not isinstance(inner, dict):
+            raise MsgpackError(
+                f"ext {EXT_MAP} (map) payload is {type(inner).__name__}")
+        return PMap(inner.items())
     if code == EXT_URL:
-        return URLValue(_decode_nested(payload, depth + 1))
+        inner = _decode_nested(payload, depth + 1)
+        if type(inner) is not str:
+            raise MsgpackError(
+                f"ext {EXT_URL} (URL) payload is {type(inner).__name__}")
+        return URLValue(inner)
     if code == EXT_BIGINT:
         return int.from_bytes(payload, "big", signed=True)
     if code == EXT_UNDEFINED:

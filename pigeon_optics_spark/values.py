@@ -251,25 +251,57 @@ def tagged_to_value(tagged: Any) -> Any:
         return [tagged_to_value(v) for v in tagged]
     if isinstance(tagged, dict):
         if frozenset(tagged.keys()) == _TAG_KEYS and isinstance(tagged["type"], str):
+            # every known tag requires a specific payload shape; crafted
+            # tagged JSON (this is the wire form external sources decode
+            # through) must raise ValueError — the contract the codec layer
+            # and every dirty-ingest caller handles — never KeyError/
+            # TypeError/AttributeError/OverflowError from the conversion
             t, d = tagged["type"], tagged["data"]
             if t == "constant":
-                return {"NaN": float("nan"), "Infinity": float("inf"),
-                        "-Infinity": float("-inf"), "undefined": Undefined}[d]
+                consts = {"NaN": float("nan"), "Infinity": float("inf"),
+                          "-Infinity": float("-inf"), "undefined": Undefined}
+                if not isinstance(d, str) or d not in consts:
+                    raise ValueError(f"unknown tagged constant: {d!r}")
+                return consts[d]
             if t == "BigInteger":
-                return int(d)
+                if not isinstance(d, str):
+                    raise ValueError(
+                        f"BigInteger data must be a string, got {type(d).__name__}")
+                return int(d)  # int() raises ValueError on non-numeric
             if t == "Buffer":
-                return base64.b64decode(d)
+                if not isinstance(d, str):
+                    raise ValueError(
+                        f"Buffer data must be base64 text, got {type(d).__name__}")
+                return base64.b64decode(d)  # binascii.Error IS a ValueError
             if t == "Date":
                 # exact: timedelta carries integer ms; fromtimestamp(d/1000.0)
                 # loses a millisecond past 2^31 seconds (float53 runs out)
-                return _EPOCH_UTC + _dt.timedelta(milliseconds=d)
+                if isinstance(d, bool) or not isinstance(d, (int, float)):
+                    raise ValueError(
+                        f"Date data must be epoch ms, got {type(d).__name__}")
+                try:
+                    return _EPOCH_UTC + _dt.timedelta(milliseconds=d)
+                except (OverflowError, OSError):
+                    raise ValueError(f"Date epoch ms out of range: {d!r}")
             if t == "URL":
+                if not isinstance(d, str):
+                    raise ValueError(
+                        f"URL data must be a string, got {type(d).__name__}")
                 return URLValue(d)
             if t == "Set":
+                if not isinstance(d, list):
+                    raise ValueError(
+                        f"Set data must be an array, got {type(d).__name__}")
                 return PSet(tagged_to_value(m) for m in d)
             if t == "Map":
+                if not isinstance(d, list) or not all(
+                        isinstance(p, (list, tuple)) and len(p) == 2 for p in d):
+                    raise ValueError("Map data must be an array of [k, v] pairs")
                 return PMap((tagged_to_value(k), tagged_to_value(v)) for k, v in d)
             if t == "object":
+                if not isinstance(d, dict):
+                    raise ValueError(
+                        f"object data must be an object, got {type(d).__name__}")
                 return {k: tagged_to_value(v) for k, v in d.items()}
             # unknown tag: treat as plain object
         return {k: tagged_to_value(v) for k, v in tagged.items()}

@@ -87,6 +87,14 @@ def _one_path_df(spark, store: DatasetStore, dp: DataPath):
     from pyspark.sql import functions as F
 
     if dp.source == "meta":
+        if (dp.author, dp.name) != (META_AUTHOR, META_NAME):
+            # the VFS is mounted ONLY at /meta/system:system — any other
+            # meta path must fail like a missing collection, not silently
+            # serve the system records under a fabricated collection path
+            # (path_exists already enforced this; the read paths didn't)
+            from .store import StoreError
+            raise StoreError(
+                f"no such collection: meta/{dp.author}/{dp.name}")
         df = meta_vfs_df(spark, store).select(
             "record_id", "value",
             F.lit(None).cast("string").alias("hash"),
@@ -148,6 +156,10 @@ def iterate_path(store: DatasetStore, path: str, *,
     """Driver-side readPath.meta iteration (ref read-path.js:43-49)."""
     dp = decode_path(path)
     if dp.source == "meta":
+        if (dp.author, dp.name) != (META_AUTHOR, META_NAME):
+            from .store import StoreError
+            raise StoreError(
+                f"no such collection: meta/{dp.author}/{dp.name}")
         recs = meta_records(store)
         for rid in sorted(recs, key=natural_sort_key):
             if dp.record_id is not None and rid != dp.record_id:

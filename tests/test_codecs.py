@@ -344,3 +344,199 @@ def test_cbor_indefinite_string_rejects_foreign_chunk():
     # well-formed streams still concatenate
     assert cbor.decode(b"\x7f\x61a\x61b\xff") == "ab"
     assert cbor.decode(b"\x5f\x41a\x41b\xff") == b"ab"
+
+
+def test_cbor_malformed_crafted_streams_stay_cbor_error():
+    """Crafted-stream sweep over the decoder's remaining escape hatches
+    (the r8 chunk fix's class, applied to the whole kernel): every
+    malformed input must raise CBORError — never IndexError, TypeError,
+    OverflowError, or silently decode."""
+    from pigeon_optics_spark.codecs import cbor
+
+    cases = {
+        # truncated stream inside an indefinite container previously hit
+        # the raw buf[pos] peek -> IndexError
+        b"\x5f": "truncated",            # indefinite bytes, EOF before break
+        b"\x7f\x61a": "truncated",       # indefinite text, chunk then EOF
+        b"\x9f\x01": "truncated",        # indefinite array, item then EOF
+        b"\xbf\x61a\x01": "truncated",   # indefinite map, pair then EOF
+        # indefinite length where it is malformed: major 0 previously
+        # decoded SILENTLY to None; major 1 escaped as TypeError (-1-None);
+        # tag escaped by unwrapping
+        b"\x1f": "indefinite",
+        b"\x3f": "indefinite",
+        b"\xdf\x01": "indefinite",
+        # nested indefinite chunk inside an indefinite string (chunks must
+        # be definite per RFC 8949 §3.2.3)
+        b"\x7f\x7f\x61a\xff\xff": "chunk",
+        # tag payload type confusion: previously TypeError from the
+        # conversion (float([]), int.from_bytes(str), PSet(int), ...)
+        b"\xc1\x80": "tag 1",            # date with array payload
+        b"\xc1\x61a": "tag 1",           # date with text payload
+        b"\xc2\x61a": "bignum",          # pos bignum with text payload
+        b"\xc3\x01": "bignum",           # neg bignum with int payload
+        b"\xd8\x20\x01": "URI",          # tag 32 with int payload
+        b"\xd9\x01\x02\x01": "set",      # tag 258 with int payload
+        b"\xd9\x01\x03\x01": "map",      # tag 259 with int payload
+        # date payload out of the representable range: previously
+        # OverflowError/OSError from fromtimestamp
+        b"\xc1\xfb\x47\xf0\x00\x00\x00\x00\x00\x00": "out of range",
+    }
+    for raw, frag in cases.items():
+        with pytest.raises(cbor.CBORError, match=frag):
+            cbor.decode(raw)
+
+    # well-formed neighbours of every rejected shape still decode
+    assert cbor.decode(b"\x9f\x01\xff") == [1]
+    assert cbor.decode(b"\xbf\x61a\x01\xff") == {"a": 1}
+    assert cbor.decode(b"\xc2\x41\x05") == 5          # bignum, bytes payload
+    assert cbor.decode(b"\xc1\x00").timestamp() == 0  # epoch 0
+    assert cbor.decode(b"\xd9\x01\x02\x82\x01\x02").members == [1, 2]
+
+
+def test_msgpack_malformed_ext_payloads_stay_msgpack_error():
+    """Crafted ext payloads must raise MsgpackError — previously
+    struct.error (NOT a ValueError) for off-spec timestamp lengths,
+    OverflowError for int64-range epochs, TypeError for a set ext
+    wrapping an int, AttributeError for a map ext wrapping a list
+    (the CBOR kernel's crafted-stream class, applied here)."""
+    import struct
+    from pigeon_optics_spark.codecs import msgpack
+
+    cases = {
+        b"\xd4\xff\x00": "timestamp",          # ts ext, 1-byte payload
+        b"\xc7\x03\xff\x00\x00\x00": "timestamp",  # ts ext, 3-byte payload
+        # 12-byte ts with sec = 2^62: out of datetime range
+        b"\xc7\x0c\xff" + b"\x00" * 4 + struct.pack(">q", 1 << 62):
+            "out of range",
+        b"\xd4\x48\x05": "set",                # set ext wrapping int
+        b"\xd5\x49\x91\x01": "map",            # map ext wrapping list [1]
+        b"\xd4\x4a\x05": "URL",                # URL ext wrapping int
+    }
+    for raw, frag in cases.items():
+        with pytest.raises(msgpack.MsgpackError, match=frag):
+            msgpack.decode(raw)
+
+    # well-formed neighbours still decode
+    from pigeon_optics_spark.values import PSet, PMap, URLValue
+    assert msgpack.decode(msgpack.encode(PSet([1, 2]))).members == [1, 2]
+    assert msgpack.decode(msgpack.encode(PMap([(1, "a")]))).entries == [(1, "a")]
+    assert msgpack.decode(msgpack.encode(URLValue("http://x/"))).href == "http://x/"
+    import datetime as dt
+    d = dt.datetime(2020, 1, 2, tzinfo=dt.timezone.utc)
+    assert msgpack.decode(msgpack.encode(d)) == d
+
+
+def test_tagged_json_malformed_envelopes_stay_value_error():
+    """The {type, data} tag envelope is a WIRE form (JSON/JSON5/YAML
+    decode all pass through tagged_to_value), so crafted payloads must
+    raise ValueError — previously: unknown constant -> KeyError, Date
+    with huge/string payload -> OverflowError/TypeError, Set wrapping
+    an int -> TypeError, object wrapping an int -> AttributeError,
+    BigInteger wrapping a dict -> TypeError."""
+    from pigeon_optics_spark.codecs import codec_for
+
+    j = codec_for("json")
+    bad = [
+        b'{"type": "constant", "data": "NotAConstant"}',
+        b'{"type": "constant", "data": 5}',
+        b'{"type": "BigInteger", "data": {}}',
+        b'{"type": "BigInteger", "data": "xyz"}',
+        b'{"type": "Buffer", "data": 5}',
+        b'{"type": "Date", "data": "soon"}',
+        b'{"type": "Date", "data": 1e300}',
+        b'{"type": "Date", "data": true}',
+        b'{"type": "URL", "data": []}',
+        b'{"type": "Set", "data": 5}',
+        b'{"type": "Map", "data": 5}',
+        b'{"type": "Map", "data": [[1]]}',
+        b'{"type": "Map", "data": [5]}',
+        b'{"type": "object", "data": 5}',
+    ]
+    for raw in bad:
+        with pytest.raises(ValueError):
+            j.decode(raw)
+
+    # well-formed neighbours still decode
+    from pigeon_optics_spark.values import Undefined
+    assert j.decode(b'{"type": "constant", "data": "undefined"}') is Undefined
+    assert j.decode(b'{"type": "BigInteger", "data": "9007199254740993"}') \
+        == 9007199254740993
+    assert j.decode(b'{"type": "Date", "data": 0}').timestamp() == 0
+    assert j.decode(b'{"type": "Unknowable", "data": 5}') \
+        == {"type": "Unknowable", "data": 5}
+
+
+def test_arbitrary_xml_crafted_and_exact_dates():
+    """Crafted arbitrary-XML escapes + the Date exactness parity fix:
+    - <map><entry/></map> previously raised IndexError
+    - an astronomical <date> previously raised OverflowError
+    - the Date ENCODER used float timestamp()*1000, which loses a
+      millisecond past 2^31 epoch seconds — an XML round-trip changed
+      the value (and its content hash) while CBOR/JSON round-tripped
+      exactly (the values._dt_to_ms lesson)
+    - jsonml_to_html(non-node) previously raised TypeError."""
+    import datetime as dt
+    from pigeon_optics_spark.codecs import codec_for
+    from pigeon_optics_spark.codecs.jsonml import (
+        XMLError, arbitrary_jsonml_to_value, jsonml_to_html,
+        value_to_arbitrary_jsonml)
+    from pigeon_optics_spark.values import object_hash
+
+    with pytest.raises(XMLError, match="entry"):
+        arbitrary_jsonml_to_value(["map", ["entry"]])
+    with pytest.raises(XMLError, match="out of range"):
+        arbitrary_jsonml_to_value(["date", str(10**20)])
+    with pytest.raises(XMLError, match="not a JsonML node"):
+        jsonml_to_html(5)
+    with pytest.raises(XMLError, match="not a JsonML node"):
+        jsonml_to_html(["p", 7])
+
+    # the property-fuzz counterexample from the values fix: sub-ms float
+    # drift appears once epoch seconds cross 2^31
+    d = dt.datetime(2038, 2, 1, 0, 0, 0, 444000, tzinfo=dt.timezone.utc)
+    xml = codec_for("xml")
+    rt = xml.decode(xml.encode(d))
+    assert rt == d
+    assert object_hash(rt) == object_hash(d)
+    assert arbitrary_jsonml_to_value(value_to_arbitrary_jsonml(d)) == d
+
+
+def test_html_malformed_declaration_stays_value_error():
+    """stdlib html.parser raises bare AssertionError from _markupbase on
+    malformed markup declarations — found by the codec fuzz on '<![;'.
+    The decoder must keep the ValueError contract."""
+    from pigeon_optics_spark.codecs.jsonml import XMLError, html_to_jsonml
+
+    for bad in ("<![;", "<!foo<", "<![CDATA"):
+        try:
+            html_to_jsonml(bad)
+        except XMLError:
+            pass  # rejecting is fine
+        # tolerant parses are fine too — just never a non-ValueError
+
+
+def test_arbitrary_xml_illegal_characters_roundtrip():
+    """XML 1.0 cannot carry C0 controls (except \\t\\n\\r), surrogates, or
+    U+FFFE/FFFF at all — not even as character references.  The encoder
+    previously emitted them raw, producing XML that expat refused to
+    re-parse (fuzz finding: dict key '\\x08').  They now ride hex-encoded
+    with encoding="hex" / name-hex, round-tripping exactly."""
+    from pigeon_optics_spark.codecs import codec_for
+    from pigeon_optics_spark.values import URLValue, object_hash
+
+    xml = codec_for("xml")
+    cases = [
+        {"\x08": None},                 # the fuzz counterexample
+        "\x00\x1f\x0b",                 # C0 controls as a string value
+        {"k": "a\x01b"},
+        URLValue("http://x/\x02"),
+        {"a￾": ["\x07"]},
+        "plain \t\n\r text stays",       # legal controls stay readable
+    ]
+    for v in cases:
+        rt = xml.decode(xml.encode(v))
+        assert object_hash(rt) == object_hash(v), v
+    # the readable form is preserved for legal text (no gratuitous hex)
+    assert b"plain" in xml.encode("plain \t\n\r text stays")
+    assert b"encoding=\"hex\"" in xml.encode("\x08")

@@ -204,3 +204,19 @@ def test_register_sql_views_collision_disambiguates(spark, tmp_path):
         spark.sql(f"SELECT COUNT(*) AS n FROM {v}").collect()[0]["n"]
         for v in views)
     assert counts == [1, 2]  # each view bound to its OWN collection
+
+
+def test_meta_paths_other_than_system_fail_like_missing_collections(spark, store):
+    """The VFS is mounted ONLY at /meta/system:system.  Both read paths
+    previously served the system records for ANY /meta/{a}:{n} (under a
+    fabricated collection path), while path_exists said False — a reader
+    could 'read' a collection that does not exist (review finding)."""
+    from pigeon_optics_spark.store import StoreError
+
+    assert not path_exists(store, "/meta/foo:bar")
+    with pytest.raises(StoreError, match="no such collection"):
+        read_path_df(spark, store, "/meta/foo:bar")
+    with pytest.raises(StoreError, match="no such collection"):
+        list(iterate_path(store, "/meta/foo:bar", fast_read=True))
+    # the real mount still serves
+    assert read_path_df(spark, store, "/meta/system:system").count() == 6
