@@ -89,3 +89,9 @@ def test_driver_window_invariants():
     # every registered gate is oracle-paired (the zero-no_oracle stance)
     rows_only = [n for n, (_f, o) in qs.items() if o is None]
     assert not rows_only, rows_only
+    # exact registry size: all_queries() wraps each submodule import in
+    # try/except ImportError, so a real import bug in one module would
+    # SILENTLY drop its whole gate population — and if none of its gates
+    # sit in the 50-slot window, nothing above would notice.  Update this
+    # count only with a deliberate registry change (ceiling ~215).
+    assert len(qs) == 212, len(qs)
