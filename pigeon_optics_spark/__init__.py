@@ -22,8 +22,10 @@ Package layout (mirrors SURVEY.md §7):
                   (ref: library/models/lens.js, library/workers/*)
 - ``codecs``    — M3 wire codecs: JSON(+tagged), JSON-lines, CBOR, YAML,
                   msgpack, XML/JsonML.  (ref: library/models/codec/*)
-- ``operators`` — relational surface & helpers the reference lacks but the
-                  engine exposes (natural sort keys, as-of join, top-k, ...).
+- ``queries``   — the oracle-paired gate registry (relational surface,
+                  lens/store/codec/events/pipeline gates) backing
+                  ``__spark_entry__.py``; ``joins`` holds the
+                  skew-mitigation join/agg strategies.
 - ``pipeline``  — LLM-data-pipeline operators: dedup, similarity search,
                   text analysis, multimodal plumbing.
 - ``attachments`` — content-addressed blob store + GC anti-join.
