@@ -8,6 +8,19 @@ JSON line: ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Each query is executed once as a warm-up-free timed run; the timed action is
 a full materialization (``count`` over the result via collect-to-driver of
 aggregated output — all headline queries return small results).
+
+Contention self-evidence (r8 postmortem): the JSON line carries two extra
+fields that make a hot-host reading diagnosable without forensics —
+``loadavg`` (the 1/5/15-minute /proc/loadavg triple sampled before the
+headline set) and ``probe_sec`` (a fixed pure-JVM calibration probe,
+``spark.range(5e8).sum()`` on 32 partitions, whose cost depends only on
+available CPU, never on this repo's code), plus ``cpu_sec`` — the whole-run
+/proc/stat delta {user, idle, iowait, steal} in cpu-seconds.  A doubled
+headline total with calm loadavg/probe AND near-zero steal is a real
+regression; inflated ``steal`` (hypervisor ran someone else while this VM
+had runnable work — r9 observed bursts of ~8 stolen cpus mid-bench on an
+otherwise idle guest) is host contention, adjudicable from the JSON line
+alone.  Headline timing methodology is untouched (driver contract).
 """
 
 from __future__ import annotations
@@ -46,6 +59,24 @@ HEADLINE = [
 ]
 
 
+def _read_cpu_stat() -> dict[str, float]:
+    """Aggregate /proc/stat cpu line, in seconds (USER_HZ=100 assumed).
+
+    ``steal`` is time the hypervisor ran someone else while this VM had
+    runnable work — the direct, in-guest-visible measure of host
+    oversubscription (the r8 mystery: bursts of ~8 stolen cpus were
+    observed mid-bench on an otherwise idle guest)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        user, nice, system, idle, iowait = (float(x) for x in parts[1:6])
+        steal = float(parts[8]) if len(parts) > 8 else 0.0
+        return {"user": (user + nice + system) / 100, "idle": idle / 100,
+                "iowait": iowait / 100, "steal": steal / 100}
+    except (OSError, ValueError, IndexError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -71,6 +102,21 @@ def main() -> None:
      .select(hash_value_udf("value"), links_udf("value")).collect())
     print(f"# warmup: {time.time() - t0:.2f}s", file=sys.stderr)
 
+    # contention calibration: loadavg snapshot + a fixed pure-JVM probe
+    # (cost independent of this repo's code — only of available CPU)
+    try:
+        with open("/proc/loadavg") as fh:
+            loadavg = [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        loadavg = []
+    stat0 = _read_cpu_stat()
+    t0 = time.time()
+    spark.range(500_000_000, numPartitions=32).selectExpr(
+        "sum(id)").collect()
+    probe_sec = round(time.time() - t0, 3)
+    print(f"# calibration: loadavg={loadavg} probe={probe_sec}s",
+          file=sys.stderr)
+
     qs = all_queries()
     times: dict[str, float] = {}
     total = 0.0
@@ -89,12 +135,18 @@ def main() -> None:
         # executor-memory pressure (each query re-persists what it needs)
         spark.catalog.clearCache()
 
+    stat1 = _read_cpu_stat()
+    cpu = ({k: round(stat1[k] - stat0[k], 1) for k in stat0}
+           if stat0 and stat1 else {})
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "loadavg": loadavg,
+        "probe_sec": probe_sec,
+        "cpu_sec": cpu,
     }))
 
 

@@ -34,6 +34,7 @@ from . import json5 as _json5
 from . import msgpack as _msgpack
 from .jsonml import (
     ARBITRARY_NS,
+    XMLError,
     arbitrary_jsonml_to_value,
     html_to_jsonml,
     is_jsonml,
@@ -253,9 +254,43 @@ def _yaml_decode_iterable(data: bytes) -> Iterator[Any]:
 # --------------------------------------------------------------------------
 
 
+def _xml_documentable(v: list) -> bool:
+    """Can this JsonML value serialize to a WELL-FORMED XML document —
+    one the expat decoder will re-read?  A bare ``['#comment', …]`` /
+    ``['#cdata-section', …]`` root, or a ``#document`` with zero or
+    multiple element children (or non-whitespace top-level text), emits
+    a rootless fragment expat refuses — the same silent-break class as
+    the illegal-character case, caught structurally instead of by
+    parse-failure."""
+    tag = v[0]
+    if tag != "#document":
+        return not tag.startswith("#")
+    kids = v[1:]
+    if kids and isinstance(kids[0], dict):
+        kids = kids[1:]
+    elems = [c for c in kids
+             if isinstance(c, list) and not c[0].startswith("#")]
+    texts = [c for c in kids if isinstance(c, str)]
+    # at document level only ONE element plus comments/whitespace is
+    # well-formed (CDATA or a nested #document there is not)
+    specials_ok = all(c[0] == "#comment" for c in kids
+                      if isinstance(c, list) and c[0].startswith("#"))
+    return (len(elems) == 1 and specials_ok
+            and all(t.strip() == "" for t in texts))
+
+
 def _xml_encode(v: Any) -> bytes:
-    if is_jsonml(v):
-        return jsonml_to_xml(v).encode("utf-8")
+    if is_jsonml(v) and _xml_documentable(v):
+        try:
+            return jsonml_to_xml(v).encode("utf-8")
+        except XMLError:
+            # JsonML-SHAPED but not XML-1.0-REPRESENTABLE (e.g. a text or
+            # comment child carrying \x08): fall back to the arbitrary
+            # encoding, which hex-escapes — mirroring the reference's
+            # pxml.encode try / parb.encode fallback
+            # (ref codec/xml/encode.js).  Decode dispatches on the
+            # arbitrary xmlns wrapper, so round-trip is exact.
+            pass
     wrapped = ["arbitrary", {"xmlns": ARBITRARY_NS}, value_to_arbitrary_jsonml(v)]
     return jsonml_to_xml(wrapped).encode("utf-8")
 

@@ -12,6 +12,20 @@ JsonML node forms:
 - element: ``[tag, {attrs}, ...children]`` (attrs object optional)
 - text: plain string child
 - document root: ``['#document', ...]`` when there's a prolog / multiple roots
+
+Wire-format divergence from the reference (documented, deliberate): strings
+and dict keys containing XML-1.0-ILLEGAL characters (C0 controls except
+\\t\\n\\r, lone surrogates, U+FFFE/U+FFFF) are emitted in the arbitrary
+encoding as hex-encoded UTF-8 — ``<string encoding="hex">…`` /
+``<prop name-hex="…">``.  The reference's pigeonmark-arbitrary has no such
+escape and emits the raw character, producing XML its own parser cannot
+re-read; the alternative to diverging was silently unparseable output.
+XML produced here for such strings is therefore not decodable by the
+reference implementation; documents in the reference's format (which never
+uses ``encoding="hex"``) decode here unchanged.  Similarly, a JsonML-shaped
+*document* whose text carries an illegal character is encoded via the
+arbitrary fallback (the serializer raises XMLError and the codec entry
+point falls back), where the reference would emit the raw byte.
 """
 
 from __future__ import annotations
@@ -77,6 +91,14 @@ def _esc_text(s: str) -> str:
     # folds a literal CR (or CRLF) in text content to LF on PARSE, so raw
     # CR would silently change the value on round-trip (fuzz finding —
     # the attribute escaper already guarded this)
+    if _XML_ILLEGAL_RE.search(s):
+        # XML 1.0 cannot carry these AT ALL (not even as charrefs);
+        # emitting them raw produces output expat refuses to re-parse.
+        # Raise loudly — the whole-value encoder falls back to the
+        # arbitrary encoding (which hex-escapes), mirroring the
+        # reference's pxml.encode try / parb.encode fallback.
+        raise XMLError(
+            f"string contains XML-1.0-illegal character: {s!r:.80}")
     return (s.replace("&", "&amp;").replace("<", "&lt;")
             .replace(">", "&gt;").replace("\r", "&#13;"))
 
@@ -114,10 +136,16 @@ def _node_to_xml(node: Any, out: list[str], depth: int = 0) -> None:
             _node_to_xml(c, out, depth + 1)
         return
     if tag == "#comment":
-        out.append(f"<!--{''.join(str(c) for c in rest)}-->")
+        body = "".join(str(c) for c in rest)
+        if _XML_ILLEGAL_RE.search(body):
+            raise XMLError("comment contains XML-1.0-illegal character")
+        out.append(f"<!--{body}-->")
         return
     if tag == "#cdata-section":
-        out.append(f"<![CDATA[{''.join(str(c) for c in rest)}]]>")
+        body = "".join(str(c) for c in rest)
+        if _XML_ILLEGAL_RE.search(body):
+            raise XMLError("CDATA contains XML-1.0-illegal character")
+        out.append(f"<![CDATA[{body}]]>")
         return
     out.append(f"<{tag}")
     for k, v in attrs.items():

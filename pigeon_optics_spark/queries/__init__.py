@@ -43,43 +43,46 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 #: (hand-maintained lists drifted twice in r5; the executable form is
 #: the source of truth).  ROUND_NOTES "r7 rotation plan" orders it.
 _DRIVER_PRIORITY = [
-    # ===== r8 refresh window (exactly 50) — VERDICT r7 item 1. =====
-    # The never-checked backlog is retired (every gate has >=1 green
-    # driver row); from r8 on the window refreshes the OLDEST rows.
-    # Computed executably at r8 start from CORRECTNESS_r*.json ∩ the
-    # live registry (histogram r3×14 r4×48 r5×50 r6×50 r7×50) and
-    # matches ROUND_NOTES "r8 refresh plan" name-for-name.  The
-    # in-session invariant test verifies count/uniqueness/registry
-    # membership and that all_queries() emits these first.
-    # --- the 14 gates whose newest row is r3 ---
-    "dedup_embedding_pairs", "dedup_exact_documents", "dedup_ngram_pairs",
-    "dedup_simhash_signatures", "emb_kmeans_assign", "emb_pq_codes",
-    "emb_pq_topk", "multimodal_audio_meta", "multimodal_real_image_meta",
-    "text_chunk_dedup", "text_contamination", "text_pack_sequences",
-    "text_pii_scrub", "text_tfidf_top_terms",
-    # --- r4-history flagships first (VERDICT r7 item 1 order) ---
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "lens_sum_qty_by_partkey", "lens_invert_part_types",
-    "lens_incremental_rebuild", "dedup_minhash_pairs",
-    "dedup_minhash_components", "ann_topk_methods", "pipeline_end_to_end",
-    # --- remaining r4-history gates, alphabetical (first 26 of 38) ---
-    "asof_join_events_orders", "codec_transcode_roundtrip",
-    "codec_zip_manifest", "events_range_join", "events_sliding_windows",
-    "events_stream_dedup", "events_stream_stateful", "events_stream_tumbling",
-    "events_topk_per_type", "events_tumbling_counts",
-    "lens_count_orders_by_status", "lens_object_merge_stats",
-    "multimodal_gif_frames", "q_approx_aggregates", "q_cube_volumes",
-    "q_distinct_suppliers_per_flag", "q_event_zscores", "q_exact_quantiles",
-    "q_export_at_filter", "q_full_outer_join", "q_moving_average",
-    "q_orderpriority_checker", "q_point_lookup_documents", "q_rollup_returns",
-    "q_scalar_functions", "q_segment_setops",
+    # ===== r9 refresh window (exactly 50) — VERDICT r8 item 1. =====
+    # Refreshes the OLDEST driver rows.  Computed executably at r9
+    # start from CORRECTNESS_r*.json ∩ the live registry (histogram
+    # entering r9: r4×12 r5×50 r6×50 r7×50 r8×50) and matches the
+    # VERDICT r8 prediction name-for-name.  Ordered (round, name) —
+    # the 12 remaining r4-history gates, then the first 38 r5-history
+    # gates alphabetically.  The in-session invariant test verifies
+    # count/uniqueness/registry membership and that all_queries()
+    # emits these first.
+    # --- the 12 gates whose newest row is r4 ---
+    "q_semi_anti_joins", "q_top3_customers_per_nation",
+    "reactive_dag_cascade", "store_delta_read", "store_export_at",
+    "store_natural_order", "store_point_lookup", "store_readpath_union",
+    "store_scan_documents", "text_bigram_lm", "text_profile",
+    "text_samples",
+    # --- first 38 r5-history gates, alphabetical ---
+    "ann_ivfpq_topk", "ann_recall_eval", "attachments_gc_sweep",
+    "corpus_cluster_profile", "corpus_source_overlap",
+    "corpus_source_pagerank", "dedup_fuzzy_pairs",
+    "dedup_incremental_batch", "dedup_semantic", "dedup_survivors",
+    "emb_covariance", "emb_kmeans_train", "events_attribution",
+    "events_funnel", "events_mad_outliers", "events_pivot_counts",
+    "events_resample_gapfill", "events_retention_cohorts",
+    "events_seasonal_baseline", "events_session_conversion",
+    "events_sessionize", "events_sketch_rollup", "events_stream_sessions",
+    "events_stream_stream_join", "events_throttle_dedup",
+    "events_trailing_window", "events_transition_matrix",
+    "events_unpivot_metrics", "multimodal_mp4_meta",
+    "multimodal_tar_shards", "q_large_volume_orders",
+    "q_market_basket_pairs", "q_order_count_distribution",
+    "q_small_quantity_revenue", "store_links_extraction",
+    "store_stream_ingest", "text_bm25_topk", "text_bpe_pair_counts",
     # ===== end of the 50-slot window =====
     #
-    # The 12 remaining r4-history gates lead the r9 window (ROUND_NOTES
-    # "r9 refresh plan"): q_semi_anti_joins, q_top3_customers_per_nation,
-    # reactive_dag_cascade, store_delta_read, store_export_at,
-    # store_natural_order, store_point_lookup, store_readpath_union,
-    # store_scan_documents, text_bigram_lm, text_profile, text_samples.
+    # The 12 remaining r5-history gates lead the r10 window (with the
+    # first 38 r6-history gates): text_context_chunks,
+    # text_corpus_line_dedup, text_dsir_weights, text_dup_window_stats,
+    # text_exact_k_sample, text_gopher_quality, text_heavy_hitters,
+    # text_inverted_index, text_line_dedup, text_mix_weights,
+    # text_quality_histogram, text_split_assign.
     # Recompute staleness executably each round (the source of truth —
     # hand-lists drifted twice in r5):
     #   python -c "import json,glob,re; from pigeon_optics_spark.queries
@@ -94,28 +97,24 @@ _DRIVER_PRIORITY = [
 
 def all_queries() -> dict[str, tuple[QueryFn, Optional[str]]]:
     # import side-effect registration
+    import importlib
+    import sys as _sys
+
     from . import relational  # noqa: F401
 
-    try:
-        from . import lens_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import pipeline_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import events_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import store_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import codec_queries  # noqa: F401
-    except ImportError:
-        pass
+    # Optional submodules: an ImportError here means that module's whole
+    # gate population silently vanishes from the registry, so shout on
+    # stderr (the registry-size pin test protects pytest runs; the
+    # warning protects driver runs, where only a row-count shrink would
+    # otherwise hint at the loss).
+    for _mod in ("lens_queries", "pipeline_queries", "events_queries",
+                 "store_queries", "codec_queries"):
+        try:
+            importlib.import_module(f".{_mod}", __package__)
+        except ImportError as exc:
+            print(f"warning: queries submodule {_mod} failed to import, "
+                  f"its gates are missing from the registry: {exc}",
+                  file=_sys.stderr)
     ordered: dict[str, tuple[QueryFn, Optional[str]]] = {}
     for name in _DRIVER_PRIORITY:
         if name in _REGISTRY:
