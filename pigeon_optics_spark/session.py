@@ -14,7 +14,12 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "spark_optics", cpus: int | None = None) -> SparkSession:
+def get_spark(app_name: str = "spark_optics", cpus: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """``extra_conf`` entries are applied LAST (they win over defaults) —
+    used by tools/scale_probe.py to re-enable the UI so the REST API can
+    report per-stage shuffle bytes; context-level settings only take
+    effect if no session exists yet (getOrCreate reuses a live context)."""
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     builder = (
@@ -39,6 +44,8 @@ def get_spark(app_name: str = "spark_optics", cpus: int | None = None) -> SparkS
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,214 @@
+"""Measured scaling datapoint beyond sf0.1 (VERDICT r8 item 8).
+
+Extends the r5 1x->5x sweep (SCALING.md) to the two most expensive
+operators at ~sf1, converting their scale story from design argument to
+measurement:
+
+- **lens build vs incremental rebuild** — ingest N orders into a
+  DatasetStore, build a count-by-status lens (FULL build scales with N),
+  then append ONE record and rebuild (the delta scan should be ~flat in
+  N: it maps exactly 1 record and re-reduces 1 key).  This is the
+  SURVEY §4 incremental-view-maintenance claim measured, not argued.
+- **dedup_minhash_pairs** and **lens_sum_qty_by_partkey** — the two
+  heaviest bench queries, at 1x and Kx.
+
+Unlike tools/sf_sweep.py (whose documents copies stay NEAR-DUPLICATES of
+the originals, inflating minhash's true workload ~quadratically — the
+SCALING.md r5 caveat), the Kx slice here applies a per-copy LETTER
+SUBSTITUTION CIPHER (rot-k via translate()): a bijective character map
+preserves char-5-gram Jaccard EXACTLY within a copy (every shared
+substring maps to a shared substring) while copies of the same document
+share ~no shingles across copies (different ciphers → different gram
+images).  The near-dup group structure therefore REPLICATES K times
+instead of multiplying — the honest linear-corpus-growth shape.
+(A first attempt interleaved a shared per-copy token between words;
+that made ALL documents within a copy similar — common-word grams
+dominated — and pairs exploded 289x at K=2.  The cipher construction
+was verified: pairs@2x == 2 x pairs@1x exactly.)
+
+Per-measurement it records wall seconds, per-stage shuffle read/write
+bytes (Spark UI REST API — the probe session re-enables the UI), and the
+/proc/stat steal delta so a contended reading is self-evident.
+
+Usage: python tools/scale_probe.py [K] [src_sf_dir]   (default 10 sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+#: per-copy deterministic perturbations; k=0 keeps the original rows.
+#: documents: ``replace(text, ' ', ' c<k> ')`` interleaves a per-copy
+#: token between every word — every shingle changes, so cross-copy
+#: Jaccard ~ 0 while intra-copy near-dup pairs are preserved.
+_SCALED = {
+    "orders": """
+        SELECT o_orderkey + {k} * 100000000 AS o_orderkey,
+               o_custkey, o_orderstatus,
+               o_totalprice + ({k} % 5) * 0.01 AS o_totalprice,
+               o_orderdate + {k} * INTERVAL 1 DAY AS o_orderdate,
+               o_orderpriority
+        FROM src""",
+    "lineitem": """
+        SELECT l_orderkey + {k} * 100000000 AS l_orderkey,
+               l_partkey, l_suppkey, l_linenumber,
+               l_quantity,
+               l_extendedprice + ({k} % 5) * 0.01 AS l_extendedprice,
+               l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM src""",
+    "documents": """
+        SELECT doc_id + {k} * 10000000 AS doc_id,
+               CASE WHEN {k} = 0 THEN text
+                    ELSE translate(text, '{plain}', '{cipher}') END AS text,
+               lang, source, n_chars
+        FROM src""",
+}
+
+_AL = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _doc_tmpl(k: int) -> str:
+    rot = k % 25 + 1 if k else 0  # never identity for k>0
+    lo, up = _AL[rot:] + _AL[:rot], (_AL[rot:] + _AL[:rot]).upper()
+    return _SCALED["documents"].format(
+        k=k, plain=_AL + _AL.upper(), cipher=lo + up)
+
+_COPIED = ["region", "nation", "customer", "supplier", "part", "events",
+           "embeddings"]
+
+
+def build_slice(k: int) -> str:
+    out = tempfile.mkdtemp(prefix="po_scale_probe_")
+    con = duckdb.connect()
+    for t in _COPIED:
+        shutil.copy(os.path.join(SRC, f"{t}.parquet"),
+                    os.path.join(out, f"{t}.parquet"))
+    for t, tmpl in _SCALED.items():
+        con.execute(f"CREATE OR REPLACE VIEW src AS "
+                    f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')")
+        union = "\nUNION ALL\n".join(
+            _doc_tmpl(i) if t == "documents" else tmpl.format(k=i)
+            for i in range(k))
+        con.execute(f"COPY ({union}) TO '{out}/{t}.parquet' "
+                    f"(FORMAT PARQUET)")
+        n = con.execute(f"SELECT COUNT(*) FROM "
+                        f"read_parquet('{out}/{t}.parquet')").fetchone()[0]
+        print(f"# slice {t}: {n} rows", file=sys.stderr)
+    return out
+
+
+def cpu_stat() -> dict[str, float]:
+    p = open("/proc/stat").readline().split()
+    return {"user": (int(p[1]) + int(p[3])) / 100, "idle": int(p[4]) / 100,
+            "steal": (int(p[8]) if len(p) > 8 else 0) / 100}
+
+
+_UI = "http://localhost:4040/api/v1/applications"
+
+
+def completed_stages() -> dict[int, dict]:
+    apps = json.load(urllib.request.urlopen(_UI, timeout=10))
+    app_id = apps[0]["id"]
+    st = json.load(urllib.request.urlopen(
+        f"{_UI}/{app_id}/stages?status=complete", timeout=10))
+    return {(s["stageId"], s["attemptId"]): s for s in st}
+
+
+def measure(label: str, fn) -> dict:
+    before = completed_stages()
+    s0, t0 = cpu_stat(), time.time()
+    rows = fn()
+    wall = time.time() - t0
+    s1, after = cpu_stat(), completed_stages()
+    new = [s for k, s in after.items() if k not in before]
+    sw = sum(s.get("shuffleWriteBytes", 0) for s in new)
+    sr = sum(s.get("shuffleReadBytes", 0) for s in new)
+    top = sorted(new, key=lambda s: -s.get("shuffleWriteBytes", 0))[:3]
+    rec = {
+        "label": label, "rows": rows, "wall_sec": round(wall, 2),
+        "stages": len(new),
+        "shuffle_write_mb": round(sw / 1e6, 1),
+        "shuffle_read_mb": round(sr / 1e6, 1),
+        "user_cpu_sec": round(s1["user"] - s0["user"], 1),
+        "steal_cpu_sec": round(s1["steal"] - s0["steal"], 1),
+        "top_shuffle_stages": [
+            {"id": s["stageId"], "name": s.get("name", "")[:60],
+             "write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1)}
+            for s in top if s.get("shuffleWriteBytes", 0) > 0],
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+def lens_build_pair(spark, sf_dir: str, tag: str) -> list[dict]:
+    """Full lens build over ALL orders at sf_dir, then a 1-record
+    incremental rebuild — the flat-delta claim, measured."""
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.lens import build_lens, create_lens
+    from pigeon_optics_spark.queries._util import load, tracked_mkdtemp
+    from pigeon_optics_spark.store import DatasetStore
+
+    store = DatasetStore(tracked_mkdtemp("po_scaleprobe_"))
+    store.create("t", "orders")
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("record_id"),
+        F.to_json(F.struct("o_orderstatus")).alias("value"))
+
+    out = []
+    out.append(measure(f"lens_ingest@{tag}", lambda: (
+        store.write_entries_df(spark, "t", "orders", src), 0)[1]))
+    create_lens(store, "t", "by-status", inputs=["/datasets/t:orders"],
+                code="output(data['o_orderstatus'], 1)")
+    out.append(measure(f"lens_full_build@{tag}", lambda:
+                       build_lens(spark, store, "t", "by-status")["mapped"]))
+    store.write("t", "orders", "synthetic-1", {"o_orderstatus": "Z"})
+    out.append(measure(f"lens_incremental_rebuild@{tag}", lambda:
+                       build_lens(spark, store, "t", "by-status")["mapped"]))
+    return out
+
+
+def main() -> None:
+    from pigeon_optics_spark.queries import all_queries
+    from pigeon_optics_spark.session import get_spark
+
+    spark = get_spark("scale_probe",
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.retainedStages": "5000"})
+    # JVM / Arrow-worker warmup (bench.py pattern)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    kx_dir = build_slice(K)
+    qs = all_queries()
+    results = []
+    try:
+        for tag, d in (("1x", SRC), (f"{K}x", kx_dir)):
+            for qname in ("dedup_minhash_pairs", "lens_sum_qty_by_partkey"):
+                fn, _ = qs[qname]
+                results.append(measure(f"{qname}@{tag}",
+                                       lambda fn=fn, d=d:
+                                       fn(spark, d).count()))
+                spark.catalog.clearCache()
+            results.extend(lens_build_pair(spark, d, tag))
+            spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(kx_dir, ignore_errors=True)
+    print(json.dumps({"metric": "scale_probe", "k": K, "src": SRC,
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
