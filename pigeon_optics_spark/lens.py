@@ -568,7 +568,15 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
     # executions of the emissions plan (which sits on the fat map output).
     # Persist across the pair; callers re-deriving from the same upstream
     # afterwards pay one cheap recompute, not two heavy ones here.
-    cache = df if num_parts <= 1 else df.persist()
+    # NOTE: DataFrame.persist() returns the SAME object, so an
+    # identity test (`cache is not df`) can never detect "we persisted"
+    # — a previous guard written that way leaked this cache on every
+    # build, and the leaked InMemoryRelation (which pins the fat map
+    # output) degraded every LATER build in the session by 3-25x
+    # measured CPU (r9 scale-probe finding).  Track the decision in a
+    # boolean instead.
+    persisted = num_parts > 1
+    cache = df.persist() if persisted else df
     try:
         (cache.repartitionByRange(num_parts, "out_id")
          .sortWithinPartitions("out_id", "input_idx", "nat_key", "src_rid",
@@ -576,8 +584,8 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
          .drop("nat_key")  # Project preserves the sort; column derives at read
          .write.mode("overwrite").parquet(stage))
     finally:
-        if cache is not df:
-            cache.unpersist()
+        if persisted:
+            cache.unpersist(blocking=True)
     _tr("shuffle+sort+write")
     for fn in os.listdir(stage):
         if not fn.endswith(".parquet"):
@@ -1034,9 +1042,9 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
                 spark, author, name, reduced.unionByName(deletes),
                 source="lenses", precanonical=True, assume_unique_ids=True)
             _trace("output_write")
-            reduced.unpersist()
-        affected.unpersist()
-    mapped.unpersist()
+            reduced.unpersist(blocking=True)
+        affected.unpersist(blocking=True)
+    mapped.unpersist(blocking=True)
     records_changed = stats_meta.version != pre_write_version
 
     # bookkeeping: input versions + segment positions consumed by this build
