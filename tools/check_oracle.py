@@ -203,6 +203,13 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # several gates deliberately leave a persisted frame behind
+            # for their returned (now consumed) plan; 212 gates in one
+            # session otherwise accumulate them until eviction thrashes
+            # later gates' own persists (the r9 lens-leak class).  Same
+            # hygiene as bench.py.
+            spark.catalog.clearCache()
         t1 = time.time()
         if oracle is None:
             print(f"okNR {name}: rows={len(spark_pdf)} (no oracle, rows-only) [{t1-t0:.1f}s]")
