@@ -571,3 +571,33 @@ class TestUnserializableOutputs:
         bad = rows["/datasets/system:bomb-ds/records/bomb"]
         assert bad["errors"] and any(
             "unserializable" in e["message"] for e in bad["errors"]), bad
+
+
+def test_build_lens_leaves_no_persistent_rdds(spark, tmp_path):
+    """Regression pin for the r9 persist-leak class: DataFrame.persist()
+    returns SELF, so an identity-test unpersist guard (`cache is not df`)
+    can never fire — every build then leaks its emissions cache, and the
+    leaked + async-pending blocks degraded LATER builds in the session by
+    a measured 3-25x CPU.  The invariant: a completed build (first build
+    AND incremental rebuild, multi-partition emit segment included) must
+    leave the session's persistent-RDD map exactly as it found it."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for i, n_rows in enumerate((20_001, 50)):
+        # 20,001 rows crosses the 20k num_parts threshold, so the FIRST
+        # iteration runs the emit-segment branch that actually persists
+        # (where the leaky guard lived); the second runs the no-persist
+        # branch.
+        store = DatasetStore(str(tmp_path / f"leak{i}"))
+        store.create("t", "src")
+        store.write_entries("t", "src", [
+            (f"r{j}", {"k": f"g{j % 7}"}) for j in range(n_rows)])
+        create_lens(store, "t", "by-k", inputs=["/datasets/t:src"],
+                    code="output(data['k'], 1)")
+        build_lens(spark, store, "t", "by-k")
+        assert (spark.sparkContext._jsc.getPersistentRDDs().size()
+                == before), f"build {i} leaked a persisted RDD"
+        # incremental rebuild path too
+        store.write_entries("t", "src", [("extra", {"k": "g0"})])
+        build_lens(spark, store, "t", "by-k")
+        assert (spark.sparkContext._jsc.getPersistentRDDs().size()
+                == before), f"rebuild {i} leaked a persisted RDD"
