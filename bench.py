@@ -138,6 +138,12 @@ def main() -> None:
     stat1 = _read_cpu_stat()
     cpu = ({k: round(stat1[k] - stat0[k], 1) for k in stat0}
            if stat0 and stat1 else {})
+    # accept band for a trustworthy reading (VERDICT r9 item 1/8):
+    # probe_sec <= 0.6 (pure-JVM probe at its calm cost) AND whole-run
+    # steal <= 30 cpu-s (< ~0.5 stolen CPUs).  `calm` labels the record
+    # so the per-round JSON is self-adjudicating; headline methodology
+    # is unchanged.
+    calm = bool(probe_sec <= 0.6 and cpu.get("steal", 1e9) <= 30.0)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -147,6 +153,7 @@ def main() -> None:
         "loadavg": loadavg,
         "probe_sec": probe_sec,
         "cpu_sec": cpu,
+        "calm": calm,
     }))
 
 

@@ -139,12 +139,23 @@ def _node_to_xml(node: Any, out: list[str], depth: int = 0) -> None:
         body = "".join(str(c) for c in rest)
         if _XML_ILLEGAL_RE.search(body):
             raise XMLError("comment contains XML-1.0-illegal character")
+        # XML 1.0 grammar: Comment ::= '<!--' ((Char - '-') | ('-'
+        # (Char - '-')))* '-->' — '--' inside, or a trailing '-'
+        # (which would form '--->'), is unparseable by expat.  Raise so
+        # _xml_encode falls back to the arbitrary encoding, preserving
+        # the never-emit-undecodable-output invariant.
+        if "--" in body or body.endswith("-"):
+            raise XMLError("comment body contains '--' or ends in '-'")
         out.append(f"<!--{body}-->")
         return
     if tag == "#cdata-section":
         body = "".join(str(c) for c in rest)
         if _XML_ILLEGAL_RE.search(body):
             raise XMLError("CDATA contains XML-1.0-illegal character")
+        # ']]>' terminates a CDATA section early; the suffix would be
+        # parsed as markup (or rejected).  Route to the fallback.
+        if "]]>" in body:
+            raise XMLError("CDATA body contains ']]>'")
         out.append(f"<![CDATA[{body}]]>")
         return
     out.append(f"<{tag}")

@@ -43,46 +43,46 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 #: (hand-maintained lists drifted twice in r5; the executable form is
 #: the source of truth).  ROUND_NOTES "r7 rotation plan" orders it.
 _DRIVER_PRIORITY = [
-    # ===== r9 refresh window (exactly 50) — VERDICT r8 item 1. =====
-    # Refreshes the OLDEST driver rows.  Computed executably at r9
+    # ===== r10 refresh window (exactly 50) — VERDICT r9 item 2. =====
+    # Refreshes the OLDEST driver rows.  Computed executably at r10
     # start from CORRECTNESS_r*.json ∩ the live registry (histogram
-    # entering r9: r4×12 r5×50 r6×50 r7×50 r8×50) and matches the
-    # VERDICT r8 prediction name-for-name.  Ordered (round, name) —
-    # the 12 remaining r4-history gates, then the first 38 r5-history
+    # entering r10: r5×12 r6×50 r7×50 r8×50 r9×50) and matches the
+    # VERDICT r9 prediction name-for-name.  Ordered (round, name) —
+    # the 12 remaining r5-history gates, then the first 38 r6-history
     # gates alphabetically.  The in-session invariant test verifies
     # count/uniqueness/registry membership and that all_queries()
     # emits these first.
-    # --- the 12 gates whose newest row is r4 ---
-    "q_semi_anti_joins", "q_top3_customers_per_nation",
-    "reactive_dag_cascade", "store_delta_read", "store_export_at",
-    "store_natural_order", "store_point_lookup", "store_readpath_union",
-    "store_scan_documents", "text_bigram_lm", "text_profile",
-    "text_samples",
-    # --- first 38 r5-history gates, alphabetical ---
-    "ann_ivfpq_topk", "ann_recall_eval", "attachments_gc_sweep",
-    "corpus_cluster_profile", "corpus_source_overlap",
-    "corpus_source_pagerank", "dedup_fuzzy_pairs",
-    "dedup_incremental_batch", "dedup_semantic", "dedup_survivors",
-    "emb_covariance", "emb_kmeans_train", "events_attribution",
-    "events_funnel", "events_mad_outliers", "events_pivot_counts",
-    "events_resample_gapfill", "events_retention_cohorts",
-    "events_seasonal_baseline", "events_session_conversion",
-    "events_sessionize", "events_sketch_rollup", "events_stream_sessions",
-    "events_stream_stream_join", "events_throttle_dedup",
-    "events_trailing_window", "events_transition_matrix",
-    "events_unpivot_metrics", "multimodal_mp4_meta",
-    "multimodal_tar_shards", "q_large_volume_orders",
-    "q_market_basket_pairs", "q_order_count_distribution",
-    "q_small_quantity_revenue", "store_links_extraction",
-    "store_stream_ingest", "text_bm25_topk", "text_bpe_pair_counts",
+    # --- the 12 gates whose newest row is r5 ---
+    "text_context_chunks", "text_corpus_line_dedup", "text_dsir_weights",
+    "text_dup_window_stats", "text_exact_k_sample", "text_gopher_quality",
+    "text_heavy_hitters", "text_inverted_index", "text_line_dedup",
+    "text_mix_weights", "text_quality_histogram", "text_split_assign",
+    # --- first 38 r6-history gates, alphabetical ---
+    "avro_ingest", "dedup_canonical_forms", "dedup_pair_sketches",
+    "emb_eval_metrics", "emb_quantized_reps", "events_audit_metrics",
+    "events_extract_semantics", "events_interval_ops",
+    "events_stream_late_drop", "events_stream_multi_source",
+    "events_stream_outer_join", "events_stream_rocksdb_state",
+    "events_stream_timeout_sessions", "events_trend_folds",
+    "events_user_activity", "events_value_distribution",
+    "graph_distances", "graph_structure_metrics", "lens_error_capture",
+    "lens_markup_extract", "multimodal_audio_pcm",
+    "multimodal_container_meta", "multimodal_image_pixels",
+    "multimodal_video_frames", "q12_priority_lines",
+    "q20_potential_promotion", "q21_sole_late_supplier",
+    "q7_nation_volume", "q_correlated_shapes", "q_customer_analytics",
+    "q_pandas_grouped_agg", "q_quality_audits",
+    "q_query_shape_semantics", "q_scalar_semantics",
+    "q_setops_join_semantics", "q_udtf_ngrams", "q_window_semantics",
+    "reactive_subscribe_feed",
     # ===== end of the 50-slot window =====
     #
-    # The 12 remaining r5-history gates lead the r10 window (with the
-    # first 38 r6-history gates): text_context_chunks,
-    # text_corpus_line_dedup, text_dsir_weights, text_dup_window_stats,
-    # text_exact_k_sample, text_gopher_quality, text_heavy_hitters,
-    # text_inverted_index, text_line_dedup, text_mix_weights,
-    # text_quality_histogram, text_split_assign.
+    # The 12 remaining r6-history gates lead the r11 window (with the
+    # first 38 r7-history gates): store_catalog_views, store_cid_import,
+    # store_datasource_pushdown, store_datasource_read,
+    # store_lifecycle_history, store_meta_vfs, store_path_escaping,
+    # store_stream_source, text_corpus_metrics, text_normalize_repair,
+    # text_sample_shuffle, text_web_census.
     # Recompute staleness executably each round (the source of truth —
     # hand-lists drifted twice in r5):
     #   python -c "import json,glob,re; from pigeon_optics_spark.queries

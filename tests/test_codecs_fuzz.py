@@ -184,7 +184,7 @@ def test_arbitrary_xml_roundtrip_property(v):
 # legal tags, optional attr dict, text children that INCLUDE XML-illegal
 # and XML-special characters, nested elements and comments
 _JSONML_TEXT = st.text(
-    alphabet=st.sampled_from("ab<>&\"'\t\n\r\x00\x08\x0b\x1f\ud800 é"),
+    alphabet=st.sampled_from("ab<>&\"'\t\n\r\x00\x08\x0b\x1f\ud800 é-]"),
     max_size=6)
 _JSONML = st.recursive(
     st.builds(lambda t, txt: [t, *txt],
@@ -236,5 +236,23 @@ def test_jsonml_with_illegal_char_falls_back_to_arbitrary():
               ["a", ["#comment", "x\x0by"]],
               ["#comment", "rootless"], ["#cdata-section", "x"],
               ["#document", ["a"], ["b"]], ["#document", "bare text"]):
+        rt = xml.decode(xml.encode(v))
+        assert rt == v, v
+
+
+def test_jsonml_xml_grammar_bodies_fall_back_to_arbitrary():
+    """XML *grammar* (not illegal-char) violations in comment/CDATA
+    bodies (r9 ADVICE): '--' inside or trailing '-' in a comment forms
+    '<!--x--y-->' / '--->' which expat refuses; ']]>' inside CDATA
+    terminates the section early.  All must route to the arbitrary
+    fallback and round-trip exactly."""
+    from pigeon_optics_spark.codecs import codec_for
+
+    xml = codec_for("xml")
+    for v in (["a", ["#comment", "x--y"]],
+              ["a", ["#comment", "ends-"]],
+              ["a", ["#comment", "-"]],
+              ["a", ["#cdata-section", "x]]>y"]],
+              ["#document", ["a", ["#cdata-section", "]]>"]]]):
         rt = xml.decode(xml.encode(v))
         assert rt == v, v

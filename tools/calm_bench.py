@@ -1,0 +1,109 @@
+"""Steal-watching auto-bench loop (VERDICT r9 item 1).
+
+Polls /proc/stat; when the host looks calm (steal rate and own load both
+low over a sampling window) it runs ``bench.py`` once and appends the
+result line (plus the window's pre-run steal rate) to a log.  The
+bench's own in-band calibration fields (probe_sec, cpu_sec.steal,
+calm) adjudicate the reading afterwards — this loop only decides *when
+to try*, never what counts.
+
+Usage:
+    python tools/calm_bench.py [--log /tmp/calm_bench_r10.log]
+        [--max-accepted 2] [--steal-cpus 0.4] [--window 20]
+        [--min-gap 120] [--stop-file /tmp/calm_bench.stop]
+
+Exits after --max-accepted runs whose JSON line reports calm=true, or
+when the stop file appears (create it to kill the loop cleanly before
+running anything else heavy, e.g. the full oracle gate or pytest).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def cpu_snap() -> list[int]:
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:]]
+
+
+def steal_rate(window: float) -> tuple[float, float]:
+    """(stolen cpus, busy cpus) averaged over `window` seconds."""
+    a = cpu_snap()
+    t0 = time.time()
+    time.sleep(window)
+    b = cpu_snap()
+    dt = time.time() - t0
+    steal = (b[7] - a[7]) / 100.0 / dt if len(a) > 7 else 0.0
+    busy = ((b[0] - a[0]) + (b[2] - a[2])) / 100.0 / dt
+    return steal, busy
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--log", default="/tmp/calm_bench_r10.log")
+    p.add_argument("--max-accepted", type=int, default=2)
+    p.add_argument("--steal-cpus", type=float, default=0.4,
+                   help="max stolen CPUs in the pre-run window")
+    p.add_argument("--busy-cpus", type=float, default=2.0,
+                   help="max own busy CPUs in the pre-run window")
+    p.add_argument("--window", type=float, default=20.0)
+    p.add_argument("--min-gap", type=float, default=120.0,
+                   help="min seconds between bench attempts")
+    p.add_argument("--stop-file", default="/tmp/calm_bench.stop")
+    args = p.parse_args()
+
+    accepted = 0
+    attempts = 0
+    last_try = 0.0
+    while accepted < args.max_accepted:
+        if os.path.exists(args.stop_file):
+            print(f"stop file {args.stop_file} present; exiting",
+                  flush=True)
+            break
+        steal, busy = steal_rate(args.window)
+        now = time.strftime("%H:%M:%S")
+        print(f"[{now}] steal={steal:.2f} busy={busy:.2f} cpus",
+              flush=True)
+        if (steal <= args.steal_cpus and busy <= args.busy_cpus
+                and time.time() - last_try >= args.min_gap):
+            attempts += 1
+            last_try = time.time()
+            print(f"[{now}] calm window -> bench attempt {attempts}",
+                  flush=True)
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, cwd=REPO, timeout=1200)
+            line = ""
+            for ln in (r.stdout or "").splitlines():
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    line = ln
+            rec: dict = {}
+            try:
+                rec = json.loads(line) if line else {}
+            except json.JSONDecodeError:
+                pass
+            rec["_pre_steal_cpus"] = round(steal, 3)
+            rec["_ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+            with open(args.log, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+            ok = rec.get("calm", False)
+            print(f"  -> total={rec.get('value')} probe="
+                  f"{rec.get('probe_sec')} steal="
+                  f"{(rec.get('cpu_sec') or {}).get('steal')} "
+                  f"calm={ok}", flush=True)
+            if ok:
+                accepted += 1
+    print(f"done: {accepted} calm readings in {attempts} attempts",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

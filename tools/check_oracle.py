@@ -199,6 +199,10 @@ def main() -> int:
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
+            # capture inside the try so the reported wall time excludes
+            # the finally's cache-teardown (keeps per-gate timings
+            # comparable with pre-r9 rounds)
+            t1 = time.time()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -210,7 +214,6 @@ def main() -> int:
             # later gates' own persists (the r9 lens-leak class).  Same
             # hygiene as bench.py.
             spark.catalog.clearCache()
-        t1 = time.time()
         if oracle is None:
             print(f"okNR {name}: rows={len(spark_pdf)} (no oracle, rows-only) [{t1-t0:.1f}s]")
             continue

@@ -31,6 +31,8 @@ bytes (Spark UI REST API — the probe session re-enables the UI), and the
 /proc/stat steal delta so a contended reading is self-evident.
 
 Usage: python tools/scale_probe.py [K] [src_sf_dir]   (default 10 sf0.1)
+K is bounded at 26: there are only 25 distinct non-identity rotation
+ciphers, so copies k and k+25 would be exact cross-copy duplicates.
 """
 
 from __future__ import annotations
@@ -51,9 +53,10 @@ K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
 #: per-copy deterministic perturbations; k=0 keeps the original rows.
-#: documents: ``replace(text, ' ', ' c<k> ')`` interleaves a per-copy
-#: token between every word — every shingle changes, so cross-copy
-#: Jaccard ~ 0 while intra-copy near-dup pairs are preserved.
+#: documents: a ``translate()``-based per-copy letter-substitution
+#: cipher (rot-k over [a-zA-Z], built in ``_doc_tmpl``) rewrites every
+#: letter — every shingle changes, so cross-copy Jaccard ~ 0 while
+#: intra-copy near-dup pairs are preserved bijectively.
 _SCALED = {
     "orders": """
         SELECT o_orderkey + {k} * 100000000 AS o_orderkey,
@@ -81,6 +84,10 @@ _AL = "abcdefghijklmnopqrstuvwxyz"
 
 
 def _doc_tmpl(k: int) -> str:
+    # rot = k % 25 + 1 collides for k and k+25 (identical cipher ->
+    # exact cross-copy duplicates, silently breaking the linear-growth
+    # property).  25 distinct non-identity rotations bound K at 26.
+    assert k <= 25, "scale factor K must be <= 26 (25 distinct ciphers)"
     rot = k % 25 + 1 if k else 0  # never identity for k>0
     lo, up = _AL[rot:] + _AL[:rot], (_AL[rot:] + _AL[:rot]).upper()
     return _SCALED["documents"].format(
