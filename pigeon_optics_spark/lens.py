@@ -462,10 +462,10 @@ def _cache_name(name: str) -> str:
 # emissions store is the same data exploded once at write time and persisted
 # as parquet segments RANGE-SORTED BY out_id, so an incremental re-reduce
 # reads only the row groups holding affected keys (min/max pruning on the
-# pushed-down ``out_id IN (...)`` filter).  No tombstones: an emission row is
-# current iff its (path, version) matches the cache's current entry for that
-# path — re-mapped paths' old rows fail the version match, pruned paths have
-# no cache entry at all.  The validity key is the cache ROW's version, NOT
+# pushed-down ``out_id IN (...)`` filter).  An emission row is current iff
+# its version is at or above its path's max STALE FLOOR (the sidecar log
+# below — O(churn) validity; compaction validates against the authoritative
+# cache keys instead).  The validity key is the cache ROW's version, NOT
 # its segment seq: cache compaction re-stamps every row with one new seq
 # (physical), but preserves per-row versions (logical) — seq-keyed validity
 # would invalidate the whole emissions log at the first compaction (silently
@@ -539,6 +539,104 @@ def _emit_segments(store: DatasetStore, author: str, name: str) -> list[str]:
             shutil.rmtree(d, ignore_errors=True)
             return []
     return segs
+
+
+# --------------------------------------------------------------------------
+# stale-floor sidecar — O(churn) validity, never O(base)
+#
+# Validity used to be a semi-join of gathered emissions against the CURRENT
+# (path, version) of every cache row — correct, but its build side scanned
+# and shuffled the whole cache-key set on every incremental rebuild: a
+# 1-record delta cost O(base) (measured: the r9 10x probe's linear-in-base
+# residue).  The sidecar inverts it: each build appends one small
+# ``stale_<seq>.parquet`` of (path, version=FLOOR) rows — every path the
+# build re-mapped or pruned, stamped with the post-write cache version.  An
+# emission row (path, v) is STALE iff v < the path's max floor: every
+# re-map/prune writes its new generation at the floor version (or nothing,
+# for prunes), so exactly one generation survives per path.  Validity is
+# then ``old_part LEFT JOIN floors`` — both sides O(churn)/O(affected),
+# broadcastable, independent of base size.  Compaction folds the log to
+# currently-valid rows (via the authoritative cache-key join, unchanged)
+# and deletes the floors, which are redundant afterwards: kept rows carry
+# the current cache version, which is >= every floor ever written.
+#
+# Crash safety matches the existing cursor-at-end protocol: a build that
+# dies between the cache write and the floor write re-runs its delta (the
+# input cursor only advances in set_config at the end), re-maps the same
+# paths, and writes a HIGHER floor that also kills the orphaned older
+# generations.  Emit dirs written before this sidecar existed lack floors
+# for their historical builds — detected by the ``_stale_v1`` marker file
+# and healed by a one-time compaction at build start.
+# --------------------------------------------------------------------------
+
+_STALE_MARKER = "_stale_v1"
+_STALE_RE = re.compile(r"^stale_(\d+)_[0-9a-f]+\.parquet$")
+
+
+def _stale_marker_present(d: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(d, _STALE_MARKER))
+
+
+def _install_stale_marker(d: str) -> None:
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, _STALE_MARKER), "w"):
+        pass
+
+
+def _write_stale_floors(df, d: str, seq: int) -> None:
+    """Append one floors sidecar: (path, version) rows, version = the floor
+    below which that path's emissions are dead.  Stage-then-rename like the
+    emit segments; O(delta) rows, coalesced small.  The uuid suffix makes
+    every write collision-free — a crashed build's re-run (which reuses
+    the suppressed cache seq) must never clobber existing floors, and
+    redundant/duplicate floors are harmless under the max() aggregation."""
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(d, exist_ok=True)
+    stage = os.path.join(d, f"_stage_{uuid.uuid4().hex}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    for fn in os.listdir(stage):
+        if not fn.endswith(".parquet"):
+            os.remove(os.path.join(stage, fn))
+    final = os.path.join(d, f"stale_{seq:08d}_{uuid.uuid4().hex[:8]}.parquet")
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(stage, final)
+    _install_stale_marker(d)
+
+
+def _read_stale_floors(spark, d: str):
+    """Union of all floors sidecars as (path, version), or None if none.
+    Floors made redundant by a later compaction are deleted there; reading
+    a leftover stale one is harmless (kept rows carry the current cache
+    version, which is >= any floor ever written for that path)."""
+    import os
+
+    if not os.path.isdir(d):
+        return None
+    files = [os.path.join(d, fn) for fn in os.listdir(d)
+             if _STALE_RE.match(fn)]
+    if not files:
+        return None
+    return spark.read.parquet(*files).select("path", "version")
+
+
+def _drop_stale_floors(d: str) -> None:
+    import os
+    import shutil
+
+    if not os.path.isdir(d):
+        return
+    for fn in os.listdir(d):
+        if _STALE_RE.match(fn):
+            p = os.path.join(d, fn)
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                else os.remove(p)
 
 
 def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
@@ -688,8 +786,13 @@ def _compact_emissions(spark, store: DatasetStore, author: str, name: str) -> No
 
     from pyspark.sql import functions as F  # noqa: F401
 
+    d = _emit_dir(store, author, name)
     segs = _emit_segments(store, author, name)
     if len(segs) <= 1:
+        # a single-segment log may still need the migration marker (a base
+        # segment IS complete floor coverage: everything in it is valid)
+        if segs and not _stale_marker_present(d):
+            _install_stale_marker(d)
         return
     cache_meta = store.get_meta(author, _cache_name(name), source=_CACHE_SOURCE)
     keys = _cache_keys_df(spark, store._segments(cache_meta))  # noqa: SLF001
@@ -698,13 +801,15 @@ def _compact_emissions(spark, store: DatasetStore, author: str, name: str) -> No
         else log.limit(0)
     n = valid.count()
     num_parts = max(1, min(256, n // 200_000 + 1))
-    d = _emit_dir(store, author, name)
     final = _write_emit_segment(valid, d, cache_meta.last_seq, base=True,
                                 num_parts=num_parts)
     for p in segs:
         if os.path.abspath(p) != os.path.abspath(final):
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
                 else os.remove(p)
+    # floors are redundant against a freshly-compacted (all-valid) log
+    _drop_stale_floors(d)
+    _install_stale_marker(d)
 
 
 def create_lens(store: DatasetStore, author: str, name: str, *, inputs: list[str],
@@ -805,6 +910,15 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     input_seqs: dict = cfg.get("input_seqs", {})
     input_versions: dict = cfg.get("input_versions", {})
 
+    # migration: an emissions log written before the stale-floor sidecar
+    # existed lacks floors for its historical builds — fold it to a base
+    # segment ONCE (compaction validates against the authoritative cache
+    # keys and installs the marker); from then on validity is floor-based
+    if not first_build and not _stale_marker_present(
+            _emit_dir(store, author, name)):
+        if _emit_segments(store, author, name):
+            _compact_emissions(spark, store, author, name)
+
     # ---- freshness: per-input DELTA SCAN over the segment log --------------
     # The log layout gives CDF semantics: segments with seq > the seq seen at
     # the last build hold exactly the changed rows (store-level hash
@@ -825,6 +939,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     gone_parts = []    # cache paths to prune
     next_seqs: dict = {}
     next_versions: dict = {}
+    all_delta = True   # every input took the delta branch (gone bounded)
     for idx, p in enumerate(input_paths):
         dp = decode_path(p)
         if dp.collection_path in seen:  # duplicate input paths: first wins
@@ -867,6 +982,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         else:
             # full diff: current rows vs cached (first build / post-overwrite
             # / record selector / meta source)
+            all_delta = False
             cur = _load_inputs(spark, store, [p]).withColumn("input_idx", F.lit(idx))
             my_cached = cached_keys.where(F.col("path").startswith(prefix))
             joined = cur.join(my_cached, "path", "left")
@@ -916,10 +1032,22 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
                              F.lit(None).cast("string").alias("value"))
     delta = cache_entries.unionByName(gone)
     pre_segs = store._segments(cache_meta)  # noqa: SLF001 — pre-write log
+    # small all-delta batches: collect the touched paths once — they scope
+    # the cache write's suppression read (point write reads a filtered
+    # scan, not the whole cache state) and the output write reuses the
+    # affected-id list the same way below.  The limit probe keeps the
+    # driver safe: an over-cap delta simply falls back to the join plan.
+    delta_paths = mapped.select("path").unionByName(gone_paths)
+    delta_id_rows = (delta_paths.limit(AFFECTED_COLLECT_MAX + 1).collect()
+                     if (not first_build and all_delta
+                         and n_fresh <= AFFECTED_COLLECT_MAX) else None)
+    delta_ids = ([r["path"] for r in delta_id_rows]
+                 if delta_id_rows is not None
+                 and len(delta_id_rows) <= AFFECTED_COLLECT_MAX else None)
     store.write_entries_df(spark, author, _cache_name(name), delta,
                            assume_unique_ids=True,
                            source=_CACHE_SOURCE, precanonical=True,
-                           no_links=True)
+                           no_links=True, suppress_scope_ids=delta_ids)
     _trace("cache_write")
     cache_meta_now = store.get_meta(author, _cache_name(name),
                                     source=_CACHE_SOURCE)
@@ -940,7 +1068,6 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # each build, lens.js:204-225; this is strictly stronger incrementality).
     emit_d = _emit_dir(store, author, name)
     old_emit_segs = _emit_segments(store, author, name)
-    delta_paths = mapped.select("path").unionByName(gone_paths)
     # emissions come straight off the persisted map result — only the
     # ``outputs`` column is parsed, never the full cache-entry JSON
     emit_delta = (_emissions_from_cache_df(mapped)
@@ -953,6 +1080,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         num_parts = max(1, min(256, n_fresh // 20_000 + 1))
         seg_path = _write_emit_segment(emit_delta, emit_d, seq_now,
                                        base=True, num_parts=num_parts)
+        _install_stale_marker(emit_d)  # base segment = complete coverage
         _trace("emit_write")
         # The segment was written range-partitioned by out_id and sorted by
         # the full fold key, so when every file is a single row group (row
@@ -971,7 +1099,6 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             _write_emit_segment(emit_delta, emit_d, seq_now,
                                 num_parts=num_parts)
             _trace("emit_write")
-        pre_keys = _cache_keys_df(spark, pre_segs)
         if old_emit_segs:
             old_log = _read_emit_log(spark, old_emit_segs)
         else:
@@ -979,38 +1106,42 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             # the valid pre-state log from the cache once, attach each path's
             # current cache-row version, and persist it so every later build
             # prunes
+            bk_keys = _cache_keys_df(spark, pre_segs)
             state_emits = _emissions_from_cache_df(
-                _parsed_cache_rows(cache_cur)).join(pre_keys, "path")
+                _parsed_cache_rows(cache_cur)).join(bk_keys, "path")
             seg_path = _write_emit_segment(
                 state_emits, emit_d, max(0, seq_now - 1), base=True,
                 num_parts=32)
             old_log = _read_emit_log(spark, [seg_path])
             _trace("emit_backfill")
 
-        # out_ids from NEW map results + from the pre-state emissions of
-        # changed/pruned paths (valid generation only: version must match
-        # the path's pre-write cache-row version)
-        changed_pre_keys = pre_keys.join(F.broadcast(delta_paths), "path",
-                                         "left_semi") if pre_keys is not None \
-            else None
+        # stale-floor sidecar (see the module comment above
+        # _stale_marker_present): every path this build touched gets floor
+        # ver_now — its new generation (if any) is AT ver_now and survives;
+        # every older generation dies.  Written UNCONDITIONALLY: when the
+        # cache write was fully suppressed (a crashed build's re-run —
+        # identical values, version unchanged) the floors are exactly what
+        # the crash may have lost, and a floor at the current version never
+        # kills a current-generation row.
+        _write_stale_floors(
+            delta_paths.withColumn("version",
+                                   F.lit(ver_now).cast("long")),
+            emit_d, seq_now)
+        _trace("stale_write")
+
+        # out_ids from NEW map results + from ALL logged generations of the
+        # changed/pruned paths (a path-only semi-join: stale generations'
+        # out_ids re-reduce too — idempotent, and it spares the build the
+        # O(base) cache-key scan the exact-version match needed)
         new_ids = emit_delta.select("out_id")
-        old_ids = (old_log.join(changed_pre_keys, ["path", "version"],
-                                "left_semi")
-                   .select("out_id")) if changed_pre_keys is not None \
-            else new_ids.limit(0)
+        old_ids = (old_log.join(F.broadcast(delta_paths), "path",
+                                "left_semi").select("out_id"))
         affected = new_ids.unionByName(old_ids).distinct().persist()
         n_affected = affected.count()
         _trace(f"affected(n={n_affected})")
         if n_affected == 0:
             stats_meta = store.get_meta(author, name, source="lenses")
         else:
-            # post-write current keys, composed algebraically (pre-state
-            # minus touched paths, plus this build's fresh paths) — no
-            # re-read, no window over the new log
-            delta_keys = mapped.select("path", F.lit(ver_now).alias("version"))
-            post_keys = (pre_keys.join(F.broadcast(delta_paths), "path",
-                                       "left_anti").unionByName(delta_keys)
-                         if pre_keys is not None else delta_keys)
             if n_affected <= AFFECTED_COLLECT_MAX:
                 # driver-side key list ⇒ parquet pushdown prunes row groups
                 # of the sorted log; the whole gather reads ~|affected| keys
@@ -1018,10 +1149,22 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
                 old_part = old_log.where(F.col("out_id").isin(ids))
                 new_part = emit_delta.where(F.col("out_id").isin(ids))
             else:
+                ids = None
                 old_part = old_log.join(affected, "out_id", "left_semi")
                 new_part = emit_delta.join(affected, "out_id", "left_semi")
-            valid_old = old_part.join(post_keys, ["path", "version"],
-                                      "left_semi")
+            # validity: drop generations below their path's max floor.
+            # Both join sides are O(churn)/O(affected) — AQE broadcasts
+            # the aggregated floors; nothing here scales with base size.
+            floors = _read_stale_floors(spark, emit_d)
+            if floors is not None:
+                floor_max = floors.groupBy("path").agg(
+                    F.max("version").alias("_floor"))
+                valid_old = (old_part.join(floor_max, "path", "left")
+                             .where(F.col("_floor").isNull()
+                                    | (F.col("version") >= F.col("_floor")))
+                             .drop("_floor"))
+            else:
+                valid_old = old_part
             gathered = valid_old.select(*_EMIT_COLS).unionByName(
                 new_part.select(*_EMIT_COLS))
             reduced = reduce_outputs(gathered).persist()
@@ -1038,9 +1181,12 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
                      F.lit(None).cast("string").alias("value"))
             # reduced is keyed by the fold's out_id groupBy; deletes are
             # an anti-join against it — unique by construction
+            # every record_id written here is an affected out_id, so the
+            # collected id list (when present) scopes the suppression read
             stats_meta = store.write_entries_df(
                 spark, author, name, reduced.unionByName(deletes),
-                source="lenses", precanonical=True, assume_unique_ids=True)
+                source="lenses", precanonical=True, assume_unique_ids=True,
+                suppress_scope_ids=ids)
             _trace("output_write")
             reduced.unpersist(blocking=True)
         affected.unpersist(blocking=True)

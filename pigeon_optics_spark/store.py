@@ -584,12 +584,14 @@ class DatasetStore:
                          source: str = "datasets", overwrite: bool = False,
                          precanonical: bool = False,
                          no_links: bool = False,
-                         assume_unique_ids: bool = False) -> CollectionMeta:
+                         assume_unique_ids: bool = False,
+                         suppress_scope_ids=None) -> CollectionMeta:
         with self._txn(source, author, name):
             return self._write_entries_df_impl(
                 spark, author, name, df, source=source, overwrite=overwrite,
                 precanonical=precanonical, no_links=no_links,
-                assume_unique_ids=assume_unique_ids)
+                assume_unique_ids=assume_unique_ids,
+                suppress_scope_ids=suppress_scope_ids)
 
     def compact_df(self, spark, author: str, name: str, *,
                    source: str = "datasets") -> None:
@@ -683,7 +685,8 @@ class DatasetStore:
                                overwrite: bool = False,
                                precanonical: bool = False,
                                no_links: bool = False,
-                               assume_unique_ids: bool = False) -> CollectionMeta:
+                               assume_unique_ids: bool = False,
+                               suppress_scope_ids=None) -> CollectionMeta:
         """Distributed batch write: ``df`` has columns (record_id, value)
         with ``value`` in tagged-JSON form.
 
@@ -691,6 +694,18 @@ class DatasetStore:
         linearly, no shuffle); change-suppression joins the incoming batch
         against current state on record_id — at scale this is the Delta MERGE
         matched-condition.  The changed subset is written as one segment.
+
+        ``suppress_scope_ids``: when the caller KNOWS every record_id in
+        ``df`` (a small driver-side list — e.g. the lens engine's
+        incremental cache write, whose delta ids it already collected),
+        passing them prunes the suppression-state read to those ids: the
+        ``record_id IN (...)`` predicate pushes below the latest-wins
+        window, so a point write against a huge collection reads a
+        filtered column-pruned scan instead of shuffling the whole state
+        into the merge join (the 100 TB point-update shape).  The caller
+        GUARANTEES the batch contains no other ids — rows outside the
+        scope would dodge suppression and double-write.  Incompatible
+        with ``overwrite`` (whose unmentioned-key prune needs full state).
 
         ``precanonical=True`` asserts every value string is EXACTLY its
         ``values.canonical_json`` form (engine-internal writers — the lens
@@ -783,7 +798,13 @@ class DatasetStore:
             )
         else:
             deletes_in = df.select("record_id").where(F.col("value").isNull())
-            cur = self.read_df(spark, author, name, source=source).select(
+            cur = self.read_df(spark, author, name, source=source)
+            if suppress_scope_ids is not None:
+                assert not overwrite, \
+                    "suppress_scope_ids is incompatible with overwrite"
+                cur = cur.where(F.col("record_id").isin(
+                    list(suppress_scope_ids)))
+            cur = cur.select(
                 "record_id", F.col("hash").alias("_old_hash"),
                 F.col("version").alias("_old_version"),
             )

@@ -601,3 +601,116 @@ def test_build_lens_leaves_no_persistent_rdds(spark, tmp_path):
         build_lens(spark, store, "t", "by-k")
         assert (spark.sparkContext._jsc.getPersistentRDDs().size()
                 == before), f"rebuild {i} leaked a persisted RDD"
+
+
+class TestStaleFloors:
+    """The stale-floor sidecar (r10): incremental validity is an anti-join
+    against per-build (path, floor) files — O(churn) — instead of the
+    O(base) cache-key semi-join.  These pin the sidecar's lifecycle and
+    the equivalence with ground truth across re-maps, deletes, and the
+    pre-floor-era migration path."""
+
+    def _out(self, store):
+        return {r["id"]: r["value"] for r in
+                store.iterate("system", "tag-index", source="lenses",
+                              fast_read=True)}
+
+    def _fresh_rebuild(self, spark, store):
+        """Ground truth: the same inputs through a brand-new lens."""
+        create_lens(store, "system", "truth",
+                    inputs=["/datasets/system:test-dataset"],
+                    code=INVERT_CODE)
+        build_lens(spark, store, "system", "truth")
+        return {r["id"]: r["value"] for r in
+                store.iterate("system", "truth", source="lenses",
+                              fast_read=True)}
+
+    def test_floor_files_written_and_compacted(self, spark, store):
+        import os
+
+        from pigeon_optics_spark.lens import (_STALE_RE, _emit_dir,
+                                              _stale_marker_present)
+
+        store.create("system", "test-dataset")
+        store.write_entries("system", "test-dataset",
+                            [("a", {"tags": ["x"]}), ("b", {"tags": ["y"]})])
+        create_lens(store, "system", "tag-index",
+                    inputs=["/datasets/system:test-dataset"],
+                    code=INVERT_CODE)
+        build_lens(spark, store, "system", "tag-index")
+        d = _emit_dir(store, "system", "tag-index")
+        assert _stale_marker_present(d)  # first build installs the marker
+        n_floors = lambda: sum(bool(_STALE_RE.match(f))  # noqa: E731
+                               for f in os.listdir(d))
+        assert n_floors() == 0  # base segment, no churn yet
+        for i in range(9):  # enough rebuilds to cross the compaction bound
+            store.write("system", "test-dataset", "a", {"tags": [f"t{i}"]})
+            build_lens(spark, store, "system", "tag-index")
+        # compaction ran (>8 segments) and dropped the then-redundant
+        # floors; at most the post-compaction builds' floors remain
+        assert n_floors() < 9
+        assert self._out(store) == self._fresh_rebuild(spark, store)
+
+    def test_multi_generation_path_keeps_only_latest(self, spark, store):
+        store.create("system", "test-dataset")
+        store.write_entries("system", "test-dataset",
+                            [("a", {"tags": ["x", "keep"]}),
+                             ("b", {"tags": ["keep"]})])
+        create_lens(store, "system", "tag-index",
+                    inputs=["/datasets/system:test-dataset"],
+                    code=INVERT_CODE)
+        build_lens(spark, store, "system", "tag-index")
+        # two successive re-maps of the same path WITHOUT compaction: the
+        # log holds three generations of 'a'; only the newest may fold
+        store.write("system", "test-dataset", "a", {"tags": ["y", "keep"]})
+        build_lens(spark, store, "system", "tag-index")
+        store.write("system", "test-dataset", "a", {"tags": ["z", "keep"]})
+        build_lens(spark, store, "system", "tag-index")
+        got = self._out(store)
+        assert "x" not in got and "y" not in got
+        assert got["z"] == PSet(["a"])
+        assert got["keep"] == PSet(["a", "b"])
+        # and a delete: every generation of 'a' must die
+        store.delete_record("system", "test-dataset", "a")
+        build_lens(spark, store, "system", "tag-index")
+        got = self._out(store)
+        assert "z" not in got and got["keep"] == PSet(["b"])
+        assert got == self._fresh_rebuild(spark, store)
+
+    def test_pre_floor_era_log_migrates_via_compaction(self, spark, store):
+        """An emissions log from before the sidecar existed (no marker, no
+        floors, but multi-generation delta segments) must be folded ONCE at
+        the next build — floor-less validity over those segments would
+        resurrect stale generations."""
+        import os
+
+        from pigeon_optics_spark.lens import (_STALE_MARKER, _STALE_RE,
+                                              _emit_dir, _emit_segments,
+                                              _stale_marker_present)
+
+        store.create("system", "test-dataset")
+        store.write_entries("system", "test-dataset",
+                            [("a", {"tags": ["x"]}), ("b", {"tags": ["k"]})])
+        create_lens(store, "system", "tag-index",
+                    inputs=["/datasets/system:test-dataset"],
+                    code=INVERT_CODE)
+        build_lens(spark, store, "system", "tag-index")
+        store.write("system", "test-dataset", "a", {"tags": ["y"]})
+        build_lens(spark, store, "system", "tag-index")
+        d = _emit_dir(store, "system", "tag-index")
+        assert len(_emit_segments(store, "system", "tag-index")) > 1
+        # simulate the pre-floor era: drop the marker and every floor file
+        import shutil
+
+        os.remove(os.path.join(d, _STALE_MARKER))
+        for f in list(os.listdir(d)):
+            if _STALE_RE.match(f):
+                shutil.rmtree(os.path.join(d, f))
+        # next build must compact first (single base segment afterwards,
+        # counting this build's own delta on top) and stay correct
+        store.write("system", "test-dataset", "b", {"tags": ["k2"]})
+        build_lens(spark, store, "system", "tag-index")
+        assert _stale_marker_present(d)
+        got = self._out(store)
+        assert got == {"y": PSet(["a"]), "k2": PSet(["b"])}
+        assert got == self._fresh_rebuild(spark, store)

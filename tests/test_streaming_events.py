@@ -212,17 +212,40 @@ def _random_split_source(spark, tmp_path, rng, k):
     return d
 
 
+def _rows_sorted(df):
+    return sorted((r.asDict() for r in df.collect()),
+                  key=lambda r: sorted(r.items(), key=str))
+
+
+#: quartile-split reference outputs for the SELF-differential gates,
+#: computed once per session (they are seed-independent)
+_SELF_REFS: dict = {}
+
+
 @pytest.mark.parametrize("seed", [0xC0FFEE, 20260816])
 def test_stateful_stream_random_batch_splits(spark, tmp_path, seed):
-    """EWMA / token-bucket / OHLC streaming gates are batching-invariant:
-    random split points (4-7 files, seeded) produce bit-exact equality
-    with the batch gates — floats compared with ==, integers exactly."""
+    """The stateful streaming gates are batching-invariant: random split
+    points (4-7 files, seeded) produce bit-exact equality — floats
+    compared with ==, integers exactly.  Gates with a Spark batch twin
+    (EWMA, token-bucket, OHLC, Holt, CEP pattern) compare against the
+    twin; TWAP and event-time-timeout sessions (whose oracles are
+    DuckDB-side) compare against the SAME gate on its natural quartile
+    source, which the driver gate verifies — equality across split sets
+    is exactly the batching-invariance claim."""
     import random
 
     from pigeon_optics_spark.queries import events_queries as eq
     from pigeon_optics_spark.queries._streaming_util import (
         scoped_shuffle_partitions,
     )
+
+    self_gates = [eq.events_stream_twap, eq.events_stream_timeout_sessions]
+    saved = eq._STREAM_EWMA_SRC.get(SF_DIR)
+    with scoped_shuffle_partitions(spark, 4):
+        for fn in self_gates:
+            if fn.__name__ not in _SELF_REFS:
+                # natural quartile source (populates the per-sf cache)
+                _SELF_REFS[fn.__name__] = _rows_sorted(fn(spark, SF_DIR))
 
     rng = random.Random(seed)
     k = rng.randint(4, 7)
@@ -233,19 +256,19 @@ def test_stateful_stream_random_batch_splits(spark, tmp_path, seed):
 
     pairs = [(eq.events_stream_ewma, eq.events_ewma_users),
              (eq.events_stream_rate_limit, eq.events_rate_limit),
-             (eq.events_stream_ohlc, eq.events_ohlc_bars)]
-    saved = eq._STREAM_EWMA_SRC.get(SF_DIR)
+             (eq.events_stream_ohlc, eq.events_ohlc_bars),
+             (eq.events_stream_holt, eq.events_holt_trend),
+             (eq.events_stream_pattern, eq.events_pattern_matches)]
     eq._STREAM_EWMA_SRC[SF_DIR] = d
     try:
         with scoped_shuffle_partitions(spark, 4):
             for stream_fn, batch_fn in pairs:
-                got = sorted(
-                    (r.asDict() for r in stream_fn(spark, SF_DIR).collect()),
-                    key=lambda r: sorted(r.items(), key=str))
-                want = sorted(
-                    (r.asDict() for r in batch_fn(spark, SF_DIR).collect()),
-                    key=lambda r: sorted(r.items(), key=str))
+                got = _rows_sorted(stream_fn(spark, SF_DIR))
+                want = _rows_sorted(batch_fn(spark, SF_DIR))
                 assert got == want, (stream_fn.__name__, seed, k)
+            for fn in self_gates:
+                got = _rows_sorted(fn(spark, SF_DIR))
+                assert got == _SELF_REFS[fn.__name__], (fn.__name__, seed, k)
     finally:
         if saved is None:
             eq._STREAM_EWMA_SRC.pop(SF_DIR, None)

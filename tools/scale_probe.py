@@ -31,8 +31,12 @@ bytes (Spark UI REST API — the probe session re-enables the UI), and the
 /proc/stat steal delta so a contended reading is self-evident.
 
 Usage: python tools/scale_probe.py [K] [src_sf_dir]   (default 10 sf0.1)
+       python tools/scale_probe.py --pin [src_sf_dir]  (default sf0.01)
 K is bounded at 26: there are only 25 distinct non-identity rotation
 ciphers, so copies k and k+25 would be exact cross-copy duplicates.
+``--pin`` is the ~2-minute per-wave regression harness (see pin_main):
+flat session-history lens-build CPU, zero leaked persistent RDDs, and
+exact 2x minhash-pair linearity; exit 1 on any violation.
 """
 
 from __future__ import annotations
@@ -49,8 +53,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+_PIN = "--pin" in sys.argv
+_ARGS = [a for a in sys.argv[1:] if a != "--pin"]
+K = int(_ARGS[0]) if _ARGS and not _PIN else 10
+SRC = (_ARGS[1] if len(_ARGS) > 1 else
+       _ARGS[0] if _PIN and _ARGS else
+       "/root/testdata/sf0.01" if _PIN else "/root/testdata/sf0.1")
 
 #: per-copy deterministic perturbations; k=0 keeps the original rows.
 #: documents: a ``translate()``-based per-copy letter-substitution
@@ -188,6 +196,85 @@ def lens_build_pair(spark, sf_dir: str, tag: str) -> list[dict]:
     return out
 
 
+def pin_main(src: str) -> int:
+    """``--pin``: the ~2-minute regression harness (VERDICT r9 item 3).
+
+    The r9 persist leak cost 3-25x CPU on the SECOND and later lens
+    builds of a session — a *session-history* cost that no single-query
+    gate or unit test can see.  This pins the two invariants that catch
+    that class, at sf0.01 so it is cheap enough to run per-wave:
+
+    1. back-to-back identical full lens builds in ONE session must cost
+       ~the same user-CPU (trial3 <= 2.0 x trial1 — generous band; the
+       leak measured 3-25x).  User-CPU, not wall: steal inflates wall
+       but not user, so the assertion is host-weather-proof.
+    2. after each build + clearCache, the JVM reports ZERO persistent
+       RDDs (the leaked-InMemoryRelation signature; complements the
+       pytest pin at tests/test_lens.py).
+
+    Plus the cipher-slice linearity spot check: minhash pairs@2x must be
+    exactly 2x pairs@1x (the K-fold replication property the full probe
+    relies on).  Exit 0 green / 1 on any violated invariant.
+    """
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.lens import build_lens, create_lens
+    from pigeon_optics_spark.queries import all_queries
+    from pigeon_optics_spark.queries._util import load, tracked_mkdtemp
+    from pigeon_optics_spark.session import get_spark
+    from pigeon_optics_spark.store import DatasetStore
+
+    global SRC
+    SRC = src
+    spark = get_spark("scale_probe_pin")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    failures: list[str] = []
+
+    # --- invariants 1+2: flat session-history cost, zero leaked RDDs ---
+    store = DatasetStore(tracked_mkdtemp("po_pin_"))
+    store.create("t", "orders")
+    src_df = load(spark, src, "orders").select(
+        F.col("o_orderkey").cast("string").alias("record_id"),
+        F.to_json(F.struct("o_orderstatus")).alias("value"))
+    store.write_entries_df(spark, "t", "orders", src_df)
+    trials = []
+    for i in range(3):
+        create_lens(store, "t", f"by-status-{i}",
+                    inputs=["/datasets/t:orders"],
+                    code="output(data['o_orderstatus'], 1)")
+        s0 = cpu_stat()
+        build_lens(spark, store, "t", f"by-status-{i}")
+        cpu = cpu_stat()["user"] - s0["user"]
+        trials.append(round(cpu, 1))
+        spark.catalog.clearCache()
+        leaked = len(spark.sparkContext._jsc.sc().getPersistentRDDs())
+        if leaked:
+            failures.append(f"build {i}: {leaked} persistent RDDs after "
+                            f"clearCache")
+    if trials[2] > 2.0 * max(trials[0], 1.0):
+        failures.append(f"session-history CPU growth: builds cost "
+                        f"{trials} user cpu-s (trial3 > 2x trial1)")
+
+    # --- linearity spot check: pairs@2x == 2 x pairs@1x exactly ---
+    fn, _ = all_queries()["dedup_minhash_pairs"]
+    p1 = fn(spark, src).count()
+    spark.catalog.clearCache()
+    kx = build_slice(2)
+    try:
+        p2 = fn(spark, kx).count()
+        spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(kx, ignore_errors=True)
+    if p2 != 2 * p1:
+        failures.append(f"minhash pairs not linear: 1x={p1} 2x={p2}")
+
+    print(json.dumps({"metric": "scale_probe_pin", "src": src,
+                      "build_user_cpu_sec": trials,
+                      "minhash_pairs": {"1x": p1, "2x": p2},
+                      "failures": failures}))
+    return 1 if failures else 0
+
+
 def main() -> None:
     from pigeon_optics_spark.queries import all_queries
     from pigeon_optics_spark.session import get_spark
@@ -218,4 +305,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(pin_main(SRC)) if _PIN else main()
