@@ -247,7 +247,7 @@ def pin_main(src: str) -> int:
         cpu = cpu_stat()["user"] - s0["user"]
         trials.append(round(cpu, 1))
         spark.catalog.clearCache()
-        leaked = len(spark.sparkContext._jsc.sc().getPersistentRDDs())
+        leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
         if leaked:
             failures.append(f"build {i}: {leaked} persistent RDDs after "
                             f"clearCache")
