@@ -640,7 +640,7 @@ def _drop_stale_floors(d: str) -> None:
 
 
 def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
-                        num_parts: int = 1) -> str:
+                        num_parts: int = 1, keep_sorted: bool = False):
     """Stage-then-rename write of one emissions segment, range-partitioned by
     out_id (tight min/max stats per file for pruning) and sorted by the FULL
     fold key — a fresh segment is then directly foldable without another
@@ -650,7 +650,14 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
     ``src_rid`` (byte-parity of the Python and JVM derivations is pinned by
     tests/test_values.py), and for padded ids it is the widest column in the
     row — deriving it at read time (:func:`_read_emit_log`) cuts emission
-    shuffle and parquet bytes ~30% with identical fold order."""
+    shuffle and parquet bytes ~30% with identical fold order.
+
+    ``keep_sorted=True`` (the first-build fold path): the POST-shuffle
+    sorted frame is persisted and returned as ``(path, sorted_df)`` — the
+    caller folds straight off the in-memory range-partitioned blocks
+    (groups contiguous by construction, no single-row-group precondition,
+    no parquet decode round-trip) and MUST ``unpersist(blocking=True)``
+    it.  Default returns just the path, behavior unchanged."""
     import os
     import shutil
     import uuid
@@ -662,36 +669,50 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
         else (lambda tag: None)
     os.makedirs(d, exist_ok=True)
     stage = os.path.join(d, f"_stage_{uuid.uuid4().hex}")
-    # range partitioning SAMPLES the frame before shuffling it — two full
-    # executions of the emissions plan (which sits on the fat map output).
-    # Persist across the pair; callers re-deriving from the same upstream
-    # afterwards pay one cheap recompute, not two heavy ones here.
-    # NOTE: DataFrame.persist() returns the SAME object, so an
-    # identity test (`cache is not df`) can never detect "we persisted"
-    # — a previous guard written that way leaked this cache on every
-    # build, and the leaked InMemoryRelation (which pins the fat map
-    # output) degraded every LATER build in the session by 3-25x
-    # measured CPU (r9 scale-probe finding).  Track the decision in a
-    # boolean instead.
-    persisted = num_parts > 1
-    cache = df.persist() if persisted else df
-    try:
-        (cache.repartitionByRange(num_parts, "out_id")
-         .sortWithinPartitions("out_id", "input_idx", "nat_key", "src_rid",
-                               "emit_idx")
-         .drop("nat_key")  # Project preserves the sort; column derives at read
+    sorted_df = (df.repartitionByRange(num_parts, "out_id")
+                 .sortWithinPartitions("out_id", "input_idx", "nat_key",
+                                       "src_rid", "emit_idx"))
+    if keep_sorted:
+        # one materialization of the shuffle; the parquet write below and
+        # the caller's fold both stream the persisted sorted blocks
+        sorted_df = sorted_df.persist()
+        sorted_df.count()
+        _tr("shuffle+sort+persist")
+        (sorted_df.drop("nat_key")  # Project preserves partitioning+order
          .write.mode("overwrite").parquet(stage))
-    finally:
-        if persisted:
-            cache.unpersist(blocking=True)
-    _tr("shuffle+sort+write")
+        _tr("write")
+    else:
+        # range partitioning SAMPLES the frame before shuffling it — two
+        # full executions of the emissions plan (which sits on the fat map
+        # output).  Persist across the pair; callers re-deriving from the
+        # same upstream afterwards pay one cheap recompute, not two heavy
+        # ones here.
+        # NOTE: DataFrame.persist() returns the SAME object, so an
+        # identity test (`cache is not df`) can never detect "we
+        # persisted" — a previous guard written that way leaked this
+        # cache on every build, and the leaked InMemoryRelation (which
+        # pins the fat map output) degraded every LATER build in the
+        # session by 3-25x measured CPU (r9 scale-probe finding).  Track
+        # the decision in a boolean instead.
+        persisted = num_parts > 1
+        cache = df.persist() if persisted else df
+        try:
+            (cache.repartitionByRange(num_parts, "out_id")
+             .sortWithinPartitions("out_id", "input_idx", "nat_key",
+                                   "src_rid", "emit_idx")
+             .drop("nat_key")
+             .write.mode("overwrite").parquet(stage))
+        finally:
+            if persisted:
+                cache.unpersist(blocking=True)
+        _tr("shuffle+sort+write")
     for fn in os.listdir(stage):
         if not fn.endswith(".parquet"):
             os.remove(os.path.join(stage, fn))
     final = os.path.join(d, f"seg_{seq:08d}.{'base' if base else 'delta'}.parquet")
     shutil.rmtree(final, ignore_errors=True)
     os.replace(stage, final)
-    return final
+    return (final, sorted_df) if keep_sorted else final
 
 
 def _read_emit_log(spark, segs: list[str]):
@@ -711,26 +732,6 @@ def _read_emit_log(spark, segs: list[str]):
                     "emit_idx", "value")
             .withColumn("nat_key",
                         F.expr(natural_sort_col_expr("src_rid"))))
-
-
-def _segment_foldable(seg_path: str) -> bool:
-    """True iff every file in the segment is a single parquet row group.
-
-    Row groups are atomic units of Spark's file scan (a split gets the whole
-    row group or none of it), so single-row-group files guarantee no out_id
-    group straddles two read partitions — the precondition for the
-    shuffle-free ``reduce_outputs(presorted=True)`` fold.  Multi-row-group
-    files (values fatter than the ~20k-rows/file sizing assumed) fall back to
-    the shuffle fold.
-    """
-    import glob
-    import os
-
-    import pyarrow.parquet as pq
-
-    files = glob.glob(os.path.join(seg_path, "*.parquet"))
-    return bool(files) and all(
-        pq.ParquetFile(p).metadata.num_row_groups <= 1 for p in files)
 
 
 def _cache_keys_df(spark, segs: list[str]):
@@ -1078,21 +1079,25 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         # ~20k rows/file: single-row-group files (foldable without a
         # shuffle) AND enough files that the direct fold uses every core
         num_parts = max(1, min(256, n_fresh // 20_000 + 1))
-        seg_path = _write_emit_segment(emit_delta, emit_d, seq_now,
-                                       base=True, num_parts=num_parts)
+        seg_path, sorted_emits = _write_emit_segment(
+            emit_delta, emit_d, seq_now, base=True, num_parts=num_parts,
+            keep_sorted=True)
         _install_stale_marker(emit_d)  # base segment = complete coverage
         _trace("emit_write")
-        # The segment was written range-partitioned by out_id and sorted by
-        # the full fold key, so when every file is a single row group (row
-        # groups are atomic in Spark's scan — no out_id group can straddle
-        # two read partitions) the reduce folds DIRECTLY off the files: no
-        # second shuffle, no re-sort of the emissions.
-        emits = _read_emit_log(spark, [seg_path]).select(*_EMIT_COLS)
-        reduced = reduce_outputs(emits, presorted=_segment_foldable(seg_path))
-        stats_meta = store.write_entries_df(spark, author, name, reduced,
-                                            source="lenses", overwrite=True,
-                                            precanonical=True,
-                                            assume_unique_ids=True)
+        # Fold DIRECTLY off the persisted range-partitioned sorted blocks
+        # the write just materialized: out_id groups are contiguous within
+        # a partition by construction (no single-row-group precondition),
+        # and the fold pays no parquet decode round-trip.
+        try:
+            reduced = reduce_outputs(sorted_emits.select(*_EMIT_COLS),
+                                     presorted=True)
+            stats_meta = store.write_entries_df(spark, author, name, reduced,
+                                                source="lenses",
+                                                overwrite=True,
+                                                precanonical=True,
+                                                assume_unique_ids=True)
+        finally:
+            sorted_emits.unpersist(blocking=True)
     else:
         if n_fresh > 0:
             num_parts = max(1, min(256, n_fresh // 20_000 + 1))
