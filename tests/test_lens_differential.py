@@ -51,8 +51,13 @@ def _canon(m: dict) -> dict:
     return {k: canonical_json(v) for k, v in m.items()}
 
 
-@pytest.mark.parametrize("seed", [11, 23])
-def test_incremental_equals_fresh_rebuild(spark, tmp_path, seed):
+@pytest.mark.parametrize("seed,rounds", [(11, 4), (23, 4), (47, 10)])
+def test_incremental_equals_fresh_rebuild(spark, tmp_path, seed, rounds):
+    """rounds=10 (seed 47) drives the sequence across the emit-log
+    compaction bound (>8 segments) AND a mid-history stale-floor-era
+    migration (marker + floors deleted after round 5, as if the store
+    predated the r10 sidecar), so floor bookkeeping, compaction, and the
+    migration path are all exercised under random op interleaving."""
     rng = random.Random(seed)
     ids = [f"r{i}" for i in range(6)]
 
@@ -61,7 +66,7 @@ def test_incremental_equals_fresh_rebuild(spark, tmp_path, seed):
     create_lens(inc, "a", "l", inputs=["/datasets/a:d"], code=CODE)
 
     live: dict[str, dict] = {}  # the model's current dataset state
-    for _round in range(4):
+    for _round in range(rounds):
         # a batch of 3-5 random ops against the incremental store
         for _ in range(rng.randint(3, 5)):
             rid = rng.choice(ids)
@@ -77,6 +82,21 @@ def test_incremental_equals_fresh_rebuild(spark, tmp_path, seed):
         if _round == 2:
             items = sorted(live.items())
             inc.write_entries("a", "d", items, overwrite=True)
+        if _round == 5:
+            # pre-floor-era simulation: drop the marker and every floor
+            # file; the next build must fold the log once and stay exact
+            import os
+            import shutil
+
+            from pigeon_optics_spark.lens import (_STALE_MARKER, _STALE_RE,
+                                                  _emit_dir)
+            d = _emit_dir(inc, "a", "l")
+            marker = os.path.join(d, _STALE_MARKER)
+            if os.path.exists(marker):
+                os.remove(marker)
+            for f in list(os.listdir(d)):
+                if _STALE_RE.match(f):
+                    shutil.rmtree(os.path.join(d, f), ignore_errors=True)
         build_lens(spark, inc, "a", "l")
 
     # fresh store: ONLY the final dataset content, built once
