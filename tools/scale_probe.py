@@ -126,8 +126,16 @@ def build_slice(k: int) -> str:
 
 
 def cpu_stat() -> dict[str, float]:
+    # user and system are reported SEPARATELY (r10): kernel time on this
+    # box scales with HOST CONTENTION, not with the workload — identical
+    # 10x lens builds measured system = 9007 / 2436 / 488 cpu-s at steal
+    # 1919 / 102 / 17 while user stayed ~1150-1530 (vCPU preemption makes
+    # epoll/futex/sched paths burn; the r9 'user' metric summed both and
+    # manufactured a phantom superlinearity).  Scale adjudication reads
+    # `user`; `system` + `steal` adjudicate the host.
     p = open("/proc/stat").readline().split()
-    return {"user": (int(p[1]) + int(p[3])) / 100, "idle": int(p[4]) / 100,
+    return {"user": int(p[1]) / 100, "system": int(p[3]) / 100,
+            "idle": int(p[4]) / 100,
             "steal": (int(p[8]) if len(p) > 8 else 0) / 100}
 
 
@@ -158,6 +166,7 @@ def measure(label: str, fn) -> dict:
         "shuffle_write_mb": round(sw / 1e6, 1),
         "shuffle_read_mb": round(sr / 1e6, 1),
         "user_cpu_sec": round(s1["user"] - s0["user"], 1),
+        "system_cpu_sec": round(s1["system"] - s0["system"], 1),
         "steal_cpu_sec": round(s1["steal"] - s0["steal"], 1),
         "top_shuffle_stages": [
             {"id": s["stageId"], "name": s.get("name", "")[:60],
