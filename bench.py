@@ -21,6 +21,12 @@ regression; inflated ``steal`` (hypervisor ran someone else while this VM
 had runnable work — r9 observed bursts of ~8 stolen cpus mid-bench on an
 otherwise idle guest) is host contention, adjudicable from the JSON line
 alone.  Headline timing methodology is untouched (driver contract).
+
+r11: ``queries_cpu`` adds a per-query {user, sys, steal} /proc/stat delta
+over exactly each timed window (user and system SEPARATE — kernel time
+tracks hypervisor steal, not workload), so a single inflated query in a
+contaminated run is self-adjudicating: real regressions move user cpu,
+host weather moves wall+sys+steal at flat user.
 """
 
 from __future__ import annotations
@@ -77,6 +83,25 @@ def _read_cpu_stat() -> dict[str, float]:
         return {}
 
 
+def _read_cpu_split() -> dict[str, float]:
+    """Like :func:`_read_cpu_stat` but with user and system SEPARATE —
+    the r10 forensics showed kernel time scales with hypervisor steal
+    (epoll/futex burn under vCPU preemption), not workload, so per-query
+    regression adjudication must read pure user cpu.  The whole-run
+    ``cpu_sec`` field keeps its historical user+nice+system definition
+    for cross-round continuity; these split fields feed the per-query
+    ``cpu`` records (VERDICT r10 item 2)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        user, nice, system = (float(x) for x in parts[1:4])
+        steal = float(parts[8]) if len(parts) > 8 else 0.0
+        return {"user": (user + nice) / 100, "sys": system / 100,
+                "steal": steal / 100}
+    except (OSError, ValueError, IndexError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -119,18 +144,29 @@ def main() -> None:
 
     qs = all_queries()
     times: dict[str, float] = {}
+    qcpu: dict[str, dict[str, float]] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in qs:
             continue
         fn, _oracle = qs[name]
+        c0 = _read_cpu_split()
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
         dt = time.time() - t0
+        c1 = _read_cpu_split()
         times[name] = round(dt, 3)
+        if c0 and c1:
+            # machine-wide user/sys/steal over exactly the timed window:
+            # a contaminated wall reading (steal burst mid-query) is now
+            # self-adjudicating per query — user cpu stays invariant while
+            # wall and steal inflate together (r10's whole-run argument,
+            # localized)
+            qcpu[name] = {k: round(c1[k] - c0[k], 1) for k in c0}
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        print(f"# {name}: {n} rows in {dt:.2f}s "
+              f"cpu={qcpu.get(name)}", file=sys.stderr)
         # drop leftover persisted data so queries don't pay each other's
         # executor-memory pressure (each query re-persists what it needs)
         spark.catalog.clearCache()
@@ -149,6 +185,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": times,
+        "queries_cpu": qcpu,
         "sf": sf,
         "loadavg": loadavg,
         "probe_sec": probe_sec,

@@ -560,17 +560,59 @@ def _emit_segments(store: DatasetStore, author: str, name: str) -> list[str]:
 # and deletes the floors, which are redundant afterwards: kept rows carry
 # the current cache version, which is >= every floor ever written.
 #
-# Crash safety matches the existing cursor-at-end protocol: a build that
-# dies between the cache write and the floor write re-runs its delta (the
-# input cursor only advances in set_config at the end), re-maps the same
-# paths, and writes a HIGHER floor that also kills the orphaned older
-# generations.  Emit dirs written before this sidecar existed lack floors
+# Crash safety (r11, crash-injected in tests/test_lens_crash.py): every
+# build installs a ``_build_inflight`` marker before its cache write and
+# removes it after set_config.  A marker found at build start means the
+# previous build died somewhere between those two points — the cache may
+# hold row generations the emissions log lacks (died before the emit
+# write), the log may hold an orphaned segment (died after it), floors
+# may be missing, and the output collection may be stale (died before
+# the output write).  :func:`_heal_crashed_build` restores the log
+# invariant (exactly the newest generation per live cache path) by
+# regenerating missing generations straight from the cache (no re-map —
+# the cache value embeds the outputs) and force-compacting, and the
+# build then re-reduces EVERY out_id (log ∪ delta ∪ existing output
+# records, so outputs whose emissions vanished re-check as deletes).
+# O(base) once, only after a detected crash.  The earlier prose-only
+# protocol ("the re-run re-maps the same delta") was insufficient on two
+# counts the injection tests pin: the full-diff freshness branch uses
+# the cache itself as its cursor, so a re-run after the cache write saw
+# nothing fresh and never healed the output; and a fully-hash-suppressed
+# re-run gathered the orphaned emit segment AND its own re-emissions at
+# the same version, double-folding every affected key.
+# Emit dirs written before this sidecar existed lack floors
 # for their historical builds — detected by the ``_stale_v1`` marker file
 # and healed by a one-time compaction at build start.
 # --------------------------------------------------------------------------
 
 _STALE_MARKER = "_stale_v1"
 _STALE_RE = re.compile(r"^stale_(\d+)_[0-9a-f]+\.parquet$")
+
+#: build-in-flight marker (crash detection) — present while a build is
+#: between its cache write and its set_config; found at build start ⇒ heal
+_INFLIGHT_MARKER = "_build_inflight"
+
+
+def _inflight_marker_present(d: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(d, _INFLIGHT_MARKER))
+
+
+def _install_inflight_marker(d: str) -> None:
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, _INFLIGHT_MARKER), "w"):
+        pass
+
+
+def _remove_inflight_marker(d: str) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(d, _INFLIGHT_MARKER))
 
 
 def _stale_marker_present(d: str) -> bool:
@@ -606,6 +648,32 @@ def _write_stale_floors(df, d: str, seq: int) -> None:
             os.remove(os.path.join(stage, fn))
     final = os.path.join(d, f"stale_{seq:08d}_{uuid.uuid4().hex[:8]}.parquet")
     shutil.rmtree(final, ignore_errors=True)
+    os.replace(stage, final)
+    _install_stale_marker(d)
+
+
+def _write_stale_floors_local(paths: list[str], version: int, d: str,
+                              seq: int) -> None:
+    """Driver-side floors write for the common small-delta build: the
+    caller already holds the exact delta-path list (the
+    ``suppress_scope_ids`` collect), so a single pyarrow file write
+    replaces a whole Spark job (coalesce + parquet task).  Identical
+    naming/semantics to :func:`_write_stale_floors`; readable by the same
+    ``spark.read.parquet``."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d, exist_ok=True)
+    tbl = pa.table({
+        "path": pa.array(paths, pa.string()),
+        "version": pa.array([int(version)] * len(paths), pa.int64()),
+    })
+    stage = os.path.join(d, f"_stage_{uuid.uuid4().hex}.floors")
+    pq.write_table(tbl, stage)
+    final = os.path.join(d, f"stale_{seq:08d}_{uuid.uuid4().hex[:8]}.parquet")
     os.replace(stage, final)
     _install_stale_marker(d)
 
@@ -779,17 +847,36 @@ def _parsed_cache_rows(df):
     ).select("path", "c.*")
 
 
-def _compact_emissions(spark, store: DatasetStore, author: str, name: str) -> None:
+def _compact_emissions(spark, store: DatasetStore, author: str, name: str, *,
+                       extra=None, force: bool = False) -> None:
     """Fold the emissions log into one base segment of currently-valid rows
-    (physical only, like cache compaction)."""
+    (physical only, like cache compaction).
+
+    Validity is the MAX-GENERATION rule: for each path still live in the
+    cache, keep only its newest logged generation, and only if that
+    generation is at or above the cache row's version.  The old exact
+    (path, version) match was almost always identical but silently dropped
+    the one legitimate above-row-version generation: a crashed build's
+    re-run with extra churn stamps its re-emissions at the bumped
+    collection version while the suppressed row keeps its old version —
+    that newer generation is byte-identical to the correct emissions (hash
+    suppression guarantees it) and must survive.  Duplicate copies of one
+    generation (same path+version twice — possible in logs written before
+    the r11 crash-heal) are collapsed here: copies are byte-identical, so
+    ``dropDuplicates`` on the emission key is exact.
+
+    ``extra`` (heal path): additional already-valid rows to fold in — the
+    generations :func:`_heal_crashed_build` regenerated from the cache.
+    ``force``: compact even a 0/1-segment log (heal needs the validity
+    sweep regardless of segment count)."""
     import os
     import shutil
 
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
 
     d = _emit_dir(store, author, name)
     segs = _emit_segments(store, author, name)
-    if len(segs) <= 1:
+    if len(segs) <= 1 and extra is None and not force:
         # a single-segment log may still need the migration marker (a base
         # segment IS complete floor coverage: everything in it is valid)
         if segs and not _stale_marker_present(d):
@@ -797,20 +884,86 @@ def _compact_emissions(spark, store: DatasetStore, author: str, name: str) -> No
         return
     cache_meta = store.get_meta(author, _cache_name(name), source=_CACHE_SOURCE)
     keys = _cache_keys_df(spark, store._segments(cache_meta))  # noqa: SLF001
-    log = _read_emit_log(spark, segs)
-    valid = log.join(keys, ["path", "version"], "left_semi") if keys is not None \
-        else log.limit(0)
-    n = valid.count()
-    num_parts = max(1, min(256, n // 200_000 + 1))
-    final = _write_emit_segment(valid, d, cache_meta.last_seq, base=True,
-                                num_parts=num_parts)
-    for p in segs:
-        if os.path.abspath(p) != os.path.abspath(final):
-            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
-                else os.remove(p)
+    cols = ["path", "version", *_EMIT_COLS]
+    valid = None
+    if segs:
+        log = _read_emit_log(spark, segs)
+        if keys is not None:
+            gen_max = log.groupBy("path").agg(F.max("version").alias("_gmax"))
+            valid = (log.join(gen_max, "path")
+                     .where(F.col("version") == F.col("_gmax"))
+                     .drop("_gmax")
+                     .join(keys.select("path",
+                                       F.col("version").alias("_rowv")),
+                           "path")
+                     .where(F.col("version") >= F.col("_rowv"))
+                     .drop("_rowv")
+                     .dropDuplicates(["path", "out_id", "input_idx",
+                                      "src_rid", "emit_idx"])
+                     .select(*cols))
+        else:
+            valid = log.limit(0).select(*cols)
+    if extra is not None:
+        extra = extra.select(*cols)
+        valid = extra if valid is None else valid.unionByName(extra)
+    final = None
+    if valid is not None:
+        n = valid.count()
+        num_parts = max(1, min(256, n // 200_000 + 1))
+        final = _write_emit_segment(valid, d, cache_meta.last_seq, base=True,
+                                    num_parts=num_parts)
+    if os.path.isdir(d):
+        # dir-wide sweep (not just `segs`): invisible orphans — e.g. a
+        # delta segment written at a base segment's seq — never appear in
+        # _emit_segments and would otherwise linger forever
+        for fn in os.listdir(d):
+            if not _EMIT_SEG_RE.match(fn):
+                continue
+            p = os.path.join(d, fn)
+            if final is None or os.path.abspath(p) != os.path.abspath(final):
+                shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                    else os.remove(p)
     # floors are redundant against a freshly-compacted (all-valid) log
     _drop_stale_floors(d)
     _install_stale_marker(d)
+
+
+def _heal_crashed_build(spark, store: DatasetStore, author: str,
+                        name: str) -> None:
+    """Restore the emissions-log invariant after a crashed build (the
+    ``_build_inflight`` marker outlived its build — see the crash-safety
+    comment above :data:`_INFLIGHT_MARKER`).
+
+    The cache is authoritative: any live cache row whose newest logged
+    generation is below the row's version lost its emissions to the crash
+    window between the cache write and the emit write — regenerate them
+    straight from the cache value (``outputs`` is embedded; no re-map) and
+    fold everything through a forced compaction, whose max-generation rule
+    simultaneously drops superseded generations the crashed build's floors
+    never got to kill.  The caller then forces a full re-reduce."""
+    from pyspark.sql import functions as F
+
+    cache_meta = store.get_meta(author, _cache_name(name), source=_CACHE_SOURCE)
+    keys = _cache_keys_df(spark, store._segments(cache_meta))  # noqa: SLF001
+    extra = None
+    if keys is not None:
+        segs = _emit_segments(store, author, name)
+        missing = keys
+        if segs:
+            have_max = (_read_emit_log(spark, segs)
+                        .groupBy("path").agg(F.max("version").alias("_gmax")))
+            missing = (keys.join(have_max, "path", "left")
+                       .where(F.col("_gmax").isNull()
+                              | (F.col("_gmax") < F.col("version")))
+                       .drop("_gmax"))
+        cache_cur = store.read_df(spark, author, _cache_name(name),
+                                  source=_CACHE_SOURCE)
+        miss_rows = cache_cur.join(
+            missing.select(F.col("path").alias("record_id")),
+            "record_id", "left_semi")
+        extra = (_emissions_from_cache_df(_parsed_cache_rows(miss_rows))
+                 .join(keys, "path"))
+    _compact_emissions(spark, store, author, name, extra=extra, force=True)
 
 
 def create_lens(store: DatasetStore, author: str, name: str, *, inputs: list[str],
@@ -919,6 +1072,19 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             _emit_dir(store, author, name)):
         if _emit_segments(store, author, name):
             _compact_emissions(spark, store, author, name)
+
+    # crash recovery: an inflight marker at build start means the previous
+    # build died between its cache write and set_config (see the
+    # crash-safety comment above _INFLIGHT_MARKER).  Heal the emissions
+    # log from the authoritative cache, then force THIS build to re-reduce
+    # every out_id.  first_build needs no heal: the full rebuild below
+    # overwrites the output and re-emits everything anyway.
+    heal_full = False
+    if _inflight_marker_present(_emit_dir(store, author, name)):
+        if not first_build:
+            _heal_crashed_build(spark, store, author, name)
+            heal_full = True
+            _trace("heal")
 
     # ---- freshness: per-input DELTA SCAN over the segment log --------------
     # The log layout gives CDF semantics: segments with seq > the seq seen at
@@ -1045,6 +1211,11 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     delta_ids = ([r["path"] for r in delta_id_rows]
                  if delta_id_rows is not None
                  and len(delta_id_rows) <= AFFECTED_COLLECT_MAX else None)
+    # inflight marker: from the cache write to set_config this build holds
+    # partially-committed state; a crash in the window is detected and
+    # healed by the next build (crash-safety comment at _INFLIGHT_MARKER)
+    emit_d = _emit_dir(store, author, name)
+    _install_inflight_marker(emit_d)
     store.write_entries_df(spark, author, _cache_name(name), delta,
                            assume_unique_ids=True,
                            source=_CACHE_SOURCE, precanonical=True,
@@ -1067,7 +1238,6 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # stored reduction — at 100 TB a point-write re-reduces a handful of
     # keys reading a handful of row groups (the reference re-folds everything
     # each build, lens.js:204-225; this is strictly stronger incrementality).
-    emit_d = _emit_dir(store, author, name)
     old_emit_segs = _emit_segments(store, author, name)
     # emissions come straight off the persisted map result — only the
     # ``outputs`` column is parsed, never the full cache-entry JSON
@@ -1120,6 +1290,12 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             old_log = _read_emit_log(spark, [seg_path])
             _trace("emit_backfill")
 
+        # read PRIOR floors first: this build's own floors only affect its
+        # delta paths, which the gather below excludes outright (anti-join)
+        # — so right after a compaction (zero floor files) the validity
+        # join disappears from the plan entirely
+        floors = _read_stale_floors(spark, emit_d)
+
         # stale-floor sidecar (see the module comment above
         # _stale_marker_present): every path this build touched gets floor
         # ver_now — its new generation (if any) is AT ver_now and survives;
@@ -1127,11 +1303,16 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         # cache write was fully suppressed (a crashed build's re-run —
         # identical values, version unchanged) the floors are exactly what
         # the crash may have lost, and a floor at the current version never
-        # kills a current-generation row.
-        _write_stale_floors(
-            delta_paths.withColumn("version",
-                                   F.lit(ver_now).cast("long")),
-            emit_d, seq_now)
+        # kills a current-generation row.  When the delta-id list is
+        # already on the driver (the suppress_scope collect) the write is
+        # a single pyarrow file — zero Spark jobs on the point-update path.
+        if delta_ids is not None:
+            _write_stale_floors_local(delta_ids, ver_now, emit_d, seq_now)
+        else:
+            _write_stale_floors(
+                delta_paths.withColumn("version",
+                                       F.lit(ver_now).cast("long")),
+                emit_d, seq_now)
         _trace("stale_write")
 
         # out_ids from NEW map results + from ALL logged generations of the
@@ -1139,28 +1320,47 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         # out_ids re-reduce too — idempotent, and it spares the build the
         # O(base) cache-key scan the exact-version match needed)
         new_ids = emit_delta.select("out_id")
-        old_ids = (old_log.join(F.broadcast(delta_paths), "path",
-                                "left_semi").select("out_id"))
-        affected = new_ids.unionByName(old_ids).distinct().persist()
-        n_affected = affected.count()
-        _trace(f"affected(n={n_affected})")
+        if heal_full:
+            # post-crash: the dead build's output write / deletes never
+            # ran, so ANY key may be stale — re-reduce every out_id in the
+            # healed log plus every existing output record (records whose
+            # emissions vanished entirely must re-check as deletes).
+            # O(base) once, only after a detected crash.
+            out_ids_cur = store.read_df(
+                spark, author, name, source="lenses").select(
+                F.col("record_id").alias("out_id"))
+            affected = (new_ids.unionByName(old_log.select("out_id"))
+                        .unionByName(out_ids_cur).distinct().persist())
+        else:
+            old_ids = (old_log.join(F.broadcast(delta_paths), "path",
+                                    "left_semi").select("out_id"))
+            affected = new_ids.unionByName(old_ids).distinct().persist()
+        # one probe job replaces the old count()+collect() pair: collect up
+        # to cap+1 rows — emptiness, the cap branch, AND the id list all
+        # come out of the same scan (the persist materializes fully later,
+        # under the deletes anti-join that needs it anyway)
+        probe_rows = affected.limit(AFFECTED_COLLECT_MAX + 1).collect()
+        n_affected = len(probe_rows)
+        _trace(f"affected(n={n_affected}"
+               f"{'+' if n_affected > AFFECTED_COLLECT_MAX else ''})")
         if n_affected == 0:
             stats_meta = store.get_meta(author, name, source="lenses")
         else:
             if n_affected <= AFFECTED_COLLECT_MAX:
                 # driver-side key list ⇒ parquet pushdown prunes row groups
                 # of the sorted log; the whole gather reads ~|affected| keys
-                ids = [r["out_id"] for r in affected.collect()]
+                ids = [r["out_id"] for r in probe_rows]
                 old_part = old_log.where(F.col("out_id").isin(ids))
                 new_part = emit_delta.where(F.col("out_id").isin(ids))
             else:
                 ids = None
                 old_part = old_log.join(affected, "out_id", "left_semi")
                 new_part = emit_delta.join(affected, "out_id", "left_semi")
-            # validity: drop generations below their path's max floor.
-            # Both join sides are O(churn)/O(affected) — AQE broadcasts
-            # the aggregated floors; nothing here scales with base size.
-            floors = _read_stale_floors(spark, emit_d)
+            # validity: drop generations below their path's max floor
+            # (PRIOR floors, read above before this build appended its
+            # own).  Both join sides are O(churn)/O(affected) — AQE
+            # broadcasts the aggregated floors; nothing here scales with
+            # base size.
             if floors is not None:
                 floor_max = floors.groupBy("path").agg(
                     F.max("version").alias("_floor"))
@@ -1170,6 +1370,16 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
                              .drop("_floor"))
             else:
                 valid_old = old_part
+            # this build's emit_delta re-homes EVERY delta path at ver_now;
+            # a surviving old-log generation of a delta path — possible at
+            # version == ver_now when the cache write was fully
+            # hash-suppressed (a crashed build's re-run gathering its own
+            # orphaned segment) — would double the fold.  Exclude old rows
+            # of delta paths outright: on non-suppressed builds the floors
+            # already killed them, so this broadcast anti-join is a
+            # semantic no-op there and O(churn) either way.
+            valid_old = valid_old.join(F.broadcast(delta_paths),
+                                       "path", "left_anti")
             gathered = valid_old.select(*_EMIT_COLS).unionByName(
                 new_part.select(*_EMIT_COLS))
             reduced = reduce_outputs(gathered).persist()
@@ -1203,6 +1413,9 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # cursor for the next delta scan)
     cfg["input_seqs"], cfg["input_versions"] = next_seqs, next_versions
     store.set_config(author, name, cfg, source="lenses", memo=meta.memo)
+    # the build's state is fully committed — clear the crash marker (the
+    # compactions below are physical-only and individually crash-safe)
+    _remove_inflight_marker(emit_d)
 
     # keep the cache + emissions logs short: the NEXT build's freshness read
     # is a window over cache segments and the gather unions emission

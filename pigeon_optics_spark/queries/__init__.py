@@ -43,46 +43,45 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 #: (hand-maintained lists drifted twice in r5; the executable form is
 #: the source of truth).  ROUND_NOTES "r7 rotation plan" orders it.
 _DRIVER_PRIORITY = [
-    # ===== r10 refresh window (exactly 50) — VERDICT r9 item 2. =====
-    # Refreshes the OLDEST driver rows.  Computed executably at r10
+    # ===== r11 refresh window (exactly 50) — VERDICT r10 item 1. =====
+    # Refreshes the OLDEST driver rows.  Computed executably at r11
     # start from CORRECTNESS_r*.json ∩ the live registry (histogram
-    # entering r10: r5×12 r6×50 r7×50 r8×50 r9×50) and matches the
-    # VERDICT r9 prediction name-for-name.  Ordered (round, name) —
-    # the 12 remaining r5-history gates, then the first 38 r6-history
+    # entering r11: r6×12 r7×50 r8×50 r9×50 r10×50) and matches the
+    # VERDICT r10 prediction name-for-name.  Ordered (round, name) —
+    # the 12 remaining r6-history gates, then the first 38 r7-history
     # gates alphabetically.  The in-session invariant test verifies
     # count/uniqueness/registry membership and that all_queries()
     # emits these first.
-    # --- the 12 gates whose newest row is r5 ---
-    "text_context_chunks", "text_corpus_line_dedup", "text_dsir_weights",
-    "text_dup_window_stats", "text_exact_k_sample", "text_gopher_quality",
-    "text_heavy_hitters", "text_inverted_index", "text_line_dedup",
-    "text_mix_weights", "text_quality_histogram", "text_split_assign",
-    # --- first 38 r6-history gates, alphabetical ---
-    "avro_ingest", "dedup_canonical_forms", "dedup_pair_sketches",
-    "emb_eval_metrics", "emb_quantized_reps", "events_audit_metrics",
-    "events_extract_semantics", "events_interval_ops",
-    "events_stream_late_drop", "events_stream_multi_source",
-    "events_stream_outer_join", "events_stream_rocksdb_state",
-    "events_stream_timeout_sessions", "events_trend_folds",
-    "events_user_activity", "events_value_distribution",
-    "graph_distances", "graph_structure_metrics", "lens_error_capture",
-    "lens_markup_extract", "multimodal_audio_pcm",
-    "multimodal_container_meta", "multimodal_image_pixels",
-    "multimodal_video_frames", "q12_priority_lines",
-    "q20_potential_promotion", "q21_sole_late_supplier",
-    "q7_nation_volume", "q_correlated_shapes", "q_customer_analytics",
-    "q_pandas_grouped_agg", "q_quality_audits",
-    "q_query_shape_semantics", "q_scalar_semantics",
-    "q_setops_join_semantics", "q_udtf_ngrams", "q_window_semantics",
-    "reactive_subscribe_feed",
+    # --- the 12 gates whose newest row is r6 ---
+    "store_catalog_views", "store_cid_import", "store_datasource_pushdown",
+    "store_datasource_read", "store_lifecycle_history", "store_meta_vfs",
+    "store_path_escaping", "store_stream_source", "text_corpus_metrics",
+    "text_normalize_repair", "text_sample_shuffle", "text_web_census",
+    # --- first 38 r7-history gates, alphabetical ---
+    "corpus_curation_report", "csv_dirty_ingest", "dedup_bloom_membership",
+    "emb_maxsim_colbert", "events_feature_snapshot",
+    "events_forecast_backtest", "events_geohash_density",
+    "events_ohlc_bars", "events_pattern_matches", "events_rate_limit",
+    "events_stream_cusum", "events_stream_dedup_watermark",
+    "events_stream_ewma", "events_stream_holt", "events_stream_ohlc",
+    "events_stream_pattern", "events_stream_rate_limit",
+    "events_stream_static_join", "events_stream_twap",
+    "events_time_weighted_avg", "events_windowed_funnel",
+    "graph_link_prediction", "json_dirty_ingest",
+    "multimodal_bmp_png_consistency", "orc_roundtrip",
+    "parquet_schema_evolution", "pipeline_decision_audit",
+    "q10_returned_revenue", "q11_important_parts", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_counts", "q19_disjunctive_revenue",
+    "q22_idle_balance", "q2_best_value_supplier", "q6_forecast_revenue",
+    "q8_market_share", "q9_product_type_profit",
     # ===== end of the 50-slot window =====
     #
-    # The 12 remaining r6-history gates lead the r11 window (with the
-    # first 38 r7-history gates): store_catalog_views, store_cid_import,
-    # store_datasource_pushdown, store_datasource_read,
-    # store_lifecycle_history, store_meta_vfs, store_path_escaping,
-    # store_stream_source, text_corpus_metrics, text_normalize_repair,
-    # text_sample_shuffle, text_web_census.
+    # The 12 remaining r7-history gates lead the r12 window (with the
+    # first 38 r8-history gates): q_salted_join, q_status_islands,
+    # q_zorder_curve, store_datasource_write, store_stream_replicate,
+    # text_pmi_pairs, text_quality_classifier, text_robots_filter,
+    # text_span_dedup_removal, text_vocab_ids, text_winsorize,
+    # xml_native_ingest.
     # Recompute staleness executably each round (the source of truth —
     # hand-lists drifted twice in r5):
     #   python -c "import json,glob,re; from pigeon_optics_spark.queries

@@ -800,8 +800,14 @@ class DatasetStore:
             deletes_in = df.select("record_id").where(F.col("value").isNull())
             cur = self.read_df(spark, author, name, source=source)
             if suppress_scope_ids is not None:
-                assert not overwrite, \
-                    "suppress_scope_ids is incompatible with overwrite"
+                if overwrite:
+                    # Hard error (not assert: must survive python -O) —
+                    # overwrite prunes unmentioned keys against the
+                    # *visible* state, and a scoped view is incomplete,
+                    # so combining them would silently drop records.
+                    raise ValueError(
+                        "suppress_scope_ids is incompatible with "
+                        "overwrite")
                 cur = cur.where(F.col("record_id").isin(
                     list(suppress_scope_ids)))
             cur = cur.select(

@@ -705,7 +705,10 @@ class TestStaleFloors:
         os.remove(os.path.join(d, _STALE_MARKER))
         for f in list(os.listdir(d)):
             if _STALE_RE.match(f):
-                shutil.rmtree(os.path.join(d, f))
+                p = os.path.join(d, f)
+                # floor sidecars: Spark-written dirs or r11 driver-side
+                # single files
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
         # next build must compact first (single base segment afterwards,
         # counting this build's own delta on top) and stay correct
         store.write("system", "test-dataset", "b", {"tags": ["k2"]})

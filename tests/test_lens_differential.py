@@ -96,7 +96,11 @@ def test_incremental_equals_fresh_rebuild(spark, tmp_path, seed, rounds):
                 os.remove(marker)
             for f in list(os.listdir(d)):
                 if _STALE_RE.match(f):
-                    shutil.rmtree(os.path.join(d, f), ignore_errors=True)
+                    p = os.path.join(d, f)
+                    # floor sidecars are dirs (Spark write) or single
+                    # files (the r11 driver-side pyarrow write)
+                    shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                        else os.remove(p)
         build_lens(spark, inc, "a", "l")
 
     # fresh store: ONLY the final dataset content, built once

@@ -77,9 +77,23 @@ def main() -> None:
             last_try = time.time()
             print(f"[{now}] calm window -> bench attempt {attempts}",
                   flush=True)
-            r = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
-                capture_output=True, text=True, cwd=REPO, timeout=1200)
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py")],
+                    capture_output=True, text=True, cwd=REPO,
+                    timeout=1200)
+            except subprocess.TimeoutExpired:
+                # A heavy-steal window can stall the JVM past the
+                # timeout; log the dud attempt and keep watching
+                # rather than crashing the loop.
+                rec = {"_timeout": True,
+                       "_pre_steal_cpus": round(steal, 3),
+                       "_ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+                with open(args.log, "a") as fh:
+                    fh.write(json.dumps(rec) + "\n")
+                print("  -> bench timed out (>1200s); continuing",
+                      flush=True)
+                continue
             line = ""
             for ln in (r.stdout or "").splitlines():
                 ln = ln.strip()
