@@ -1107,6 +1107,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     next_seqs: dict = {}
     next_versions: dict = {}
     all_delta = True   # every input took the delta branch (gone bounded)
+    delta_bytes = 0    # driver-side delta size estimate (file metadata);
+    delta_sized = True  # False when any input's fresh size is unknowable
     for idx, p in enumerate(input_paths):
         dp = decode_path(p)
         if dp.collection_path in seen:  # duplicate input paths: first wins
@@ -1141,6 +1143,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
                 continue  # version guard: untouched input, zero work
             delta_rows = store.read_delta_df(spark, dp.author, dp.name,
                                              since_seq, source=dp.source)
+            delta_bytes += store.delta_bytes(dp.author, dp.name, since_seq,
+                                             source=dp.source)
             fresh_parts.append(with_provenance(
                 delta_rows.where(~F.col("deleted")
                                  & (F.col("version") > F.lit(last_version)))))
@@ -1150,6 +1154,7 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             # full diff: current rows vs cached (first build / post-overwrite
             # / record selector / meta source)
             all_delta = False
+            delta_sized = False  # fresh set size unknowable pre-diff
             cur = _load_inputs(spark, store, [p]).withColumn("input_idx", F.lit(idx))
             my_cached = cached_keys.where(F.col("path").startswith(prefix))
             joined = cur.join(my_cached, "path", "left")
@@ -1177,10 +1182,20 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # its natural partitioning is whatever the upstream scan/shuffle left
     # (AQE's 64MB advisory coalesces a 600k-row delta to 1-2 partitions —
     # sized for shuffle IO, ~30x under-parallel for Python execution).
-    # Round-robin to the session's parallelism: the shuffle moves a few
-    # dozen MB once, the exec stage then uses every core.  Same sizing a
-    # cluster job would pick for a CPU-bound stage (2-3x total cores).
-    fresh = fresh.repartition(spark.sparkContext.defaultParallelism)
+    # Round-robin to the session's parallelism, CAPPED by a driver-side
+    # estimate of the delta's on-disk bytes (~1 MB of parquet per Python
+    # task): the shuffle moves a few dozen MB once and the exec stage uses
+    # every core when there's work for every core — while a point update
+    # maps in ONE task instead of fanning 32 near-empty Python workers,
+    # whose per-stage overhead dominated the small-delta rebuild constant
+    # (r10 probe: 38 stages / 45 user-cpu-s for a 1-record delta).  The
+    # persisted map output inherits this width, so every downstream stage
+    # shrinks with it.  Same sizing a cluster job would pick for a
+    # CPU-bound stage (2-3x total cores, less when the input is tiny).
+    par = spark.sparkContext.defaultParallelism
+    if delta_sized:
+        par = max(1, min(par, delta_bytes // (1 << 20) + 1))
+    fresh = fresh.repartition(par)
     # persist: the expensive map phase must run exactly once even though the
     # cache write, the emissions write, and the reduce all derive from it
     mapped = map_records(fresh, code, timeout_ms).persist()

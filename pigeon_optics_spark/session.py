@@ -32,6 +32,13 @@ def get_spark(app_name: str = "spark_optics", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan partitioning UNDER cached plans too (off by
+        # default): a .persist() otherwise pins a full-width non-adaptive
+        # plan, so every stage over a tiny cached delta ran
+        # shuffle.partitions near-empty tasks (the dominant term in the
+        # small-delta lens rebuild constant)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

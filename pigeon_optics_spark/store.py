@@ -556,6 +556,29 @@ class DatasetStore:
             df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
         return df.select(*cols)
 
+    def delta_bytes(self, author: str, name: str, since_seq: int, *,
+                    source: str = "datasets") -> int:
+        """On-disk bytes of the segments :meth:`read_delta_df` would scan
+        for ``since_seq`` — a free, driver-side (file-metadata-only) size
+        estimate.  Callers use it to size CPU-bound stage parallelism to
+        the DELTA instead of full fan-out: a 1-record rebuild otherwise
+        pays a full complement of near-empty Python tasks per stage."""
+        meta = self._meta(source, author, name)
+        d = self._dir(meta)
+        total = 0
+        for fn in os.listdir(d) if os.path.isdir(d) else []:
+            seq = self._seg_seq(fn)
+            if seq is None or seq <= since_seq:
+                continue
+            p = os.path.join(d, fn)
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f))
+                                 for f in files)
+            else:
+                total += os.path.getsize(p)
+        return total
+
     # -- writes -------------------------------------------------------------
 
     def write(self, author: str, name: str, record_id: str, value: Any, *,
