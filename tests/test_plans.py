@@ -117,20 +117,25 @@ def test_ann_lsh_no_cartesian(spark, sf_dir):
 
 
 def test_lens_map_phase_runs_at_session_parallelism(spark, store):
-    """The CPU-bound exec stage must be repartitioned to the session's
-    parallelism, not whatever the scan left (AQE's IO-sized coalesce
-    under-parallelizes Python stages ~30x on large deltas)."""
+    """The CPU-bound exec stage must be repartitioned away from whatever the
+    scan left (AQE's IO-sized coalesce under-parallelizes Python stages ~30x
+    on large deltas) — to the session's parallelism for full-diff inputs,
+    CAPPED by a driver-side delta-byte estimate on the incremental path so a
+    point update maps in one task instead of 32 near-empty Python workers
+    (the r10 small-delta rebuild constant)."""
     from pigeon_optics_spark.lens import build_lens, create_lens
 
     create_lens(store, "t", "plens", inputs=["/datasets/t:docs"],
                 code="output('k', 1)")
     # the repartition is part of the build plan; assert on the build result
-    # plus the documented invariant marker in the source
+    # plus the documented invariant markers in the source
     import inspect
 
     import pigeon_optics_spark.lens as lens_mod
     src = inspect.getsource(lens_mod.build_lens)
-    assert "fresh.repartition(spark.sparkContext.defaultParallelism)" in src
+    assert "par = spark.sparkContext.defaultParallelism" in src
+    assert "min(par, delta_bytes // (1 << 20) + 1)" in src
+    assert "fresh = fresh.repartition(par)" in src
     stats = build_lens(spark, store, "t", "plens")
     assert stats["mapped"] == 50
 
