@@ -29,21 +29,75 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot_col(a, b) -> Column:
-    """Sequential-fold dot product in double (bit-stable across engines)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+def _vec_dim(df: DataFrame, vec_col) -> int | None:
+    """Probe the (uniform) vector dimension from one row — a bounded
+    single-row job (the centroid-literal collect class).  Feeds the
+    expanded-codegen fast paths below; ``None`` (empty input) keeps the
+    higher-order-function fold everywhere."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    row = df.select(F.size(c).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        return None
+    return int(row["d"])
+
+
+def dot_col(a, b, dim: int | None = None) -> Column:
+    """Sequential-fold dot product in double (bit-stable across engines).
+
+    With ``dim`` (the known uniform vector length) the fold is expanded to a
+    flat whole-stage-codegen sum — Catalyst's higher-order functions
+    (zip_with/aggregate) evaluate their lambda interpreted per element, an
+    order of magnitude slower than codegen'd arithmetic (guide §1.2 "per-task
+    work").  The expansion replays the exact IEEE op sequence of the fold
+    (lit(0.0) + x₀·y₀ + x₁·y₁ + …, every element cast to double first), so
+    results are bit-identical; rows whose arrays are not ``dim`` long fall
+    back to the fold via the size guard."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    folded = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    if dim is None:
+        return folded
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + ca.getItem(i).cast("double") * cb.getItem(i).cast("double")
+    return F.when((F.size(ca) == dim) & (F.size(cb) == dim),
+                  acc).otherwise(folded)
 
 
-def norm_col(a) -> Column:
-    return F.sqrt(F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+def norm_col(a, dim: int | None = None) -> Column:
+    """L2 norm via the same sequential fold (see ``dot_col`` for the
+    ``dim`` expanded-codegen fast path — bit-identical by construction)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    folded = F.sqrt(F.aggregate(
+        F.transform(ca, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     ))
+    if dim is None:
+        return folded
+    acc = F.lit(0.0)
+    for i in range(dim):
+        x = ca.getItem(i).cast("double")
+        acc = acc + x * x
+    return F.when(F.size(ca) == dim, F.sqrt(acc)).otherwise(folded)
+
+
+def _py_norm(vec) -> float:
+    """Driver-side replay of ``norm_col``'s exact IEEE op sequence over an
+    already-collected vector (doubles in, left-to-right 0.0-seeded fold,
+    correctly-rounded sqrt) — bit-identical to the JVM expression, so a
+    collected centroid's norm can ship as a plan literal."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        fx = float(x)
+        acc = acc + fx * fx
+    return math.sqrt(acc)
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -54,13 +108,15 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     → (query_id, rank, neighbor_id, cosine).  Query side is broadcast; the
     corpus is scanned once; ties broken by neighbor id for determinism.
     """
+    dim = _vec_dim(queries, q_vec)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
-                       norm_col(q_vec).alias("qn"))
+                       norm_col(q_vec, dim).alias("qn"))
     c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
-                      norm_col(c_vec).alias("cn"))
+                      norm_col(c_vec, dim).alias("cn"))
     pairs = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine",
+                    dot_col("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -73,10 +129,33 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 N_PLANES = 8
 
 
-def lsh_bucket_col(vec, n_planes: int = N_PLANES) -> Column:
+def _lsh_plane_coefs(n_planes: int, dim: int) -> list[list[float]]:
+    """Driver-side replay of the md5-derived ±1 plane coefficients —
+    identical values to the in-plan md5 derivation (same "p:d" keying), so
+    the planes can ship as literals instead of re-hashing
+    n_planes·dim md5s per ROW."""
+    import hashlib
+
+    return [
+        [1.0 if hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0] in "89abcdef"
+         else -1.0 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket_col(vec, n_planes: int = N_PLANES,
+                   dim: int | None = None) -> Column:
     """Random-hyperplane signature: bit p = sign of ⟨v, plane_p⟩ where
     plane_p[d] = +1 if the first md5 nibble of "p:d" is ≥ 8 else −1.
-    Deterministic — no RNG state to ship to executors."""
+    Deterministic — no RNG state to ship to executors.
+
+    With ``dim``, the coefficients are precomputed driver-side
+    (``_lsh_plane_coefs``) and the plane dots expand to flat codegen sums —
+    the in-plan derivation otherwise evaluates n_planes·dim md5 digests per
+    row (512/row at dim 64), the dominant cost of every LSH signature scan.
+    Bit-identical (same coefficient values, same fold order); rows of a
+    different length fall back to the adaptive md5 path via the size guard.
+    """
     v = F.col(vec) if isinstance(vec, str) else vec
 
     def plane_dot(p):
@@ -98,11 +177,27 @@ def lsh_bucket_col(vec, n_planes: int = N_PLANES) -> Column:
             lambda acc, v: acc + v,
         )
 
-    return F.array_join(
+    adaptive = F.array_join(
         F.transform(F.sequence(F.lit(0), F.lit(n_planes - 1)),
                     lambda p: F.when(plane_dot(p) >= 0, "1").otherwise("0")),
         "",
     )
+    if dim is None:
+        return adaptive
+
+    coefs = _lsh_plane_coefs(n_planes, dim)
+
+    def plane_dot_lit(p: int) -> Column:
+        acc = F.lit(0.0)
+        for d in range(dim):
+            acc = acc + v.getItem(d).cast("double") * F.lit(coefs[p][d])
+        return acc
+
+    fast = F.concat(*[
+        F.when(plane_dot_lit(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ])
+    return F.when(F.size(v) == dim, fast).otherwise(adaptive)
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -116,25 +211,34 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     probes its n_probe best cells and broadcasts into the cell equi-join;
     exact cosine only inside probed cells.  Ties in centroid scores break
     toward the larger cid (max-struct semantics, mirrored in the oracle)."""
-    scored = _centroid_scored(corpus, n_centroids, c_id, c_vec)
+    scored, dim = _centroid_scored(corpus, n_centroids, c_id, c_vec)
 
+    # hoist the vector norm into its own projection so the centroid scorer
+    # divides by the SAME column instead of re-folding the norm once per
+    # centroid (n_centroids× per row before)
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
-        norm_col(c_vec).alias("cn"),
-        F.array_max(scored(c_vec)).getField("cid").alias("cell"),
+        norm_col(c_vec, dim).alias("cn"),
+    ).select(
+        "neighbor_id", "cv", "cn",
+        F.array_max(scored("cv", F.col("cn"))).getField("cid").alias("cell"),
     )
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
-        norm_col(q_vec).alias("qn"),
+        norm_col(q_vec, dim).alias("qn"),
+    ).select(
+        "query_id", "qv", "qn",
         F.explode(F.transform(
-            F.slice(F.reverse(F.array_sort(scored(q_vec))), 1, n_probe),
+            F.slice(F.reverse(F.array_sort(scored("qv", F.col("qn")))),
+                    1, n_probe),
             lambda s: s["cid"],
         )).alias("cell"),
     )
     pairs = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine",
+                    dot_col("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -154,16 +258,18 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     the point is the plan shape — bucket equi-join instead of corpus scan
     per query.
     """
+    dim = _vec_dim(queries, q_vec)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
-                       norm_col(q_vec).alias("qn"),
-                       lsh_bucket_col(q_vec, n_planes).alias("bucket"))
+                       norm_col(q_vec, dim).alias("qn"),
+                       lsh_bucket_col(q_vec, n_planes, dim).alias("bucket"))
     c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
-                      norm_col(c_vec).alias("cn"),
-                      lsh_bucket_col(c_vec, n_planes).alias("bucket"))
+                      norm_col(c_vec, dim).alias("cn"),
+                      lsh_bucket_col(c_vec, n_planes, dim).alias("bucket"))
     pairs = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine",
+                    dot_col("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -191,6 +297,7 @@ def kmeans_assign(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     class as ``dot_col``).
     """
     cents = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    dim = len(cents[0][vec_col]) if cents else None
     cent_lit = F.array(*[
         F.struct(
             F.lit(j).alias("cid"),
@@ -201,7 +308,7 @@ def kmeans_assign(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
 
     best = F.array_min(F.transform(
         cent_lit,
-        lambda c: F.struct(_d2_col(F.col(vec_col), c["cv"]).alias("d2"),
+        lambda c: F.struct(_d2_col(F.col(vec_col), c["cv"], dim).alias("d2"),
                            c["cid"].alias("cid")),
     ))
     return emb.select(
@@ -229,39 +336,56 @@ def _centroid_scored(corpus: DataFrame, n_centroids: int,
     """Deterministic IVF coarse quantizer shared by ivf_topk / ivfpq_topk
     (one definition so a tie-break or casting tweak can never desync cell
     assignment between the two): smallest-n ids as centroid literals, and
-    the cosine scorer closure over them."""
+    the cosine scorer closure over them.  → (scored, dim).
+
+    The centroids are already collected, so their norms ship as plan
+    LITERALS (``_py_norm`` replays the JVM fold bit-for-bit) and each dot
+    expands to flat codegen — the closure previously re-folded
+    ``norm(v)``·``norm(cv)`` through interpreted higher-order functions once
+    per centroid per row.  Callers pass the row vector's (hoisted) norm
+    column; the cosine ``dot/(vnorm·lit(cnorm))`` divides the same doubles
+    as before."""
     cents = corpus.orderBy(id_col).limit(n_centroids) \
         .select(id_col, vec_col).collect()
-    cent_lit = F.array(*[
-        F.struct(
-            F.lit(j).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in row[vec_col]]).alias("cv"),
-        )
-        for j, row in enumerate(cents)
-    ])
+    dim = len(cents[0][vec_col]) if cents else None
+    cent_vecs = [[float(x) for x in row[vec_col]] for row in cents]
+    cent_norms = [_py_norm(cv) for cv in cent_vecs]
 
-    def scored(vec) -> Column:
+    def scored(vec, vnorm: Column | None = None) -> Column:
         v = F.col(vec) if isinstance(vec, str) else vec
-        return F.transform(
-            cent_lit,
-            lambda c: F.struct(
-                (dot_col(v, c["cv"]) / (norm_col(v) * norm_col(c["cv"])))
-                .alias("cos"),
-                c["cid"].alias("cid"),
-            ),
-        )
+        vn = vnorm if vnorm is not None else norm_col(v, dim)
+        return F.array(*[
+            F.struct(
+                (dot_col(v, F.array(*[F.lit(x) for x in cent_vecs[j]]), dim)
+                 / (vn * F.lit(cent_norms[j]))).alias("cos"),
+                F.lit(j).alias("cid"),
+            )
+            for j in range(len(cents))
+        ])
 
-    return scored
+    return scored, dim
 
 
-def _d2_col(a, b) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b,
+def _d2_col(a, b, dim: int | None = None) -> Column:
+    """Squared L2 via the sequential fold (``dim`` expands to flat codegen —
+    same bit-identity argument as ``dot_col``)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    folded = F.aggregate(
+        F.zip_with(ca, cb,
                    lambda x, y: (x.cast("double") - y.cast("double"))
                    * (x.cast("double") - y.cast("double"))),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    if dim is None:
+        return folded
+    acc = F.lit(0.0)
+    for i in range(dim):
+        d = ca.getItem(i).cast("double") - cb.getItem(i).cast("double")
+        acc = acc + d * d
+    return F.when((F.size(ca) == dim) & (F.size(cb) == dim),
+                  acc).otherwise(folded)
 
 
 def pq_encode(emb: DataFrame, m: int = 8, k: int = 16,
@@ -389,7 +513,8 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, m: int = 8, k: int = 16,
                        F.col(vec_col).alias("qv"))
     pairs = (decoded.join(F.broadcast(q),
                           F.col("neighbor_id") != F.col("query_id"))
-             .withColumn("adc_dist2", _d2_col("qv", "decoded")))
+             .withColumn("adc_dist2",
+                         _d2_col("qv", "decoded", m * dim_sub)))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
                                                F.asc("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -503,7 +628,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
     ``n_probe/n_centroids`` of a corpus scan over 8-byte codes instead of
     full vectors — the memory/IO tiering that makes ANN feasible at 100 TB.
     """
-    scored = _centroid_scored(corpus, n_centroids, id_col, vec_col)
+    scored, dim = _centroid_scored(corpus, n_centroids, id_col, vec_col)
 
     dim_sub, cb_lit = _pq_cb_lit(corpus, m, k, id_col, vec_col)
     # ONE map-only corpus pass computes the cell AND the PQ codes (the two
@@ -531,7 +656,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
     pairs = (
         decoded.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_dist2", _d2_col("qv", "decoded"))
+        .withColumn("adc_dist2", _d2_col("qv", "decoded", dim))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
                                                F.asc("neighbor_id"))
@@ -545,6 +670,7 @@ def _mean_assign(q: DataFrame, means: list[list[float]],
     """Assignment pass against literal centroid means: argmin squared-L2,
     ties to the smaller cid.  Map-only — the centroids ride inside the plan
     as a k·dim double literal (broadcast by construction)."""
+    dim = len(means[0]) if means else None
     cent_lit = F.array(*[
         F.struct(F.lit(j).alias("cid"),
                  F.array(*[F.lit(float(m)) for m in mv]).alias("mv"))
@@ -552,7 +678,7 @@ def _mean_assign(q: DataFrame, means: list[list[float]],
     ])
     best = F.array_min(F.transform(
         cent_lit,
-        lambda c: F.struct(_d2_col(F.col("qv"), c["mv"]).alias("d2"),
+        lambda c: F.struct(_d2_col(F.col("qv"), c["mv"], dim).alias("d2"),
                            c["cid"].alias("cid")),
     ))
     cols = [F.col("vec_id"), F.col("qv"),
