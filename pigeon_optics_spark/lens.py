@@ -294,7 +294,12 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
 
     def run_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         harness = LensHarness(code, timeout_ms)
-        dumps = json.dumps
+        # one prebuilt encoder for the whole task: ``json.dumps(x,
+        # ensure_ascii=False)`` constructs a fresh JSONEncoder PER CALL
+        # (only the zero-kwargs form hits the cached default encoder) —
+        # at 5 dumps per record that was ~30% of the loop.  Same params ⇒
+        # byte-identical output (pinned by test_map_records_serialization).
+        dumps = json.JSONEncoder(ensure_ascii=False).encode
         with harness.alarm_scope():  # install the SIGALRM handler once
             for pdf in batches:
                 out_rows = {k: [] for k in
@@ -319,20 +324,23 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
                     # path stays the plain comprehension (this loop runs
                     # once per mapped record — the build's hot path);
                     # only a failing record pays the per-item retry.
+                    # each item is assembled as a literal fragment replaying
+                    # json.dumps' default dict formatting for the FIXED key
+                    # shape {"i": int, "k": ..., "v": str} — skips the dict
+                    # construction + iterencode tree walk per emission
+                    # (byte-parity pinned by test_map_records_serialization)
                     try:
                         out_items = [
-                            {"i": i, "k": oid,
-                             "v": dumps(value_to_tagged(v),
-                                        ensure_ascii=False)}
+                            f'{{"i": {i}, "k": {dumps(oid)}, '
+                            f'"v": {dumps(dumps(value_to_tagged(v)))}}}'
                             for i, oid, v in outputs]
                     except (TypeError, ValueError, RecursionError):
                         out_items = []
                         for i, oid, v in outputs:
                             try:
                                 out_items.append(
-                                    {"i": i, "k": oid,
-                                     "v": dumps(value_to_tagged(v),
-                                                ensure_ascii=False)})
+                                    f'{{"i": {i}, "k": {dumps(oid)}, '
+                                    f'"v": {dumps(dumps(value_to_tagged(v)))}}}')
                             except (TypeError, ValueError,
                                     RecursionError) as e:
                                 errors.append({
@@ -341,9 +349,10 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
                                                 f"output {oid!r}: {e}"),
                                     "line": None,
                                 })
-                    outputs_json = dumps(out_items, ensure_ascii=False)
-                    logs_json = dumps(logs, ensure_ascii=False)
-                    errors_json = dumps(errors, ensure_ascii=False)
+                    outputs_json = ("[" + ", ".join(out_items) + "]"
+                                    if out_items else "[]")
+                    logs_json = dumps(logs) if logs else "[]"
+                    errors_json = dumps(errors) if errors else "[]"
                     out_rows["path"].append(path_s)
                     out_rows["record_id"].append(rid)
                     out_rows["input_idx"].append(idx)
@@ -352,17 +361,20 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
                     out_rows["outputs"].append(outputs_json)
                     out_rows["logs"].append(logs_json)
                     out_rows["errors"].append(errors_json)
-                    # plain sorted dumps == canonical_json here: fixed
+                    # literal replay of sorted-key compact dumps for the
+                    # FIXED cache-entry shape == canonical_json here: fixed
                     # identifier keys (never tag-shaped) and str/int values
                     # are fixpoints of the tagged encoding — verified by
-                    # tests/test_lens.py::test_cache_value_is_canonical
-                    out_rows["value"].append(dumps({
-                        "input_idx": idx, "record_id": rid,
-                        "nat_key": nat_key, "version": int(version),
-                        "outputs": outputs_json, "logs": logs_json,
-                        "errors": errors_json,
-                    }, sort_keys=True, separators=(",", ":"),
-                        ensure_ascii=False))
+                    # tests/test_lens.py::test_cache_value_is_canonical and
+                    # byte-pinned vs dumps by test_map_records_serialization
+                    out_rows["value"].append(
+                        f'{{"errors":{dumps(errors_json)},'
+                        f'"input_idx":{idx},'
+                        f'"logs":{dumps(logs_json)},'
+                        f'"nat_key":{dumps(nat_key)},'
+                        f'"outputs":{dumps(outputs_json)},'
+                        f'"record_id":{dumps(rid)},'
+                        f'"version":{int(version)}}}')
                 yield pd.DataFrame(out_rows)
 
     return inputs_df.mapInPandas(run_partition, schema=MAP_RESULT_SCHEMA)

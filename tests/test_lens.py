@@ -479,6 +479,68 @@ class TestGoldenBuild:
         assert got == {"total_tags": 2, "cat": 2, "dog": 1}
 
 
+def test_map_records_serialization(spark):
+    """The map loop assembles its three JSON envelopes (outputs list,
+    cache-entry value) from literal fragments + a prebuilt encoder instead
+    of per-call ``json.dumps(..., ensure_ascii=False)`` — r11 perf.  Pin
+    byte-parity against the reference dumps formulation on awkward values
+    (unicode, quotes, newlines, nested tagged forms, Sets, empty and
+    multi-emission records, captured logs/errors)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pigeon_optics_spark.lens import map_records
+    from pigeon_optics_spark.values import natural_pad, value_to_tagged
+
+    code = """
+log('saw', path.recordID)
+if data.get('boom'):
+    raise ValueError('bo"om — ユ')
+for j, w in enumerate(data['ws']):
+    output(w, Set([path.recordID, j]))
+"""
+    rows = [
+        ("r-1", '{"ws": ["a b", "we\\"ird — ユニコード", "c\\nd"]}'),
+        ("r-2", '{"ws": []}'),
+        ("r-03", '{"ws": ["x"], "boom": true}'),
+    ]
+    df = spark.createDataFrame(rows, "record_id string, value string").select(
+        F.lit(0).alias("input_idx"),
+        F.concat(F.lit("/datasets/t:d/records/"), "record_id").alias("path"),
+        F.lit("datasets").alias("source"), F.lit("t").alias("author"),
+        F.lit("d").alias("name"), "record_id",
+        F.lit(5).cast("long").alias("version"), "value")
+    got = {r["record_id"]: r for r in map_records(df, code).collect()}
+    assert set(got) == {"r-1", "r-2", "r-03"}
+
+    for rid, row in got.items():
+        outputs = json.loads(row["outputs"])
+        # reference formulation: plain dumps with default separators
+        ref_outputs = json.dumps(
+            [{"i": o["i"], "k": o["k"], "v": o["v"]} for o in outputs],
+            ensure_ascii=False)
+        assert row["outputs"] == ref_outputs
+        ref_cache = json.dumps({
+            "input_idx": 0, "record_id": rid,
+            "nat_key": natural_pad(rid), "version": 5,
+            "outputs": row["outputs"], "logs": row["logs"],
+            "errors": row["errors"],
+        }, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+        assert row["value"] == ref_cache
+    # content spot-checks: Set emission round-trips, log/error capture
+    o1 = json.loads(got["r-1"]["outputs"])
+    assert [e["k"] for e in o1] == ["a b", 'we"ird — ユニコード', "c\nd"]
+    assert json.loads(o1[1]["v"]) == value_to_tagged(
+        __import__("pigeon_optics_spark.values", fromlist=["PSet"]).PSet(
+            ["r-1", 1]))
+    assert json.loads(got["r-2"]["outputs"]) == []
+    assert json.loads(got["r-2"]["logs"]) == ["saw r-2"]
+    errs = json.loads(got["r-03"]["errors"])
+    assert errs and errs[0]["type"] == "ValueError"
+    assert 'bo"om — ユ' in errs[0]["message"]
+
+
 def test_cache_value_is_canonical():
     """The map phase serializes cache entries with a plain sorted
     ``json.dumps``; the store then hashes them JVM-side assuming the bytes
