@@ -303,14 +303,14 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     sigs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm_col(vec_col, dim).alias("nrm"),
+        norm_col(vec_col).alias("nrm"),
         lsh_bucket_col(vec_col, n_planes, dim).alias("bucket"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cosine", dot_col("a.v", "b.v", dim)
+        .withColumn("cosine", dot_col("a.v", "b.v")
                     / (F.col("a.nrm") * F.col("b.nrm")))
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
@@ -465,13 +465,12 @@ def semantic_dedup(emb: DataFrame, k: int = 8, threshold: float = 0.9,
     documented recall trade that makes the op linear-ish.  The drop
     decision is a left-semi join against the pair set (no row explosion).
     """
-    from .similarity import _vec_dim, dot_col, norm_col, kmeans_assign
+    from .similarity import dot_col, norm_col, kmeans_assign
 
-    dim = _vec_dim(emb, vec_col)
     cells = kmeans_assign(emb, k=k, id_col=id_col, vec_col=vec_col) \
         .select(F.col("vec_id").alias("id"), "centroid")
     sigs = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                       norm_col(vec_col, dim).alias("nrm"))
+                       norm_col(vec_col).alias("nrm"))
             .join(cells, "id")
             .persist())
     sigs.count()  # materialize: three consumers in one job (both pairwise
@@ -481,7 +480,7 @@ def semantic_dedup(emb: DataFrame, k: int = 8, threshold: float = 0.9,
     dup_ids = (
         a.join(b, (F.col("a.centroid") == F.col("b.centroid"))
                & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cosine", dot_col("a.v", "b.v", dim)
+        .withColumn("cosine", dot_col("a.v", "b.v")
                     / (F.col("a.nrm") * F.col("b.nrm")))
         .where(F.col("cosine") >= threshold)
         .select(F.col("b.id").alias("id"))

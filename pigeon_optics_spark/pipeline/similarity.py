@@ -32,8 +32,8 @@ from pyspark.sql import functions as F
 def _vec_dim(df: DataFrame, vec_col) -> int | None:
     """Probe the (uniform) vector dimension from one row — a bounded
     single-row job (the centroid-literal collect class).  Feeds the
-    expanded-codegen fast paths below; ``None`` (empty input) keeps the
-    higher-order-function fold everywhere."""
+    literal-plane LSH fast path; ``None`` (empty input) keeps the
+    adaptive in-plan derivation."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     row = df.select(F.size(c).alias("d")).first()
     if row is None or row["d"] is None or row["d"] <= 0:
@@ -41,49 +41,34 @@ def _vec_dim(df: DataFrame, vec_col) -> int | None:
     return int(row["d"])
 
 
-def dot_col(a, b, dim: int | None = None) -> Column:
+def dot_col(a, b) -> Column:
     """Sequential-fold dot product in double (bit-stable across engines).
 
-    With ``dim`` (the known uniform vector length) the fold is expanded to a
-    flat whole-stage-codegen sum — Catalyst's higher-order functions
-    (zip_with/aggregate) evaluate their lambda interpreted per element, an
-    order of magnitude slower than codegen'd arithmetic (guide §1.2 "per-task
-    work").  The expansion replays the exact IEEE op sequence of the fold
-    (lit(0.0) + x₀·y₀ + x₁·y₁ + …, every element cast to double first), so
-    results are bit-identical; rows whose arrays are not ``dim`` long fall
-    back to the fold via the size guard."""
+    The higher-order-function fold IS the fast form on Spark 4: an r11
+    experiment expanded it to a flat per-element codegen sum
+    (``v[0]*q[0] + v[1]*q[1] + …``) and measured the flat form ~3× SLOWER
+    to execute (14.3 s vs 4.5 s on a 40k-row × dim-64 noop scan, identical
+    checksums) on top of seconds of per-query driver time building the
+    64-term trees — zip_with/aggregate compile to a tight loop while the
+    flat chain pays per-element null-check branches.  Keep the fold."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    folded = F.aggregate(
+    return F.aggregate(
         F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    if dim is None:
-        return folded
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + ca.getItem(i).cast("double") * cb.getItem(i).cast("double")
-    return F.when((F.size(ca) == dim) & (F.size(cb) == dim),
-                  acc).otherwise(folded)
 
 
-def norm_col(a, dim: int | None = None) -> Column:
-    """L2 norm via the same sequential fold (see ``dot_col`` for the
-    ``dim`` expanded-codegen fast path — bit-identical by construction)."""
+def norm_col(a) -> Column:
+    """L2 norm via the same sequential fold (see ``dot_col`` on why the
+    fold beats a flat expansion)."""
     ca = F.col(a) if isinstance(a, str) else a
-    folded = F.sqrt(F.aggregate(
+    return F.sqrt(F.aggregate(
         F.transform(ca, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     ))
-    if dim is None:
-        return folded
-    acc = F.lit(0.0)
-    for i in range(dim):
-        x = ca.getItem(i).cast("double")
-        acc = acc + x * x
-    return F.when(F.size(ca) == dim, F.sqrt(acc)).otherwise(folded)
 
 
 def _py_norm(vec) -> float:
@@ -108,15 +93,13 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     → (query_id, rank, neighbor_id, cosine).  Query side is broadcast; the
     corpus is scanned once; ties broken by neighbor id for determinism.
     """
-    dim = _vec_dim(queries, q_vec)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
-                       norm_col(q_vec, dim).alias("qn"))
+                       norm_col(q_vec).alias("qn"))
     c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
-                      norm_col(c_vec, dim).alias("cn"))
+                      norm_col(c_vec).alias("cn"))
     pairs = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine",
-                    dot_col("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -150,11 +133,17 @@ def lsh_bucket_col(vec, n_planes: int = N_PLANES,
     Deterministic — no RNG state to ship to executors.
 
     With ``dim``, the coefficients are precomputed driver-side
-    (``_lsh_plane_coefs``) and the plane dots expand to flat codegen sums —
-    the in-plan derivation otherwise evaluates n_planes·dim md5 digests per
-    row (512/row at dim 64), the dominant cost of every LSH signature scan.
-    Bit-identical (same coefficient values, same fold order); rows of a
-    different length fall back to the adaptive md5 path via the size guard.
+    (``_lsh_plane_coefs``) and ride in the plan as one n_planes×dim
+    array-of-array double literal; the signature is the same
+    transform/zip_with/aggregate fold over the literal planes — the
+    adaptive path otherwise evaluates n_planes·dim md5 digests per row
+    (512/row at dim 64), the dominant cost of every LSH signature scan.
+    Measured 10× (21.4 s → 2.1 s on a 40k-row dim-64 noop scan),
+    bit-identical checksums (same coefficient values, same fold order);
+    rows of a different length fall back to the adaptive md5 path via the
+    size guard.  (A flat per-element expansion of the plane dots was also
+    tried — no faster than the fold over literals, and far costlier to
+    build; see ``dot_col``.)
     """
     v = F.col(vec) if isinstance(vec, str) else vec
 
@@ -186,17 +175,19 @@ def lsh_bucket_col(vec, n_planes: int = N_PLANES,
         return adaptive
 
     coefs = _lsh_plane_coefs(n_planes, dim)
-
-    def plane_dot_lit(p: int) -> Column:
-        acc = F.lit(0.0)
-        for d in range(dim):
-            acc = acc + v.getItem(d).cast("double") * F.lit(coefs[p][d])
-        return acc
-
-    fast = F.concat(*[
-        F.when(plane_dot_lit(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(n_planes)
-    ])
+    planes_lit = F.array(*[F.array(*[F.lit(c) for c in row]) for row in coefs])
+    fast = F.array_join(
+        F.transform(
+            planes_lit,
+            lambda pl: F.when(
+                F.aggregate(
+                    F.zip_with(v, pl, lambda x, coef: x.cast("double") * coef),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ) >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
     return F.when(F.size(v) == dim, fast).otherwise(adaptive)
 
 
@@ -211,21 +202,21 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     probes its n_probe best cells and broadcasts into the cell equi-join;
     exact cosine only inside probed cells.  Ties in centroid scores break
     toward the larger cid (max-struct semantics, mirrored in the oracle)."""
-    scored, dim = _centroid_scored(corpus, n_centroids, c_id, c_vec)
+    scored, _dim = _centroid_scored(corpus, n_centroids, c_id, c_vec)
 
     # hoist the vector norm into its own projection so the centroid scorer
     # divides by the SAME column instead of re-folding the norm once per
     # centroid (n_centroids× per row before)
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
-        norm_col(c_vec, dim).alias("cn"),
+        norm_col(c_vec).alias("cn"),
     ).select(
         "neighbor_id", "cv", "cn",
         F.array_max(scored("cv", F.col("cn"))).getField("cid").alias("cell"),
     )
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
-        norm_col(q_vec, dim).alias("qn"),
+        norm_col(q_vec).alias("qn"),
     ).select(
         "query_id", "qv", "qn",
         F.explode(F.transform(
@@ -237,8 +228,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     pairs = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine",
-                    dot_col("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -260,16 +250,15 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """
     dim = _vec_dim(queries, q_vec)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
-                       norm_col(q_vec, dim).alias("qn"),
+                       norm_col(q_vec).alias("qn"),
                        lsh_bucket_col(q_vec, n_planes, dim).alias("bucket"))
     c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
-                      norm_col(c_vec, dim).alias("cn"),
+                      norm_col(c_vec).alias("cn"),
                       lsh_bucket_col(c_vec, n_planes, dim).alias("bucket"))
     pairs = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine",
-                    dot_col("qv", "cv", dim) / (F.col("qn") * F.col("cn")))
+        .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -297,7 +286,6 @@ def kmeans_assign(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     class as ``dot_col``).
     """
     cents = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-    dim = len(cents[0][vec_col]) if cents else None
     cent_lit = F.array(*[
         F.struct(
             F.lit(j).alias("cid"),
@@ -308,7 +296,7 @@ def kmeans_assign(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
 
     best = F.array_min(F.transform(
         cent_lit,
-        lambda c: F.struct(_d2_col(F.col(vec_col), c["cv"], dim).alias("d2"),
+        lambda c: F.struct(_d2_col(F.col(vec_col), c["cv"]).alias("d2"),
                            c["cid"].alias("cid")),
     ))
     return emb.select(
@@ -339,53 +327,53 @@ def _centroid_scored(corpus: DataFrame, n_centroids: int,
     the cosine scorer closure over them.  → (scored, dim).
 
     The centroids are already collected, so their norms ship as plan
-    LITERALS (``_py_norm`` replays the JVM fold bit-for-bit) and each dot
-    expands to flat codegen — the closure previously re-folded
-    ``norm(v)``·``norm(cv)`` through interpreted higher-order functions once
-    per centroid per row.  Callers pass the row vector's (hoisted) norm
-    column; the cosine ``dot/(vnorm·lit(cnorm))`` divides the same doubles
-    as before."""
+    LITERALS (``_py_norm`` replays the JVM fold bit-for-bit) — the closure
+    previously re-folded ``norm(cv)`` over the literal array once per
+    centroid per row, and callers now pass the row vector's (hoisted) norm
+    column so ``norm(v)`` is folded once per row instead of once per
+    centroid; the cosine ``dot/(vnorm·lit(cnorm))`` divides the same
+    doubles as before (oracle-verified).  The dot stays the HOF fold — see
+    ``dot_col`` for why a flat expansion loses."""
     cents = corpus.orderBy(id_col).limit(n_centroids) \
         .select(id_col, vec_col).collect()
     dim = len(cents[0][vec_col]) if cents else None
     cent_vecs = [[float(x) for x in row[vec_col]] for row in cents]
     cent_norms = [_py_norm(cv) for cv in cent_vecs]
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(j).alias("cid"),
+            F.array(*[F.lit(x) for x in cent_vecs[j]]).alias("cv"),
+            F.lit(cent_norms[j]).alias("cn"),
+        )
+        for j in range(len(cents))
+    ])
 
     def scored(vec, vnorm: Column | None = None) -> Column:
         v = F.col(vec) if isinstance(vec, str) else vec
-        vn = vnorm if vnorm is not None else norm_col(v, dim)
-        return F.array(*[
-            F.struct(
-                (dot_col(v, F.array(*[F.lit(x) for x in cent_vecs[j]]), dim)
-                 / (vn * F.lit(cent_norms[j]))).alias("cos"),
-                F.lit(j).alias("cid"),
-            )
-            for j in range(len(cents))
-        ])
+        vn = vnorm if vnorm is not None else norm_col(v)
+        return F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                (dot_col(v, c["cv"]) / (vn * c["cn"])).alias("cos"),
+                c["cid"].alias("cid"),
+            ),
+        )
 
     return scored, dim
 
 
-def _d2_col(a, b, dim: int | None = None) -> Column:
-    """Squared L2 via the sequential fold (``dim`` expands to flat codegen —
-    same bit-identity argument as ``dot_col``)."""
+def _d2_col(a, b) -> Column:
+    """Squared L2 via the sequential fold (see ``dot_col`` on why the fold
+    beats a flat expansion)."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    folded = F.aggregate(
+    return F.aggregate(
         F.zip_with(ca, cb,
                    lambda x, y: (x.cast("double") - y.cast("double"))
                    * (x.cast("double") - y.cast("double"))),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    if dim is None:
-        return folded
-    acc = F.lit(0.0)
-    for i in range(dim):
-        d = ca.getItem(i).cast("double") - cb.getItem(i).cast("double")
-        acc = acc + d * d
-    return F.when((F.size(ca) == dim) & (F.size(cb) == dim),
-                  acc).otherwise(folded)
 
 
 def pq_encode(emb: DataFrame, m: int = 8, k: int = 16,
@@ -514,7 +502,7 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, m: int = 8, k: int = 16,
     pairs = (decoded.join(F.broadcast(q),
                           F.col("neighbor_id") != F.col("query_id"))
              .withColumn("adc_dist2",
-                         _d2_col("qv", "decoded", m * dim_sub)))
+                         _d2_col("qv", "decoded")))
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
                                                F.asc("neighbor_id"))
     return (pairs.withColumn("rank", F.row_number().over(w))
@@ -628,7 +616,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
     ``n_probe/n_centroids`` of a corpus scan over 8-byte codes instead of
     full vectors — the memory/IO tiering that makes ANN feasible at 100 TB.
     """
-    scored, dim = _centroid_scored(corpus, n_centroids, id_col, vec_col)
+    scored, _dim = _centroid_scored(corpus, n_centroids, id_col, vec_col)
 
     dim_sub, cb_lit = _pq_cb_lit(corpus, m, k, id_col, vec_col)
     # ONE map-only corpus pass computes the cell AND the PQ codes (the two
@@ -656,7 +644,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
     pairs = (
         decoded.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_dist2", _d2_col("qv", "decoded", dim))
+        .withColumn("adc_dist2", _d2_col("qv", "decoded"))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"),
                                                F.asc("neighbor_id"))
@@ -678,7 +666,7 @@ def _mean_assign(q: DataFrame, means: list[list[float]],
     ])
     best = F.array_min(F.transform(
         cent_lit,
-        lambda c: F.struct(_d2_col(F.col("qv"), c["mv"], dim).alias("d2"),
+        lambda c: F.struct(_d2_col(F.col("qv"), c["mv"]).alias("d2"),
                            c["cid"].alias("cid")),
     ))
     cols = [F.col("vec_id"), F.col("qv"),

@@ -3594,10 +3594,9 @@ FROM documents
 
 
 def emb_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline.similarity import _vec_dim, dot_col
+    from ..pipeline.similarity import dot_col
 
     emb = load(spark, sf_dir, "embeddings")
-    dim = _vec_dim(emb, "embedding")
     q = (emb.where(F.col("vec_id") < 8)
          .select((F.col("vec_id") % 8).alias("q_idx"),
                  F.col("embedding").alias("qv")))
@@ -3606,7 +3605,7 @@ def emb_maxsim_colbert(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "embedding"))
     per_q = (tok.crossJoin(F.broadcast(q))
              .select("doc_id", "q_idx",
-                     dot_col("qv", "embedding", dim).alias("d"))
+                     dot_col("qv", "embedding").alias("d"))
              .groupBy("doc_id", "q_idx")
              .agg(F.max("d").alias("m")))
     ms = [F.max(F.when(F.col("q_idx") == i, F.col("m"))).alias(f"m{i}")
