@@ -65,6 +65,7 @@ from typing import Any, Iterator
 
 from .paths import DataPath, decode_path, encode_path
 from .reduce import fold, merge_into
+from .session import job_desc
 from .store import DatasetStore
 from .values import (
     PMap,
@@ -720,7 +721,7 @@ def _drop_stale_floors(d: str) -> None:
 
 
 def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
-                        num_parts: int = 1, keep_sorted: bool = False):
+                        num_parts: int = 1):
     """Stage-then-rename write of one emissions segment, range-partitioned by
     out_id (tight min/max stats per file for pruning) and sorted by the FULL
     fold key — a fresh segment is then directly foldable without another
@@ -732,12 +733,12 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
     row — deriving it at read time (:func:`_read_emit_log`) cuts emission
     shuffle and parquet bytes ~30% with identical fold order.
 
-    ``keep_sorted=True`` (the first-build fold path): the POST-shuffle
-    sorted frame is persisted and returned as ``(path, sorted_df)`` — the
-    caller folds straight off the in-memory range-partitioned blocks
-    (groups contiguous by construction, no single-row-group precondition,
-    no parquet decode round-trip) and MUST ``unpersist(blocking=True)``
-    it.  Default returns just the path, behavior unchanged."""
+    (An r10/r11 variant additionally persisted the post-shuffle sorted
+    frame so the first-build fold could skip the parquet decode
+    round-trip.  r11 stage attribution killed it: building the
+    InMemoryRelation columnar cache of the sorted emissions cost ~20
+    executor-cpu-s at 600k rows — ~3× the decode it saved — so the fold
+    now re-reads the freshly written (page-cache-hot) segment instead.)"""
     import os
     import shutil
     import uuid
@@ -749,50 +750,39 @@ def _write_emit_segment(df, d: str, seq: int, *, base: bool = False,
         else (lambda tag: None)
     os.makedirs(d, exist_ok=True)
     stage = os.path.join(d, f"_stage_{uuid.uuid4().hex}")
-    sorted_df = (df.repartitionByRange(num_parts, "out_id")
-                 .sortWithinPartitions("out_id", "input_idx", "nat_key",
-                                       "src_rid", "emit_idx"))
-    if keep_sorted:
-        # one materialization of the shuffle; the parquet write below and
-        # the caller's fold both stream the persisted sorted blocks
-        sorted_df = sorted_df.persist()
-        sorted_df.count()
-        _tr("shuffle+sort+persist")
-        (sorted_df.drop("nat_key")  # Project preserves partitioning+order
+    # range partitioning SAMPLES the frame before shuffling it — two
+    # full executions of the emissions plan (which sits on the fat map
+    # output).  Persist across the pair; the THIN exploded frame
+    # materializes once and the sample + shuffle passes read it instead
+    # of re-running parse+explode over the map output (r11 stage
+    # attribution: the sample pass alone was ~15 executor-cpu-s at 600k
+    # rows when it re-derived from the fat frame).
+    # NOTE: DataFrame.persist() returns the SAME object, so an
+    # identity test (`cache is not df`) can never detect "we
+    # persisted" — a previous guard written that way leaked this
+    # cache on every build, and the leaked InMemoryRelation (which
+    # pins the fat map output) degraded every LATER build in the
+    # session by 3-25x measured CPU (r9 scale-probe finding).  Track
+    # the decision in a boolean instead.
+    persisted = num_parts > 1
+    cache = df.persist() if persisted else df
+    try:
+        (cache.repartitionByRange(num_parts, "out_id")
+         .sortWithinPartitions("out_id", "input_idx", "nat_key",
+                               "src_rid", "emit_idx")
+         .drop("nat_key")
          .write.mode("overwrite").parquet(stage))
-        _tr("write")
-    else:
-        # range partitioning SAMPLES the frame before shuffling it — two
-        # full executions of the emissions plan (which sits on the fat map
-        # output).  Persist across the pair; callers re-deriving from the
-        # same upstream afterwards pay one cheap recompute, not two heavy
-        # ones here.
-        # NOTE: DataFrame.persist() returns the SAME object, so an
-        # identity test (`cache is not df`) can never detect "we
-        # persisted" — a previous guard written that way leaked this
-        # cache on every build, and the leaked InMemoryRelation (which
-        # pins the fat map output) degraded every LATER build in the
-        # session by 3-25x measured CPU (r9 scale-probe finding).  Track
-        # the decision in a boolean instead.
-        persisted = num_parts > 1
-        cache = df.persist() if persisted else df
-        try:
-            (cache.repartitionByRange(num_parts, "out_id")
-             .sortWithinPartitions("out_id", "input_idx", "nat_key",
-                                   "src_rid", "emit_idx")
-             .drop("nat_key")
-             .write.mode("overwrite").parquet(stage))
-        finally:
-            if persisted:
-                cache.unpersist(blocking=True)
-        _tr("shuffle+sort+write")
+    finally:
+        if persisted:
+            cache.unpersist(blocking=True)
+    _tr("shuffle+sort+write")
     for fn in os.listdir(stage):
         if not fn.endswith(".parquet"):
             os.remove(os.path.join(stage, fn))
     final = os.path.join(d, f"seg_{seq:08d}.{'base' if base else 'delta'}.parquet")
     shutil.rmtree(final, ignore_errors=True)
     os.replace(stage, final)
-    return (final, sorted_df) if keep_sorted else final
+    return final
 
 
 def _read_emit_log(spark, segs: list[str]):
@@ -1211,7 +1201,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # persist: the expensive map phase must run exactly once even though the
     # cache write, the emissions write, and the reduce all derive from it
     mapped = map_records(fresh, code, timeout_ms).persist()
-    n_fresh = mapped.count()
+    with job_desc(spark, f"lens {author}:{name} map"):
+        n_fresh = mapped.count()
     _trace(f"map+count(n={n_fresh})")
 
     # the map phase already serialized each cache entry canonically (its
@@ -1232,9 +1223,10 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
     # affected-id list the same way below.  The limit probe keeps the
     # driver safe: an over-cap delta simply falls back to the join plan.
     delta_paths = mapped.select("path").unionByName(gone_paths)
-    delta_id_rows = (delta_paths.limit(AFFECTED_COLLECT_MAX + 1).collect()
-                     if (not first_build and all_delta
-                         and n_fresh <= AFFECTED_COLLECT_MAX) else None)
+    with job_desc(spark, f"lens {author}:{name} delta probe"):
+        delta_id_rows = (delta_paths.limit(AFFECTED_COLLECT_MAX + 1).collect()
+                         if (not first_build and all_delta
+                             and n_fresh <= AFFECTED_COLLECT_MAX) else None)
     delta_ids = ([r["path"] for r in delta_id_rows]
                  if delta_id_rows is not None
                  and len(delta_id_rows) <= AFFECTED_COLLECT_MAX else None)
@@ -1276,30 +1268,31 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         # ~20k rows/file: single-row-group files (foldable without a
         # shuffle) AND enough files that the direct fold uses every core
         num_parts = max(1, min(256, n_fresh // 20_000 + 1))
-        seg_path, sorted_emits = _write_emit_segment(
-            emit_delta, emit_d, seq_now, base=True, num_parts=num_parts,
-            keep_sorted=True)
+        with job_desc(spark, f"lens {author}:{name} emit write"):
+            seg_path = _write_emit_segment(
+                emit_delta, emit_d, seq_now, base=True, num_parts=num_parts)
         _install_stale_marker(emit_d)  # base segment = complete coverage
         _trace("emit_write")
-        # Fold DIRECTLY off the persisted range-partitioned sorted blocks
-        # the write just materialized: out_id groups are contiguous within
-        # a partition by construction (no single-row-group precondition),
-        # and the fold pays no parquet decode round-trip.
-        try:
-            reduced = reduce_outputs(sorted_emits.select(*_EMIT_COLS),
-                                     presorted=True)
-            stats_meta = store.write_entries_df(spark, author, name, reduced,
-                                                source="lenses",
-                                                overwrite=True,
-                                                precanonical=True,
-                                                assume_unique_ids=True)
-        finally:
-            sorted_emits.unpersist(blocking=True)
+        # Fold off the just-written segment (page-cache-hot): ~20k-row
+        # single-row-group files are never split, so every out_id group is
+        # contiguous and in fold order within its read partition.  (An
+        # r10/r11 variant persisted the post-shuffle sorted frame to skip
+        # this decode; the InMemoryRelation build cost ~3× the decode —
+        # see _write_emit_segment.)
+        reduced = reduce_outputs(
+            _read_emit_log(spark, [seg_path]).select(*_EMIT_COLS),
+            presorted=True)
+        stats_meta = store.write_entries_df(spark, author, name, reduced,
+                                            source="lenses",
+                                            overwrite=True,
+                                            precanonical=True,
+                                            assume_unique_ids=True)
     else:
         if n_fresh > 0:
             num_parts = max(1, min(256, n_fresh // 20_000 + 1))
-            _write_emit_segment(emit_delta, emit_d, seq_now,
-                                num_parts=num_parts)
+            with job_desc(spark, f"lens {author}:{name} emit write"):
+                _write_emit_segment(emit_delta, emit_d, seq_now,
+                                    num_parts=num_parts)
             _trace("emit_write")
         if old_emit_segs:
             old_log = _read_emit_log(spark, old_emit_segs)
@@ -1366,7 +1359,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         # to cap+1 rows — emptiness, the cap branch, AND the id list all
         # come out of the same scan (the persist materializes fully later,
         # under the deletes anti-join that needs it anyway)
-        probe_rows = affected.limit(AFFECTED_COLLECT_MAX + 1).collect()
+        with job_desc(spark, f"lens {author}:{name} affected probe"):
+            probe_rows = affected.limit(AFFECTED_COLLECT_MAX + 1).collect()
         n_affected = len(probe_rows)
         _trace(f"affected(n={n_affected}"
                f"{'+' if n_affected > AFFECTED_COLLECT_MAX else ''})")
@@ -1413,7 +1407,8 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
             # materialize NOW: the write plan references `reduced` twice
             # (upserts + the deletes anti-join); an unmaterialized persist
             # would re-run the whole reduce per reference inside one job
-            n_reduced = reduced.count()
+            with job_desc(spark, f"lens {author}:{name} reduce"):
+                n_reduced = reduced.count()
             _trace(f"reduce(n={n_reduced})")
             # affected ids with no remaining emissions are deleted outputs
             deletes = affected.join(

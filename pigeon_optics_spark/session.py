@@ -9,9 +9,24 @@ parallelism at hand rather than the 200 default.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def job_desc(spark, text: str):
+    """Label every job submitted in this block (guide §1.5) so the UI /
+    REST stage listing attributes cost to engine phases.  Thread-local,
+    restores the previous description on exit; no effect on execution."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(text)
+    try:
+        yield
+    finally:
+        sc.setJobDescription(prev)
 
 
 def get_spark(app_name: str = "spark_optics", cpus: int | None = None,

@@ -789,8 +789,13 @@ class DatasetStore:
         # them (AQE's IO-sized coalesce can leave a 600k-row batch on 1-2
         # partitions).  Round-robin to session parallelism first — the
         # shuffle is cheap relative to ~16us/record hashing, and the segment
-        # directory tolerates any file count.
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        # directory tolerates any file count.  When the write is pure JVM
+        # (precanonical hash via sha2, no link walk) there is no Python
+        # stage to feed: the shuffle would move the whole batch once for
+        # nothing (r11 stage attribution: ~11 executor-cpu-s per 600k-row
+        # lens cache write) — keep the upstream partitioning.
+        if not (precanonical and no_links):
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         upserts_in = (
             df.select("record_id", "value").where(F.col("value").isNotNull())
             # maxRecordSize guard, JVM-side (octet_length = UTF-8 bytes):
@@ -874,14 +879,16 @@ class DatasetStore:
         suffix = "base" if overwrite else "delta"
         stage = os.path.join(self._dir(meta), f"_stage_{uuid.uuid4().hex}")
         _trace("plan")
+        from .session import job_desc as _job_desc
         # version/seq MUST be written int64: the pyarrow write path
         # (write_entries / tombstones) uses SEGMENT_SCHEMA's int64, and a
         # Python-int F.lit() is int32 — mixed-width segments fail the
         # parquet read (found by store_compact_verify mixing the paths)
-        rows.withColumn("seq", F.lit(seq).cast("long")) \
-            .withColumn("version", F.col("version").cast("long")) \
-            .select(*[f.name for f in SEGMENT_SCHEMA]) \
-            .write.mode("overwrite").parquet(stage)
+        with _job_desc(spark, f"store write {source}/{author}:{name}"):
+            rows.withColumn("seq", F.lit(seq).cast("long")) \
+                .withColumn("version", F.col("version").cast("long")) \
+                .select(*[f.name for f in SEGMENT_SCHEMA]) \
+                .write.mode("overwrite").parquet(stage)
         _trace("write_job")
 
         parts = _glob.glob(os.path.join(stage, "*.parquet"))
@@ -904,9 +911,11 @@ class DatasetStore:
             # duplicate-id gate on the MATERIALIZED staged rows (see the
             # batch-contract note above): column-pruned scan, no upstream
             # re-evaluation, abort-before-commit so nothing is visible
-            chk = spark.read.parquet(stage).agg(
-                F.count("*").alias("n"),
-                F.count_distinct("record_id").alias("nd")).first()
+            with _job_desc(spark,
+                           f"store dup-check {source}/{author}:{name}"):
+                chk = spark.read.parquet(stage).agg(
+                    F.count("*").alias("n"),
+                    F.count_distinct("record_id").alias("nd")).first()
             if chk["nd"] < chk["n"]:
                 shutil.rmtree(stage, ignore_errors=True)
                 raise StoreError(
