@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .similarity import _spread
+
 
 def char_shingles(text: str | Column, n: int = 5) -> Column:
     """Distinct character n-gram shingles of a text column."""
@@ -103,7 +105,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     Catalyst re-evaluates the shingle-hash array for every one of the k
     outer lambda elements — measured ~30× slower.)
     """
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(char_shingles(text_col, n)).alias("sh"),
     ).withColumn("h", F.md5("sh")).select(
@@ -297,10 +299,11 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     math only on the tiny candidate set.  Deterministic planes — md5-derived
     ±1 coefficients — so DuckDB reproduces the result exactly.
     """
-    from .similarity import _vec_dim, dot_col, lsh_bucket_col, norm_col
+    from .similarity import (_spread, _vec_dim, dot_col, lsh_bucket_col,
+                             norm_col)
 
     dim = _vec_dim(df, vec_col)
-    sigs = df.select(
+    sigs = _spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm_col(vec_col).alias("nrm"),
@@ -469,8 +472,9 @@ def semantic_dedup(emb: DataFrame, k: int = 8, threshold: float = 0.9,
 
     cells = kmeans_assign(emb, k=k, id_col=id_col, vec_col=vec_col) \
         .select(F.col("vec_id").alias("id"), "centroid")
-    sigs = (emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                       norm_col(vec_col).alias("nrm"))
+    sigs = (_spread(emb).select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                norm_col(vec_col).alias("nrm"))
             .join(cells, "id")
             .persist())
     sigs.count()  # materialize: three consumers in one job (both pairwise

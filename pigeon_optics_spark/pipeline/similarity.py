@@ -71,6 +71,24 @@ def norm_col(a) -> Column:
     ))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen an under-parallel input before a CPU-heavy per-row stage.
+
+    A small corpus parquet scans as one IO-sized partition (128 MB splits),
+    so per-row work that is orders of magnitude heavier than the scan —
+    shingle explodes, per-shingle hashing, per-pair cosine folds — runs
+    single-task while every other core idles (r11 stage attribution: a
+    5.4 s one-task stage inside an otherwise sub-second minhash run).
+    Round-robin to session parallelism only when the input is narrower
+    than that: at scale the scan already has more partitions than cores
+    and this is a driver-side no-op — no shuffle is ever added to a
+    well-partitioned input."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _py_norm(vec) -> float:
     """Driver-side replay of ``norm_col``'s exact IEEE op sequence over an
     already-collected vector (doubles in, left-to-right 0.0-seeded fold,
@@ -95,8 +113,9 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
                        norm_col(q_vec).alias("qn"))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
-                      norm_col(c_vec).alias("cn"))
+    c = _spread(corpus).select(
+        F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
+        norm_col(c_vec).alias("cn"))
     pairs = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", dot_col("qv", "cv") / (F.col("qn") * F.col("cn")))
@@ -207,7 +226,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     # hoist the vector norm into its own projection so the centroid scorer
     # divides by the SAME column instead of re-folding the norm once per
     # centroid (n_centroids× per row before)
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
         norm_col(c_vec).alias("cn"),
     ).select(
@@ -252,9 +271,10 @@ def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
                        norm_col(q_vec).alias("qn"),
                        lsh_bucket_col(q_vec, n_planes, dim).alias("bucket"))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
-                      norm_col(c_vec).alias("cn"),
-                      lsh_bucket_col(c_vec, n_planes, dim).alias("bucket"))
+    c = _spread(corpus).select(
+        F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("cv"),
+        norm_col(c_vec).alias("cn"),
+        lsh_bucket_col(c_vec, n_planes, dim).alias("bucket"))
     pairs = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
