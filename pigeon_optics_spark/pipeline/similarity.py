@@ -194,7 +194,8 @@ def lsh_bucket_col(vec, n_planes: int = N_PLANES,
         return adaptive
 
     coefs = _lsh_plane_coefs(n_planes, dim)
-    planes_lit = F.array(*[F.array(*[F.lit(c) for c in row]) for row in coefs])
+    # one nested-list literal = one py4j call (vs n_planes·dim F.lit calls)
+    planes_lit = F.lit(coefs)
     fast = F.array_join(
         F.transform(
             planes_lit,
@@ -309,7 +310,7 @@ def kmeans_assign(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     cent_lit = F.array(*[
         F.struct(
             F.lit(j).alias("cid"),
-            F.array(*[F.lit(float(x)) for x in row[vec_col]]).alias("cv"),
+            F.lit([float(x) for x in row[vec_col]]).alias("cv"),
         )
         for j, row in enumerate(cents)
     ])
@@ -362,7 +363,7 @@ def _centroid_scored(corpus: DataFrame, n_centroids: int,
     cent_lit = F.array(*[
         F.struct(
             F.lit(j).alias("cid"),
-            F.array(*[F.lit(x) for x in cent_vecs[j]]).alias("cv"),
+            F.lit(cent_vecs[j]).alias("cv"),  # list literal: one py4j call
             F.lit(cent_norms[j]).alias("cn"),
         )
         for j in range(len(cents))
@@ -463,7 +464,7 @@ def _pq_cb_lit(emb, m: int, k: int, id_col: str, vec_col: str):
     dim_sub = dim // m
     cb = _pq_codebook(emb, m, k, dim_sub, id_col, vec_col)
     cb_lit = F.array(*[
-        F.array(*[F.array(*[F.lit(x) for x in cw]) for cw in cb[s]])
+        F.lit([list(cw) for cw in cb[s]])
         for s in range(m)
     ])
     return dim_sub, cb_lit
@@ -559,8 +560,8 @@ def sq8_encode(corpus: DataFrame, grid: int = 10_000,
              .orderBy("d").collect())
     mn = [int(r["mn"]) for r in stats]
     rng = [max(int(r["mx"]) - int(r["mn"]), 1) for r in stats]
-    mn_lit = F.array(*[F.lit(v) for v in mn])
-    rng_lit = F.array(*[F.lit(v) for v in rng])
+    mn_lit = F.lit(list(mn))
+    rng_lit = F.lit(list(rng))
     codes = corpus.select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -595,7 +596,7 @@ def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     window top-k.  At 100 TB the corpus scan reads 1-byte codes instead of
     float vectors — a 4× IO tier with none of PQ's codebook training."""
     codes, _mn, rng = sq8_encode(corpus, grid, id_col, vec_col)
-    rng_lit = F.array(*[F.lit(v) for v in rng])
+    rng_lit = F.lit(list(rng))
     qgrid = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(
@@ -681,7 +682,7 @@ def _mean_assign(q: DataFrame, means: list[list[float]],
     dim = len(means[0]) if means else None
     cent_lit = F.array(*[
         F.struct(F.lit(j).alias("cid"),
-                 F.array(*[F.lit(float(m)) for m in mv]).alias("mv"))
+                 F.lit([float(m) for m in mv]).alias("mv"))
         for j, mv in enumerate(means)
     ])
     best = F.array_min(F.transform(
@@ -880,12 +881,12 @@ def pca_project(emb: DataFrame, n_components: int = 8,
     # mean (in grid units → original units) for centering
     lin = {r["i"]: (r["s_i"], r["n"]) for r in cov_rows if r["i"] == r["j"]}
     mean = [lin[i][0] / lin[i][1] / grid for i in range(d)]
-    mean_lit = F.array(*[F.lit(m) for m in mean])
+    mean_lit = F.lit(list(mean))
     centered = F.zip_with(F.col(vec_col).cast("array<double>"), mean_lit,
                           lambda x, m: x - m)
     proj_cols = [
         F.aggregate(
-            F.zip_with(centered, F.array(*[F.lit(c) for c in comp]),
+            F.zip_with(centered, F.lit(list(comp)),
                        lambda x, w: x * w),
             F.lit(0.0), lambda acc, x: acc + x)
         for comp in comps]
@@ -930,8 +931,7 @@ def random_project(emb: DataFrame, k: int = 16, grid: int = 10_000,
         raise ValueError("empty embedding corpus")
     d = len(first[0])
     signs = jl_sign_matrix(k, d, seed)
-    signs_lit = F.array(*[F.array(*[F.lit(s) for s in row])
-                          for row in signs])
+    signs_lit = F.lit([list(row) for row in signs])
     q = F.transform(F.col(vec_col),
                     lambda x: F.floor(x.cast("double") * grid).cast("long"))
     projs = F.transform(
