@@ -294,17 +294,38 @@ register("q_semi_anti_joins", q_semi_anti_joins, _SEMI_ANTI_ORACLE)
 # q_segment_setops — INTERSECT / EXCEPT (SURVEY §2.7, ABSENT in reference).
 # Customers that bought in 1995 but not 1996 (EXCEPT) and in both (INTERSECT),
 # tagged and unioned.
+#
+# r11 restructure (guide §2.4 — remove duplicate subtrees): the literal
+# INTERSECT/EXCEPT formulation references y95 and y96 twice each, and
+# Catalyst plans each reference as its own scan+distinct subtree (measured:
+# 8 parquet scans, 5 exchanges, 6.5 user cpu-s).  Both set ops key on the
+# SAME distinct o_custkey domain, so one pass computes them together:
+# per-customer membership flags (any 1995 order / any 1996 order) from a
+# single scan+groupBy, then cohort = both|only_1995 from the flags.
+# Equivalence (oracle-proved at sf0.01 + sf0.1): inputs to the set ops are
+# DISTINCT key sets, so INTERSECT ≡ in95∧in96 and EXCEPT ALL ≡ EXCEPT ≡
+# in95∧¬in96, row-for-row per distinct o_custkey; null dates fail both the
+# year() equality and the range predicate.  The range predicate additionally
+# reaches the parquet scan as PushedFilters (year(col) is a derived
+# expression and never pushes down, guide §6).  INTERSECT/EXCEPT operator
+# semantics stay driver-gated by the dedicated q_setops_join_semantics pack.
 # --------------------------------------------------------------------------
 
 
 def q_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
-    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
-    only95 = y95.exceptAll(y96).withColumn("cohort", F.lit("only_1995"))
+    flags = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+        .groupBy("o_custkey")
+        .agg(F.max(F.year("o_orderdate") == 1995).alias("in95"),
+             F.max(F.year("o_orderdate") == 1996).alias("in96"))
+    )
     return (
-        both.unionByName(only95)
+        flags.where(F.col("in95"))
+        .select(F.when(F.col("in96"), F.lit("both"))
+                .otherwise(F.lit("only_1995")).alias("cohort"))
         .groupBy("cohort")
         .agg(F.count("*").alias("n_customers"))
     )

@@ -628,6 +628,27 @@ def test_q6_style_pushdown_q12_thin_join(spark, sf_dir):
                                  for ln in orders_schema), p
 
 
+def test_segment_setops_single_scan_pushdown(spark, sf_dir):
+    """The r11 single-pass rewrite of q_segment_setops: the literal
+    INTERSECT/EXCEPT form planned its two distinct-key inputs twice each
+    (8 orders scans, 5 exchanges); the membership-flag form must stay ONE
+    orders scan, exactly two exchanges (custkey agg + tiny cohort agg),
+    no join, with the 1995-1996 date range pushed into the scan
+    (year(col) never pushes down — the range predicate must)."""
+    from pigeon_optics_spark.queries.relational import q_segment_setops
+
+    df = q_segment_setops(spark, sf_dir)
+    p = plan_of(df, "formatted")
+    assert "Join" not in p, p
+    simple = plan_of(df)
+    # simple mode prints each operator once: exactly one scan, two exchanges
+    assert simple.count("Scan parquet") == 1, simple
+    assert simple.count("Exchange") <= 2, simple
+    pushed = [ln for ln in p.splitlines()
+              if "PushedFilters" in ln and "o_orderdate" in ln]
+    assert pushed and "GreaterThanOrEqual(o_orderdate" in pushed[0], p
+
+
 def test_srt_cue_extraction_map_only(spark, sf_dir):
     """SRT cue extraction: synth + parse are chained mapInPandas over ONE
     documents scan — no shuffle, no join; the text column never moves."""
