@@ -275,8 +275,54 @@ class LensHarness:
 
 MAP_RESULT_SCHEMA = (
     "path string, record_id string, input_idx int, nat_key string, "
-    "version long, outputs string, logs string, errors string, value string"
+    "version long, outputs string, logs string, errors string, "
+    "rid_json string, nat_key_json string"
 )
+
+
+def _json_escape_nocc_col(c):
+    """JSON-string-encode a column whose value PROVABLY contains no raw
+    control character (< 0x20): byte-exact replay of
+    ``json.dumps(s, ensure_ascii=False)``, which for such strings escapes
+    exactly backslash then double-quote (single-pass over the char class
+    ``[\\\\"\\x00-\\x1f]`` — the sequential two-replace chain produces
+    identical bytes because step 1 never creates a quote and step 2 never
+    creates a backslash that step 1 should have doubled; pinned by
+    tests/test_lens.py::test_map_records_serialization).  The lens map
+    columns this feeds (``outputs``/``logs``/``errors``) are themselves
+    JSON TEXT produced by ``json.dumps`` fragments, whose own escaping
+    already removed every raw control char — the reason this is safe.
+    Strings that CAN carry control chars (record ids) ship pre-escaped
+    from Python instead (``rid_json``/``nat_key_json``)."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit('"'),
+        F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")),
+                  F.lit('"'), F.lit('\\"')),
+        F.lit('"'))
+
+
+def _cache_entry_value_col():
+    """The canonical cache-entry JSON envelope, derived in whole-stage
+    codegen from the THIN map-output columns — byte-identical to the
+    former Python f-string assembly (sorted keys, compact separators),
+    so ``sha2(value) == object_hash`` still holds at the cache write.
+    Keeping the fat envelope OUT of the map output roughly halves the
+    persisted map frame and the Arrow transfer: the embedded
+    outputs/logs/errors strings otherwise crossed the Python boundary
+    twice (raw + escaped inside the envelope)."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit('{"errors":'), _json_escape_nocc_col(F.col("errors")),
+        F.lit(',"input_idx":'), F.col("input_idx").cast("string"),
+        F.lit(',"logs":'), _json_escape_nocc_col(F.col("logs")),
+        F.lit(',"nat_key":'), F.col("nat_key_json"),
+        F.lit(',"outputs":'), _json_escape_nocc_col(F.col("outputs")),
+        F.lit(',"record_id":'), F.col("rid_json"),
+        F.lit(',"version":'), F.col("version").cast("string"),
+        F.lit("}"))
 
 
 def map_records(inputs_df, code: str, timeout_ms: float | None = None):
@@ -285,11 +331,15 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
 
     One output row per input record; emissions are embedded as a JSON array of
     ``[emit_idx, out_id, tagged_value_json]`` so the row schema stays fixed
-    regardless of the user value shapes.  The ``value`` output column is the
-    complete cache-entry JSON in **canonical form** (we are already in Python
-    here, so serializing it at the source is free) — the cache write can then
-    hash it JVM-side (``sha2(value) == object_hash`` for canonical bytes)
-    instead of paying a second Python pass over every row.
+    regardless of the user value shapes.  The complete cache-entry envelope is
+    NOT assembled here: it is derived in whole-stage codegen from these thin
+    columns (``_cache_entry_value_col``), byte-identical to canonical form, so
+    the cache write still hashes JVM-side (``sha2(value) == object_hash``)
+    while the outputs/logs/errors bytes cross the Python boundary exactly
+    once (the fat envelope embedded them a second time, escaped — ~half the
+    map output's bytes).  Only ``rid_json``/``nat_key_json`` ship pre-escaped
+    from Python because record ids may contain control characters, whose
+    ``\\u00xx`` escapes a JVM replay could not reproduce byte-exactly.
     """
     import pandas as pd
 
@@ -305,7 +355,8 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
             for pdf in batches:
                 out_rows = {k: [] for k in
                             ("path", "record_id", "input_idx", "nat_key",
-                             "version", "outputs", "logs", "errors", "value")}
+                             "version", "outputs", "logs", "errors",
+                             "rid_json", "nat_key_json")}
                 for path_s, source, author_s, name_s, rid, version, value, idx in zip(
                         pdf["path"].tolist(), pdf["source"].tolist(),
                         pdf["author"].tolist(), pdf["name"].tolist(),
@@ -362,20 +413,13 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
                     out_rows["outputs"].append(outputs_json)
                     out_rows["logs"].append(logs_json)
                     out_rows["errors"].append(errors_json)
-                    # literal replay of sorted-key compact dumps for the
-                    # FIXED cache-entry shape == canonical_json here: fixed
-                    # identifier keys (never tag-shaped) and str/int values
-                    # are fixpoints of the tagged encoding — verified by
-                    # tests/test_lens.py::test_cache_value_is_canonical and
-                    # byte-pinned vs dumps by test_map_records_serialization
-                    out_rows["value"].append(
-                        f'{{"errors":{dumps(errors_json)},'
-                        f'"input_idx":{idx},'
-                        f'"logs":{dumps(logs_json)},'
-                        f'"nat_key":{dumps(nat_key)},'
-                        f'"outputs":{dumps(outputs_json)},'
-                        f'"record_id":{dumps(rid)},'
-                        f'"version":{int(version)}}}')
+                    # the cache-entry envelope itself is DERIVED JVM-side
+                    # (``_cache_entry_value_col`` — sorted-key compact dumps
+                    # replayed in codegen, canonical by
+                    # test_cache_value_is_canonical): only the two strings
+                    # that may carry control chars ship pre-escaped here
+                    out_rows["rid_json"].append(dumps(rid))
+                    out_rows["nat_key_json"].append(dumps(nat_key))
                 yield pd.DataFrame(out_rows)
 
     return inputs_df.mapInPandas(run_partition, schema=MAP_RESULT_SCHEMA)
@@ -1205,9 +1249,11 @@ def build_lens(spark, store: DatasetStore, author: str, name: str, *,
         n_fresh = mapped.count()
     _trace(f"map+count(n={n_fresh})")
 
-    # the map phase already serialized each cache entry canonically (its
-    # ``value`` column), so the cache write hashes JVM-side (precanonical)
-    cache_entries = mapped.select(F.col("path").alias("record_id"), "value")
+    # the cache-entry envelope is assembled canonically in codegen from the
+    # thin map columns (the map output no longer carries the fat duplicate),
+    # so the cache write hashes JVM-side (precanonical) as before
+    cache_entries = mapped.select(F.col("path").alias("record_id"),
+                                  _cache_entry_value_col().alias("value"))
 
     # prune cache entries whose input row disappeared (ref lens.js:192-199)
     gone_paths = gone_parts[0]

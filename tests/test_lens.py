@@ -504,6 +504,12 @@ for j, w in enumerate(data['ws']):
         ("r-1", '{"ws": ["a b", "we\\"ird — ユニコード", "c\\nd"]}'),
         ("r-2", '{"ws": []}'),
         ("r-03", '{"ws": ["x"], "boom": true}'),
+        # hostile shapes for the JVM-side envelope escape: backslashes,
+        # quote/backslash runs, control chars INSIDE values (escaped by the
+        # inner dumps) and a control char + quote in the record id itself
+        # (ships pre-escaped as rid_json/nat_key_json)
+        ("r\x01\"4\\", '{"ws": ["back\\\\slash \\u0007bell",'
+                       ' "\\"\\\\\\"run", "tab\\there"]}'),
     ]
     df = spark.createDataFrame(rows, "record_id string, value string").select(
         F.lit(0).alias("input_idx"),
@@ -511,8 +517,11 @@ for j, w in enumerate(data['ws']):
         F.lit("datasets").alias("source"), F.lit("t").alias("author"),
         F.lit("d").alias("name"), "record_id",
         F.lit(5).cast("long").alias("version"), "value")
-    got = {r["record_id"]: r for r in map_records(df, code).collect()}
-    assert set(got) == {"r-1", "r-2", "r-03"}
+    from pigeon_optics_spark.lens import _cache_entry_value_col
+    mapped = map_records(df, code)
+    got = {r["record_id"]: r for r in mapped.withColumn(
+        "value", _cache_entry_value_col()).collect()}
+    assert set(got) == {"r-1", "r-2", "r-03", "r\x01\"4\\"}
 
     for rid, row in got.items():
         outputs = json.loads(row["outputs"])
@@ -521,6 +530,11 @@ for j, w in enumerate(data['ws']):
             [{"i": o["i"], "k": o["k"], "v": o["v"]} for o in outputs],
             ensure_ascii=False)
         assert row["outputs"] == ref_outputs
+        assert row["rid_json"] == json.dumps(rid, ensure_ascii=False)
+        assert row["nat_key_json"] == json.dumps(natural_pad(rid),
+                                                 ensure_ascii=False)
+        # the JVM-derived cache envelope must byte-match the dumps form
+        # (sorted keys, compact separators — the canonical/hash contract)
         ref_cache = json.dumps({
             "input_idx": 0, "record_id": rid,
             "nat_key": natural_pad(rid), "version": 5,
