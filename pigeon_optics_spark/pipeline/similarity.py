@@ -131,6 +131,25 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 N_PLANES = 8
 
 
+def _dbl_sql(x: float) -> str:
+    """Exact SQL double literal: ``repr`` emits the shortest decimal that
+    round-trips, and Spark's parser reads double literals with Java's
+    correctly-rounded ``Double.parseDouble`` — the parsed value is the
+    same IEEE double bit-for-bit."""
+    return repr(float(x)) + "D"
+
+
+def _arr2_lit(rows) -> Column:
+    """``array<array<double>>`` literal as ONE parsed expression.
+    ``F.lit`` on a nested Python list expands CLIENT-side into one py4j
+    call per element (~0.35 s of driver wall for an 8×64 plane matrix,
+    paid on every query construction); the equivalent SQL string parses
+    in ~2 ms with bit-identical values (checksummed)."""
+    return F.expr("array(" + ", ".join(
+        "array(" + ", ".join(_dbl_sql(x) for x in row) + ")" for row in rows
+    ) + ")")
+
+
 def _lsh_plane_coefs(n_planes: int, dim: int) -> list[list[float]]:
     """Driver-side replay of the md5-derived ±1 plane coefficients —
     identical values to the in-plan md5 derivation (same "p:d" keying), so
@@ -194,8 +213,9 @@ def lsh_bucket_col(vec, n_planes: int = N_PLANES,
         return adaptive
 
     coefs = _lsh_plane_coefs(n_planes, dim)
-    # one nested-list literal = one py4j call (vs n_planes·dim F.lit calls)
-    planes_lit = F.lit(coefs)
+    # one PARSED literal — F.lit(nested list) still expands client-side
+    # into a py4j call per element (~0.35 s per call site at 8×64)
+    planes_lit = _arr2_lit(coefs)
     fast = F.array_join(
         F.transform(
             planes_lit,
@@ -360,14 +380,15 @@ def _centroid_scored(corpus: DataFrame, n_centroids: int,
     dim = len(cents[0][vec_col]) if cents else None
     cent_vecs = [[float(x) for x in row[vec_col]] for row in cents]
     cent_norms = [_py_norm(cv) for cv in cent_vecs]
-    cent_lit = F.array(*[
-        F.struct(
-            F.lit(j).alias("cid"),
-            F.lit(cent_vecs[j]).alias("cv"),  # list literal: one py4j call
-            F.lit(cent_norms[j]).alias("cn"),
-        )
-        for j in range(len(cents))
-    ])
+    # one PARSED literal (see _arr2_lit): the struct-by-struct build cost
+    # ~n_centroids·dim py4j calls (~0.7 s at 16×64) per query construction.
+    # Plain int literals parse to IntegerType exactly like F.lit(j), so
+    # the struct type is unchanged: struct<cid:int,cv:array<double>,cn:double>.
+    cent_lit = F.expr("array(" + ", ".join(
+        f"named_struct('cid', {j}, 'cv', array("
+        + ", ".join(_dbl_sql(x) for x in cent_vecs[j])
+        + f"), 'cn', {_dbl_sql(cent_norms[j])})"
+        for j in range(len(cents))) + ")")
 
     def scored(vec, vnorm: Column | None = None) -> Column:
         v = F.col(vec) if isinstance(vec, str) else vec
