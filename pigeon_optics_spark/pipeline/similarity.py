@@ -139,15 +139,31 @@ def _dbl_sql(x: float) -> str:
     return repr(float(x)) + "D"
 
 
+def _arr_sql_d(values) -> str:
+    """Render a (possibly nested) list of doubles as a SQL array literal
+    (exact values — see :func:`_dbl_sql`)."""
+    if isinstance(values, (list, tuple)):
+        return "array(" + ", ".join(_arr_sql_d(v) for v in values) + ")"
+    return _dbl_sql(values)
+
+
+def _arr_sql_i(values) -> str:
+    """Render a (possibly nested) list of ints as a SQL array literal.
+    Plain integer literals type exactly like ``F.lit(int)``: IntegerType
+    when the value fits int32 (py4j ships small Python ints as Java
+    Integer), BIGINT above — so element types are unchanged."""
+    if isinstance(values, (list, tuple)):
+        return "array(" + ", ".join(_arr_sql_i(v) for v in values) + ")"
+    return str(int(values))
+
+
 def _arr2_lit(rows) -> Column:
     """``array<array<double>>`` literal as ONE parsed expression.
     ``F.lit`` on a nested Python list expands CLIENT-side into one py4j
     call per element (~0.35 s of driver wall for an 8×64 plane matrix,
     paid on every query construction); the equivalent SQL string parses
     in ~2 ms with bit-identical values (checksummed)."""
-    return F.expr("array(" + ", ".join(
-        "array(" + ", ".join(_dbl_sql(x) for x in row) + ")" for row in rows
-    ) + ")")
+    return F.expr(_arr_sql_d(rows))
 
 
 def _lsh_plane_coefs(n_planes: int, dim: int) -> list[list[float]]:
@@ -327,13 +343,12 @@ def kmeans_assign(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     class as ``dot_col``).
     """
     cents = emb.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
-    cent_lit = F.array(*[
-        F.struct(
-            F.lit(j).alias("cid"),
-            F.lit([float(x) for x in row[vec_col]]).alias("cv"),
-        )
-        for j, row in enumerate(cents)
-    ])
+    # parsed literal (one py4j call; see _arr2_lit) — type unchanged:
+    # array<struct<cid:int,cv:array<double>>>
+    cent_lit = F.expr("array(" + ", ".join(
+        f"named_struct('cid', {j}, 'cv', "
+        f"{_arr_sql_d([float(x) for x in row[vec_col]])})"
+        for j, row in enumerate(cents)) + ")")
 
     best = F.array_min(F.transform(
         cent_lit,
@@ -484,10 +499,9 @@ def _pq_cb_lit(emb, m: int, k: int, id_col: str, vec_col: str):
             f"PQ requires dim divisible by m (dim={dim}, m={m})")
     dim_sub = dim // m
     cb = _pq_codebook(emb, m, k, dim_sub, id_col, vec_col)
-    cb_lit = F.array(*[
-        F.lit([list(cw) for cw in cb[s]])
-        for s in range(m)
-    ])
+    # parsed literal (one py4j call; see _arr2_lit): m·k·dim_sub doubles
+    cb_lit = F.expr(_arr_sql_d([[list(cw) for cw in cb[s]]
+                                for s in range(m)]))
     return dim_sub, cb_lit
 
 
@@ -581,8 +595,9 @@ def sq8_encode(corpus: DataFrame, grid: int = 10_000,
              .orderBy("d").collect())
     mn = [int(r["mn"]) for r in stats]
     rng = [max(int(r["mx"]) - int(r["mn"]), 1) for r in stats]
-    mn_lit = F.lit(list(mn))
-    rng_lit = F.lit(list(rng))
+    # parsed int-array literals (one py4j call each; see _arr_sql_i)
+    mn_lit = F.expr(_arr_sql_i(mn))
+    rng_lit = F.expr(_arr_sql_i(rng))
     codes = corpus.select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -617,7 +632,7 @@ def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     window top-k.  At 100 TB the corpus scan reads 1-byte codes instead of
     float vectors — a 4× IO tier with none of PQ's codebook training."""
     codes, _mn, rng = sq8_encode(corpus, grid, id_col, vec_col)
-    rng_lit = F.lit(list(rng))
+    rng_lit = F.expr(_arr_sql_i(rng))
     qgrid = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(
@@ -701,11 +716,12 @@ def _mean_assign(q: DataFrame, means: list[list[float]],
     ties to the smaller cid.  Map-only — the centroids ride inside the plan
     as a k·dim double literal (broadcast by construction)."""
     dim = len(means[0]) if means else None
-    cent_lit = F.array(*[
-        F.struct(F.lit(j).alias("cid"),
-                 F.lit([float(m) for m in mv]).alias("mv"))
-        for j, mv in enumerate(means)
-    ])
+    # parsed literal (one py4j call; see _arr2_lit) — type unchanged:
+    # array<struct<cid:int,mv:array<double>>>
+    cent_lit = F.expr("array(" + ", ".join(
+        f"named_struct('cid', {j}, 'mv', "
+        f"{_arr_sql_d([float(m) for m in mv])})"
+        for j, mv in enumerate(means)) + ")")
     best = F.array_min(F.transform(
         cent_lit,
         lambda c: F.struct(_d2_col(F.col("qv"), c["mv"]).alias("d2"),
@@ -902,12 +918,12 @@ def pca_project(emb: DataFrame, n_components: int = 8,
     # mean (in grid units → original units) for centering
     lin = {r["i"]: (r["s_i"], r["n"]) for r in cov_rows if r["i"] == r["j"]}
     mean = [lin[i][0] / lin[i][1] / grid for i in range(d)]
-    mean_lit = F.lit(list(mean))
+    mean_lit = F.expr(_arr_sql_d(mean))
     centered = F.zip_with(F.col(vec_col).cast("array<double>"), mean_lit,
                           lambda x, m: x - m)
     proj_cols = [
         F.aggregate(
-            F.zip_with(centered, F.lit(list(comp)),
+            F.zip_with(centered, F.expr(_arr_sql_d(comp)),
                        lambda x, w: x * w),
             F.lit(0.0), lambda acc, x: acc + x)
         for comp in comps]
@@ -952,7 +968,7 @@ def random_project(emb: DataFrame, k: int = 16, grid: int = 10_000,
         raise ValueError("empty embedding corpus")
     d = len(first[0])
     signs = jl_sign_matrix(k, d, seed)
-    signs_lit = F.lit([list(row) for row in signs])
+    signs_lit = F.expr(_arr_sql_i([list(row) for row in signs]))
     q = F.transform(F.col(vec_col),
                     lambda x: F.floor(x.cast("double") * grid).cast("long"))
     projs = F.transform(
