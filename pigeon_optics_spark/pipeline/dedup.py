@@ -57,6 +57,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Plan: explode distinct shingles → self-equi-join on shingle → count
     common → |A∪B| from per-doc sizes.  The join key is the shingle, so
     only docs sharing content ever meet.
+
+    Scale posture (measured r11, sf0.1 = 5 000 template-heavy docs:
+    528 s, one hot task): this is the EXACT reference baseline, and its
+    cost is Σ_sh c_sh² over shingle-bucket sizes — a shingle shared by
+    every doc is one join key, unsplittable by partitioning, invisible
+    to AQE skew handling (the explosion is join OUTPUT; map-side input
+    bytes look tiny).  That term is intrinsic to exactness-with-counts
+    (n_common must count every shared shingle).  The scale paths are the
+    bounded generators — minhash/LSH (band-bucket cap), prefix-Jaccard
+    (PPJoin prefix filter), simhash — which this operator exists to
+    verify at oracle scale.  Do not run it on a full corpus.
     """
     sizes = df.select(F.col(id_col).alias("id"),
                       F.size(char_shingles(text_col, n)).alias("n_shingles"))
