@@ -54,26 +54,52 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         threshold: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (a < b, jaccard ≥ threshold).
 
-    Plan: explode distinct shingles → self-equi-join on shingle → count
-    common → |A∪B| from per-doc sizes.  The join key is the shingle, so
-    only docs sharing content ever meet.
+    Plan: explode distinct shingles → self-equi-join on shingle (build
+    side hashed, probe side streamed BY DOC) → count common → |A∪B| from
+    per-doc sizes.  The join key is the shingle, so only docs sharing
+    content ever meet.
 
-    Scale posture (measured r11, sf0.1 = 5 000 template-heavy docs:
-    528 s, one hot task): this is the EXACT reference baseline, and its
-    cost is Σ_sh c_sh² over shingle-bucket sizes — a shingle shared by
-    every doc is one join key, unsplittable by partitioning, invisible
-    to AQE skew handling (the explosion is join OUTPUT; map-side input
-    bytes look tiny).  That term is intrinsic to exactness-with-counts
-    (n_common must count every shared shingle).  The scale paths are the
-    bounded generators — minhash/LSH (band-bucket cap), prefix-Jaccard
-    (PPJoin prefix filter), simhash — which this operator exists to
-    verify at oracle scale.  Do not run it on a full corpus.
+    The Σ_sh c_sh² *work* is intrinsic to exactness-with-counts
+    (n_common must count every shared shingle), but its PLACEMENT is
+    not: r11 measured 528 s at sf0.1 (5 000 template-heavy docs) with
+    every pair generated inside ONE task — the probe side was the raw
+    3 MB scan's single IO-sized partition, so the hash join's entire
+    output explosion (769M pair rows here) ran single-threaded while 31
+    cores idled (guide §2.5 input skew: AQE cannot see it because the
+    explosion is join OUTPUT; map-side bytes look tiny).  ``_spread``
+    round-robins the probe side to session parallelism BEFORE the
+    explode, which spreads the quadratic work almost perfectly: the
+    hot (template) shingles appear in nearly every doc, so per-doc
+    streaming is per-pair-work balanced.
+
+    Keeping the pair generation streamed BY DOC (not re-keyed by
+    shingle) is load-bearing for the aggregation too: every output row
+    of pair (a, b) is produced in the one task that owns doc a, so the
+    partial ``groupBy(id_a, id_b)`` collapses the explosion in-task
+    (~770M rows → 12.4M) with a small per-task hash map.  An r12 A/B
+    implemented the VERDICT-suggested grid-salted join key
+    ``(sh, pmod(xxhash64(id_b), g))`` instead — it balanced the join
+    tasks (32 even tasks) but SCATTERED each pair's rows across salt
+    buckets, degrading the partial aggregation into 32 near-corpus-size
+    hash maps that spilled: 3 862 executor-cpu-s vs ~600 for the
+    doc-streamed form (310 s vs ~25 s wall) on identical output.
+    Reverted on that evidence; the transferable rule is guide §8's —
+    audit how a re-keyed shuffle interacts with the NEXT operator's
+    locality before salting.
+
+    Still the EXACT reference baseline, and still quadratic in shared
+    shingle counts: the bounded generators (minhash/LSH band-bucket
+    cap, PPJoin prefix, simhash) are the scale paths this operator
+    exists to verify.  Do not run it on a full corpus.
     """
     sizes = df.select(F.col(id_col).alias("id"),
                       F.size(char_shingles(text_col, n)).alias("n_shingles"))
     ex = df.select(F.col(id_col).alias("id"),
                    F.explode(char_shingles(text_col, n)).alias("sh"))
-    a, b = ex.alias("a"), ex.alias("b")
+    a = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(text_col, n)).alias("sh")).alias("a")
+    b = ex.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
