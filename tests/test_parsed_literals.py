@@ -85,6 +85,39 @@ def test_arr_sql_i_types_like_lit(spark):
     assert list(row["pb"]) == list(row["lb"]) == big
 
 
+def test_arr_sql_i_mixed_magnitude_matches_lit(spark):
+    """A MIXED int array (int32-fitting next to >int32 values) must type
+    and evaluate exactly like ``F.lit``: SQL's array() widens the INT
+    elements to BIGINT, and py4j ships the whole list as long[] for the
+    same reason (one oversized element).  SQ8 min/range literals have no
+    homogeneous-width guarantee at their call sites, so the mixed case is
+    the one that must not drift (ADVICE r11)."""
+    mixed = [1, 2**40, -3, 2147483648, 0]
+    df = spark.range(1).select(
+        F.expr(_arr_sql_i(mixed)).alias("p"), F.lit(mixed).alias("l"))
+    assert df.schema["p"].dataType == df.schema["l"].dataType
+    row = df.first()
+    assert list(row["p"]) == list(row["l"]) == mixed
+
+
+def test_dbl_sql_rejects_non_finite():
+    """NaN/±Inf are the only doubles whose ``repr`` Spark SQL cannot
+    parse ('nanD'/'infD'); ``_dbl_sql`` must refuse them with a clear
+    error instead of letting a kilobyte literal fail deep in the parser
+    (ADVICE r11: the bit-identity pin otherwise never covers the known
+    failure class)."""
+    import math
+
+    import pytest
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _dbl_sql(bad)
+    # the guard must not reject any finite hostile double
+    for ok in HOSTILE_DOUBLES:
+        assert math.isfinite(float(_dbl_sql(ok)[:-1]))
+
+
 def test_minhash_parsed_agg_equals_per_column_build(spark):
     """minhash_signatures' single parsed array(min..) aggregate returns
     exactly the rows of the per-Column agg(*[F.min(...)]) formulation."""
