@@ -139,8 +139,26 @@ def main() -> None:
     spark.range(500_000_000, numPartitions=32).selectExpr(
         "sum(id)").collect()
     probe_sec = round(time.time() - t0, 3)
-    print(f"# calibration: loadavg={loadavg} probe={probe_sec}s",
-          file=sys.stderr)
+    # r12 (VERDICT r11 item 2): the probe above is task-overhead-bound
+    # (0.369 s at BOTH 8 and 32 cores), so the driver's scaling heuristic
+    # could not tell core counts apart and flagged `suspect_cpus_ignored`
+    # as a false positive.  `cpu_probe_sec` is a FIXED amount of real CPU
+    # work (64 chained xxhash64 rounds over 24M ids = 1.536G hashes, 64
+    # partitions so both 8 and 32 cores are saturated): its wall scales
+    # ~inversely with available cores, and `cpus` self-reports the
+    # effective parallelism the session actually built from
+    # $SPARK_GRAFT_CPUS.  `probe_sec` and the `calm` definition are
+    # untouched for cross-round continuity.
+    expr = "id"
+    for _ in range(64):
+        expr = f"xxhash64({expr})"
+    t0 = time.time()
+    # bit_xor: an overflow-free reducer (ANSI mode rejects sum() of longs)
+    spark.range(24_000_000, numPartitions=64).selectExpr(
+        f"bit_xor({expr})").collect()
+    cpu_probe_sec = round(time.time() - t0, 3)
+    print(f"# calibration: loadavg={loadavg} probe={probe_sec}s "
+          f"cpu_probe={cpu_probe_sec}s", file=sys.stderr)
 
     qs = all_queries()
     times: dict[str, float] = {}
@@ -187,8 +205,11 @@ def main() -> None:
         "queries": times,
         "queries_cpu": qcpu,
         "sf": sf,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         "loadavg": loadavg,
         "probe_sec": probe_sec,
+        "cpu_probe_sec": cpu_probe_sec,
         "cpu_sec": cpu,
         "calm": calm,
     }))
