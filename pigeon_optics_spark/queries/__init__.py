@@ -43,45 +43,47 @@ def register(name: str, fn: QueryFn, oracle: Optional[str]) -> None:
 #: (hand-maintained lists drifted twice in r5; the executable form is
 #: the source of truth).  ROUND_NOTES "r7 rotation plan" orders it.
 _DRIVER_PRIORITY = [
-    # ===== r11 refresh window (exactly 50) — VERDICT r10 item 1. =====
-    # Refreshes the OLDEST driver rows.  Computed executably at r11
+    # ===== r12 refresh window (exactly 50) — VERDICT r11 item 4. =====
+    # Refreshes the OLDEST driver rows.  Computed executably at r12
     # start from CORRECTNESS_r*.json ∩ the live registry (histogram
-    # entering r11: r6×12 r7×50 r8×50 r9×50 r10×50) and matches the
-    # VERDICT r10 prediction name-for-name.  Ordered (round, name) —
-    # the 12 remaining r6-history gates, then the first 38 r7-history
+    # entering r12: r7×12 r8×50 r9×50 r10×50 r11×50) and matches the
+    # VERDICT r11 prediction name-for-name.  Ordered (round, name) —
+    # the 12 remaining r7-history gates, then the first 38 r8-history
     # gates alphabetically.  The in-session invariant test verifies
     # count/uniqueness/registry membership and that all_queries()
     # emits these first.
-    # --- the 12 gates whose newest row is r6 ---
-    "store_catalog_views", "store_cid_import", "store_datasource_pushdown",
-    "store_datasource_read", "store_lifecycle_history", "store_meta_vfs",
-    "store_path_escaping", "store_stream_source", "text_corpus_metrics",
-    "text_normalize_repair", "text_sample_shuffle", "text_web_census",
-    # --- first 38 r7-history gates, alphabetical ---
-    "corpus_curation_report", "csv_dirty_ingest", "dedup_bloom_membership",
-    "emb_maxsim_colbert", "events_feature_snapshot",
-    "events_forecast_backtest", "events_geohash_density",
-    "events_ohlc_bars", "events_pattern_matches", "events_rate_limit",
-    "events_stream_cusum", "events_stream_dedup_watermark",
-    "events_stream_ewma", "events_stream_holt", "events_stream_ohlc",
-    "events_stream_pattern", "events_stream_rate_limit",
-    "events_stream_static_join", "events_stream_twap",
-    "events_time_weighted_avg", "events_windowed_funnel",
-    "graph_link_prediction", "json_dirty_ingest",
-    "multimodal_bmp_png_consistency", "orc_roundtrip",
-    "parquet_schema_evolution", "pipeline_decision_audit",
-    "q10_returned_revenue", "q11_important_parts", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_counts", "q19_disjunctive_revenue",
-    "q22_idle_balance", "q2_best_value_supplier", "q6_forecast_revenue",
-    "q8_market_share", "q9_product_type_profit",
+    # --- the 12 gates whose newest row is r7 ---
+    "q_salted_join", "q_status_islands", "q_zorder_curve",
+    "store_datasource_write", "store_stream_replicate", "text_pmi_pairs",
+    "text_quality_classifier", "text_robots_filter",
+    "text_span_dedup_removal", "text_vocab_ids", "text_winsorize",
+    "xml_native_ingest",
+    # --- first 38 r8-history gates, alphabetical ---
+    "ann_topk_methods", "asof_join_events_orders",
+    "codec_transcode_roundtrip", "codec_zip_manifest",
+    "dedup_embedding_pairs", "dedup_exact_documents",
+    "dedup_minhash_components", "dedup_minhash_pairs",
+    "dedup_ngram_pairs", "dedup_simhash_signatures", "emb_kmeans_assign",
+    "emb_pq_codes", "emb_pq_topk", "events_range_join",
+    "events_sliding_windows", "events_stream_dedup",
+    "events_stream_stateful", "events_stream_tumbling",
+    "events_topk_per_type", "events_tumbling_counts",
+    "lens_count_orders_by_status", "lens_incremental_rebuild",
+    "lens_invert_part_types", "lens_object_merge_stats",
+    "lens_sum_qty_by_partkey", "multimodal_audio_meta",
+    "multimodal_gif_frames", "multimodal_real_image_meta",
+    "pipeline_end_to_end", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_region_revenue", "q_approx_aggregates", "q_cube_volumes",
+    "q_distinct_suppliers_per_flag", "q_event_zscores",
+    "q_exact_quantiles", "q_export_at_filter",
     # ===== end of the 50-slot window =====
     #
-    # The 12 remaining r7-history gates lead the r12 window (with the
-    # first 38 r8-history gates): q_salted_join, q_status_islands,
-    # q_zorder_curve, store_datasource_write, store_stream_replicate,
-    # text_pmi_pairs, text_quality_classifier, text_robots_filter,
-    # text_span_dedup_removal, text_vocab_ids, text_winsorize,
-    # xml_native_ingest.
+    # The 12 remaining r8-history gates lead the r13 window (with the
+    # next-stalest gates): q_full_outer_join, q_moving_average,
+    # q_orderpriority_checker, q_point_lookup_documents, q_rollup_returns,
+    # q_scalar_functions, q_segment_setops, text_chunk_dedup,
+    # text_contamination, text_pack_sequences, text_pii_scrub,
+    # text_tfidf_top_terms.
     # Recompute staleness executably each round (the source of truth —
     # hand-lists drifted twice in r5):
     #   python -c "import json,glob,re; from pigeon_optics_spark.queries
