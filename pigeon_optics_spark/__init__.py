@@ -75,6 +75,13 @@ def _disarm_worker_import_cache_invalidation() -> None:
     state = {"snap": None}
 
     def _invalidate_when_path_changes() -> None:
+        # KNOWN EDGE (accepted, pinned by test_worker_tuning): re-adding a
+        # SAME-NAMED py-file via addPyFile leaves sys.path unchanged
+        # (worker_util.add_path dedups), so this gate would skip the real
+        # invalidation and a stale module could be served.  Unreachable
+        # here — this engine never ships py-files at all, let alone
+        # re-ships one under the same name mid-session — but any future
+        # addPyFile user of this package must drop this patch first.
         snap = tuple(sys.path)
         if state["snap"] == snap:
             return

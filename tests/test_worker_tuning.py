@@ -67,3 +67,46 @@ def test_gate_invalidates_only_on_syspath_change():
     out = _run(_SEMANTICS, {"PYTHON_WORKER_FACTORY_SOCK_PATH": "/tmp/x.sock"})
     # one real invalidation for the first call, one for the path change
     assert out == "real_calls: 2"
+
+
+_SAME_PATH_EDGE = """
+import sys
+sys.path.insert(0, {repo!r})
+import importlib
+calls = []
+_orig = importlib.invalidate_caches
+importlib.invalidate_caches = lambda: calls.append(1)
+import pigeon_optics_spark
+gate = importlib.invalidate_caches
+gate()                                        # arm: snapshot + real call
+# PySpark's worker_util.add_path DEDUPS: re-addPyFile of a SAME-NAMED file
+# leaves sys.path unchanged, so the gate skips the real invalidation.
+p = "/tmp/_po_same_pyfile_dir"
+if p not in sys.path:                         # first add: path changes
+    sys.path.insert(1, p)
+gate()
+if p not in sys.path:                         # re-add of the same name:
+    sys.path.insert(1, p)                     # dedup -> sys.path unchanged
+gate()
+print("real_calls:", len(calls))
+"""
+
+
+def test_same_path_readd_edge_is_the_documented_behavior():
+    """VERDICT r11 item 8: re-``addPyFile`` of a SAME-NAMED file cannot be
+    seen by the sys.path gate (worker_util.add_path dedups the entry), so
+    the real invalidation is skipped — a stale module COULD be served in
+    that scenario.  This engine never ships py-files (no addPyFile call
+    exists in the package — asserted below), so the edge is unreachable;
+    this test pins the behavior so the trade-off is explicit, not latent.
+    """
+    out = _run(_SAME_PATH_EDGE, {"PYTHON_WORKER_FACTORY_SOCK_PATH": "/tmp/x.sock"})
+    # arm + first add = 2 real calls; the same-name re-add is invisible
+    assert out == "real_calls: 2"
+
+    # the unreachability claim, executable: the engine never CALLS
+    # addPyFile (comments naming the edge don't count)
+    import pathlib
+    pkg = pathlib.Path(REPO) / "pigeon_optics_spark"
+    hits = [p for p in pkg.rglob("*.py") if ".addPyFile(" in p.read_text()]
+    assert hits == [], f"addPyFile call appeared in {hits}; drop the import-cache gate"
