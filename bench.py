@@ -77,7 +77,14 @@ def _read_cpu_stat() -> dict[str, float]:
             parts = fh.readline().split()
         user, nice, system, idle, iowait = (float(x) for x in parts[1:6])
         steal = float(parts[8]) if len(parts) > 8 else 0.0
-        return {"user": (user + nice + system) / 100, "idle": idle / 100,
+        # "user" keeps its historical user+nice+system definition for
+        # cross-round continuity; "sys" (r12, additive) breaks system time
+        # out separately — this host class burns kernel time in the page
+        # fault path at ZERO steal (fault storms: ~58 us/fault under
+        # concurrent allocation vs 2 us calm), so a steal-based calm label
+        # alone cannot see the contamination.
+        return {"user": (user + nice + system) / 100, "sys": system / 100,
+                "idle": idle / 100,
                 "iowait": iowait / 100, "steal": steal / 100}
     except (OSError, ValueError, IndexError):
         return {}
@@ -100,6 +107,21 @@ def _read_cpu_split() -> dict[str, float]:
                 "steal": steal / 100}
     except (OSError, ValueError, IndexError):
         return {}
+
+
+def _read_pgfault() -> int:
+    """Whole-machine page fault counter (/proc/vmstat) — the r12 host's
+    contamination mode is fault storms (host-side backing of fresh pages
+    goes slow under memory pressure; sys inflates at steal=0), so the
+    record carries the in-band fault count to adjudicate it."""
+    try:
+        with open("/proc/vmstat") as fh:
+            for ln in fh:
+                if ln.startswith("pgfault "):
+                    return int(ln.split()[1])
+    except (OSError, ValueError):
+        pass
+    return 0
 
 
 def main() -> None:
@@ -135,6 +157,7 @@ def main() -> None:
     except OSError:
         loadavg = []
     stat0 = _read_cpu_stat()
+    pgfault0 = _read_pgfault()
     t0 = time.time()
     spark.range(500_000_000, numPartitions=32).selectExpr(
         "sum(id)").collect()
@@ -190,6 +213,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     stat1 = _read_cpu_stat()
+    pgfault1 = _read_pgfault()
     cpu = ({k: round(stat1[k] - stat0[k], 1) for k in stat0}
            if stat0 and stat1 else {})
     # accept band for a trustworthy reading (VERDICT r9 item 1/8):
@@ -211,6 +235,7 @@ def main() -> None:
         "probe_sec": probe_sec,
         "cpu_probe_sec": cpu_probe_sec,
         "cpu_sec": cpu,
+        "pgfault_m": round((pgfault1 - pgfault0) / 1e6, 2),
         "calm": calm,
     }))
 

@@ -57,9 +57,19 @@ def get_spark(app_name: str = "spark_optics", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # local mode: driver owns all memory; harmless on a cluster where the
-        # submitter overrides it.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Right-sized heap, not "all the memory" (guide §5): the heaviest
+        # headline query commits ≤7 GB / uses ≤5 GB (r12 measurement, JVM
+        # Runtime after lens_sum/minhash/ann at sf0.1), and the heaviest
+        # oracle gate (dedup_pair_sketches, sf0.1) runs green at 12g.  The
+        # former 48g oversize let G1 grow/shrink a multi-GB committed span
+        # every run — each fresh page is a first-touch fault, and on
+        # virtualized hosts with an expensive fault path that churn billed
+        # 40-500 sys-cpu-s per heavy query (r12 A/B: 3-5x sys reduction at
+        # 12g, interleaved runs; -XX:+AlwaysPreTouch was A/B-tested the
+        # other way and is WORSE — a bigger resident footprint provokes
+        # host-side reclaim).  Env-overridable; a cluster submitter sets
+        # executor memory itself.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         # driver testdata's events.parquet stores TIMESTAMP(NANOS); Spark has
         # no nanos timestamp — read as long and convert (see queries/_util.py)
