@@ -55,6 +55,15 @@ def get_spark(app_name: str = "spark_optics", cpus: int | None = None,
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet codec (guide §6): zstd halves segment bytes vs snappy at
+        # equal-or-better read cpu (r12 probe, fat store-segment shape:
+        # 66→35 MB, read 1.6→1.3 cpu-s), and on SORTED thin frames (the
+        # emissions log) the bundled snappy write path is pathologically
+        # slow — sort+write 16.1 cpu-s snappy vs 7.4 zstd at 600k rows.
+        # Smaller segments also mean fewer page-cache pages per write,
+        # which is the dominant in-band allocation on fault-expensive
+        # virtualized hosts.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Right-sized heap, not "all the memory" (guide §5): the heaviest
