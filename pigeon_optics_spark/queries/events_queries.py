@@ -22,6 +22,27 @@ from . import register
 from ._util import davg, dsum, load_events
 
 
+def _start_await_scoped(spark, writer):
+    """Start a memory-sink streaming writer and await it under FOUR
+    shuffle partitions instead of the session's core count.
+
+    Stateful streaming operators initialize one state store per shuffle
+    partition per operator per micro-batch — at 32 partitions the store
+    init dwarfs the fixture-sized data (the r6 harness lesson,
+    _streaming_util.scoped_shuffle_partitions; these pre-r6 scaffolds
+    never adopted it).  r12 measured 3-5x user-cpu per gate (ewma 66->16,
+    timeout_sessions 116->22 cpu-s at sf0.01) at identical results: the
+    partition count is internal placement, the checkpoint is fresh per
+    run, and the conf is scoped so batch plans outside the stream are
+    untouched."""
+    from ._streaming_util import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 4):
+        q = writer.start()
+        q.awaitTermination()
+    return q
+
+
 def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     return (
@@ -439,9 +460,8 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (stream.writeStream.format("memory").queryName(name)
          .outputMode("complete")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "event_type",
         "n_events", "total_value")
@@ -504,9 +524,8 @@ def events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (stream.writeStream.format("memory").queryName(name)
          .outputMode("update")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     final = F.max(F.struct("n_events", "max_value")).alias("s")
     return (spark.table(name).groupBy("event_type").agg(final)
             .select("event_type", F.col("s.n_events").alias("n_events"),
@@ -562,9 +581,8 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (stream.writeStream.format("memory").queryName(name)
          .outputMode("append")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     return (spark.table(name).groupBy("event_type")
             .agg(F.count("*").alias("n_events"),
                  F.expr(dsum("value", "total_value", 8)).alias("total_value")))
@@ -773,9 +791,8 @@ def events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (stream.writeStream.format("memory").queryName(name)
          .outputMode("complete")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     return spark.table(name).select(
         "user_id", F.col("w.start").alias("session_start"),
         F.col("w.end").alias("session_end"), "n_events")
@@ -1020,9 +1037,8 @@ def events_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("update")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     if data_batches < 4:
         raise AssertionError(
@@ -1131,9 +1147,8 @@ def events_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     if data_batches < 4:
         raise AssertionError(
@@ -1386,9 +1401,8 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("append")
              .option("checkpointLocation",
                      tempfile.mkdtemp(prefix="po_stream_ck_"))
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination()
+             .trigger(availableNow=True))
+        q = _start_await_scoped(spark, q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).select(
@@ -1746,9 +1760,8 @@ def events_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("update")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     # the point of this gate is CROSS-BATCH state continuation: if the
     # source ever collapses into a single micro-batch (maxFilesPerTrigger
     # ignored / files coalesced), fail loudly instead of green-lighting a
@@ -2211,9 +2224,8 @@ def events_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("update")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     if data_batches < 4:
         raise AssertionError(
@@ -2365,9 +2377,8 @@ def events_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("append")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     if data_batches < 4:
         raise AssertionError(
@@ -2533,9 +2544,8 @@ def events_stream_dedup_watermark(spark: SparkSession,
          .outputMode("append")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     if data_batches < 4:
         raise AssertionError(
@@ -2715,9 +2725,8 @@ def events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (stream.writeStream.format("memory").queryName(name)
          .outputMode("complete")
          .option("checkpointLocation", tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "c_mktsegment",
         "n_events", "total_value")
@@ -2978,9 +2987,8 @@ def events_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("update")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     if data_batches < 4:
         raise AssertionError(
@@ -3164,9 +3172,8 @@ def events_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("update")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     if data_batches < 4:
         raise AssertionError(
@@ -3297,9 +3304,8 @@ def events_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("append")
              .option("checkpointLocation",
                      tempfile.mkdtemp(prefix="po_stream_ck_"))
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination()
+             .trigger(availableNow=True))
+        q = _start_await_scoped(spark, q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # eviction-unambiguous cutoff, computed batch-side (bounded scalars)
@@ -3421,9 +3427,8 @@ def events_stream_timeout_sessions(spark: SparkSession, sf_dir: str) \
          .outputMode("append")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     if data_batches < 4:
         raise AssertionError(
@@ -3613,9 +3618,8 @@ def events_stream_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "event_type",
         "n_events", "total_value")
@@ -3689,9 +3693,8 @@ def events_stream_rocksdb_state(spark: SparkSession, sf_dir: str) \
              .outputMode("complete")
              .option("checkpointLocation",
                      tempfile.mkdtemp(prefix="po_stream_ck_"))
-             .trigger(availableNow=True)
-             .start())
-        q.awaitTermination()
+             .trigger(availableNow=True))
+        q = _start_await_scoped(spark, q)
     finally:
         spark.conf.set(key, prev or default_provider)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -3830,9 +3833,8 @@ def events_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("update")
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="po_stream_ck_"))
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+         .trigger(availableNow=True))
+    q = _start_await_scoped(spark, q)
     data_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     if data_batches < 4:
         raise AssertionError(
