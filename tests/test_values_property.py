@@ -171,3 +171,48 @@ def test_date_ms_exact_past_2031_seconds():
     for ms in (-2208988800000, -999, -1, 0, 1, 253402300799999):
         assert value_to_tagged(tagged_to_value(
             {"type": "Date", "data": ms}))["data"] == ms
+
+
+def test_loads_value_matches_stdlib_on_hostile_inputs():
+    """loads_value (r12: optional orjson fast path) must be
+    OBSERVATIONALLY IDENTICAL to json.loads for every input the engine
+    can see.  The two known divergences are screened: >64-bit ints would
+    silently parse as float in orjson (routed to stdlib by the 16-digit
+    screen), and lone-surrogate escapes / overflow literals raise there
+    (caught, re-parsed by stdlib).  Cases cover both screens plus the
+    verified-identical classes (duplicate keys last-wins, \\u escapes,
+    u64-boundary ints, float rounding, -0.0)."""
+    import json as _json
+
+    from pigeon_optics_spark.values import hash_json_str, loads_value
+
+    cases = [
+        '{"a":1,"a":2}',
+        '{"a":"\\ud83d\\ude00"}',
+        '{"a":"\\ud800"}',                  # lone surrogate: orjson raises
+        '{"a":18446744073709551615}',       # u64 max (16+ digits -> stdlib)
+        '{"a":9223372036854775807}',
+        '{"a":-9223372036854775808}',
+        '{"a":99999999999999999999}',       # > u64: MUST stay exact int
+        '{"a":1e999}',                      # overflow literal: orjson raises
+        '{"a":"\\u0000x"}',
+        '[1.5e-05, 1e16, 5e-324, -0.0, 0.1, 123456.789]',
+        '{"\\u00e9":"caf\\u00e9"}',
+        '"plain"', 'null', 'true', '-0', '  {"a": 1}  ',
+        '{"b":{"a":[1,2,{"c":null}]}}',
+        '{"a":"4611686018427387904"}',      # 16-digit run INSIDE a string
+    ]
+    for c in cases:
+        ref = _json.loads(c)
+        got = loads_value(c)
+        assert got == ref, c
+        assert type(got) is type(ref), c
+        if isinstance(ref, dict):
+            for k in ref:
+                assert type(got[k]) is type(ref[k]), (c, k)
+    # the exactness case that motivated the screen: a big int must stay int
+    big = loads_value('{"a":99999999999999999999}')["a"]
+    assert isinstance(big, int) and big == 99999999999999999999
+    # and the hash fast path over loads_value stays byte-stable
+    assert hash_json_str('{"a":99999999999999999999}') == hash_json_str(
+        '{"a":99999999999999999999}')

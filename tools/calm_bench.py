@@ -57,6 +57,9 @@ def main() -> None:
     p.add_argument("--min-gap", type=float, default=120.0,
                    help="min seconds between bench attempts")
     p.add_argument("--stop-file", default="/tmp/calm_bench.stop")
+    p.add_argument("--max-sys", type=float, default=90.0,
+                   help="reject readings whose whole-run sys cpu-s "
+                        "exceed this (fault-storm contamination)")
     args = p.parse_args()
 
     accepted = 0
@@ -108,11 +111,19 @@ def main() -> None:
             rec["_ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
             with open(args.log, "a") as fh:
                 fh.write(json.dumps(rec) + "\n")
-            ok = rec.get("calm", False)
+            # r12: this host class contaminates via page-fault storms at
+            # ZERO steal (see bench.py _read_pgfault) — the bench's calm
+            # flag keeps its historical probe+steal definition, so the
+            # watch loop additionally rejects readings whose whole-run
+            # kernel time is storm-inflated (calm runs here read 15-60
+            # sys cpu-s; storms read 300-700).
+            sys_cpu = (rec.get("cpu_sec") or {}).get("sys")
+            sys_ok = sys_cpu is None or sys_cpu <= args.max_sys
+            ok = rec.get("calm", False) and sys_ok
             print(f"  -> total={rec.get('value')} probe="
                   f"{rec.get('probe_sec')} steal="
                   f"{(rec.get('cpu_sec') or {}).get('steal')} "
-                  f"calm={ok}", flush=True)
+                  f"sys={sys_cpu} calm={ok}", flush=True)
             if ok:
                 accepted += 1
     print(f"done: {accepted} calm readings in {attempts} attempts",
