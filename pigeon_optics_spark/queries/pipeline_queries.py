@@ -3149,7 +3149,15 @@ GROUP BY e.label
 
 
 def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from ..pipeline.similarity import _spread
+
+    # The 1/2/3-gram explode + exact-distinct partial agg is ~1000x the
+    # 3 MB scan's work, and the scan arrives as ONE IO-sized partition —
+    # the guide-§2.5 input-skew class _spread exists for (r12 measured:
+    # 26.9 s wall / 36.5 cpu-s single-task -> parallel after the spread).
+    # count/countDistinct are placement-independent, so results are
+    # identical; a no-op on any well-partitioned input at scale.
+    docs = _spread(load(spark, sf_dir, "documents"))
     lw = F.transform(
         words_col(F.coalesce(F.col("text"), F.lit(""))),
         lambda w: F.lower(w))
