@@ -712,8 +712,12 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, topk: int = 5,
     dim_sub, cb_lit = _pq_cb_lit(corpus, m, k, id_col, vec_col)
     # ONE map-only corpus pass computes the cell AND the PQ codes (the two
     # quantizers are independent literals — composing them must not add a
-    # self-join/shuffle)
-    decoded = corpus.select(
+    # self-join/shuffle).  The pass costs ~120 µs/row (16 centroid folds +
+    # m·k sub-distance argmins) over an IO-sized scan — r12 measured 4.7
+    # cpu-s in ONE task at sf0.1 — so spread it like the other corpus
+    # sides (§2.5; join + deterministic window downstream are
+    # placement-independent, and a no-op on wide inputs).
+    decoded = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.array_max(scored(vec_col)).getField("cid").alias("cell"),
         _pq_codes_col(cb_lit, vec_col, m, k, dim_sub).alias("codes"),
